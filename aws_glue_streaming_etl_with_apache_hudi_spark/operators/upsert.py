@@ -1,0 +1,251 @@
+"""Keyed upsert table — the Hudi COPY_ON_WRITE semantics, pure Spark.
+
+Reference semantics (glue_job_script.py:50-73):
+
+- record key        -> one live row per key per partition path
+                       (``hoodie.datasource.write.recordkey.field``, :56)
+- precombine field  -> among rows sharing a key (within a batch AND vs the
+                       stored row), greatest precombine value wins (:55)
+- partition path    -> multi-level Hive-style layout, e.g.
+                       ``name=…/year=…/month=…/day=…`` (:57-61, :70)
+- COW upsert        -> each commit rewrites only affected files (:53-54)
+- hive sync         -> table/partitions visible to SQL after commit (:64-73)
+
+Spark-native design (no Hudi runtime):
+
+1. **Within-batch precombine** — ``max_by(struct(all columns), precombine)``
+   per key: one map-side-combinable aggregation, no window sort.
+2. **Touched-partition pruning** — collect the batch's distinct partition
+   tuples (small: one row per touched partition) and read ONLY those
+   partitions of the stored table via a pushed-down filter. At 100 TB this
+   is the difference between rewriting a few partitions and scanning the
+   world — the same reason Hudi tracks file groups.
+3. **Merge** — union stored+batch, re-run the same ``max_by`` keyed
+   aggregation with batch rows winning ties (Hudi upserts replace stored
+   rows on equal precombine).
+4. **Atomic-ish rewrite** — write merged rows with
+   ``partitionOverwriteMode=dynamic`` so only touched partitions are
+   replaced. Replaying a batch is a no-op (idempotent), which is what makes
+   checkpoint-restart exactly-once at the table level (A12).
+
+Scale notes: the merge shuffles once on the record key (the aggregation);
+AQE handles skewed keys. The stored-side read is partition-pruned, and the
+rewrite is partition-local. No ``collect()`` of data rows — only the
+distinct partition tuples (bounded by touched-partition count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.schema_evolution import evolve_schema
+
+
+def precombine_latest(
+    df: DataFrame,
+    keys: list[str],
+    precombine: str,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Keep, per key, the single row with the greatest ``precombine`` value.
+
+    Hudi's precombine stage (glue_job_script.py:55) as one aggregation:
+    ``max_by(struct(*cols), ordering)`` — partial-aggregates map-side, so
+    it shuffles at most one pre-combined row per key per input partition
+    (contrast a window ``row_number``: full shuffle + per-partition sort of
+    every row). The ordering is (precombine, *tie_breakers, *other columns)
+    so results are deterministic even with duplicate precombine values.
+    """
+    cols = df.columns
+    order_cols = [precombine] + (tie_breakers or [])
+    order_cols += [c for c in cols if c not in keys and c not in order_cols]
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("_row")
+        )
+        .select("_row.*")
+    )
+
+
+@dataclass
+class UpsertTable:
+    """A partitioned-Parquet table with Hudi-style upsert semantics.
+
+    ``path``          physical location (partitioned Parquet, Hive-style).
+    ``keys``          record-key columns (reference: ``name``, :56).
+    ``precombine``    conflict-resolution column (reference: ``date``, :55).
+    ``partition_by``  partition-path columns (reference: name/year/month/day,
+                      :57-61). Empty list -> unpartitioned table.
+    ``table_name``    if set, registered in the Spark catalog after each
+                      commit (hive-sync analogue, :64-73).
+    """
+
+    spark: SparkSession
+    path: str
+    keys: list[str]
+    precombine: str
+    partition_by: list[str] = field(default_factory=list)
+    table_name: str | None = None
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_engine_meta.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    def _save_meta(self, df: DataFrame) -> None:
+        """Persist table schema + upsert config beside the data — the
+        engine's ``.hoodie``-style commit metadata. Written atomically
+        (temp + rename). Local-FS API here because tests run on local
+        paths; a cluster deployment swaps in the Hadoop FileSystem API
+        (same atomic-rename contract on HDFS)."""
+        meta = {
+            "schema": df.schema.json(),
+            "keys": self.keys,
+            "precombine": self.precombine,
+            "partition_by": self.partition_by,
+        }
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def _load_schema(self) -> T.StructType:
+        with open(self._meta_path) as f:
+            return T.StructType.fromJson(json.loads(json.load(f)["schema"]))
+
+    def read(self) -> DataFrame:
+        """Read the current table state (all live rows).
+
+        Partition-column type inference is disabled session-wide (values
+        must round-trip as written — session.py), so partition columns
+        come back as strings; cast them to their true types from the
+        persisted schema."""
+        df = self.spark.read.parquet(self.path)
+        if not self.partition_by:
+            return df
+        schema = {f.name: f.dataType for f in self._load_schema().fields}
+        return df.select(
+            *[
+                F.col(c).cast(schema[c]).alias(c) if c in self.partition_by and c in schema else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _touched_partition_filter(self, batch: DataFrame):
+        """Build a pushed-down filter selecting only partitions present in
+        the batch. Returns (condition, n_touched). The distinct list is tiny
+        (one row per touched partition) — the only driver-side collect."""
+        touched = [
+            tuple(r) for r in batch.select(*self.partition_by).distinct().collect()
+        ]
+        cond = None
+        for values in touched:
+            clause = None
+            for col_name, v in zip(self.partition_by, values):
+                eq = F.col(col_name).eqNullSafe(F.lit(v))
+                clause = eq if clause is None else (clause & eq)
+            cond = clause if cond is None else (cond | clause)
+        return cond, len(touched)
+
+    @property
+    def _identity(self) -> list[str]:
+        """Row identity = partition path + record key — Hudi's default
+        non-global index semantics ("one live row per key per partition
+        path", glue_job_script.py:56-58): the same key in two partition
+        paths is two records. This also keeps the dynamic-partition-
+        overwrite rewrite consistent (rows never migrate between
+        partitions during a merge)."""
+        return [c for c in self.partition_by if c not in self.keys] + self.keys
+
+    def upsert(self, batch: DataFrame) -> None:
+        """Merge one batch into the table (A8/A9: key + precombine merge).
+
+        Idempotent: re-applying the same batch leaves the table unchanged.
+        """
+        batch = precombine_latest(batch, self._identity, self.precombine)
+
+        if not self.exists():
+            self._write(batch, overwrite_all=True)
+            return
+
+        stored = self.read()
+        if self.partition_by:
+            cond, _n = self._touched_partition_filter(batch)
+            if cond is not None:
+                # Partition-pruned read: only touched partitions are merged.
+                stored = stored.filter(cond)
+
+        # Schema evolution across commits (A7): align both sides additively.
+        batch, stored = evolve_schema(batch, stored)
+
+        merged = _merge_batch_wins(stored, batch, self._identity, self.precombine)
+        self._write(merged, overwrite_all=False)
+
+    def _write(self, df: DataFrame, overwrite_all: bool) -> None:
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+            if not overwrite_all:
+                # dynamic partitionOverwriteMode (set in session.py):
+                # only partitions present in `df` are replaced — the COW
+                # "rewrite touched file groups" behavior.
+                pass
+        writer.parquet(self.path)
+        self._save_meta(df)
+        self._sync_catalog()
+
+    def _sync_catalog(self) -> None:
+        """Hive-sync analogue (glue_job_script.py:64-73): register/refresh
+        the table in the session catalog so SQL sees the new commit."""
+        if self.table_name:
+            self.read().createOrReplaceTempView(self.table_name)
+
+
+def _merge_batch_wins(
+    stored: DataFrame, batch: DataFrame, keys: list[str], precombine: str
+) -> DataFrame:
+    """Union stored+batch and keep the winner per key.
+
+    Hudi upsert resolves an exact precombine tie in favor of the INCOMING
+    row; encode provenance as a tie-breaker column so the aggregation is
+    deterministic and batch-wins-on-tie, then drop it.
+    """
+    tagged = stored.withColumn("_src", F.lit(0)).unionByName(
+        batch.withColumn("_src", F.lit(1)), allowMissingColumns=True
+    )
+    return precombine_latest(tagged, keys, precombine, tie_breakers=["_src"]).drop("_src")
+
+
+def upsert_dataframe(
+    stored: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    precombine: str,
+) -> DataFrame:
+    """Pure-DataFrame upsert (no table/IO): merge ``batch`` into ``stored``.
+
+    The algebra of ``UpsertTable.upsert`` exposed as a transform, used by
+    the batch query surface and the oracle tests.
+    """
+    batch = precombine_latest(batch, keys, precombine)
+    if stored is None:
+        return batch
+    return _merge_batch_wins(stored, batch, keys, precombine)
+
+
+def checkpoint_dir(base: str, name: str) -> str:
+    """Checkpoint location helper (A12 — glue_job_script.py:116)."""
+    return os.path.join(base, "checkpoints", name)

@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+Mirrors the reference's session setup (glue_job_script.py:19 — Kryo
+serializer; the reference also sets ``spark.sql.hive.convertMetastoreParquet=
+false``, a Hudi-read-path correctness knob we don't need on pure Parquet)
+and adds the scale levers Catalyst gives for free when enabled: AQE
+(runtime re-planning, skew-join splitting, partition coalescing), Arrow for
+the pandas-UDF slow path, UTC session time zone for oracle comparability,
+and dynamic partition overwrite so the upsert operator can atomically
+rewrite only touched partitions.
+
+At cluster scale the same factory applies — only ``master`` and the
+shuffle-partition count change (set shuffle partitions ~2-3x total cores;
+AQE coalesces the excess at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "aws-glue-streaming-etl-hudi-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Confs are chosen for 100 TB-scale behavior, not just local tests:
+
+    - AQE on: runtime partition coalescing + skew-join handling replaces
+      hand-tuned shuffle counts on real clusters.
+    - ``partitionOverwriteMode=dynamic``: the upsert operator overwrites only
+      the partitions present in the batch (incremental merge), like Hudi's
+      COW rewrite of touched file groups (glue_job_script.py:53-54).
+    - Arrow enabled: every pandas UDF moves batches, not rows.
+    - UTC: deterministic timestamp semantics vs the DuckDB oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Partition values must round-trip EXACTLY: inference would read the
+        # directory name "month=01" back as integer 1, so a later merge
+        # would write a divergent "month=1" path and strand the old file.
+        # The upsert table restores true column types from its persisted
+        # schema metadata instead (operators/upsert.py).
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # Read parquet TIMESTAMP(NANOS) as long instead of erroring; the
+        # sources layer converts to µs timestamps (readers.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

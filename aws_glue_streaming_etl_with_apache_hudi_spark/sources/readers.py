@@ -1,0 +1,125 @@
+"""Batch and streaming sources.
+
+The reference's only source is a catalog-registered Kinesis stream read as a
+schema-inferred JSON streaming DataFrame (glue_job_script.py:38-43, stream
+table defined at cloudformation-template/Glue_StreamingJob_Hudi_Template.yaml:
+73-104). Spark-natively that's ``spark.readStream``; for hermetic tests we use
+the file source, which exercises the identical micro-batch machinery.
+
+Batch readers are thin wrappers over ``spark.read`` — Catalyst then owns
+predicate pushdown, column pruning and partition pruning; a scan only
+materializes the columns/row-groups a query needs, which is the property that
+matters at 100 TB (verify with ``plans.explain_str``: ``PushedFilters`` /
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Explicit schema for the events stream table (FIXTURES.md §A) — streaming
+# file sources require a schema (no inference mid-stream); this is the
+# engine-side equivalent of the reference's catalog-declared stream table.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """JSON batch read. ``schema=None`` infers, matching the reference's
+    ``{"inferSchema": "true"}`` (glue_job_script.py:42); production callers
+    should pass a schema (inference is a full extra pass over the data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects by default; read it as long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
+    truncate to microsecond timestamps, byte-identical to how DuckDB's
+    reader converts ns -> its µs-precision TIMESTAMP (verified in
+    tests/test_sources.py). Conversion is a column expression — stays in
+    codegen, no UDF.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES) -> None:
+    """Register fixture tables as temp views so ``spark.sql`` can query them
+    — the engine-side analogue of the reference's Hive/Glue catalog sync
+    (glue_job_script.py:64-73)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Unbounded streaming DataFrame over a directory (A1 analogue).
+
+    ``maxFilesPerTrigger=1`` makes each dropped file one micro-batch —
+    deterministic replay of the reference's per-trigger batching
+    (glue_job_script.py:111-118) without a message bus. Swap ``fmt`` and
+    options for kafka/kinesis in production; the downstream plan is
+    identical.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)

@@ -1,0 +1,94 @@
+"""The reference dataflow, Spark-native: stream -> foreachBatch -> upsert.
+
+Reference (glue_job_script.py):
+
+- A1  streaming source        :38-43  -> ``sources.stream_from_directory``
+                                         (file source for hermetic replay;
+                                         kafka/kinesis in production)
+- A2  forEachBatch trigger    :111-118 -> ``writeStream.foreachBatch(...)
+                                         .trigger(...)``
+- A3  empty-batch guard       :98     -> ``df.isEmpty()`` (the reference's
+                                         ``count() > 0`` materializes every
+                                         batch twice — known anti-pattern,
+                                         SURVEY.md §4)
+- A7  schema evolution        :81-94  -> handled inside ``UpsertTable``
+- A8-A11 Hudi upsert + sync   :50-73  -> ``UpsertTable.upsert``
+- A12 checkpoint/bookmark     :116    -> ``checkpointLocation``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import stream_from_directory
+
+
+@dataclass
+class StreamingUpsertPipeline:
+    """End-to-end equivalent of the reference job (glue_job_script.py:96-118).
+
+    ``source_dir``   directory watched by the streaming file source.
+    ``schema``       stream schema (the catalog-declared stream table's role).
+    ``table``        target ``UpsertTable`` (key/precombine/partition
+                     semantics).
+    ``checkpoint``   Structured Streaming checkpoint dir (A12) — restart
+                     resumes from last committed offsets; combined with the
+                     idempotent upsert, replays are no-ops.
+    ``trigger``      processing-time interval; the reference's
+                     ``window_size`` (default "10 seconds",
+                     Glue_StreamingJob_Hudi_Template.yaml:33).
+    """
+
+    spark: SparkSession
+    source_dir: str
+    schema: T.StructType
+    table: UpsertTable
+    checkpoint: str
+    trigger: str = "10 seconds"
+    source_format: str = "parquet"
+    max_files_per_trigger: int | None = 1
+    batches_seen: list[int] = field(default_factory=list)
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The reference's ``processBatch`` (glue_job_script.py:96-109),
+        minus the DynamicFrame identity round-trip (A4 — dropped)."""
+        if batch_df.isEmpty():  # A3, without the double materialization
+            return
+        self.batches_seen.append(batch_id)
+        self.table.upsert(batch_df)
+
+    def start(self, once: bool = False) -> StreamingQuery:
+        stream = stream_from_directory(
+            self.spark,
+            self.source_dir,
+            self.schema,
+            fmt=self.source_format,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .outputMode("update")
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=self.trigger)
+        return writer.start()
+
+    def run_available(self) -> None:
+        """Process everything currently in ``source_dir`` and stop —
+        deterministic replay for tests and backfills."""
+        q = self.start(once=True)
+        q.awaitTermination()
+
+
+def run_stream_to_completion(query: StreamingQuery) -> None:
+    """Drain a continuous streaming query synchronously (test helper)."""
+    query.processAllAvailable()
+    query.stop()

@@ -1,0 +1,90 @@
+"""End-to-end streaming pipeline (SURVEY.md §7 minimum slice + §5.3):
+replay ``events`` as a file stream -> foreachBatch upsert -> assert upsert
+semantics, restart-from-checkpoint idempotence, and SQL queryability."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import EVENTS_SCHEMA, load_table
+from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+
+def _write_event_files(spark, sf_dir, out_dir, n_files=3):
+    """Split the events fixture into n files -> n micro-batches."""
+    events = load_table(spark, sf_dir, "events")
+    for i in range(n_files):
+        (
+            events.filter(F.pmod("event_id", F.lit(n_files)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"chunk={i}"))
+        )
+    # flatten: move part files up so the stream sees individual files
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(os.path.join(out_dir, "chunk=*", "*.parquet"))):
+        shutil.move(f, os.path.join(out_dir, f"batch_{i}.parquet"))
+    for d in glob.glob(os.path.join(out_dir, "chunk=*")):
+        shutil.rmtree(d)
+
+
+def test_stream_upsert_end_to_end(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    _write_event_files(spark, sf_dir, src, n_files=3)
+
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "user_state"),
+        keys=["user_id"],
+        precombine="ts",
+        partition_by=["event_type"],
+        table_name="user_state",
+    )
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=EVENTS_SCHEMA,
+        table=table,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pipe.run_available()
+    assert len(pipe.batches_seen) >= 1
+
+    # Expected state: latest event per (event_type, user_id) — the upsert
+    # table's identity is partition path + record key (Hudi non-global).
+    events = load_table(spark, sf_dir, "events")
+    expected = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.max_by(F.struct("ts", "event_id", "value"), F.struct("ts", "event_id")).alias("r"))
+        .select("event_type", "user_id", "r.ts", "r.event_id", "r.value")
+    )
+    got = table.read().select("event_type", "user_id", "ts", "event_id", "value")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+    # SQL surface over the synced table (A11): aggregate the merged state
+    agg = spark.sql(
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total "
+        "FROM user_state GROUP BY event_type ORDER BY event_type"
+    )
+    assert agg.count() > 0
+
+    # Restart from checkpoint with no new files: no reprocessing, same state
+    before = sorted(map(tuple, got.collect()))
+    pipe2 = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=EVENTS_SCHEMA,
+        table=table,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pipe2.run_available()
+    assert pipe2.batches_seen == []
+    after = sorted(map(tuple, table.read().select("event_type", "user_id", "ts", "event_id", "value").collect()))
+    assert before == after
