@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), fingerprint (md5-normalized), MinHash+LSH
+(shingle -> minhash -> band -> bucket-join -> Jaccard verify), SimHash
+(banded Hamming), n-gram Jaccard with blocking. The reference's upsert
+key/precombine machinery (glue_job_script.py:55-56) is the degenerate
+exact case; these generalize it to near-duplicate detection over the
+``documents`` fixture.
+
+All stages are built-in column expressions (no Python UDFs): shingling via
+``split``/``transform``/``slice``, hashing via the md5-derived
+``stable_hash64`` (portable to the DuckDB oracle), candidate generation
+via self-equi-join on (band, bucket) — the LSH trick that turns an O(n²)
+similarity scan into a shuffle on bucket keys. At 100 TB: n² is off the
+table; bucket joins shuffle only same-bucket groups, and AQE's skew-join
+splits hot buckets (a degenerate bucket, e.g. boilerplate docs, is the
+classic failure mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical text form for exact/fingerprint dedup: lowercase,
+    whitespace-collapsed, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative (min id) per exact normalized text; adds
+    ``n_copies``. Scale: single hash aggregation on a 128-bit digest —
+    group on ``md5(norm)`` instead of the full text so the shuffle moves
+    16-byte keys, not documents."""
+    norm = normalized_text(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .drop("_digest")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    Shingling is a pure array expression (split -> transform over a
+    position sequence -> slice/concat) — evaluated inside codegen, then a
+    single explode. No Python."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    positions = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = F.transform(positions, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
+    """MinHash signature per document: k min-aggregations over seeded
+    hashes of the shingles, computed in ONE groupBy pass (k agg
+    expressions, all map-side combinable) — not k passes, not a window."""
+    aggs = [
+        F.min(stable_hash64(F.col("shingle"), seed=i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """Banding: hash each band's signature slice to a bucket id.
+    Output: (id, band, bucket). Documents agreeing on ANY band collide."""
+    num_bands = num_hashes // rows_per_band
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    out = bands[0]
+    for other in bands[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join on (band, bucket): candidate pairs (id_a < id_b), distinct
+    across bands. The only shuffle keys are (band, bucket) — never n²."""
+    a = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set joins.
+
+    Sets are collected per doc once (collect_set) and joined twice —
+    at scale, candidates << n², so this materializes only candidate
+    sets. Returns (id_a, id_b, jaccard) filtered to >= threshold."""
+    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("s"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: returns verified near-duplicate
+    pairs (id_a, id_b, jaccard >= threshold)."""
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    bands = lsh_bands(sig, id_col, num_hashes, rows_per_band)
+    cands = lsh_candidate_pairs(bands, id_col)
+    return jaccard_verify(cands, sh, id_col, threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per document over distinct words.
+
+    Explodes (doc, word) then, per bit position, sums +1/-1 by whether the
+    word-hash has that bit — expressed as one aggregation with ``bits``
+    conditional-sum expressions (no per-bit explode; input stays
+    |doc x distinct words|). Returns (id, simhash)."""
+    words = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .withColumn("h", stable_hash64("w"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str, bits: int = 32, bands: int = 4, max_hamming: int = 14
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance with band blocking: split the
+    fingerprint into ``bands`` chunks; pairs sharing any chunk value are
+    candidates (guaranteed to catch hamming <= bands-1 by pigeonhole;
+    probabilistic above). Then exact ``bit_count(xor)`` filter."""
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    pieces = [
+        (F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask))).alias(f"c{b}")
+        for b in range(bands)
+    ]
+    keyed = sims.select(F.col(id_col), F.col("simhash"), *pieces)
+    out = None
+    for b in range(bands):
+        a = keyed.select(
+            F.col(f"c{b}").alias("k"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+        )
+        bb = keyed.select(
+            F.col(f"c{b}").alias("k"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+        )
+        cand = a.join(bb, "k").filter(F.col("id_a") < F.col("id_b")).drop("k")
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

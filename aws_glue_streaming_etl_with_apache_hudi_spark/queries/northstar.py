@@ -1,0 +1,494 @@
+"""North-star queries: dedup, similarity search, text analysis, multimodal
+metadata — each a deterministic, oracle-checked surface over the operator
+modules (operators/{dedup,similarity,text,multimodal}.py).
+
+Oracle construction note: every hash used by these operators is derived
+from md5 (functions/hashing.py), so the DuckDB SQL reproduces signatures
+bit-for-bit — MinHash/LSH/fingerprints get REAL value-level verification,
+not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import dedup as D
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import similarity as S
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import text as X
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.multimodal import binary_assets
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
+
+_HASH60 = "CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _h(expr: str, seed: int | None = None) -> str:
+    inner = f"concat('{seed}|', {expr})" if seed is not None else expr
+    return _HASH60.format(expr=inner)
+
+
+# -------------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY keep_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy on the normalized-text digest —
+    shuffles 16-byte digests, not documents."""
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id").orderBy("keep_id")
+
+
+@register(
+    "dedup_fingerprint",
+    sql=f"""
+    SELECT doc_id, md5(text) AS content_md5,
+           {_h('text')} AS content_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Portable content fingerprints (md5 + 60-bit hash), value-checked
+    against DuckDB computing the identical digests."""
+    docs = t(spark, sf_dir, "documents")
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        stable_hash64("text").alias("content_hash"),
+    ).orderBy("doc_id")
+
+
+_MINHASH_SQL_BODY = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM words)
+      ) WHERE sh <> ''
+    ),
+    sigs AS (
+      SELECT doc_id, s.seed,
+             min({mh}) AS mh
+      FROM shingles, (SELECT unnest(range(0, 8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    )
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    sql=_MINHASH_SQL_BODY.format(mh=_h("sh", seed=None).replace("md5(sh)", "md5(concat(seed, '|', sh))"))
+    + """
+    SELECT doc_id,
+           min(CASE WHEN seed = 0 THEN mh END) AS mh0,
+           min(CASE WHEN seed = 1 THEN mh END) AS mh1,
+           min(CASE WHEN seed = 7 THEN mh END) AS mh7,
+           count(*) AS n_seeds
+    FROM sigs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=8, word 3-shingles) — per-doc signature values
+    verified bit-for-bit against the SQL oracle computing the same
+    md5-derived hash family."""
+    docs = t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sig = D.minhash_signatures(sh, "doc_id", num_hashes=8)
+    return sig.select(
+        "doc_id",
+        F.col("mh0"),
+        F.col("mh1"),
+        F.col("mh7"),
+        F.lit(8).cast("long").alias("n_seeds"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=_MINHASH_SQL_BODY.format(mh=_h("sh", seed=None).replace("md5(sh)", "md5(concat(seed, '|', sh))"))
+    + """
+    , bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sigs GROUP BY doc_id, seed // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(sh) AS s FROM shingles GROUP BY doc_id)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+      FROM cands JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b
+    ) WHERE jac >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    headline=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Full MinHash+LSH near-dup pipeline (k=8, bands of 2, verify
+    Jaccard >= 0.5). The oracle replays every stage — shingling, the
+    seeded hash family, banding, candidate join, exact verification."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, sh FROM (
+        SELECT doc_id, lang, array_to_string(w[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, lang, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM words)
+      ) WHERE sh <> ''
+    ),
+    sets AS (SELECT doc_id, lang, list(sh) AS s FROM sh GROUP BY doc_id, lang)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jac >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard with language blocking: pairwise only within
+    a lang block (a real blocking strategy — cross-language near-dups are
+    not meaningful for this corpus). At 100 TB the block must come from
+    LSH (see dedup_minhash_lsh); this exact variant is the quality
+    yardstick LSH recall is measured against."""
+    docs = t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs.select("doc_id", "lang", "text"), "doc_id", "text", n=3)
+    sets = (
+        sh.join(t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(F.collect_set("shingle").alias("s"))
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("lang"), F.col("s").alias("s_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("lang"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    sql=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    wh AS (SELECT doc_id, {_h('w')} AS h FROM dw),
+    bitsums AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wh, (SELECT unnest(range(0, 32)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bitsums GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document, value-verified against the oracle
+    recomputing the same word-hash bit sums."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=32).orderBy("doc_id")
+
+
+@register("dedup_simhash_pairs", sql=None)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via banded Hamming blocking (4 bands of 8
+    bits, exact bit_count verify <= 6). Non-SQL-oracle (the banded
+    self-join explodes DuckDB's optimizer at fixture scale for no extra
+    verification value — the signature inputs are already value-checked
+    by dedup_simhash)."""
+    docs = t(spark, sf_dir, "documents")
+    sims = D.simhash(docs, "doc_id", "text", bits=32)
+    return D.simhash_near_pairs(sims, "doc_id", bits=32, bands=4, max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   4) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE sim >= 0.25
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: cosine >= 0.25 among a deterministic sample
+    (vec_id % 10 = 0). Similarity rounded before thresholding so both
+    engines agree at the boundary."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import cosine_similarity
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.25)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------- similarity
+
+
+@register(
+    "knn_bruteforce",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 40 = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+                   4) AS sim
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs)
+    WHERE rn <= 5 ORDER BY query_id, rnk
+    """,
+    headline=True,
+)
+def knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for a deterministic query subset (vec_id % 40
+    = 0): broadcast queries, corpus streams map-side, per-query top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.knn_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+
+
+@register("knn_lsh", sql=None)
+def knn_lsh(spark, sf_dir):
+    """Approximate top-k via hyperplane LSH bucketing (8 planes): scores
+    only same-bucket candidates. Rows-only driver check; recall vs the
+    exact baseline is asserted in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.knn_lsh(emb, queries, k=5, num_planes=8, dim=64).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    sql="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ),
+    m AS (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
+    SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm,
+           count(*) AS dim
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Element-wise centroid per label (posexplode + re-assemble), reduced
+    to its norm for a compact oracle-checkable value."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(emb, "label", "embedding", dim=64)
+    norm = F.sqrt(
+        F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return cents.select(
+        "label",
+        F.round(norm, 4).alias("centroid_norm"),
+        F.size("centroid").cast("long").alias("dim"),
+    ).orderBy("label")
+
+
+# --------------------------------------------------------------------- text
+
+
+@register(
+    "text_stats",
+    sql="""
+    WITH w AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS distinct_ratio,
+           round(CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws), 4) AS avg_word_len,
+           round(CAST(len(list_filter(ws, x -> list_contains(['hash','order','table','row','batch'], x))) AS DOUBLE)
+                 / len(ws), 4) AS filler_ratio
+    FROM w ORDER BY doc_id
+    """,
+    headline=True,
+)
+def text_stats(spark, sf_dir):
+    """Per-document feature block (token counts, diversity, filler ratio)
+    — pure map work; the 100 TB shape for quality filtering."""
+    docs = t(spark, sf_dir, "documents")
+    return X.text_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    sql="""
+    WITH w AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(ws) AS n_words,
+                 round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS distinct_ratio,
+                 round(CAST(len(list_filter(ws, x -> list_contains(['hash','order','table','row','batch'], x))) AS DOUBLE)
+                       / len(ws), 4) AS filler_ratio
+          FROM w)
+    SELECT doc_id,
+           round(0.4 * least(n_words / 100.0, 1.0)
+                 + 0.4 * distinct_ratio + 0.2 * (1 - filler_ratio), 4) AS quality
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return X.quality_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "text_langid",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+               FROM documents),
+    scores AS (
+      SELECT doc_id, l.lang,
+             CAST(len(list_filter(ws, x -> list_contains(l.markers, x))) AS BIGINT) AS score
+      FROM w, (SELECT * FROM (VALUES
+                ('de', ['customer','hash','join']),
+                ('en', ['hash','order','table']),
+                ('es', ['slow','agg','merge']),
+                ('fr', ['scan','data','query']),
+                ('zh', ['slow','table','batch'])) AS v(lang, markers)) l
+    )
+    SELECT doc_id, lang AS predicted_lang, score AS marker_hits FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang) AS rn
+      FROM scores)
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-word language-ID heuristic, argmax with lexicographic
+    tie-break (deterministic classifier surface)."""
+    docs = t(spark, sf_dir, "documents")
+    return X.predict_language(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang", "marker_hits"
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_whitespace("text").alias("n_ws_tokens"),
+        X.token_count_bpe_ish("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    sql=f"""
+    SELECT doc_id, md5(text) AS content_md5,
+           {_h('text')} AS content_hash,
+           list_min([{_h("substring(text, i, 8)")}
+                     for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS winnow_min
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    """Rolling 8-gram winnowing fingerprint + content digests, hash
+    family identical in both engines."""
+    docs = t(spark, sf_dir, "documents")
+    return X.doc_fingerprints(docs, "doc_id", "text", gram=8).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_binary_meta",
+    sql="""
+    SELECT doc_id AS asset_id, 'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest_md5
+    FROM documents ORDER BY asset_id
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Binary-payload metadata derivation (the typed-metadata half of the
+    multimodal design; the mapInPandas feature path is exercised in
+    tests/test_multimodal.py)."""
+    docs = t(spark, sf_dir, "documents")
+    assets = binary_assets(docs, "doc_id", "text", "text")
+    return assets.select("asset_id", "modality", "n_bytes", "digest_md5").orderBy("asset_id")

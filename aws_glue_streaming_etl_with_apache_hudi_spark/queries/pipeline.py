@@ -1,0 +1,300 @@
+"""Pipeline-semantics queries: the reference's upsert/precombine/partition
+dataflow (SURVEY.md §2 Part A) expressed as verifiable batch queries, plus
+the streaming operators evaluated batch-wise (tumbling/sliding windows,
+stream dedup) so the DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import precombine_latest, upsert_dataframe
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.schema_evolution import evolve_schema
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import dsum, register, t
+
+_EVENT_COLS = ["user_id", "ts", "event_id", "event_type", "value"]
+
+
+def _fmt_ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+@register(
+    "upsert_latest_state",
+    sql="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           event_id, event_type, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    headline=True,
+)
+def upsert_latest_state(spark, sf_dir):
+    """The reference's core product: one live row per record key, greatest
+    precombine wins (glue_job_script.py:55-56), as a batch query over the
+    whole stream. Implemented with the engine's precombine operator
+    (max_by aggregation — map-side combinable, one shuffle on the key;
+    contrast the oracle's window row_number which must sort every row)."""
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    latest = precombine_latest(e, ["user_id"], "ts", tie_breakers=["event_id"])
+    return latest.select(
+        "user_id",
+        _fmt_ts("ts").alias("ts_s"),
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "upsert_partitioned_state",
+    sql="""
+    SELECT event_type, user_id, event_id, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+    WHERE rn = 1 ORDER BY event_type, user_id
+    """,
+)
+def upsert_partitioned_state(spark, sf_dir):
+    """Upsert identity = partition path + record key (Hudi non-global
+    index; one live row per key per partition, glue_job_script.py:56-58)."""
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    latest = precombine_latest(e, ["event_type", "user_id"], "ts", tie_breakers=["event_id"])
+    return latest.select(
+        "event_type", "user_id", "event_id", F.round("value", 2).alias("value")
+    ).orderBy("event_type", "user_id")
+
+
+@register(
+    "upsert_merge_batches",
+    sql="""
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def upsert_merge_batches(spark, sf_dir):
+    """Two-phase merge: stored = upserted first half of the stream, batch =
+    second half; merged state must equal the single-pass result (the
+    idempotence/composability law the streaming pipeline relies on)."""
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    midpoint = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    stored = precombine_latest(
+        e.filter(F.col("ts") < midpoint), ["user_id"], "ts", tie_breakers=["event_id"]
+    )
+    batch = e.filter(F.col("ts") >= midpoint)
+    merged = upsert_dataframe(stored, batch, ["user_id"], "ts")
+    return merged.select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+    ).orderBy("user_id")
+
+
+@register(
+    "partition_path_derivation",
+    sql="""
+    SELECT concat('y=', strftime(ts, '%Y'), '/m=', strftime(ts, '%m'),
+                  '/d=', strftime(ts, '%d')) AS partition_path,
+           count(*) AS n_rows, count(DISTINCT user_id) AS n_keys
+    FROM events GROUP BY 1 ORDER BY partition_path
+    """,
+)
+def partition_path_derivation(spark, sf_dir):
+    """The reference's CustomKeyGenerator partition-path derivation
+    (glue_job_script.py:57-61): event time -> Hive-style y/m/d path."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "partition_path",
+            F.concat(
+                F.lit("y="), F.date_format("ts", "yyyy"),
+                F.lit("/m="), F.date_format("ts", "MM"),
+                F.lit("/d="), F.date_format("ts", "dd"),
+            ),
+        )
+        .groupBy("partition_path")
+        .agg(F.count("*").alias("n_rows"), F.count_distinct("user_id").alias("n_keys"))
+        .orderBy("partition_path")
+    )
+
+
+@register(
+    "schema_evolution_union",
+    sql="""
+    SELECT event_id, user_id, round(value, 2) AS value, NULL AS event_type
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, NULL AS user_id, NULL AS value, event_type
+    FROM events WHERE event_id % 2 = 1
+    ORDER BY event_id
+    """,
+)
+def schema_evolution_union(spark, sf_dir):
+    """A7: two micro-batches with diverged (partially overlapping) schemas
+    are aligned and unioned — missing columns null-filled, new columns
+    kept (glue_job_script.py:81-94, fixed semantics)."""
+    e = t(spark, sf_dir, "events")
+    batch_a = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+    batch_b = e.filter(F.col("event_id") % 2 == 1).select("event_id", "event_type")
+    a, b = evolve_schema(batch_a, batch_b)
+    return a.unionByName(b).orderBy("event_id")
+
+
+@register(
+    "asof_join_events_orders",
+    sql="""
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           round(o_totalprice, 2) AS last_total
+    FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) x
+    WHERE rn = 1 ORDER BY event_id
+    """,
+    headline=True,
+)
+def asof_join_events_orders(spark, sf_dir):
+    """As-of join (event -> most recent order of that customer at event
+    time). Spark lacks a native as-of join; the scalable implementation is
+    the union-and-carry-forward pattern: tag both sides, sort each key's
+    timeline once, and carry the latest order forward with
+    ``last(..., ignorenulls)`` — ONE shuffle on the key, no join
+    explosion, no per-event probe. (The oracle's row_number-over-join
+    form would materialize |events x orders-per-user| pairs at scale.)"""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    tagged = e.withColumn("is_event", F.lit(1)).unionByName(
+        o.withColumn("event_id", F.lit(None).cast("long")).withColumn("is_event", F.lit(0)),
+        allowMissingColumns=True,
+    )
+    # Timeline order: time, orders before events at the same instant
+    # (<= semantics), then o_orderkey so the LAST carried order is the
+    # max-orderkey one among same-date orders — matching the oracle's
+    # DESC, DESC row_number tie-break.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_event", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "is_event",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_total_raw"),
+    )
+    return (
+        carried.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "last_orderkey",
+            F.round("last_total_raw", 2).alias("last_total"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def tumbling_window_agg(spark, sf_dir):
+    """Tumbling event-time window (F.window) evaluated batch-wise; the
+    identical expression runs under ``readStream`` + watermark (see
+    streaming tests). Scale: pre-aggregates per (window, type) map-side."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "sliding_window_agg",
+    sql="""
+    WITH starts AS (
+      SELECT e.*, date_trunc('hour', ts) - INTERVAL (h.off) HOUR AS window_start
+      FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS off) h
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM starts
+    GROUP BY 1 ORDER BY window_start
+    """,
+)
+def sliding_window_agg(spark, sf_dir):
+    """Sliding window (2h length, 1h slide): every event lands in two
+    windows. F.window generates the window set natively."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_dedup_first_seen",
+    sql="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+          FROM events) x
+    WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_first_seen(spark, sf_dir):
+    """Deterministic stream dedup: first event per (user, type) in event
+    time — the batch semantics of ``dropDuplicates`` + watermark (which
+    keeps the first arrival; here first-by-event-time so it's replayable)."""
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    first = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.min_by(
+                F.struct("event_id", "ts"), F.struct("ts", "event_id")
+            ).alias("r")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("r.event_id").alias("first_event_id"),
+            _fmt_ts(F.col("r.ts")).alias("first_ts"),
+        )
+    )
+    return first.orderBy("user_id", "event_type")
