@@ -318,12 +318,13 @@ def knn_bruteforce(spark, sf_dir):
 
 @register("knn_lsh", sql=None)
 def knn_lsh(spark, sf_dir):
-    """Approximate top-k via hyperplane LSH bucketing (8 planes): scores
-    only same-bucket candidates. Rows-only driver check; recall vs the
-    exact baseline is asserted in tests/test_similarity.py."""
+    """Approximate top-k via multi-table random-projection LSH (6 tables
+    x 4 planes): scores only bucket-colliding candidates. Rows-only
+    driver check; recall vs the exact baseline is asserted in
+    tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
-    return S.knn_lsh(emb, queries, k=5, num_planes=8, dim=64).select(
+    return S.knn_lsh(emb, queries, k=5, num_planes=4, num_tables=6, dim=64).select(
         "query_id", "neighbor_id", "sim", "rnk"
     )
 

@@ -1,0 +1,77 @@
+"""Dedup operator semantics: exact dedup, MinHash-LSH recall against the
+exact Jaccard ground truth, SimHash blocking behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import dedup as D
+from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+
+
+def test_exact_dedup_collapses_copies(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world"),  # same after normalization
+            Row(doc_id=3, text="different doc"),
+        ]
+    )
+    out = {r.keep_id: r.n_copies for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_word_shingles_small_docs(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="x y")])
+    sh = {(r.doc_id, r.shingle) for r in D.word_shingles(df, "doc_id", "text", n=3).collect()}
+    assert sh == {(1, "a b c"), (1, "b c d"), (2, "x y")}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    """The fixture plants near-dup pairs (trigram Jaccard > 0.9); LSH with
+    8 hashes / bands of 2 must surface them (prob of missing a 0.9-pair:
+    (1-0.9^2)^4 ~ 0.1%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert len(found) >= 1
+    assert all(j >= 0.5 for j in found.values())
+
+    # ground truth: exact all-pairs jaccard >= 0.9 must all be found
+    sh = D.word_shingles(docs, "doc_id", "text")
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("j"))
+        .filter(F.col("j") >= 0.9)
+    )
+    truth_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+    assert truth_pairs, "fixture should contain strong near-dups"
+    missed = truth_pairs - set(found)
+    assert not missed, f"LSH missed strong pairs: {missed}"
+
+
+def test_simhash_near_pairs_blocks_and_verifies(spark):
+    # SimHash needs enough features for stable bit sums — use ~40-word docs
+    # differing in one word vs a disjoint-vocabulary document.
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " extraword"),  # near-dup of 1
+            Row(doc_id=3, text=" ".join(f"other{i}" for i in range(40))),
+        ]
+    )
+    sims = D.simhash(df, "doc_id", "text", bits=32)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_pairs(sims, "doc_id", bits=32, bands=4, max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,73 @@
+"""Similarity search: brute-force correctness vs numpy, LSH recall vs the
+exact baseline, centroid assembly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import similarity as S
+from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_knn_bruteforce_matches_numpy(spark, emb):
+    queries = emb.filter("vec_id % 100 = 0")
+    got = S.knn_bruteforce(emb, queries, k=3).collect()
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r.neighbor_id)
+
+    for qid in by_query:
+        qv = mat[ids == qid][0]
+        sims = (mat @ qv) / (norms * np.linalg.norm(qv))
+        sims[ids == qid] = -np.inf
+        order = sorted(
+            range(len(ids)), key=lambda i: (-round(float(sims[i]), 4), int(ids[i]))
+        )
+        expected = [int(ids[i]) for i in order[:3]]
+        assert by_query[qid] == expected, f"query {qid}"
+
+
+def test_knn_lsh_recall_vs_exact(spark, emb):
+    """Multi-table OR-construction recall on the (near-random) fixture
+    embeddings. Deterministic: planes derive from fixed hashes, so the
+    measured recall is a constant for this fixture."""
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = S.knn_bruteforce(emb, queries, k=5).collect()
+    approx = S.knn_lsh(emb, queries, k=5, num_planes=4, num_tables=6, dim=64).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert set(approx_sets) == set(exact_sets)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    # top-5 cosine ~0.4 on random-ish vectors: collide-prob per pair
+    # ~1-(1-0.6^4)^6 ~ 0.57; observed recall must beat a random-subset
+    # baseline decisively
+    assert hits / total >= 0.3, f"LSH recall too low: {hits}/{total}"
+
+    # determinism
+    again = S.knn_lsh(emb, queries, k=5, num_planes=4, num_tables=6, dim=64).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_label_centroids_shape(spark, emb):
+    cents = S.label_centroids(emb, "label", "embedding", dim=64).collect()
+    assert len(cents) == 10
+    assert all(len(r.centroid) == 64 for r in cents)
