@@ -17,11 +17,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def stable_hash64(col: Column | str, seed: int | None = None) -> Column:
+def stable_hash64(col: Column | str, seed: int | str | None = None) -> Column:
     """Deterministic 60-bit hash of a string column, portable to DuckDB.
 
-    ``seed`` concatenates a salt so k independent hash families can be
-    derived (MinHash signatures): hash_i(s) = stable_hash64(s, seed=i).
+    ``seed`` concatenates a salt so independent hash functions can be
+    derived: hash_seed(s) = stable_hash64(s, seed).
     """
     c = F.col(col) if isinstance(col, str) else col
     if seed is not None:
@@ -29,7 +29,7 @@ def stable_hash64(col: Column | str, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def stable_hash64_sql(expr: str, seed: int | None = None) -> str:
+def stable_hash64_sql(expr: str, seed: int | str | None = None) -> str:
     """The DuckDB-side rendering of ``stable_hash64`` for oracle SQL."""
     inner = f"concat('{seed}|', {expr})" if seed is not None else expr
     return f"CAST(concat('0x', substring(md5({inner}), 1, 15)) AS BIGINT)"

@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
 
 
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Repartition up to the cluster's parallelism if the input has fewer
+    partitions. CPU-heavy per-row operators (hashing every shingle of
+    every document) do far more work per input byte than a scan —
+    a small/single-split input must be spread across cores or the whole
+    pipeline runs on one task. No-op when the input is already wide
+    (the 100 TB case), so it never ADDS a shuffle at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical text form for exact/fingerprint dedup: lowercase,
     whitespace-collapsed, trimmed."""
@@ -46,51 +59,98 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle) rows.
-
-    Shingling is a pure array expression (split -> transform over a
-    position sequence -> slice/concat) — evaluated inside codegen, then a
-    single explode. No Python."""
+def word_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document as an ARRAY column:
+    (id, sh_arr). Pure row-local expressions (split -> transform over a
+    position sequence -> slice/concat -> array_distinct) — codegen'd, NO
+    shuffle, no explode. The array form feeds both the signature path
+    (explode downstream) and Jaccard verification (array_intersect)
+    without ever shuffling raw shingle strings."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     positions = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     grams = F.transform(positions, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(F.filter(grams, lambda g: g != "")).alias("sh_arr"),
     )
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
-    """MinHash signature per document: k min-aggregations over seeded
-    hashes of the shingles, computed in ONE groupBy pass (k agg
-    expressions, all map-side combinable) — not k passes, not a window."""
-    aggs = [
-        F.min(stable_hash64(F.col("shingle"), seed=i)).alias(f"mh{i}")
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows
+    (exploded view of ``word_shingle_arrays``)."""
+    return word_shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
+    )
+
+
+MINHASH_MASK = (1 << 60) - 1
+
+
+def minhash_hash_family(col: Column, num_hashes: int) -> list[Column]:
+    """k pairwise-independent-ish hashes from TWO md5 digests:
+    h_i = ((i * h2) & M + h1) & M, M = 2^60-1.
+
+    Two md5 evaluations per shingle instead of k (the md5 is the cost at
+    scale); the affine mixing is integer arithmetic inside codegen. The
+    DuckDB oracle reproduces the family exactly (i*h2 stays below 2^63
+    for i <= 7 since h2 < 2^60)."""
+    h1 = stable_hash64(col)
+    h2 = stable_hash64(col, seed="b")
+    return [
+        ((F.lit(i) * h2).bitwiseAND(F.lit(MINHASH_MASK)) + h1).bitwiseAND(
+            F.lit(MINHASH_MASK)
+        )
         for i in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
+    """MinHash signature per document: k min-aggregations over the hash
+    family, computed in ONE groupBy pass (k agg expressions, all map-side
+    combinable) — not k passes, not a window.
+
+    The two md5 digests are materialized in a projection BEFORE the
+    aggregate so each is computed once per shingle row; the k aggregate
+    expressions then reference the projected columns (pure integer
+    arithmetic)."""
+    hashed = shingles.select(
+        F.col(id_col),
+        stable_hash64(F.col("shingle")).alias("_h1"),
+        stable_hash64(F.col("shingle"), seed="b").alias("_h2"),
+    )
+    mask = F.lit(MINHASH_MASK)
+    aggs = [
+        F.min(
+            ((F.lit(i) * F.col("_h2")).bitwiseAND(mask) + F.col("_h1")).bitwiseAND(mask)
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str, num_hashes: int, rows_per_band: int) -> DataFrame:
     """Banding: hash each band's signature slice to a bucket id.
-    Output: (id, band, bucket). Documents agreeing on ANY band collide."""
+    Output: (id, band, bucket). Documents agreeing on ANY band collide.
+
+    Single-pass: bands are built as an array of structs and exploded —
+    NOT a union of per-band selects, which would re-execute the whole
+    signature subtree once per band (Catalyst does not share common
+    subplans across union branches)."""
     num_bands = num_hashes // rows_per_band
-    bands = []
+    band_structs = []
     for b in range(num_bands):
-        cols = [F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+        cols = [
+            F.col(f"mh{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket")
             )
         )
-    out = bands[0]
-    for other in bands[1:]:
-        out = out.unionByName(other)
-    return out
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
@@ -107,16 +167,15 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+    pairs: DataFrame, shingle_arrays: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs via shingle-set joins.
+    """Exact Jaccard on candidate pairs: join the per-doc shingle ARRAYS
+    (already row-local — no collect_set shuffle) to both sides.
 
-    Sets are collected per doc once (collect_set) and joined twice —
-    at scale, candidates << n², so this materializes only candidate
-    sets. Returns (id_a, id_b, jaccard) filtered to >= threshold."""
-    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("s"))
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    At scale, candidates << n², so only candidate docs' arrays move.
+    Returns (id_a, id_b, jaccard) filtered to >= threshold."""
+    a = shingle_arrays.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("s_a"))
+    b = shingle_arrays.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
     union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
     return (
@@ -138,11 +197,20 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns verified near-duplicate
     pairs (id_a, id_b, jaccard >= threshold)."""
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
-    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    # Materialize the two tiny derived tables that every downstream branch
+    # reuses: the per-doc shingle arrays (verify joins it twice) and the
+    # signatures (the LSH bucket join is a self-join => two consumers).
+    # Without this, Catalyst re-executes the full shingle+hash subtree
+    # once per consumer (no cross-branch common-subplan sharing): the
+    # measured plan had 8 scans of the corpus. At 100 TB these ARE stored
+    # artifacts (a signature table you write once and reuse across runs);
+    # persist() is the in-session equivalent.
+    sh_arr = word_shingle_arrays(fan_out(df), id_col, text_col, n=shingle_n).persist()
+    exploded = sh_arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    sig = minhash_signatures(exploded, id_col, num_hashes=num_hashes).persist()
     bands = lsh_bands(sig, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
-    return jaccard_verify(cands, sh, id_col, threshold)
+    return jaccard_verify(cands, sh_arr, id_col, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -153,7 +221,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     conditional-sum expressions (no per-bit explode; input stays
     |doc x distinct words|). Returns (id, simhash)."""
     words = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
         )
         .filter(F.col("w") != "")

@@ -37,17 +37,32 @@ def knn_bruteforce(
     Similarity is rounded BEFORE ranking so ordering is stable across
     engines/float-summation orders (tie-break: neighbor id). Returns
     (query_id, neighbor_id, sim, rnk)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
+
+    corpus = fan_out(corpus)
+    # Precompute each vector's norm ONCE (corpus-side map) instead of
+    # per-pair: cuts the per-pair work to a single dot-product fold.
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                sim_decimals,
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -133,22 +148,37 @@ def knn_lsh(
     Scale: candidates are generated by a (table, bucket) equi-join and
     deduped — shuffle keys are bucket ids, never n²; hot buckets (mass
     near a hyperplane intersection) are handled by AQE skew splitting."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
+
+    corpus = fan_out(corpus)
     cb = hyperplane_signs(corpus, id_col, vec_col, num_planes, dim, num_tables).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), "table", "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+        "table",
+        "bucket",
     )
     qb = hyperplane_signs(queries, id_col, vec_col, num_planes, dim, num_tables).select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), "table", "bucket"
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
+        "table",
+        "bucket",
     )
     cands = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+        F.round(
+            dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            sim_decimals,
+        ).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -66,7 +66,10 @@ def dedup_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_MINHASH_SQL_BODY = """
+# MinHash hash family in SQL: h_i = ((i * h2) & M + h1) & M — mirrors
+# operators.dedup.minhash_hash_family exactly (M = 2^60-1; two md5s).
+_M60 = (1 << 60) - 1
+_MINHASH_SQL_BODY = f"""
     WITH words AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
     ),
@@ -77,10 +80,13 @@ _MINHASH_SQL_BODY = """
               FROM words)
       ) WHERE sh <> ''
     ),
+    hashed AS (
+      SELECT doc_id, {_h('sh')} AS h1, {_h('sh', seed='b')} AS h2 FROM shingles
+    ),
     sigs AS (
       SELECT doc_id, s.seed,
-             min({mh}) AS mh
-      FROM shingles, (SELECT unnest(range(0, 8)) AS seed) s
+             min((((s.seed * h2) & {_M60}) + h1) & {_M60}) AS mh
+      FROM hashed, (SELECT unnest(range(0, 8)) AS seed) s
       GROUP BY doc_id, s.seed
     )
 """
@@ -88,7 +94,7 @@ _MINHASH_SQL_BODY = """
 
 @register(
     "dedup_minhash_signatures",
-    sql=_MINHASH_SQL_BODY.format(mh=_h("sh", seed=None).replace("md5(sh)", "md5(concat(seed, '|', sh))"))
+    sql=_MINHASH_SQL_BODY
     + """
     SELECT doc_id,
            min(CASE WHEN seed = 0 THEN mh END) AS mh0,
@@ -116,7 +122,7 @@ def dedup_minhash_signatures(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
-    sql=_MINHASH_SQL_BODY.format(mh=_h("sh", seed=None).replace("md5(sh)", "md5(concat(seed, '|', sh))"))
+    sql=_MINHASH_SQL_BODY
     + """
     , bands AS (
       SELECT doc_id, seed // 2 AS band,

@@ -66,6 +66,12 @@ def get_spark(
         # sources layer converts to µs timestamps (readers.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Split inputs so every core has work. The default 128 MB split is
+        # right for 100 TB scans; test fixtures are single small files and
+        # would otherwise pin every scan to ONE task. Same knob, same
+        # rule (split-size ~ bytes/core), different magnitude.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "4m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -35,13 +35,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     names = sorted(n for n, q in QUERIES.items() if q.headline)
 
-    # warmup: prime JVM JIT + file listing (not timed)
+    # warmup: one full execution per query (codegen compilation, shuffle
+    # file creation, operator-level materializations) — not timed
     for name in names:
-        QUERIES[name].fn(spark, SF_DIR).limit(1).collect()
+        QUERIES[name].fn(spark, SF_DIR).count()
 
+    # steady state: best of 2 runs (absorbs GC/compilation jitter)
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_one(spark, QUERIES[name].fn), 3)
+        timings[name] = round(
+            min(run_one(spark, QUERIES[name].fn) for _ in range(2)), 3
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
