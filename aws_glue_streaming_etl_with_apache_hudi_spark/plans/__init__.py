@@ -47,8 +47,10 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    plan = explain_str(df)
+    """Number of whole-stage-codegen subtrees ("codegen" explain mode —
+    the formatted mode hides them under AdaptiveSparkPlan)."""
     import re
 
-    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
-    return len(ids)
+    plan = explain_str(df, mode="codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0

@@ -1,0 +1,88 @@
+"""Plan-quality gates: the properties that decide 100 TB viability must
+hold in the physical plan, not just in intent (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.plans import (
+    codegen_stage_count,
+    explain_str,
+    has_pushed_filter,
+    reads_only_columns,
+    uses_broadcast_join,
+)
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_extendedprice").filter(F.col("l_extendedprice") > 0)
+    assert reads_only_columns(df, {"l_orderkey", "l_extendedprice"})
+
+
+def test_q1_scan_is_pruned_and_codegen(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    assert reads_only_columns(
+        df,
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        },
+    )
+    assert has_pushed_filter(df, "l_shipdate")
+    # codegen coverage is only visible pre-AQE
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+        assert codegen_stage_count(df2) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    assert uses_broadcast_join(QUERIES["join_broadcast_dim"].fn(spark, sf_dir))
+    assert uses_broadcast_join(QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir))
+    # knn is a broadcast CROSS join: the small query set broadcasts, the
+    # corpus streams map-side (BroadcastNestedLoopJoin BuildRight)
+    plan = explain_str(QUERIES["knn_bruteforce"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = explain_str(QUERIES["topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
+
+
+def test_theta_join_is_not_cartesian(spark, sf_dir):
+    plan = explain_str(QUERIES["join_theta_range"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    """The as-of implementation must be the union+window form: no join
+    node at all, one shuffle on the key."""
+    plan = explain_str(QUERIES["asof_join_events_orders"].fn(spark, sf_dir))
+    assert "Join" not in plan.replace("ReusedExchange", "")
+    assert plan.count("Window") >= 1
+
+
+def test_upsert_merge_is_partial_aggregate(spark, sf_dir):
+    """precombine must plan as a partial (map-side) aggregation, not a
+    window sort over all rows."""
+    plan = explain_str(QUERIES["upsert_latest_state"].fn(spark, sf_dir))
+    assert "partial_max_by" in plan or "HashAggregate" in plan
