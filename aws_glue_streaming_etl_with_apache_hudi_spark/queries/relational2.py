@@ -1,0 +1,291 @@
+"""Second-wave relational surface: subqueries (IN / scalar / correlated),
+exact percentiles, unpivot, word-count explode, RANGE window frames,
+boolean/bitwise aggregates, date-part extraction, approximate aggregates,
+and a shared-dialect SQL passthrough (one SQL string executed verbatim by
+BOTH Spark SQL and the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
+
+
+@register(
+    "percentiles_exact",
+    sql="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both sort and linearly interpolate —
+    identical doubles from identical inputs). At 100 TB prefer
+    ``percentile_approx`` (see approx_aggregates); exact percentile
+    requires a per-group sort."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "subquery_in",
+    sql="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    """,
+)
+def subquery_in(spark, sf_dir):
+    """IN-subquery via Spark SQL (plans as a left-semi join)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderstatus = 'O'
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "subquery_scalar",
+    sql="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                             / count(*), 6) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """Scalar subquery threshold. The subquery's average uses the exact
+    decimal-sum form so both engines compare against the identical
+    double (a float avg would move boundary rows between engines)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                 / count(*), 6) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "subquery_correlated",
+    sql="""
+    SELECT c_custkey FROM customer c
+    WHERE (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2000)
+        > (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+    ORDER BY c_custkey
+    """,
+)
+def subquery_correlated(spark, sf_dir):
+    """Correlated scalar subqueries (integer compare — engine-neutral).
+    Catalyst decorrelates these into aggregated joins."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer c
+        WHERE (SELECT count(*) FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2000)
+            > (SELECT count(*) FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "unpivot_measures",
+    sql="""
+    SELECT measure, round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Unpivot (wide -> long) via ``stack`` — one pass, no union of
+    scans (the oracle's UNION ALL form is the semantic spec; Spark's
+    stack reads the table once)."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+            " AS (measure, val)"
+        )
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.round(F.sum(F.col("val").cast("decimal(18,2)")).cast("double"), 2).alias("total"))
+        .orderBy("measure")
+    )
+
+
+@register(
+    "explode_wordcount",
+    sql="""
+    SELECT w, count(*) AS n FROM (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
+    ) WHERE w <> ''
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def explode_wordcount(spark, sf_dir):
+    """The canonical explode+count. Scale: explode stays pipelined into a
+    partial aggregation — the shuffle carries (word, partial_count), not
+    raw words-per-row."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(20)
+    )
+
+
+@register(
+    "window_range_frame",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_similar
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over a value column (count of same-customer orders
+    within $100 below this one) — value-based frames are insensitive to
+    tie order, so the result is deterministic."""
+    o = t(spark, sf_dir, "orders")
+    # float RANGE bounds need the SQL frame syntax (the Python
+    # rangeBetween API only accepts integral offsets)
+    return o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice"
+        " RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_similar",
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_bool_bit",
+    sql="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)                 AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT')         AS any_urgent,
+           bit_and(o_custkey)                            AS key_and,
+           bit_or(o_custkey)                             AS key_or,
+           bit_xor(o_custkey)                            AS key_xor
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bool_bit(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bit_and("o_custkey").alias("key_and"),
+            F.bit_or("o_custkey").alias("key_or"),
+            F.bit_xor("o_custkey").alias("key_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "date_parts",
+    sql="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT)    AS q,
+           CAST(dayofweek(o_orderdate) AS BIGINT)  AS dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT)  AS doy,
+           CAST(hour(o_orderdate) AS BIGINT)       AS hr
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def date_parts(spark, sf_dir):
+    """Date-part extraction. Day-of-week conventions differ (Spark:
+    Sunday=1; DuckDB: Sunday=0) — normalized to DuckDB's numbering."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.hour("o_orderdate").cast("long").alias("hr"),
+    ).orderBy("o_orderkey")
+
+
+@register("approx_aggregates", sql=None)
+def approx_aggregates(spark, sf_dir):
+    """Sketch-based aggregates — the 100 TB substitutes for exact
+    count-distinct/percentile (bounded memory, one pass, mergeable
+    partials). No SQL oracle: HLL/KLL estimates are engine-specific;
+    tests bound their relative error against exact values instead."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# One SQL text, two engines: the dialect-neutral core (CTE + join + window
+# + aggregation) runs verbatim through spark.sql AND DuckDB.
+_SHARED_SQL = """
+    WITH cust_orders AS (
+      SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, count(*) AS n_top,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS top_total
+    FROM cust_orders WHERE rn <= 3
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@register("sql_api_shared_dialect", sql=_SHARED_SQL)
+def sql_api_shared_dialect(spark, sf_dir):
+    """The same SQL string executes on both engines (SQL API surface
+    proof: Catalyst and DuckDB agree on the dialect-neutral core)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_SQL)
