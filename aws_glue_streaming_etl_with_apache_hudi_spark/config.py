@@ -1,0 +1,69 @@
+"""Job parameterization (A13) — the reference resolves 8 runtime options
+from the CLI via ``getResolvedOptions(sys.argv, [...])``
+(glue_job_script.py:17; values Glue_StreamingJob_Hudi_Template.yaml:
+265-281). Engine-native equivalent: an explicit typed config resolved
+from argv/env with the same semantics (required named args, ``--key
+value`` form), minus the Glue service coupling."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def resolve_options(argv: list[str], names: list[str]) -> dict[str, str]:
+    """``--key value`` argument resolution; raises KeyError listing any
+    missing required names (the Glue behavior callers depend on)."""
+    out: dict[str, str] = {}
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--"):
+            key = argv[i][2:]
+            if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                out[key] = argv[i + 1]
+                i += 2
+                continue
+            out[key] = ""
+        i += 1
+    missing = [n for n in names if n not in out]
+    if missing:
+        raise KeyError(f"missing required options: {missing}")
+    return {n: out[n] for n in names} | {k: v for k, v in out.items() if k not in names}
+
+
+@dataclass
+class PipelineConfig:
+    """The reference job's parameter surface, typed (…Template.yaml:265-281)."""
+
+    table_path: str
+    checkpoint_path: str
+    record_key: str = "name"
+    precombine: str = "date"
+    partition_fields: list[str] = field(default_factory=lambda: ["year", "month", "day"])
+    window_size: str = "10 seconds"  # --window_size, default per yaml:33
+    starting_position: str = "latest"  # --kinesis iterator position, yaml:25-28
+    database_name: str = "default"
+    table_name: str = "hudi_table"
+
+    @classmethod
+    def from_argv(cls, argv: list[str]) -> "PipelineConfig":
+        opts = resolve_options(argv, ["table_path", "checkpoint_path"])
+        kwargs: dict = {
+            "table_path": opts["table_path"],
+            "checkpoint_path": opts["checkpoint_path"],
+        }
+        for k in ("record_key", "precombine", "window_size", "starting_position",
+                  "database_name", "table_name"):
+            if k in opts:
+                kwargs[k] = opts[k]
+        if "partition_fields" in opts:
+            kwargs["partition_fields"] = opts["partition_fields"].split(",")
+        return cls(**kwargs)
+
+    @classmethod
+    def from_env(cls, prefix: str = "ENGINE_") -> "PipelineConfig":
+        argv = []
+        for k, v in os.environ.items():
+            if k.startswith(prefix):
+                argv += [f"--{k[len(prefix):].lower()}", v]
+        return cls.from_argv(argv)

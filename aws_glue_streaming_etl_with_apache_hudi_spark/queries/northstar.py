@@ -499,3 +499,85 @@ def multimodal_binary_meta(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     assets = binary_assets(docs, "doc_id", "text", "text")
     return assets.select("asset_id", "modality", "n_bytes", "digest_md5").orderBy("asset_id")
+
+
+@register(
+    "text_tfidf_top_term",
+    sql="""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+               FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w WHERE word <> ''
+           GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / dfreq), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+    )
+    SELECT doc_id, word AS top_term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rn
+      FROM scored)
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def text_tfidf_top_term(spark, sf_dir):
+    """TF-IDF: term frequency x inverse document frequency, top term per
+    doc. Scale: two aggregations (tf, df) + a broadcast join of the df
+    table (vocabulary-sized, tiny next to the corpus); the integer inputs
+    make ln() bit-identical across engines."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("dfreq"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_quantize",
+    sql="""
+    SELECT vec_id,
+           CAST(sum(CAST(floor(x * 127) AS BIGINT)) AS BIGINT) AS q_sum,
+           CAST(min(CAST(floor(x * 127) AS BIGINT)) AS BIGINT) AS q_min,
+           CAST(max(CAST(floor(x * 127) AS BIGINT)) AS BIGINT) AS q_max
+    FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """int8-style quantization of embeddings (floor(x*127)): the storage/
+    bandwidth lever for vector search at scale. Integer outputs — exact
+    cross-engine parity."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.explode(F.col("embedding").cast("array<double>")).alias("x")
+    )
+    q = F.floor(F.col("x") * 127).cast("long")
+    return (
+        ex.groupBy("vec_id")
+        .agg(
+            F.sum(q).cast("long").alias("q_sum"),
+            F.min(q).cast("long").alias("q_min"),
+            F.max(q).cast("long").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )

@@ -104,6 +104,13 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FI
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def table_schema(spark: SparkSession, table: str) -> T.StructType:
+    """Catalog schema probe without reading data (A5 — the reference's
+    ``spark.sql("SELECT * FROM t LIMIT 0")``, glue_job_script.py:85;
+    ``spark.table(...).schema`` resolves from the catalog with no scan)."""
+    return spark.table(table).schema
+
+
 def stream_from_directory(
     spark: SparkSession,
     path: str,
