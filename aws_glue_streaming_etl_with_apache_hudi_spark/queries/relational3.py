@@ -1,0 +1,138 @@
+"""Third-wave surface: skew-safe salted aggregation (oracle = plain GROUP
+BY — physical rewrite, identical result), null semantics (null-safe
+equality, NULLS FIRST/LAST), second string-function family, posexplode
+with position."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import salted_aggregate
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
+
+
+@register(
+    "agg_salted_skew",
+    sql="""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Salted two-phase aggregation over the low-cardinality (=maximally
+    skew-prone) event_type key. The oracle is the PLAIN group-by: salting
+    must be a physical-only rewrite. Scale: any hot key's reducer load is
+    capped at 1/num_salts."""
+    e = t(spark, sf_dir, "events")
+    return salted_aggregate(
+        e,
+        ["event_type"],
+        lambda: [
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        ],
+        lambda: [
+            F.sum("_n").cast("long").alias("n"),
+            F.round(F.sum("_s").cast("double"), 2).alias("total"),
+        ],
+    ).orderBy("event_type")
+
+
+@register(
+    "null_semantics",
+    sql="""
+    WITH t1 AS (
+      SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
+      FROM orders
+    )
+    SELECT a.o_orderkey AS k_a, b.o_orderkey AS k_b
+    FROM t1 a JOIN t1 b
+      ON a.st IS NOT DISTINCT FROM b.st
+     AND a.o_orderkey + 1 = b.o_orderkey
+    ORDER BY k_a
+    """,
+)
+def null_semantics(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL matches
+    NULL — the semantics regular equi-joins silently drop."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("st")
+    )
+    a = o.select(F.col("o_orderkey").alias("k_a"), F.col("st").alias("st_a"))
+    b = o.select(F.col("o_orderkey").alias("k_b"), F.col("st").alias("st_b"))
+    return (
+        a.join(b, F.col("st_a").eqNullSafe(F.col("st_b")) & (F.col("k_a") + 1 == F.col("k_b")))
+        .select("k_a", "k_b")
+        .orderBy("k_a")
+    )
+
+
+@register(
+    "sort_nulls_ordering",
+    sql="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+    FROM orders
+    ORDER BY st DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark, sf_dir):
+    """Explicit NULLS LAST ordering with a deterministic tie-break."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("st"))
+        .orderBy(F.desc_nulls_last("st"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "scalar_string_funcs2",
+    sql="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')        AS padded,
+           reverse(p_name)               AS rev,
+           left(p_type, 5)               AS type_head,
+           right(p_type, 3)              AS type_tail,
+           repeat(substring(p_brand, 1, 2), 2) AS rep,
+           translate(p_brand, '#', '-')  AS brand_dash,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+           split_part(p_type, ' ', 1)    AS first_word
+    FROM part ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs2(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.reverse("p_name").alias("rev"),
+        F.substring("p_type", 1, 5).alias("type_head"),
+        F.col("p_type").substr(F.length("p_type") - 2, F.lit(3)).alias("type_tail"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("rep"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("first_word"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "posexplode_with_position",
+    sql="""
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+    FROM embeddings
+    WHERE vec_id < 10
+    ORDER BY vec_id, pos
+    """,
+)
+def posexplode_with_position(spark, sf_dir):
+    """posexplode: element + 0-based position (DuckDB: unnest +
+    generate_subscripts)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        emb.select("vec_id", F.posexplode(F.col("embedding")).alias("pos", "xf"))
+        .select("vec_id", "pos", F.round(F.col("xf").cast("double"), 6).alias("x"))
+        .orderBy("vec_id", "pos")
+    )

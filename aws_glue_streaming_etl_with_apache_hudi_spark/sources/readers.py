@@ -81,6 +81,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tests/test_sources.py). Conversion is a column expression — stays in
     codegen, no UDF.
     """
+    # UTC regardless of the calling session's zone: timestamp rendering
+    # (date_format) must agree with DuckDB's zoneless timestamps even when
+    # the driver supplies its own SparkSession.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
