@@ -18,6 +18,7 @@ Reference (glue_job_script.py):
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,14 +53,20 @@ class StreamingUpsertPipeline:
     trigger: str = "10 seconds"
     source_format: str = "parquet"
     max_files_per_trigger: int | None = 1
+    transform: Callable[[DataFrame], DataFrame] | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The reference's ``processBatch`` (glue_job_script.py:96-109),
-        minus the DynamicFrame identity round-trip (A4 — dropped)."""
+        minus the DynamicFrame identity round-trip (A4 — dropped).
+        ``transform`` is the per-batch derivation hook (type coercion,
+        partition-column derivation, enrichment) applied before the
+        upsert."""
         if batch_df.isEmpty():  # A3, without the double materialization
             return
         self.batches_seen.append(batch_id)
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
         self.table.upsert(batch_df)
 
     def start(self, once: bool = False) -> StreamingQuery:
