@@ -13,6 +13,8 @@ the standard recall/cost trade."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -105,27 +107,30 @@ def hyperplane_signs(
     tables (OR-construction): bucket_t = Σ_p sign-bit(v·w_{t,p})·2^p.
 
     Output: one row per (vector, table) with columns (id, vec, table,
-    bucket). Each dot product is a ``zip_with``/``aggregate`` fold against
-    a literal weight array — codegen, no UDF, no shuffle; the per-table
-    expansion is an ``explode`` of a ``num_tables``-element array."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product
+    bucket). The planes*tables dot products are ONE Arrow-batched pandas
+    UDF doing a single (batch x dim) @ (dim x planes·tables) matmul —
+    the canonical vectorized slow path: per-row interpreted folds for 24
+    dot products were ~5x slower than one BLAS matmul per Arrow batch.
+    Per-table expansion is a ``posexplode`` of the bucket array."""
+    w = np.array(plane_weights(num_planes * num_tables, dim), dtype=np.float64).T
+    powers = (1 << np.arange(num_planes, dtype=np.int64))
 
-    v = _as_double(vec_col)
-    all_weights = plane_weights(num_planes * num_tables, dim)
-    table_buckets = []
-    for t_i in range(num_tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(num_planes):
-            w = F.array(*[F.lit(x) for x in all_weights[t_i * num_planes + p]])
-            bucket = bucket + F.when(
-                dot_product(v, w) > 0, F.lit(1 << p).cast("long")
-            ).otherwise(0)
-        table_buckets.append(F.struct(F.lit(t_i).alias("table"), bucket.alias("bucket")))
-    return df.select(
+    @F.pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # batch x dim
+        signs = (m @ w) > 0  # batch x (tables*planes)
+        bits = signs.reshape(len(m), -1, num_planes)  # batch x tables x planes
+        buckets = (bits * powers).sum(axis=2)  # batch x tables
+        return pd.Series(list(buckets))
+
+    with_buckets = df.select(
+        F.col(id_col), F.col(vec_col), bucket_ids(_as_double(vec_col)).alias("_buckets")
+    )
+    return with_buckets.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(F.array(*table_buckets)).alias("tb"),
-    ).select(F.col(id_col), F.col(vec_col), F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        F.posexplode("_buckets").alias("table", "bucket"),
+    )
 
 
 def knn_lsh(

@@ -215,18 +215,26 @@ class UpsertTable:
 
 
 def _merge_batch_wins(
-    stored: DataFrame, batch: DataFrame, keys: list[str], precombine: str
+    stored: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    precombine: str,
+    tie_breakers: list[str] | None = None,
 ) -> DataFrame:
     """Union stored+batch and keep the winner per key.
 
     Hudi upsert resolves an exact precombine tie in favor of the INCOMING
     row; encode provenance as a tie-breaker column so the aggregation is
-    deterministic and batch-wins-on-tie, then drop it.
+    deterministic and batch-wins-on-tie, then drop it. Caller-supplied
+    ``tie_breakers`` order AFTER provenance (within one side).
     """
     tagged = stored.withColumn("_src", F.lit(0)).unionByName(
         batch.withColumn("_src", F.lit(1)), allowMissingColumns=True
     )
-    return precombine_latest(tagged, keys, precombine, tie_breakers=["_src"]).drop("_src")
+    merged = precombine_latest(
+        tagged, keys, precombine, tie_breakers=["_src"] + (tie_breakers or [])
+    )
+    return merged.drop("_src")
 
 
 def upsert_dataframe(
@@ -234,16 +242,17 @@ def upsert_dataframe(
     batch: DataFrame,
     keys: list[str],
     precombine: str,
+    tie_breakers: list[str] | None = None,
 ) -> DataFrame:
     """Pure-DataFrame upsert (no table/IO): merge ``batch`` into ``stored``.
 
     The algebra of ``UpsertTable.upsert`` exposed as a transform, used by
     the batch query surface and the oracle tests.
     """
-    batch = precombine_latest(batch, keys, precombine)
+    batch = precombine_latest(batch, keys, precombine, tie_breakers=tie_breakers)
     if stored is None:
         return batch
-    return _merge_batch_wins(stored, batch, keys, precombine)
+    return _merge_batch_wins(stored, batch, keys, precombine, tie_breakers=tie_breakers)
 
 
 def checkpoint_dir(base: str, name: str) -> str:

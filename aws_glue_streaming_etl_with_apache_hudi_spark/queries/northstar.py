@@ -322,7 +322,7 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
-@register("knn_lsh", sql=None)
+@register("knn_lsh", sql=None, headline=True)
 def knn_lsh(spark, sf_dir):
     """Approximate top-k via multi-table random-projection LSH (6 tables
     x 4 planes): scores only bucket-colliding candidates. Rows-only
@@ -503,6 +503,7 @@ def multimodal_binary_meta(spark, sf_dir):
 
 @register(
     "text_tfidf_top_term",
+    headline=True,
     sql="""
     WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
                FROM documents),

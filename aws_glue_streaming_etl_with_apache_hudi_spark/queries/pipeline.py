@@ -211,6 +211,7 @@ def asof_join_events_orders(spark, sf_dir):
 
 @register(
     "tumbling_window_agg",
+    headline=True,
     sql="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, count(*) AS n,

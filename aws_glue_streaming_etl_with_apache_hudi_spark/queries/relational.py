@@ -349,6 +349,7 @@ def agg_pivot(spark, sf_dir):
 
 @register(
     "join_inner_revenue",
+    headline=True,
     sql="""
     SELECT o_orderpriority,
            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
