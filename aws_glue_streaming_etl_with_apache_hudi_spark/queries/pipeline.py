@@ -299,3 +299,52 @@ def stream_dedup_first_seen(spark, sf_dir):
         )
     )
     return first.orderBy("user_id", "event_type")
+
+
+@register(
+    "stateful_running_totals",
+    sql="""
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stateful_running_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) run to
+    completion over the events fixture: the FINAL per-user state must
+    equal the batch aggregation — the strongest oracle a stateful
+    operator can have. The stream replays the fixture through a real
+    checkpointed query (memory sink), then the last emission per user is
+    selected."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import EVENTS_SCHEMA
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.stateful import running_user_totals
+
+    staging = tempfile.mkdtemp(prefix="stateful_src_")
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    t(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+
+    stream = spark.readStream.format("parquet").schema(EVENTS_SCHEMA).load(staging)
+    sink = "stateful_totals_sink"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window as W
+
+    emissions = spark.sql(f"SELECT * FROM {sink}")
+    win = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emissions.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+        .orderBy("user_id")
+    )

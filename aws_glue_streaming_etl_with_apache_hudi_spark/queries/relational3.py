@@ -136,3 +136,29 @@ def posexplode_with_position(spark, sf_dir):
         .select("vec_id", "pos", F.round(F.col("xf").cast("double"), 6).alias("x"))
         .orderBy("vec_id", "pos")
     )
+
+
+@register("map_json_ops", sql=None)
+def map_json_ops(spark, sf_dir):
+    """MapType surface: parse the JSON props payload into map<string,long>,
+    then map_keys/map_values/element_at/map_concat. Rows-only check
+    (DuckDB's MAP literals and JSON casts don't line up with Spark's map
+    rendering for a value-hash; the JSON-extraction path IS oracle-checked
+    in json_extract_props)."""
+    from pyspark.sql import types as T
+
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (
+        e.select(
+            "event_id",
+            m.alias("m"),
+        )
+        .select(
+            "event_id",
+            F.array_join(F.map_keys("m"), ",").alias("keys"),
+            F.element_at("m", "k").alias("k_value"),
+            F.size(F.map_concat("m", F.create_map(F.lit("extra"), F.lit(1).cast("long")))).alias("n_after_concat"),
+        )
+        .orderBy("event_id")
+    )
