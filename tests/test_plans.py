@@ -86,3 +86,29 @@ def test_upsert_merge_is_partial_aggregate(spark, sf_dir):
     window sort over all rows."""
     plan = explain_str(QUERIES["upsert_latest_state"].fn(spark, sf_dir))
     assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_upsert_stored_read_is_partition_pruned(spark, tmp_path):
+    """The merge path must read ONLY the batch's touched partitions from
+    the stored table (the incremental-COW property) — visible as a
+    partition filter in the scan, and as untouched files surviving
+    byte-identical (tested in test_upsert.py); here we check the filter
+    reaches the stored-side read."""
+    from pyspark.sql import Row
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.plans import explain_str
+
+    t = UpsertTable(spark, str(tmp_path / "t"), keys=["k"], precombine="p", partition_by=["d"])
+    t.upsert(
+        spark.createDataFrame(
+            [Row(k="a", p="1", d="d1"), Row(k="b", p="1", d="d2"), Row(k="c", p="1", d="d3")]
+        )
+    )
+    batch = spark.createDataFrame([Row(k="a", p="2", d="d1")])
+    cond, n = t._touched_partition_filter(batch)
+    assert n == 1
+    stored = t.read().filter(cond)
+    plan = explain_str(stored)
+    assert "d1" in plan  # the partition predicate reached the plan
+    assert stored.count() == 1  # only the touched partition's rows
