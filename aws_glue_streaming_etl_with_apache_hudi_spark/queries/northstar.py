@@ -582,3 +582,18 @@ def embedding_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register("knn_ivf", sql=None)
+def knn_ivf_query(spark, sf_dir):
+    """IVF approximate top-k: deterministic Lloyd-trained coarse quantizer
+    (k=8, 3 iterations), 3-probe search over the inverted lists. Rows-only
+    driver check; recall >= probe fraction is asserted in
+    tests/test_similarity.py. At scale the inverted lists are a
+    cluster-partitioned table and searches prune to n_probe partitions."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, k=8, iterations=3, dim=64)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.knn_ivf(emb, queries, cents, k=5, n_probe=3).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )

@@ -130,3 +130,88 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "q11_important_stock",
+    sql="""
+    WITH supp_part AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    )
+    SELECT partkey, round(val, 2) AS part_value
+    FROM supp_part
+    WHERE val > (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                        * 0.001
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose stock value exceeds a global-fraction
+    threshold (aggregate + scalar subquery over the same join). Both the
+    per-part and global sums are exact decimals cast to double, so the
+    threshold comparison is engine-identical. Scale: the global sum is a
+    second pass over the same shuffle output; Catalyst plans the scalar
+    subquery as a broadcast value."""
+    li, s = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier")
+    joined = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    per_part = joined.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("val")
+    )
+    total = joined.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("tv")
+    ).collect()[0].tv
+    return (
+        per_part.filter(F.col("val") > total * 0.001)
+        .select("partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    sql="""
+    WITH revenue AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_rev, 4) AS total_rev
+    FROM supplier JOIN revenue ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue (aggregate reused as both join input and max subquery —
+    the classic 'view used twice' pattern). Exact decimal revenue makes
+    the max-equality comparison safe."""
+    li, s = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("m")).collect()[0].m
+    return (
+        s.join(F.broadcast(revenue.filter(F.col("total_rev") == max_rev)), s.s_suppkey == F.col("suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev"))
+        .orderBy("s_suppkey")
+    )

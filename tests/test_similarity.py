@@ -71,3 +71,26 @@ def test_label_centroids_shape(spark, emb):
     cents = S.label_centroids(emb, "label", "embedding", dim=64).collect()
     assert len(cents) == 10
     assert all(len(r.centroid) == 64 for r in cents)
+
+
+def test_knn_ivf_recall_and_determinism(spark, emb):
+    cents = S.kmeans_centroids(emb, k=8, iterations=3, dim=64)
+    assert len(cents) == 8 and len(cents[0]) == 64
+
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = S.knn_bruteforce(emb, queries, k=5).collect()
+    approx = S.knn_ivf(emb, queries, cents, k=5, n_probe=3).collect()
+
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx_sets) == set(exact_sets)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    # probing 3/8 lists scans ~40% of the corpus; recall must beat that
+    assert hits / total >= 0.4, f"IVF recall too low: {hits}/{total}"
+
+    cents2 = S.kmeans_centroids(emb, k=8, iterations=3, dim=64)
+    assert cents == cents2  # deterministic training

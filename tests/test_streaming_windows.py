@@ -131,3 +131,73 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     # first arrival wins: the value from batch 0
     vals = {(r.user_id, r.event_type): r.value for r in rows}
     assert vals[(1, "click")] == 1.0
+
+
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    """Stream-stream inner join with watermarks: purchases join clicks of
+    the same user within the preceding hour. Both sides buffer state
+    bounded by their watermark + the join interval."""
+    from pyspark.sql import functions as F
+
+    b0 = _mk_events(
+        spark,
+        [
+            (_ts(10, 0), 1, "click", 1.0),
+            (_ts(10, 30), 1, "purchase", 9.0),  # joins the 10:00 click
+            (_ts(12, 0), 2, "click", 1.0),
+        ],
+    )
+    b1 = _mk_events(
+        spark,
+        [
+            (_ts(14, 0), 2, "purchase", 5.0),  # 2h after click: outside interval
+            (_ts(20, 0), 9, "click", 0.0),  # watermark push
+        ],
+    )
+
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(i, df):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/_s{i}")
+        (p,) = glob.glob(f"{src}/_s{i}/*.parquet")
+        shutil.move(p, f"{src}/b{i}.parquet")
+        shutil.rmtree(f"{src}/_s{i}")
+
+    drop(0, b0)
+    stream = spark.readStream.format("parquet").schema(EVENTS_SCHEMA).load(src)
+    clicks = (
+        stream.filter("event_type = 'click'")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        stream.filter("event_type = 'purchase'")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    drop(1, b1)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT p_user, value FROM ssj").collect()
+    got = sorted((r.p_user, r.value) for r in rows)
+    # only user 1's purchase joins (within the hour); user 2's is outside
+    assert got == [(1, 9.0)]
