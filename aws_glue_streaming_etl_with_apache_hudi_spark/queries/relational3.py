@@ -159,6 +159,41 @@ def map_json_ops(spark, sf_dir):
             F.array_join(F.map_keys("m"), ",").alias("keys"),
             F.element_at("m", "k").alias("k_value"),
             F.size(F.map_concat("m", F.create_map(F.lit("extra"), F.lit(1).cast("long")))).alias("n_after_concat"),
+            F.to_json(F.struct(F.col("event_id").alias("id"), F.map_values("m").alias("vals"))).alias("as_json"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "applyinpandas_group_rank",
+    sql="""
+    SELECT p_brand, p_partkey,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+    FROM part ORDER BY p_brand, price_rank
+    """,
+)
+def applyinpandas_group_rank(spark, sf_dir):
+    """Grouped-map pandas operator (applyInPandas): per-brand ranking
+    computed IN PYTHON per group, verified against the window-function
+    oracle — the pattern for per-group logic Spark expressions can't
+    express (model scoring, curve fitting, per-entity state machines).
+    Scale: one shuffle on the group key; each group's pandas frame must
+    fit an executor's memory (brands are small; re-block huge groups)."""
+    import pandas as pd
+
+    p = t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["p_retailprice", "p_partkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["price_rank"] = pdf.index + 1
+        return pdf[["p_brand", "p_partkey", "price_rank"]]
+
+    return (
+        p.groupBy("p_brand")
+        .applyInPandas(rank_group, schema="p_brand string, p_partkey long, price_rank long")
+        .orderBy("p_brand", "price_rank")
     )

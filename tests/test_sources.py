@@ -71,3 +71,23 @@ def test_stream_source_builds(spark, sf_dir, tmp_path):
     R.load_table(spark, sf_dir, "events").limit(10).write.parquet(src)
     stream = R.stream_from_directory(spark, src, R.EVENTS_SCHEMA)
     assert stream.isStreaming
+
+
+def test_rate_source_smoke(spark):
+    """Streaming rate source (synthetic benchmark stream — SURVEY §2
+    'streaming file/rate source')."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    assert rate.isStreaming
+    assert [f.name for f in rate.schema.fields] == ["timestamp", "value"]
+    q = (
+        rate.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    import time
+
+    time.sleep(2)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) n FROM rate_smoke").collect()[0].n >= 0
