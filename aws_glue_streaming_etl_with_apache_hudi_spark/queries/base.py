@@ -48,15 +48,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def dsum(col: "F.Column", scale: int = 4):
-    """Exact decimal sum of a fixed-point expression, returned as double
-    (canonical value identical across engines)."""
+    """Exact decimal sum of a fixed-point expression, returned as double.
+
+    NO post-cast rounding: the decimal sum is exact and identical in both
+    engines, and decimal->double conversion is IEEE round-to-nearest of
+    the same exact value — bit-identical doubles. Rounding the DOUBLE
+    afterwards is what diverges (at 16 significant digits the rounding
+    step is below the double's ulp and each engine resolves it
+    differently — bit us at sf0.1 on q1's sum_charge)."""
     from pyspark.sql import functions as F
 
-    return F.round(F.sum(col.cast(f"decimal(18,{scale})")).cast("double"), scale)
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
 def dsum_sql(expr: str, scale: int = 4) -> str:
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), {scale})"
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
 def davg(col: "F.Column", scale: int = 4, out_decimals: int = 6):
