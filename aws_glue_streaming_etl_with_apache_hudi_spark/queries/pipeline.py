@@ -348,3 +348,39 @@ def stateful_running_totals(spark, sf_dir):
         .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "scd2_validity_intervals",
+    sql="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM events
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_validity_intervals(spark, sf_dir):
+    """SCD2 / CDC view of the stream: each record's validity interval
+    per key ([ts, next ts)), current row flagged — the history-table
+    complement of the upsert table's latest-state view. One window per
+    key; at scale this materializes alongside the COW table as the
+    'all versions' table (Hudi's MOR history analogue)."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            _fmt_ts("ts").alias("valid_from"),
+            _fmt_ts(nxt).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
