@@ -235,18 +235,53 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(docs, "doc_id", "text", bits=32).orderBy("doc_id")
 
 
-@register("dedup_simhash_pairs", sql=None)
+@register(
+    "dedup_simhash_pairs",
+    sql=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    wh AS (SELECT doc_id, {_h('w')} AS h FROM dw),
+    bitsums AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wh, (SELECT unnest(range(0, 32)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sims AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bitsums GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c.b AS band, (simhash >> (c.b * 8)) & 255 AS chunk
+      FROM sims, (SELECT unnest(range(0, 4)) AS b) c
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cands WHERE bit_count(xor(sa, sb)) <= 6
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via banded Hamming blocking (4 bands of 8
-    bits, exact bit_count verify <= 6). Non-SQL-oracle (the banded
-    self-join explodes DuckDB's optimizer at fixture scale for no extra
-    verification value — the signature inputs are already value-checked
-    by dedup_simhash)."""
+    bits, exact bit_count verify <= 6). The oracle replays the full
+    pipeline: word hashing, bit sums, banding, candidate join, Hamming
+    filter."""
     docs = t(spark, sf_dir, "documents")
     sims = D.simhash(docs, "doc_id", "text", bits=32)
-    return D.simhash_near_pairs(sims, "doc_id", bits=32, bands=4, max_hamming=6).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = D.simhash_near_pairs(sims, "doc_id", bits=32, bands=4, max_hamming=6)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 @register(
