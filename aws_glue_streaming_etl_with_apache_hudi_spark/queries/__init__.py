@@ -21,6 +21,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import relational  # 
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import relational2  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import relational3  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import tpch_more  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import tpch_more2  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import pipeline  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # noqa: F401
 
