@@ -23,6 +23,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import relational3  #
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import tpch_more  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import tpch_more2  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import pipeline  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import storage  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # noqa: F401
 
 __all__ = ["QUERIES", "Query", "register"]

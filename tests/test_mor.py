@@ -1,0 +1,123 @@
+"""Merge-on-read table: append-only commits, read-side merge, scheduled
+compaction (Hudi MOR semantics — COW counterpart is test_upsert.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        [Row(k=k, part=p, v=v, ver=ver) for (k, p, v, ver) in data]
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return MergeOnReadTable(
+        spark=spark,
+        path=str(tmp_path / "mor"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        policy=CompactionPolicy(max_delta_commits=100),  # manual compaction
+    )
+
+
+def test_append_only_writes_then_merged_read(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "a", "y", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))          # update
+    table.upsert(_rows(spark, [(3, "b", "z", 1), (1, "a", "OLD", 0)]))  # stale ignored
+
+    state = {r.k: (r.v, r.ver) for r in table.read().collect()}
+    assert state == {1: ("x2", 2), 2: ("y", 1), 3: ("z", 1)}
+    # write path really was append-only: both deltas still on disk
+    assert len(table._log_commits()) == 2
+
+
+def test_later_commit_wins_precombine_tie(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "first", 5)]))
+    table.upsert(_rows(spark, [(1, "a", "second", 5)]))  # same ver, later commit
+    assert table.read().collect()[0].v == "second"
+
+
+def test_read_optimized_is_stale_until_compaction(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    assert table.read_optimized().collect()[0].v == "x"   # base only
+    table.compact()
+    assert table.read_optimized().collect()[0].v == "x2"  # folded
+    assert table._log_commits() == []                      # log truncated
+
+
+def test_compaction_rewrites_only_touched_partitions(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    base_b = os.path.join(table._base, "part=b")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(base_b, f)) for f in os.listdir(base_b)
+    )
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))  # touches only part=a
+    table.compact()
+    mtime_after = max(
+        os.path.getmtime(os.path.join(base_b, f)) for f in os.listdir(base_b)
+    )
+    assert mtime_after == mtime_before  # part=b untouched by compaction
+    state = {r.k: r.v for r in table.read().collect()}
+    assert state == {1: "x2", 2: "y"}
+
+
+def test_policy_triggers_inline_compaction(spark, tmp_path):
+    t = MergeOnReadTable(
+        spark=spark,
+        path=str(tmp_path / "mor2"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        policy=CompactionPolicy(max_delta_commits=2),
+    )
+    t.upsert(_rows(spark, [(1, "a", "v1", 1)]))  # bootstrap (base)
+    t.upsert(_rows(spark, [(1, "a", "v2", 2)]))  # delta 1
+    assert len(t._log_commits()) == 1
+    t.upsert(_rows(spark, [(1, "a", "v3", 3)]))  # delta 2 -> policy fires
+    assert t._log_commits() == []                # compacted inline
+    assert t.read_optimized().collect()[0].v == "v3"
+
+
+def test_schema_evolution_across_deltas(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    evolved = spark.createDataFrame([Row(k=1, part="a", v="x2", ver=2, extra="new")])
+    table.upsert(evolved)
+    row = table.read().filter(F.col("k") == 1).collect()[0]
+    assert row.v == "x2" and row.extra == "new"
+
+
+def test_merge_equivalence_with_cow(spark, tmp_path):
+    """MOR read() must equal COW state after the same upsert sequence."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    batches = [
+        [(1, "a", "x", 1), (2, "a", "y", 1), (3, "b", "z", 1)],
+        [(1, "a", "x2", 2), (4, "b", "w", 1)],
+        [(2, "a", "OLD", 0), (3, "b", "z2", 2)],
+    ]
+    mor = MergeOnReadTable(
+        spark=spark, path=str(tmp_path / "m"), keys=["k"], precombine="ver",
+        partition_by=["part"], policy=CompactionPolicy(max_delta_commits=100),
+    )
+    cow = UpsertTable(
+        spark=spark, path=str(tmp_path / "c"), keys=["k"], precombine="ver",
+        partition_by=["part"],
+    )
+    for b in batches:
+        df = _rows(spark, b)
+        mor.upsert(df)
+        cow.upsert(df)
+    m = sorted(tuple(r) for r in mor.read().select("k", "part", "v", "ver").collect())
+    c = sorted(tuple(r) for r in cow.read().select("k", "part", "v", "ver").collect())
+    assert m == c
