@@ -24,6 +24,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import tpch_more  # n
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import tpch_more2  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import pipeline  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import storage  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import timelineq  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # noqa: F401
 
 __all__ = ["QUERIES", "Query", "register"]

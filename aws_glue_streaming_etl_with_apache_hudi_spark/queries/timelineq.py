@@ -1,0 +1,152 @@
+"""Timeline + sessionization queries, DuckDB-oracle-checked.
+
+The IO side of the commit timeline (snapshot layout, time travel,
+instant metadata) is covered behaviorally in tests/test_timeline.py;
+the queries here pin the ALGEBRA of the incremental and CDC read paths
+(operators/timeline.py) and of gap-based sessionization
+(operators/sessions.py) against ANSI-SQL replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.sessions import session_bounds
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import (
+    COMMIT_COL,
+    cdc_view,
+    incremental_view,
+)
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import precombine_latest
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import dsum, dsum_sql, register, t
+
+_EVENT_COLS = ["user_id", "ts", "event_id", "event_type", "value"]
+_CUT1 = "2024-01-10 00:00:00"
+_CUT2 = "2024-01-20 00:00:00"
+
+
+def _commit_deltas(spark, sf_dir):
+    """Events replayed as the deltas of commits 2 and 3 (event-time
+    thirds — commit 1 is the pre-cut1 bootstrap, as in mor_merge_chain)."""
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    cut1 = F.lit(_CUT1).cast("timestamp")
+    cut2 = F.lit(_CUT2).cast("timestamp")
+    d2 = e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)).withColumn(
+        COMMIT_COL, F.lit(2)
+    )
+    d3 = e.filter(F.col("ts") >= cut2).withColumn(COMMIT_COL, F.lit(3))
+    pre = precombine_latest(e.filter(F.col("ts") < cut1), ["user_id"], "ts")
+    return pre, d2, d3
+
+
+@register(
+    "incremental_pull",
+    sql=f"""
+    SELECT user_id, _commit_id, event_id, event_type,
+           round(value, 2) AS value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 CASE WHEN ts >= TIMESTAMP '{_CUT2}' THEN 3 ELSE 2 END AS _commit_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts >= TIMESTAMP '{_CUT1}') x
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def incremental_pull(spark, sf_dir):
+    """Hudi-style incremental query (operators/timeline.py
+    ``incremental_view``): latest state of every record upserted in
+    commit range (1, 3], tagged with the producing instant. Reads only
+    the in-range deltas — the 100 TB consumer pattern ("what changed
+    since instant T") that never scans the table. Reference delegates
+    this to Hudi's timeline (glue_job_script.py:53-62)."""
+    _pre, d2, d3 = _commit_deltas(spark, sf_dir)
+    inc = incremental_view([d2, d3], ["user_id"], "ts")
+    return inc.select(
+        "user_id",
+        COMMIT_COL,
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "cdc_change_feed",
+    sql=f"""
+    WITH pre AS (SELECT DISTINCT user_id FROM events
+                 WHERE ts < TIMESTAMP '{_CUT1}'),
+    inc AS (SELECT user_id, event_id,
+                   CASE WHEN ts >= TIMESTAMP '{_CUT2}' THEN 3 ELSE 2 END AS _commit_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '{_CUT1}')
+    SELECT i.user_id, i._commit_id, i.event_id,
+           CASE WHEN p.user_id IS NULL THEN 'insert' ELSE 'update' END
+             AS _change_type
+    FROM inc i LEFT JOIN pre p USING (user_id)
+    WHERE i.rn = 1 ORDER BY i.user_id
+    """,
+)
+def cdc_change_feed(spark, sf_dir):
+    """Row-level CDC between instants (operators/timeline.py
+    ``cdc_view``): incremental records classified insert/update against
+    the as-of-begin snapshot via one key-only broadcastable join."""
+    pre, d2, d3 = _commit_deltas(spark, sf_dir)
+    inc = incremental_view([d2, d3], ["user_id"], "ts")
+    out = cdc_view(pre, inc, ["user_id"])
+    return out.select("user_id", COMMIT_COL, "event_id", "_change_type").orderBy(
+        "user_id"
+    )
+
+
+@register(
+    "sessionize_events",
+    headline=True,
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           {dsum_sql('value', 2)} AS total_value
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): 12-hour
+    inactivity gap splits each user's stream into sessions; one row per
+    session with bounds, size, exact-decimal value total. The batch
+    counterpart of ``F.session_window`` expressed as lag + running sum so
+    it is ANSI-replayable. One shuffle on user_id serves both window
+    functions AND the final per-session aggregation."""
+    e = t(spark, sf_dir, "events")
+    b = session_bounds(
+        e,
+        "user_id",
+        "ts",
+        gap="12 hours",
+        tie_breakers=["event_id"],
+        aggs=[dsum(F.col("value"), 2).alias("total_value")],
+    )
+    return b.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_id")

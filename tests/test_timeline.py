@@ -1,0 +1,137 @@
+"""Commit timeline: time travel, incremental pull, CDC feed, file-group
+reuse (operators/timeline.py — Hudi's timeline query types over the COW
+upsert table; COW merge semantics themselves are test_upsert.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        [Row(k=k, part=p, v=v, ver=ver) for (k, p, v, ver) in data]
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "tl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+    )
+
+
+def _state(df):
+    return {r.k: (r.part, r.v, r.ver) for r in df.collect()}
+
+
+def test_snapshot_and_time_travel(table, spark):
+    c1 = table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    c2 = table.upsert(_rows(spark, [(1, "a", "x2", 2), (3, "a", "z", 1)]))
+    c3 = table.upsert(_rows(spark, [(2, "b", "OLD", 0)]))  # stale: loses merge
+
+    assert (c1, c2, c3) == (1, 2, 3)
+    # latest snapshot
+    assert _state(table.read()) == {
+        1: ("a", "x2", 2),
+        2: ("b", "y", 1),
+        3: ("a", "z", 1),
+    }
+    # travel to each instant
+    assert _state(table.read(as_of=1)) == {1: ("a", "x", 1), 2: ("b", "y", 1)}
+    assert _state(table.read(as_of=2)) == {
+        1: ("a", "x2", 2),
+        2: ("b", "y", 1),
+        3: ("a", "z", 1),
+    }
+    with pytest.raises(ValueError):
+        table.read(as_of=0)
+
+
+def test_untouched_partition_not_rewritten(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))  # touches only part=a
+
+    # commit 2's snapshot holds ONLY partition a; b is still owned by c1
+    c2_parts = os.listdir(table._snapshot_dir(2))
+    assert any(d == "part=a" for d in c2_parts)
+    assert not any(d == "part=b" for d in c2_parts)
+    assert _state(table.read()) == {1: ("a", "x2", 2), 2: ("b", "y", 1)}
+
+
+def test_incremental_and_cdc(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2), (3, "a", "z", 1)]))
+    table.upsert(_rows(spark, [(3, "a", "z2", 2)]))
+
+    inc = table.incremental(begin=1)  # commits 2..3
+    got = {(r.k): (r.v, r.ver, r._commit_id) for r in inc.collect()}
+    # key 3 upserted in both commits -> latest (commit 3) state wins
+    assert got == {1: ("x2", 2, 2), 3: ("z2", 2, 3)}
+
+    cdc = table.changes(begin=1)
+    kinds = {r.k: r._change_type for r in cdc.collect()}
+    assert kinds == {1: "update", 3: "insert"}
+
+    with pytest.raises(ValueError):
+        table.incremental(begin=3)
+
+
+def test_incremental_scans_only_deltas(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.upsert(_rows(spark, [(2, "b", "y", 1)]))
+    files = table.incremental(begin=1).inputFiles()
+    assert files and all("/deltas/" in f for f in files)
+    assert not any("/snapshots/" in f for f in files)
+
+
+def test_schema_evolution_across_commits(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    batch2 = spark.createDataFrame([Row(k=2, part="a", v="y", ver=1, extra="E")])
+    table.upsert(batch2)
+
+    cur = {r.k: r.asDict().get("extra") for r in table.read().collect()}
+    assert cur == {1: None, 2: "E"}
+    # time travel predates the column -> old schema (no 'extra')
+    assert "extra" not in table.read(as_of=1).columns
+
+
+def test_timeline_metadata_and_ts_lookup(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    commits = table.commits()
+    assert [c["commit"] for c in commits] == [1, 2]
+    assert commits[0]["ts"] <= commits[1]["ts"]
+    assert table.instant_for_ts(commits[0]["ts"]) == 1
+    assert table.instant_for_ts(commits[1]["ts"] + 1) == 2
+    assert table.instant_for_ts(commits[0]["ts"] - 1) is None
+
+
+def test_unpartitioned_table(spark, tmp_path):
+    t = TimelineTable(
+        spark=spark, path=str(tmp_path / "flat"), keys=["k"], precombine="ver"
+    )
+    t.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
+    t.upsert(spark.createDataFrame([Row(k=1, v="b", ver=2), Row(k=2, v="c", ver=1)]))
+    assert {r.k: r.v for r in t.read().collect()} == {1: "b", 2: "c"}
+    assert {r.k: r.v for r in t.read(as_of=1).collect()} == {1: "a"}
+
+
+def test_catalog_sync(spark, tmp_path):
+    t = TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "cat"),
+        keys=["k"],
+        precombine="ver",
+        table_name="tl_cat",
+    )
+    t.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
+    assert spark.sql("SELECT v FROM tl_cat").collect()[0].v == "a"
