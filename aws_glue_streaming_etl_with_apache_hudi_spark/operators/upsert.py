@@ -96,6 +96,7 @@ class UpsertTable:
     precombine: str
     partition_by: list[str] = field(default_factory=list)
     table_name: str | None = None
+    global_index: bool = False
 
     @property
     def _meta_path(self) -> str:
@@ -151,6 +152,11 @@ class UpsertTable:
         touched = [
             tuple(r) for r in batch.select(*self.partition_by).distinct().collect()
         ]
+        return self._partition_values_filter(touched), len(touched)
+
+    def _partition_values_filter(self, touched: list[tuple]):
+        """OR-of-ANDs predicate over partition columns for a collected
+        list of partition tuples (pushed down to the parquet scan)."""
         cond = None
         for values in touched:
             clause = None
@@ -158,16 +164,41 @@ class UpsertTable:
                 eq = F.col(col_name).eqNullSafe(F.lit(v))
                 clause = eq if clause is None else (clause & eq)
             cond = clause if cond is None else (cond | clause)
-        return cond, len(touched)
+        return cond
+
+    def _remove_emptied_partitions(self, touched: list[tuple], merged: DataFrame) -> None:
+        """Global-index migration can drain a partition entirely (its only
+        rows moved to new partition paths). Dynamic partition overwrite
+        cannot write an empty partition, so stale directories must be
+        dropped explicitly — the analogue of Hudi deleting the old file
+        slice. Local-FS removal here; cluster deployments swap in the
+        Hadoop FileSystem API."""
+        import shutil
+
+        present = {
+            tuple(r) for r in merged.select(*self.partition_by).distinct().collect()
+        }
+        for values in set(touched) - present:
+            parts = [
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in zip(self.partition_by, values)
+            ]
+            shutil.rmtree(os.path.join(self.path, *parts), ignore_errors=True)
 
     @property
     def _identity(self) -> list[str]:
-        """Row identity = partition path + record key — Hudi's default
-        non-global index semantics ("one live row per key per partition
-        path", glue_job_script.py:56-58): the same key in two partition
-        paths is two records. This also keeps the dynamic-partition-
-        overwrite rewrite consistent (rows never migrate between
-        partitions during a merge)."""
+        """Row identity. Default (non-global index) = partition path +
+        record key — Hudi's default semantics ("one live row per key per
+        partition path", glue_job_script.py:56-58): the same key in two
+        partition paths is two records, and rows never migrate between
+        partitions during a merge.
+
+        With ``global_index=True`` (Hudi GLOBAL_BLOOM/GLOBAL_SIMPLE),
+        identity = record key alone: one live row per key across the
+        WHOLE table, and an update whose partition value changed
+        migrates the row to the new partition path."""
+        if self.global_index:
+            return self.keys
         return [c for c in self.partition_by if c not in self.keys] + self.keys
 
     def upsert(self, batch: DataFrame) -> None:
@@ -182,8 +213,29 @@ class UpsertTable:
             return
 
         stored = self.read()
+        touched: list[tuple] = []
         if self.partition_by:
-            cond, _n = self._touched_partition_filter(batch)
+            touched = [
+                tuple(r)
+                for r in batch.select(*self.partition_by).distinct().collect()
+            ]
+            if self.global_index:
+                # A key's stored row may live under a DIFFERENT partition
+                # path: those partitions are also touched (the old row is
+                # removed — Hudi's global-index partition migration). The
+                # lookup is a key-column semi-join: reads only key +
+                # partition columns of stored data (columnar pruning), the
+                # pure-Spark analogue of Hudi's bloom-index key tagging.
+                homes = (
+                    stored.join(
+                        batch.select(*self.keys).distinct(), on=self.keys, how="leftsemi"
+                    )
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                )
+                touched = sorted(set(touched) | {tuple(r) for r in homes})
+            cond = self._partition_values_filter(touched)
             if cond is not None:
                 # Partition-pruned read: only touched partitions are merged.
                 stored = stored.filter(cond)
@@ -192,7 +244,16 @@ class UpsertTable:
         batch, stored = evolve_schema(batch, stored)
 
         merged = _merge_batch_wins(stored, batch, self._identity, self.precombine)
-        self._write(merged, overwrite_all=False)
+        if self.global_index and self.partition_by:
+            merged = merged.persist()
+            try:
+                merged.count()  # materialize before we inspect partitions
+                self._write(merged, overwrite_all=False)
+                self._remove_emptied_partitions(touched, merged)
+            finally:
+                merged.unpersist()
+        else:
+            self._write(merged, overwrite_all=False)
 
     def _write(self, df: DataFrame, overwrite_all: bool) -> None:
         writer = df.write.mode("overwrite")
