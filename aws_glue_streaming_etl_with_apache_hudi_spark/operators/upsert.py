@@ -97,6 +97,7 @@ class UpsertTable:
     partition_by: list[str] = field(default_factory=list)
     table_name: str | None = None
     global_index: bool = False
+    stats_columns: list[str] = field(default_factory=list)
 
     @property
     def _meta_path(self) -> str:
@@ -105,7 +106,7 @@ class UpsertTable:
     def exists(self) -> bool:
         return os.path.exists(self._meta_path)
 
-    def _save_meta(self, df: DataFrame) -> None:
+    def _save_meta(self, df: DataFrame, partition_stats: dict | None = None) -> None:
         """Persist table schema + upsert config beside the data — the
         engine's ``.hoodie``-style commit metadata. Written atomically
         (temp + rename). Local-FS API here because tests run on local
@@ -117,6 +118,8 @@ class UpsertTable:
             "precombine": self.precombine,
             "partition_by": self.partition_by,
         }
+        if partition_stats is not None:
+            meta["partition_stats"] = partition_stats
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -178,12 +181,23 @@ class UpsertTable:
         present = {
             tuple(r) for r in merged.select(*self.partition_by).distinct().collect()
         }
-        for values in set(touched) - present:
+        emptied = set(touched) - present
+        for values in emptied:
             parts = [
                 f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
                 for c, v in zip(self.partition_by, values)
             ]
             shutil.rmtree(os.path.join(self.path, *parts), ignore_errors=True)
+        if emptied and self.stats_columns:
+            # their old files were still on disk when stats refreshed
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            for values in emptied:
+                meta.get("partition_stats", {}).pop(self._stat_key(values), None)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
 
     @property
     def _identity(self) -> list[str]:
@@ -248,14 +262,16 @@ class UpsertTable:
             merged = merged.persist()
             try:
                 merged.count()  # materialize before we inspect partitions
-                self._write(merged, overwrite_all=False)
+                self._write(merged, overwrite_all=False, touched=touched)
                 self._remove_emptied_partitions(touched, merged)
             finally:
                 merged.unpersist()
         else:
-            self._write(merged, overwrite_all=False)
+            self._write(merged, overwrite_all=False, touched=touched)
 
-    def _write(self, df: DataFrame, overwrite_all: bool) -> None:
+    def _write(
+        self, df: DataFrame, overwrite_all: bool, touched: list[tuple] | None = None
+    ) -> None:
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -265,8 +281,137 @@ class UpsertTable:
                 # "rewrite touched file groups" behavior.
                 pass
         writer.parquet(self.path)
-        self._save_meta(df)
+        self._save_meta(df, self._updated_stats(df, overwrite_all, touched))
         self._sync_catalog()
+
+    # -- column statistics / data skipping -----------------------------------
+    #
+    # Hudi's metadata-table column_stats index, partition-granular: per
+    # partition path, [min, max] of each declared stats column, refreshed
+    # only for partitions the commit rewrote. `read_skipping` turns a
+    # range predicate into a partition-path filter — at 100 TB a point
+    # query on a clustered column reads a handful of partitions instead
+    # of scanning the world, WITHOUT the predicate column being a
+    # partition key (parquet row-group stats do this per file; this index
+    # does it before any file is even listed).
+
+    @staticmethod
+    def _stat_key(values: tuple) -> str:
+        return "|".join(
+            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v) for v in values
+        )
+
+    @staticmethod
+    def _jsonable(v):
+        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+    def _updated_stats(
+        self, df: DataFrame, overwrite_all: bool, touched: list[tuple] | None
+    ) -> dict | None:
+        """Refresh stats for the partitions a commit rewrote. Aggregates
+        over the FRESHLY WRITTEN files (``df``'s lineage would re-read
+        table files the write just replaced), pruned to the touched
+        partitions — cost is O(touched), column-pruned to the stats
+        columns."""
+        if not self.stats_columns or not self.partition_by:
+            return None
+        prior: dict = {}
+        if not overwrite_all and self.exists():
+            with open(self._meta_path) as f:
+                prior = json.load(f).get("partition_stats", {})
+        # drop every touched partition's entry (emptied ones stay gone),
+        # then re-insert fresh stats for partitions present on disk.
+        # Raw read (no meta dependency — on the first commit meta does not
+        # exist yet): partition columns arrive as strings, which is the
+        # stat-key format already.
+        fresh = self.spark.read.parquet(self.path)
+        if touched is not None:
+            for values in touched:
+                prior.pop(self._stat_key(values), None)
+            cond = None
+            for values in touched:
+                clause = None
+                for col_name, v in zip(self.partition_by, values):
+                    eq = (
+                        F.col(col_name).isNull()
+                        if v is None
+                        else F.col(col_name).eqNullSafe(F.lit(str(v)))
+                    )
+                    clause = eq if clause is None else (clause & eq)
+                cond = clause if cond is None else (cond | clause)
+            if cond is not None:
+                fresh = fresh.filter(cond)
+        else:
+            prior = {}
+        aggs = []
+        for c in self.stats_columns:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        for row in fresh.groupBy(*self.partition_by).agg(*aggs).collect():
+            key = self._stat_key(tuple(row[c] for c in self.partition_by))
+            prior[key] = {
+                c: [
+                    self._jsonable(row[f"_min_{c}"]),
+                    self._jsonable(row[f"_max_{c}"]),
+                ]
+                for c in self.stats_columns
+            }
+        return prior
+
+    def read_skipping(self, column: str, lower=None, upper=None) -> DataFrame:
+        """Range/point read served through the column-stats index: prune
+        partition paths whose [min, max] cannot overlap [lower, upper],
+        then apply the row-level filter on the survivors. Partitions
+        with no stats entry for ``column`` are conservatively kept."""
+        if column not in self.stats_columns:
+            raise ValueError(f"{column!r} is not indexed (stats_columns)")
+        with open(self._meta_path) as f:
+            stats = json.load(f).get("partition_stats", {})
+        lo_j = self._jsonable(lower) if lower is not None else None
+        hi_j = self._jsonable(upper) if upper is not None else None
+        keep: list[tuple] = []
+        for key, cols in stats.items():
+            mn, mx = cols.get(column, (None, None))
+            if mn is None or mx is None:
+                overlap = True  # unknown -> cannot prune
+            else:
+                overlap = (lo_j is None or mx >= lo_j) and (hi_j is None or mn <= hi_j)
+            if overlap:
+                keep.append(tuple(key.split("|")))
+        # Read ONLY the surviving partition directories — pruned
+        # partitions are never listed, let alone scanned (inputFiles()
+        # shows exactly the kept paths).
+        dirs = [
+            os.path.join(
+                self.path,
+                *(f"{c}={tok}" for c, tok in zip(self.partition_by, values)),
+            )
+            for values in keep
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            df = self.read().filter(F.lit(False))
+        else:
+            raw = self.spark.read.option("basePath", self.path).parquet(*dirs)
+            schema = {f.name: f.dataType for f in self._load_schema().fields}
+            df = raw.select(
+                *[
+                    F.col(c).cast(schema[c]).alias(c)
+                    if c in self.partition_by and c in schema
+                    else F.col(c)
+                    for c in raw.columns
+                ]
+            )
+        if lower is not None:
+            df = df.filter(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(column) <= F.lit(upper))
+        return df
+
+    def _sync_catalog(self) -> None:
+        """Hive-sync analogue (glue_job_script.py:64-73): register/refresh
+        the table in the session catalog so SQL sees the new commit."""
+        if self.table_name:
+            self.read().createOrReplaceTempView(self.table_name)
 
     def _sync_catalog(self) -> None:
         """Hive-sync analogue (glue_job_script.py:64-73): register/refresh
