@@ -26,5 +26,6 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import pipeline  # no
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import storage  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import timelineq  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # noqa: F401
 
 __all__ = ["QUERIES", "Query", "register"]

@@ -1,0 +1,127 @@
+"""Training-corpus assembly queries: deterministic splits, per-source
+quota sampling, token-budget shard packing — the selection/packing stage
+that follows dedup + quality filtering (queries/northstar.py) in a
+large-scale training-data pipeline. All hash decisions use the
+engine-portable md5-derived family (functions/hashing.py) so every
+query is DuckDB-oracle-checked bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import text as X
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
+
+_H_SPLIT = stable_hash64_sql("CAST(doc_id AS VARCHAR)", "split")
+_H_SAMPLE = stable_hash64_sql("CAST(doc_id AS VARCHAR)", "sample")
+
+
+@register(
+    "train_test_split",
+    sql=f"""
+    SELECT lang,
+           CASE WHEN {_H_SPLIT} % 100 < 95 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def train_test_split(spark, sf_dir):
+    """Deterministic hash split (95/5): membership is a pure function of
+    doc_id + a named salt, so the split is stable across runs, machines,
+    and engine versions — no stored assignment table, no RNG state. At
+    100 TB this is the only split that works: any sampled/stateful split
+    needs a join against an assignment table; this is one codegen'd
+    expression per row, no shuffle before the final rollup."""
+    docs = t(spark, sf_dir, "documents")
+    h = stable_hash64(F.col("doc_id").cast("string"), "split")
+    split = F.when(h % 100 < 95, "train").otherwise("test")
+    return (
+        docs.groupBy(F.col("lang"), split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "quota_sample_per_source",
+    sql=f"""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_H_SAMPLE}, doc_id) AS rk
+      FROM documents) x
+    WHERE rk <= 25 ORDER BY source, rk
+    """,
+)
+def quota_sample_per_source(spark, sf_dir):
+    """Per-source quota sampling: cap each source's contribution at k
+    docs, chosen by hash order — a deterministic uniform sample without
+    RNG (the hash is salted independently from the split hash, so the
+    two decisions are uncorrelated). The standard guard against one
+    crawl dominating a mixed corpus. One shuffle on source; per-group
+    top-k is rank-and-filter (TakeOrdered-style, no global sort)."""
+    docs = t(spark, sf_dir, "documents")
+    h = stable_hash64(F.col("doc_id").cast("string"), "sample")
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "token_shard_packing",
+    sql=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tk
+    )
+    SELECT CAST((cum - toks) // 2000 AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1 ORDER BY shard
+    """,
+)
+def token_shard_packing(spark, sf_dir):
+    """Token-budget shard packing: documents in doc_id order fill
+    ~2k-token shards; a doc starts a new shard when the budget is
+    exceeded (greedy prefix-sum assignment). This fixes shard boundaries
+    BEFORE any writer runs, so the pack is reproducible. The global
+    running sum is the sequential part — at 100 TB, run it per source
+    (partitioned prefix sums) or two-phase: per-partition subtotals,
+    broadcast the offsets, then a partition-local cumsum; the fixture
+    query pins the single-sequence algebra."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", X.token_count_whitespace("text").alias("toks")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = tk.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.select(
+            F.expr("(cum - toks) div 2000").alias("shard"), "toks", "doc_id"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
