@@ -275,6 +275,91 @@ class TimelineTable:
         pre = self.read(as_of=begin) if begin >= 1 else None
         return cdc_view(pre, inc, self._identity)
 
+    # -- table services: rollback + cleaner ----------------------------------
+
+    def rollback(self, to_commit: int) -> int:
+        """Restore the table to instant ``to_commit`` (Hudi savepoint/
+        restore): instants after it are removed from the timeline along
+        with their snapshot and delta files. Returns #commits dropped.
+
+        Because a snapshot-as-of read stitches per-partition owners from
+        instants ≤ as_of, dropping later instants IS the restore — no
+        data rewrite happens (O(dropped commits) file deletions).
+        """
+        import shutil
+
+        if to_commit < 1 or to_commit > self.last_commit():
+            raise ValueError(f"cannot rollback to {to_commit}")
+        dropped = [c["commit"] for c in self.commits() if c["commit"] > to_commit]
+        for commit in dropped:
+            shutil.rmtree(self._snapshot_dir(commit), ignore_errors=True)
+            shutil.rmtree(self._delta_dir(commit), ignore_errors=True)
+            try:
+                os.remove(os.path.join(self._timeline_dir, f"{commit:06d}.json"))
+            except FileNotFoundError:
+                pass
+        if self.table_name and dropped:
+            self.read().createOrReplaceTempView(self.table_name)
+        return len(dropped)
+
+    def clean(self, keep_last: int) -> dict:
+        """Hudi cleaner: bound retained history to the ``keep_last`` most
+        recent instants. Snapshot directories of older instants are
+        deleted UNLESS they still own a partition in the current state
+        (file-group reuse keeps them live); older delta directories are
+        always deletable (incremental/time-travel reads before the
+        horizon are gone — the cleaner's documented contract). Timeline
+        metadata is kept for all instants so commit ids never regress.
+
+        Returns {"snapshots": [...], "deltas": [...]} of removed ids.
+        At scale this is what stops storage growing with every commit:
+        retained bytes are O(live table + keep_last deltas), not
+        O(history).
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        instants = self.commits()
+        if len(instants) <= keep_last:
+            return {"snapshots": [], "deltas": []}
+        horizon = instants[-keep_last]["commit"]
+
+        # A snapshot stays live if it is the owner of some partition at
+        # ANY retained as_of (>= horizon): per partition, that is every
+        # owning commit > horizon plus the newest owning commit <= horizon
+        # (which serves reads for the whole retained range until the next
+        # rewrite).
+        if self.partition_by:
+            owners: dict[tuple, list[int]] = {}
+            for inst in instants:
+                for p in inst["touched_partitions"]:
+                    owners.setdefault(tuple(p), []).append(inst["commit"])
+            live: set[int] = set()
+            for commits_for_part in owners.values():
+                at_or_before = [c for c in commits_for_part if c <= horizon]
+                if at_or_before:
+                    live.add(max(at_or_before))
+                live.update(c for c in commits_for_part if c > horizon)
+        else:
+            live = {c["commit"] for c in instants if c["commit"] >= horizon}
+            at_or_before = [c["commit"] for c in instants if c["commit"] <= horizon]
+            if at_or_before:
+                live.add(max(at_or_before))
+
+        removed: dict = {"snapshots": [], "deltas": []}
+        for inst in instants:
+            c = inst["commit"]
+            if c >= horizon:
+                continue
+            if c not in live and os.path.isdir(self._snapshot_dir(c)):
+                shutil.rmtree(self._snapshot_dir(c), ignore_errors=True)
+                removed["snapshots"].append(c)
+            if os.path.isdir(self._delta_dir(c)):
+                shutil.rmtree(self._delta_dir(c), ignore_errors=True)
+                removed["deltas"].append(c)
+        return removed
+
 
 # -- pure transforms (no IO): the algebra, exposed for queries + oracles ----
 

@@ -1,0 +1,90 @@
+"""Timeline table services: rollback (savepoint/restore) and the
+cleaner (bounded history retention) — operators/timeline.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        [Row(k=k, part=p, v=v, ver=ver) for (k, p, v, ver) in data]
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "svc"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+    )
+
+
+def _state(t, **kw):
+    return {r.k: (r.part, r.v, r.ver) for r in t.read(**kw).collect()}
+
+
+def test_rollback_restores_previous_state(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    table.upsert(_rows(spark, [(3, "c", "z", 1)]))
+
+    assert table.rollback(to_commit=1) == 2
+    assert table.last_commit() == 1
+    assert _state(table) == {1: ("a", "x", 1), 2: ("b", "y", 1)}
+    # rolled-back instants are physically gone
+    assert not os.path.isdir(table._snapshot_dir(2))
+    assert not os.path.isdir(table._delta_dir(3))
+
+    # table keeps working: next commit gets id 2
+    assert table.upsert(_rows(spark, [(4, "a", "w", 1)])) == 2
+    assert _state(table)[4] == ("a", "w", 1)
+
+    with pytest.raises(ValueError):
+        table.rollback(0)
+    with pytest.raises(ValueError):
+        table.rollback(99)
+
+
+def test_clean_removes_old_deltas_keeps_live_snapshots(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))  # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))                    # c2: a
+    table.upsert(_rows(spark, [(1, "a", "x3", 3)]))                    # c3: a
+    table.upsert(_rows(spark, [(3, "c", "z", 1)]))                     # c4: c
+
+    removed = table.clean(keep_last=2)  # horizon = c3
+    # c1 still owns part=b in every retained as_of -> snapshot kept
+    assert 1 not in removed["snapshots"]
+    assert os.path.isdir(table._snapshot_dir(1))
+    # c2's snapshot of part=a was superseded by c3 before the horizon
+    assert removed["snapshots"] == [2]
+    assert not os.path.isdir(table._snapshot_dir(2))
+    # pre-horizon deltas are gone
+    assert removed["deltas"] == [1, 2]
+
+    # current + retained time-travel reads still correct
+    assert _state(table) == {
+        1: ("a", "x3", 3),
+        2: ("b", "y", 1),
+        3: ("c", "z", 1),
+    }
+    assert _state(table, as_of=3) == {1: ("a", "x3", 3), 2: ("b", "y", 1)}
+    # incremental within the retained window still works
+    inc = {r.k for r in table.incremental(begin=3).collect()}
+    assert inc == {3}
+
+
+def test_clean_noop_when_history_short(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    assert table.clean(keep_last=5) == {"snapshots": [], "deltas": []}
+    with pytest.raises(ValueError):
+        table.clean(keep_last=0)
