@@ -56,6 +56,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import preco
 
 COMMIT_COL = "_commit_id"
 CHANGE_COL = "_change_type"
+DELETED_COL = "_deleted"
 
 # Spark writes null partition values as this directory name (Hive
 # convention); timeline metadata stores the same sentinel so the
@@ -65,6 +66,13 @@ _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 def _part_token(v) -> str:
     return _NULL_PART if v is None else str(v)
+
+
+def _has_parquet(d: str) -> bool:
+    for root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 @dataclass
@@ -131,18 +139,41 @@ class TimelineTable:
         and (b) merged snapshots of ONLY the touched partitions.
         """
         batch = precombine_latest(batch, self._identity, self.precombine)
+        return self._commit_delta(batch)
+
+    def delete(self, keys_batch: DataFrame) -> int:
+        """Ordered delete (tombstone commit): rows matching the record
+        keys are removed IF the tombstone's precombine value wins the
+        merge — late/stale deletes lose, exactly like late upserts, so
+        CDC replay order cannot corrupt state. ``keys_batch`` must carry
+        identity + precombine columns (Hudi delete records carry their
+        partition path and ordering value too).
+
+        The tombstone is a first-class delta: incremental readers see the
+        deleted keys flagged ``_deleted=true`` and ``changes()`` emits
+        ``delete`` — without tombstoned deltas, a downstream replica can
+        never drop a row."""
+        needed = self._identity + [self.precombine]
+        missing = [c for c in needed if c not in keys_batch.columns]
+        if missing:
+            raise ValueError(f"delete batch missing columns {missing}")
+        tomb = keys_batch.select(*needed).withColumn(DELETED_COL, F.lit(True))
+        tomb = precombine_latest(tomb, self._identity, self.precombine)
+        return self._commit_delta(tomb)
+
+    def _commit_delta(self, delta_batch: DataFrame) -> int:
         commit = self.last_commit() + 1
 
         touched = (
             [
                 [_part_token(v) for v in row]
-                for row in batch.select(*self.partition_by).distinct().collect()
+                for row in delta_batch.select(*self.partition_by).distinct().collect()
             ]
             if self.partition_by
             else [[]]
         )
 
-        batch.write.mode("overwrite").parquet(self._delta_dir(commit))
+        delta_batch.write.mode("overwrite").parquet(self._delta_dir(commit))
         # Re-read the delta so snapshot merge + downstream plans scan the
         # compact written file, not the batch's upstream lineage.
         delta = self.spark.read.parquet(self._delta_dir(commit))
@@ -161,6 +192,12 @@ class TimelineTable:
             merged = precombine_latest(
                 tagged, self._identity, self.precombine, tie_breakers=["_src"]
             ).drop("_src")
+        if DELETED_COL in merged.columns:
+            # tombstone winners vanish from the snapshot (COW delete);
+            # losers (stale deletes) were already dropped by the merge
+            merged = merged.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).drop(DELETED_COL)
 
         writer = merged.write.mode("overwrite")
         if self.partition_by:
@@ -213,7 +250,10 @@ class TimelineTable:
         latest_schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
 
         if not self.partition_by:
-            df = self.spark.read.parquet(self._snapshot_dir(instants[-1]["commit"]))
+            d = self._snapshot_dir(instants[-1]["commit"])
+            if not _has_parquet(d):  # delete commit can empty the table
+                return self.spark.createDataFrame([], latest_schema)
+            df = self.spark.read.parquet(d)
             return df.select(*[f.name for f in latest_schema.fields if f.name in df.columns])
 
         owner: dict[tuple, int] = {}
@@ -226,8 +266,13 @@ class TimelineTable:
 
         pieces = []
         for commit in sorted(by_commit):
-            df = self.spark.read.parquet(self._snapshot_dir(commit))
+            d = self._snapshot_dir(commit)
+            if not _has_parquet(d):  # all of this commit's partitions emptied
+                continue
+            df = self.spark.read.parquet(d)
             pieces.append(df.filter(self._partition_filter(df, by_commit[commit])))
+        if not pieces:
+            return self.spark.createDataFrame([], latest_schema)
         out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces)
 
         types = {f.name: f.dataType for f in latest_schema.fields}
@@ -378,13 +423,24 @@ def incremental_view(
 
 def cdc_view(pre: DataFrame | None, inc: DataFrame, keys: list[str]) -> DataFrame:
     """Classify incremental records against the pre-state: row-level
-    change feed (``insert`` | ``update``). One broadcast-able semi-join
-    on the record key — the pre-state side is projected to keys only,
-    so at scale this is a key-column scan, not a table scan."""
+    change feed (``insert`` | ``update`` | ``delete`` — tombstoned
+    records arrive flagged ``_deleted``). One broadcast-able join on the
+    record key — the pre-state side is projected to keys only, so at
+    scale this is a key-column scan, not a table scan."""
+    deleted = (
+        F.coalesce(F.col(DELETED_COL), F.lit(False))
+        if DELETED_COL in inc.columns
+        else F.lit(False)
+    )
     if pre is None:
-        return inc.withColumn(CHANGE_COL, F.lit("insert"))
+        return inc.withColumn(
+            CHANGE_COL, F.when(deleted, "delete").otherwise(F.lit("insert"))
+        )
     existing = pre.select(*keys).withColumn("_pre", F.lit(1))
     joined = inc.join(existing, on=keys, how="left")
     return joined.withColumn(
-        CHANGE_COL, F.when(F.col("_pre").isNull(), "insert").otherwise("update")
+        CHANGE_COL,
+        F.when(deleted, "delete")
+        .when(F.col("_pre").isNull(), "insert")
+        .otherwise("update"),
     ).drop("_pre")

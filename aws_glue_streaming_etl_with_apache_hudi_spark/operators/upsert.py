@@ -269,6 +269,99 @@ class UpsertTable:
         else:
             self._write(merged, overwrite_all=False, touched=touched)
 
+    def delete(self, keys_batch: DataFrame) -> None:
+        """Hudi DELETE operation (unconditional): remove the live rows
+        matching ``keys_batch``'s record keys. Non-global tables locate
+        rows by partition path + key, so ``keys_batch`` must carry the
+        partition columns (Hudi delete records carry their partition
+        path too); global-index tables locate homes by key alone via the
+        same key-column semi-join as upsert. Only touched partitions are
+        read or rewritten; partitions drained by the delete are removed.
+        """
+        if not self.exists():
+            return
+        stored = self.read()
+        touched: list[tuple] = []
+        if self.partition_by:
+            if self.global_index:
+                touched = [
+                    tuple(r)
+                    for r in stored.join(
+                        keys_batch.select(*self.keys).distinct(),
+                        on=self.keys,
+                        how="leftsemi",
+                    )
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                ]
+            else:
+                missing = [c for c in self.partition_by if c not in keys_batch.columns]
+                if missing:
+                    raise ValueError(
+                        f"non-global delete needs partition columns {missing}"
+                    )
+                touched = [
+                    tuple(r)
+                    for r in keys_batch.select(*self.partition_by).distinct().collect()
+                ]
+            if not touched:
+                return
+            cond = self._partition_values_filter(touched)
+            if cond is not None:
+                stored = stored.filter(cond)
+        ids = self.keys if self.global_index else self._identity
+        missing_keys = [c for c in ids if c not in keys_batch.columns]
+        if missing_keys:
+            raise ValueError(f"delete batch missing identity columns {missing_keys}")
+        remaining = stored.join(
+            keys_batch.select(*ids).distinct(), on=ids, how="left_anti"
+        )
+        remaining = remaining.persist()
+        try:
+            remaining.count()
+            self._write(remaining, overwrite_all=not self.partition_by, touched=touched)
+            if self.partition_by:
+                self._remove_emptied_partitions(touched, remaining)
+        finally:
+            remaining.unpersist()
+
+    def delete_partition(self, values: tuple | list) -> None:
+        """Hudi DELETE_PARTITION: drop one partition path wholesale —
+        a metadata/file operation, no data read or shuffle."""
+        import shutil
+
+        if not self.partition_by:
+            raise ValueError("table is unpartitioned")
+        values = tuple(values)
+        parts = [
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for c, v in zip(self.partition_by, values)
+        ]
+        shutil.rmtree(os.path.join(self.path, *parts), ignore_errors=True)
+        if self.stats_columns and self.exists():
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            meta.get("partition_stats", {}).pop(self._stat_key(values), None)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
+        self._sync_catalog()
+
+    def insert_overwrite(self, batch: DataFrame) -> None:
+        """Hudi INSERT_OVERWRITE: replace the touched partitions' content
+        with the batch (no merge against stored rows — within-batch
+        precombine still applies). Untouched partitions are untouched."""
+        batch = precombine_latest(batch, self._identity, self.precombine)
+        touched = None
+        if self.partition_by and self.exists():
+            touched = [
+                tuple(r)
+                for r in batch.select(*self.partition_by).distinct().collect()
+            ]
+        self._write(batch, overwrite_all=not self.exists(), touched=touched)
+
     def _write(
         self, df: DataFrame, overwrite_all: bool, touched: list[tuple] | None = None
     ) -> None:

@@ -1,0 +1,145 @@
+"""Delete-family write operations: unconditional DELETE and
+DELETE_PARTITION / INSERT_OVERWRITE on UpsertTable, ordered tombstone
+deletes + CDC delete classification on TimelineTable."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        [Row(k=k, part=p, v=v, ver=ver) for (k, p, v, ver) in data]
+    )
+
+
+def _keys(spark, data):
+    return spark.createDataFrame([Row(k=k, part=p, ver=ver) for (k, p, ver) in data])
+
+
+# ---------------------------------------------------------------- UpsertTable
+
+
+@pytest.fixture
+def cow(spark, tmp_path):
+    return UpsertTable(
+        spark=spark,
+        path=str(tmp_path / "cow"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        stats_columns=["ver"],
+    )
+
+
+def test_delete_removes_rows_and_emptied_partition(cow, spark):
+    cow.upsert(_rows(spark, [(1, "a", "x", 1), (2, "a", "y", 1), (3, "b", "z", 1)]))
+    cow.delete(_keys(spark, [(3, "b", 9)]))
+
+    assert {r.k for r in cow.read().collect()} == {1, 2}
+    assert not os.path.isdir(os.path.join(cow.path, "part=b"))
+    import json
+
+    assert "b" not in json.load(open(cow._meta_path)).get("partition_stats", {})
+
+    # partial delete keeps the partition
+    cow.delete(_keys(spark, [(1, "a", 9)]))
+    assert {r.k for r in cow.read().collect()} == {2}
+    assert os.path.isdir(os.path.join(cow.path, "part=a"))
+
+
+def test_delete_requires_partition_cols_non_global(cow, spark):
+    cow.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    with pytest.raises(ValueError):
+        cow.delete(spark.createDataFrame([Row(k=1)]))
+
+
+def test_global_delete_locates_homes_by_key(spark, tmp_path):
+    t = UpsertTable(
+        spark=spark,
+        path=str(tmp_path / "g"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        global_index=True,
+    )
+    t.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    t.delete(spark.createDataFrame([Row(k=1)]))  # no partition given
+    assert {r.k for r in t.read().collect()} == {2}
+    assert not os.path.isdir(os.path.join(t.path, "part=a"))
+
+
+def test_delete_partition(cow, spark):
+    cow.upsert(_rows(spark, [(1, "a", "x", 1), (3, "b", "z", 1)]))
+    cow.delete_partition(("a",))
+    assert {r.k for r in cow.read().collect()} == {3}
+    import json
+
+    assert "a" not in json.load(open(cow._meta_path)).get("partition_stats", {})
+
+
+def test_insert_overwrite_replaces_only_touched(cow, spark):
+    cow.upsert(_rows(spark, [(1, "a", "x", 1), (2, "a", "y", 5), (3, "b", "z", 1)]))
+    # overwrite partition a: key 2 disappears even though ver 5 > 1
+    cow.insert_overwrite(_rows(spark, [(9, "a", "new", 1)]))
+    state = {r.k: (r.part, r.v) for r in cow.read().collect()}
+    assert state == {9: ("a", "new"), 3: ("b", "z")}
+
+
+# --------------------------------------------------------------- TimelineTable
+
+
+@pytest.fixture
+def tl(spark, tmp_path):
+    return TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "tl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+    )
+
+
+def test_tombstone_delete_and_time_travel(tl, spark):
+    tl.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    c2 = tl.delete(_keys(spark, [(1, "a", 2)]))
+
+    assert {r.k for r in tl.read().collect()} == {2}
+    assert "_deleted" not in tl.read().columns
+    # the pre-delete state is still queryable
+    assert {r.k for r in tl.read(as_of=c2 - 1).collect()} == {1, 2}
+
+
+def test_stale_delete_loses(tl, spark):
+    tl.upsert(_rows(spark, [(1, "a", "x", 5)]))
+    tl.delete(_keys(spark, [(1, "a", 2)]))  # older ordering value
+    assert {r.k for r in tl.read().collect()} == {1}
+
+
+def test_delete_can_empty_table_and_reads_survive(tl, spark):
+    tl.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    tl.delete(_keys(spark, [(1, "a", 9)]))
+    assert tl.read().count() == 0
+    assert tl.read().columns  # schema preserved
+
+
+def test_cdc_emits_delete(tl, spark):
+    tl.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))  # c1
+    tl.upsert(_rows(spark, [(3, "a", "z", 1)]))                     # c2
+    tl.delete(_keys(spark, [(1, "a", 2)]))                          # c3
+
+    cdc = tl.changes(begin=1)
+    kinds = {r.k: r._change_type for r in cdc.collect()}
+    assert kinds == {1: "delete", 3: "insert"}
+
+    # incremental view carries the tombstone flag for replicas
+    inc = tl.incremental(begin=1)
+    flags = {r.k: bool(r._deleted) if r._deleted is not None else False
+             for r in inc.collect()}
+    assert flags == {1: True, 3: False}
