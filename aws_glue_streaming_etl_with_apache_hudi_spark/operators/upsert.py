@@ -98,6 +98,12 @@ class UpsertTable:
     table_name: str | None = None
     global_index: bool = False
     stats_columns: list[str] = field(default_factory=list)
+    record_index: bool = False
+    rli_buckets: int = 64
+
+    def __post_init__(self) -> None:
+        if self.record_index and not (self.global_index and self.partition_by):
+            raise ValueError("record_index requires global_index + partition_by")
 
     @property
     def _meta_path(self) -> str:
@@ -224,6 +230,8 @@ class UpsertTable:
 
         if not self.exists():
             self._write(batch, overwrite_all=True)
+            if self.record_index:
+                self._rli_update(batch, batch)
             return
 
         stored = self.read()
@@ -236,19 +244,26 @@ class UpsertTable:
             if self.global_index:
                 # A key's stored row may live under a DIFFERENT partition
                 # path: those partitions are also touched (the old row is
-                # removed — Hudi's global-index partition migration). The
-                # lookup is a key-column semi-join: reads only key +
-                # partition columns of stored data (columnar pruning), the
-                # pure-Spark analogue of Hudi's bloom-index key tagging.
-                homes = (
-                    stored.join(
-                        batch.select(*self.keys).distinct(), on=self.keys, how="leftsemi"
-                    )
-                    .select(*self.partition_by)
-                    .distinct()
-                    .collect()
-                )
-                touched = sorted(set(touched) | {tuple(r) for r in homes})
+                # removed — Hudi's global-index partition migration). With
+                # the record-level index the lookup reads only the RLI
+                # buckets containing batch keys; otherwise it is a
+                # key-column semi-join over stored data (columnar
+                # pruning) — the pure-Spark analogue of Hudi's
+                # bloom-index key tagging.
+                homes = self._rli_homes(batch) if self.record_index else None
+                if homes is None:
+                    homes = [
+                        tuple(r)
+                        for r in stored.join(
+                            batch.select(*self.keys).distinct(),
+                            on=self.keys,
+                            how="leftsemi",
+                        )
+                        .select(*self.partition_by)
+                        .distinct()
+                        .collect()
+                    ]
+                touched = sorted(set(touched) | set(homes))
             cond = self._partition_values_filter(touched)
             if cond is not None:
                 # Partition-pruned read: only touched partitions are merged.
@@ -264,6 +279,8 @@ class UpsertTable:
                 merged.count()  # materialize before we inspect partitions
                 self._write(merged, overwrite_all=False, touched=touched)
                 self._remove_emptied_partitions(touched, merged)
+                if self.record_index:
+                    self._rli_update(merged, batch)
             finally:
                 merged.unpersist()
         else:
@@ -284,17 +301,20 @@ class UpsertTable:
         touched: list[tuple] = []
         if self.partition_by:
             if self.global_index:
-                touched = [
-                    tuple(r)
-                    for r in stored.join(
-                        keys_batch.select(*self.keys).distinct(),
-                        on=self.keys,
-                        how="leftsemi",
-                    )
-                    .select(*self.partition_by)
-                    .distinct()
-                    .collect()
-                ]
+                homes = self._rli_homes(keys_batch) if self.record_index else None
+                if homes is None:
+                    homes = [
+                        tuple(r)
+                        for r in stored.join(
+                            keys_batch.select(*self.keys).distinct(),
+                            on=self.keys,
+                            how="leftsemi",
+                        )
+                        .select(*self.partition_by)
+                        .distinct()
+                        .collect()
+                    ]
+                touched = list(homes)
             else:
                 missing = [c for c in self.partition_by if c not in keys_batch.columns]
                 if missing:
@@ -323,8 +343,78 @@ class UpsertTable:
             self._write(remaining, overwrite_all=not self.partition_by, touched=touched)
             if self.partition_by:
                 self._remove_emptied_partitions(touched, remaining)
+            if self.record_index:
+                self._rli_delete(keys_batch)
         finally:
             remaining.unpersist()
+
+    # -- record-level index (RLI) --------------------------------------------
+    #
+    # Hudi 0.14's record_index, dogfooded: the key -> partition-path map
+    # is itself a small non-global UpsertTable partitioned by a hash
+    # bucket of the key, so maintaining it touches ONLY the buckets that
+    # contain batch keys and looking up homes reads ONLY those buckets.
+    # At 100 TB this replaces the global-upsert key-tagging scan (key +
+    # partition columns of the whole table) with an O(batch) bucket-join:
+    # index maintenance and lookup both scale with the batch, not the
+    # table. The index updates after the data commit; a crash between
+    # the two is healed by replaying the batch (both writes idempotent).
+
+    @property
+    def _rli(self) -> "UpsertTable":
+        return UpsertTable(
+            spark=self.spark,
+            path=os.path.join(self.path, "_rli"),
+            keys=self.keys,
+            precombine="_rli_ver",
+            partition_by=["_kb"],
+        )
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+        key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in self.keys])
+        return df.withColumn(
+            "_kb", F.pmod(stable_hash64(key_str), F.lit(self.rli_buckets))
+        )
+
+    def _rli_homes(self, keys_df: DataFrame) -> list[tuple] | None:
+        """Partition paths currently hosting the given keys, answered from
+        the index: scans only the RLI buckets the keys hash into."""
+        rli = self._rli
+        if not rli.exists():
+            return None
+        kb = self._with_bucket(keys_df.select(*self.keys).distinct())
+        buckets = [r._kb for r in kb.select("_kb").distinct().collect()]
+        idx = rli.read().filter(F.col("_kb").isin(buckets))
+        return [
+            tuple(r)
+            for r in idx.join(kb.select(*self.keys), on=self.keys, how="leftsemi")
+            .select(*self.partition_by)
+            .distinct()
+            .collect()
+        ]
+
+    def _rli_update(self, merged: DataFrame, batch_keys: DataFrame) -> None:
+        """Upsert index entries for the batch's keys with their (possibly
+        migrated) partition path taken from the merged winners."""
+        import time
+
+        entries = (
+            merged.join(
+                batch_keys.select(*self.keys).distinct(), on=self.keys, how="leftsemi"
+            )
+            .select(*self.keys, *self.partition_by)
+        )
+        entries = self._with_bucket(entries).withColumn(
+            "_rli_ver", F.lit(time.time_ns())
+        )
+        self._rli.upsert(entries)
+
+    def _rli_delete(self, keys_df: DataFrame) -> None:
+        if not self._rli.exists():
+            return
+        self._rli.delete(self._with_bucket(keys_df.select(*self.keys).distinct()))
 
     def delete_partition(self, values: tuple | list) -> None:
         """Hudi DELETE_PARTITION: drop one partition path wholesale —
@@ -338,7 +428,16 @@ class UpsertTable:
             f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
             for c, v in zip(self.partition_by, values)
         ]
-        shutil.rmtree(os.path.join(self.path, *parts), ignore_errors=True)
+        target = os.path.join(self.path, *parts)
+        if self.record_index and os.path.isdir(target):
+            # de-index the dropped partition's keys before the files go
+            raw = self.spark.read.parquet(target)
+            schema = {f.name: f.dataType for f in self._load_schema().fields}
+            for c, v in zip(self.partition_by, values):
+                if c in self.keys and c not in raw.columns:
+                    raw = raw.withColumn(c, F.lit(v).cast(schema[c]))
+            self._rli_delete(raw.select(*self.keys).distinct())
+        shutil.rmtree(target, ignore_errors=True)
         if self.stats_columns and self.exists():
             with open(self._meta_path) as f:
                 meta = json.load(f)
