@@ -48,7 +48,9 @@ class StreamingUpsertPipeline:
     spark: SparkSession
     source_dir: str
     schema: T.StructType
-    table: UpsertTable
+    # any keyed table with Hudi upsert semantics: UpsertTable (COW),
+    # MergeOnReadTable (MOR), or TimelineTable (COW + commit timeline)
+    table: UpsertTable | object
     checkpoint: str
     trigger: str = "10 seconds"
     source_format: str = "parquet"
