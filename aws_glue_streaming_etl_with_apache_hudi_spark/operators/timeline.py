@@ -90,6 +90,11 @@ class TimelineTable:
     precombine: str
     partition_by: list[str] = field(default_factory=list)
     table_name: str | None = None
+    # Optimistic concurrency control: serialize the read-merge-write
+    # commit section across writers (operators/locking.py). The
+    # reference avoids the issue with MaxConcurrentRuns: 1
+    # (…Template.yaml:282-285); multi-writer tables need the lock.
+    lock_commits: bool = False
 
     # -- layout -------------------------------------------------------------
     @property
@@ -162,6 +167,14 @@ class TimelineTable:
         return self._commit_delta(tomb)
 
     def _commit_delta(self, delta_batch: DataFrame) -> int:
+        if self.lock_commits:
+            from aws_glue_streaming_etl_with_apache_hudi_spark.operators.locking import CommitLock
+
+            with CommitLock(self.path):
+                return self._commit_delta_unlocked(delta_batch)
+        return self._commit_delta_unlocked(delta_batch)
+
+    def _commit_delta_unlocked(self, delta_batch: DataFrame) -> int:
         commit = self.last_commit() + 1
 
         touched = (

@@ -416,6 +416,43 @@ class UpsertTable:
             return
         self._rli.delete(self._with_bucket(keys_df.select(*self.keys).distinct()))
 
+    def cluster(self, cols: list[str], n_files: int = 8, bits: int = 8) -> None:
+        """Clustering table service (Hudi ``hoodie.layout.optimize``):
+        rewrite the table's files Z-ordered on ``cols`` so parquet
+        row-group min/max stats skip files for predicates on ANY
+        clustered column. Row content, partitioning, key semantics, and
+        the partition-level stats index are all invariant — only file
+        layout changes (reordering cannot move a partition's min/max).
+
+        Staged rewrite: the clustered copy is written beside the table,
+        then swapped in — readers never observe a half-rewritten table
+        and the source files are not deleted while the rewrite reads
+        them."""
+        from aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering import cluster_write
+        import shutil
+
+        if not self.exists():
+            raise ValueError(f"no table at {self.path}")
+        df = self.read()
+        tmp = self.path.rstrip("/") + ".clustering"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cluster_write(df, tmp, cols, n_files, bits=bits, partition_by=self.partition_by)
+
+        # swap data in; metadata (_engine_meta.json, _rli) stays put
+        for name in os.listdir(self.path):
+            if not name.startswith(("_", ".")):
+                p = os.path.join(self.path, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+        for name in os.listdir(tmp):
+            if name.startswith(("_", ".")) and name != "_SUCCESS":
+                continue
+            os.replace(os.path.join(tmp, name), os.path.join(self.path, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._sync_catalog()
+
     def delete_partition(self, values: tuple | list) -> None:
         """Hudi DELETE_PARTITION: drop one partition path wholesale —
         a metadata/file operation, no data read or shuffle."""
