@@ -416,6 +416,47 @@ class UpsertTable:
             return
         self._rli.delete(self._with_bucket(keys_df.select(*self.keys).distinct()))
 
+    def read_key(self, key_values: tuple | list) -> DataFrame:
+        """Point lookup by record key.
+
+        With the record index, the key's bucket is computed driver-side
+        (same md5 family as ``stable_hash64``), ONE index bucket
+        directory resolves the partition path, and the scan is pruned to
+        that partition — a 100 TB table answers a key lookup by reading
+        one index bucket + one partition, no shuffle, no table scan.
+        Without the index, falls back to a filtered table scan (parquet
+        row-group stats still skip most files for clustered keys)."""
+        import hashlib
+
+        key_values = tuple(key_values)
+        if len(key_values) != len(self.keys):
+            raise ValueError(f"expected values for keys {self.keys}")
+        key_filter = None
+        for k, v in zip(self.keys, key_values):
+            eq = F.col(k).eqNullSafe(F.lit(v))
+            key_filter = eq if key_filter is None else (key_filter & eq)
+
+        if self.record_index and self._rli.exists():
+            # driver-side replica of _with_bucket's hash (concat_ws "|"
+            # of stringified key values -> md5 -> top 15 hex -> mod)
+            key_str = "|".join("" if v is None else str(v) for v in key_values)
+            h = int(hashlib.md5(key_str.encode()).hexdigest()[:15], 16)
+            bucket_dir = os.path.join(self.path, "_rli", f"_kb={h % self.rli_buckets}")
+            if not os.path.isdir(bucket_dir):
+                return self.read().filter(F.lit(False))
+            homes = [
+                tuple(r)
+                for r in self.spark.read.parquet(bucket_dir)
+                .filter(key_filter)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            if not homes:
+                return self.read().filter(F.lit(False))
+            return self._read_partition_dirs(homes).filter(key_filter)
+        return self.read().filter(key_filter)
+
     def cluster(self, cols: list[str], n_files: int = 8, bits: int = 8) -> None:
         """Clustering table service (Hudi ``hoodie.layout.optimize``):
         rewrite the table's files Z-ordered on ``cols`` so parquet
@@ -606,35 +647,41 @@ class UpsertTable:
                 overlap = (lo_j is None or mx >= lo_j) and (hi_j is None or mn <= hi_j)
             if overlap:
                 keep.append(tuple(key.split("|")))
-        # Read ONLY the surviving partition directories — pruned
-        # partitions are never listed, let alone scanned (inputFiles()
-        # shows exactly the kept paths).
-        dirs = [
-            os.path.join(
-                self.path,
-                *(f"{c}={tok}" for c, tok in zip(self.partition_by, values)),
-            )
-            for values in keep
-        ]
-        dirs = [d for d in dirs if os.path.isdir(d)]
-        if not dirs:
-            df = self.read().filter(F.lit(False))
-        else:
-            raw = self.spark.read.option("basePath", self.path).parquet(*dirs)
-            schema = {f.name: f.dataType for f in self._load_schema().fields}
-            df = raw.select(
-                *[
-                    F.col(c).cast(schema[c]).alias(c)
-                    if c in self.partition_by and c in schema
-                    else F.col(c)
-                    for c in raw.columns
-                ]
-            )
+        df = self._read_partition_dirs(keep)
         if lower is not None:
             df = df.filter(F.col(column) >= F.lit(lower))
         if upper is not None:
             df = df.filter(F.col(column) <= F.lit(upper))
         return df
+
+    def _read_partition_dirs(self, parts: list[tuple]) -> DataFrame:
+        """Read ONLY the given partition directories (tuples of partition
+        values or string tokens) — pruned partitions are never listed,
+        let alone scanned (``inputFiles()`` shows exactly the kept
+        paths). Partition columns are cast back per the table schema."""
+        dirs = [
+            os.path.join(
+                self.path,
+                *(
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                    for c, v in zip(self.partition_by, values)
+                ),
+            )
+            for values in parts
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return self.read().filter(F.lit(False))
+        raw = self.spark.read.option("basePath", self.path).parquet(*dirs)
+        schema = {f.name: f.dataType for f in self._load_schema().fields}
+        return raw.select(
+            *[
+                F.col(c).cast(schema[c]).alias(c)
+                if c in self.partition_by and c in schema
+                else F.col(c)
+                for c in raw.columns
+            ]
+        )
 
     def _sync_catalog(self) -> None:
         """Hive-sync analogue (glue_job_script.py:64-73): register/refresh

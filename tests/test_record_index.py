@@ -78,6 +78,18 @@ def test_index_consistent_with_table_after_many_commits(table, spark):
     assert _index_state(table) == truth
 
 
+def test_read_key_point_lookup(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1), (3, "c", "z", 1)]))
+    hit = table.read_key((2,))
+    rows = hit.collect()
+    assert [(r.k, r.part, r.v) for r in rows] == [(2, "b", "y")]
+    # scan was pruned to the key's home partition
+    data_files = [f for f in hit.inputFiles() if "/_rli/" not in f]
+    assert data_files and all("part=b" in f for f in data_files)
+    # miss -> empty result, not an error
+    assert table.read_key((42,)).count() == 0
+
+
 def test_record_index_requires_global(spark, tmp_path):
     with pytest.raises(ValueError):
         UpsertTable(
