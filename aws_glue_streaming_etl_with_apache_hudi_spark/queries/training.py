@@ -78,6 +78,72 @@ def quota_sample_per_source(spark, sf_dir):
 
 
 @register(
+    "corpus_build_pipeline",
+    sql=rf"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    ),
+    kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    w AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ws
+          FROM kept),
+    s AS (SELECT doc_id, lang, len(ws) AS n_words,
+                 round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+                   AS distinct_ratio,
+                 round(CAST(len(list_filter(ws, x -> list_contains(
+                       ['hash','order','table','row','batch'], x))) AS DOUBLE)
+                       / len(ws), 4) AS filler_ratio
+          FROM w),
+    q AS (SELECT doc_id, lang, n_words,
+                 round(0.4 * least(n_words / 100.0, 1.0)
+                       + 0.4 * distinct_ratio
+                       + 0.2 * (1 - filler_ratio), 4) AS quality
+          FROM s)
+    SELECT lang,
+           CASE WHEN {_H_SPLIT} % 100 < 95 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens
+    FROM q WHERE quality >= 0.5
+    GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def corpus_build_pipeline(spark, sf_dir):
+    """The chained corpus-assembly dataflow end to end: exact dedup
+    (keep min doc_id per normalized-text digest) -> quality gate
+    (score >= 0.5) -> deterministic hash split -> per-(lang, split)
+    rollup with token totals. Each stage is an operator already proven
+    in isolation; this query pins their COMPOSITION, which is what a
+    real 100 TB corpus build runs as one job. Plan shape: one digest
+    aggregation (16-byte shuffle keys), a semi-join back to documents,
+    map-side quality scoring, final rollup — no full-text shuffle
+    anywhere."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import dedup as D
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import text as TX
+
+    docs = t(spark, sf_dir, "documents")
+    keep = D.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = docs.join(keep, on="doc_id", how="inner")
+    scored = TX.quality_score(kept, "doc_id", "text").join(
+        kept.select("doc_id", "lang", TX.token_count_whitespace("text").alias("n_words")),
+        on="doc_id",
+    )
+    h = stable_hash64(F.col("doc_id").cast("string"), "split")
+    split = F.when(h % 100 < 95, "train").otherwise("test")
+    return (
+        scored.filter(F.col("quality") >= 0.5)
+        .groupBy(F.col("lang"), split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
     "token_shard_packing",
     sql=r"""
     WITH tk AS (
