@@ -1,13 +1,15 @@
-"""Storage-layout queries: the MOR read-side merge algebra and the
-Z-order (Morton) encoding kernel, both DuckDB-oracle-checked. The IO
-behavior (append-only commits, scheduled compaction, clustered file
-spans) is covered behaviorally in tests/test_mor.py and
-tests/test_clustering.py; these queries pin the MATH."""
+"""Storage-layout queries: the MOR read-side merge algebra, the Z-order
+(Morton) encoding kernel, and the distributed bloom-filter build/probe,
+all DuckDB-oracle-checked. The IO behavior (append-only commits,
+scheduled compaction, clustered file spans) is covered behaviorally in
+tests/test_mor.py and tests/test_clustering.py; these queries pin the
+MATH."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64, stable_hash64_sql
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering import interleave_bits
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import mor_merge_view
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
@@ -43,6 +45,82 @@ def mor_merge_chain(spark, sf_dir):
     return merged.select(
         "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
     ).orderBy("user_id")
+
+
+_BF_M = 1 << 14  # bloom bits
+_BF_K = 3  # hash functions
+
+
+def _bf_pos_sql(expr: str, i: int) -> str:
+    return f"({stable_hash64_sql(f'CAST({expr} AS VARCHAR)', f'bf{i}')} % {_BF_M})"
+
+
+@register(
+    "bloom_filter_join_prune",
+    sql=f"""
+    WITH bits AS (
+      SELECT DISTINCT pos FROM orders,
+        (SELECT unnest([{", ".join(_bf_pos_sql("o_custkey", i) for i in range(_BF_K))}]) AS pos_) x(pos_)
+      , LATERAL (SELECT pos_ AS pos) p
+    ),
+    probe AS (
+      SELECT c_custkey, unnest([{", ".join(_bf_pos_sql("c_custkey", i) for i in range(_BF_K))}]) AS pos
+      FROM customer
+    ),
+    flagged AS (
+      SELECT c_custkey FROM probe JOIN bits USING (pos)
+      GROUP BY c_custkey HAVING count(*) = {_BF_K}
+    ),
+    members AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT (SELECT count(*) FROM customer)                    AS n_probed,
+           (SELECT count(*) FROM flagged)                     AS n_flagged,
+           (SELECT count(*) FROM members)                     AS n_members,
+           (SELECT count(*) FROM flagged f LEFT JOIN members m
+              USING (c_custkey) WHERE m.c_custkey IS NULL)    AS n_false_pos
+    """,
+)
+def bloom_filter_join_prune(spark, sf_dir):
+    """Distributed bloom filter as relational algebra: build an m-bit
+    filter over orders' customer keys (k salted portable hashes ->
+    distinct bit positions), probe every customer, and count flagged vs
+    true members vs false positives. This is the build-side pruning
+    sketch a 100 TB join uses to skip probe rows before the shuffle
+    (Spark's own runtime row-group bloom pushdown, made explicit): the
+    "filter" that crosses the wire is the distinct-positions table —
+    KB, not the key set. All bit math is the md5 hash family, so DuckDB
+    replays membership bit-for-bit — including the false-positive count,
+    which is a deterministic function of the data."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def positions(col):
+        s = F.col(col).cast("string")
+        return F.array(
+            *[stable_hash64(s, f"bf{i}") % _BF_M for i in range(_BF_K)]
+        )
+
+    bits = (
+        orders.select(F.explode(positions("o_custkey")).alias("pos")).distinct()
+    )
+    probe = cust.select(
+        "c_custkey", F.explode(positions("c_custkey")).alias("pos")
+    )
+    flagged = (
+        probe.join(F.broadcast(bits), on="pos")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == _BF_K)
+        .select("c_custkey")
+    )
+    members = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    false_pos = flagged.join(members, on="c_custkey", how="left_anti")
+    return (
+        cust.agg(F.count(F.lit(1)).alias("n_probed"))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_flagged")))
+        .crossJoin(members.agg(F.count(F.lit(1)).alias("n_members")))
+        .crossJoin(false_pos.agg(F.count(F.lit(1)).alias("n_false_pos")))
+    )
+
 
 
 def _morton_sql(bits: int) -> str:
