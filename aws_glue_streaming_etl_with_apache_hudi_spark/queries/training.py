@@ -79,6 +79,7 @@ def quota_sample_per_source(spark, sf_dir):
 
 @register(
     "corpus_build_pipeline",
+    headline=True,
     sql=rf"""
     WITH keep AS (
       SELECT min(doc_id) AS doc_id

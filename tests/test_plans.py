@@ -112,3 +112,41 @@ def test_upsert_stored_read_is_partition_pruned(spark, tmp_path):
     plan = explain_str(stored)
     assert "d1" in plan  # the partition predicate reached the plan
     assert stored.count() == 1  # only the touched partition's rows
+
+
+def test_bloom_probe_broadcasts_positions(spark, sf_dir):
+    """The bloom bit-positions table must broadcast to the probe side —
+    the whole point of the sketch is that KBs cross the wire, not keys."""
+    assert uses_broadcast_join(QUERIES["bloom_filter_join_prune"].fn(spark, sf_dir))
+
+
+def test_corpus_build_no_fulltext_shuffle(spark, sf_dir):
+    """Dedup must shuffle 16-byte digests, not document text: no `text`
+    column may appear in any Exchange's output schema."""
+    plan = explain_str(QUERIES["corpus_build_pipeline"].fn(spark, sf_dir))
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text#" not in first_line
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessionize_and_quota_single_exchange(spark, sf_dir):
+    """Gap sessionization reuses ONE entity-key shuffle for both window
+    functions and the session rollup; quota sampling likewise shuffles
+    once on source."""
+    plan = _exec_plan(QUERIES["sessionize_events"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    plan2 = _exec_plan(QUERIES["quota_sample_per_source"].fn(spark, sf_dir))
+    assert plan2.count("Exchange hashpartitioning") == 1
+
+
+def test_train_test_split_partial_aggregate(spark, sf_dir):
+    """The split rollup must pre-aggregate map-side (partial HashAggregate
+    before the exchange): at 100 TB the shuffle carries (lang, split)
+    partial sums, not rows."""
+    plan = _exec_plan(QUERIES["train_test_split"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange hashpartitioning") == 1  # the agg only
