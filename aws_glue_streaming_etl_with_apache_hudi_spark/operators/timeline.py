@@ -434,6 +434,44 @@ def incremental_view(
     return precombine_latest(merged, keys, precombine, tie_breakers=[COMMIT_COL])
 
 
+def apply_change_feed(table, feed: DataFrame) -> None:
+    """Apply one batch of change records to a replica table — the
+    consumer half of CDC (Delta's ``APPLY CHANGES`` / Hudi's
+    deltastreamer role). ``feed`` rows carry the source columns plus
+    optional ``_deleted`` / ``_commit_id`` flags (the shape
+    ``incremental``/``read_incremental_stream`` emit).
+
+    Upserts and deletes are split and applied through the replica's own
+    key/precombine semantics, so replaying a feed batch is idempotent
+    and out-of-order feeds converge exactly like out-of-order writes on
+    the source (stale records lose the precombine merge). Call from
+    ``foreachBatch`` to keep a live replica:
+
+        stream = read_incremental_stream(spark, source_table)
+        stream.writeStream.foreachBatch(
+            lambda df, _id: apply_change_feed(replica, df)).start()
+    """
+    # One feed batch may carry several generations of a key (an upsert
+    # from commit N and its deletion from commit N+1): collapse to the
+    # latest record per key FIRST — applying raw records operation-by-
+    # operation could resurrect a deleted row.
+    ids = table._identity
+    ties = [COMMIT_COL] if COMMIT_COL in feed.columns else None
+    latest = precombine_latest(feed, ids, table.precombine, tie_breakers=ties)
+
+    cols = [c for c in latest.columns if c not in (DELETED_COL, COMMIT_COL)]
+    if DELETED_COL in latest.columns:
+        is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        deletes = latest.filter(is_del)
+        upserts = latest.filter(~is_del)
+        if not deletes.isEmpty():
+            table.delete(deletes.select(*cols))
+    else:
+        upserts = latest
+    if not upserts.isEmpty():
+        table.upsert(upserts.select(*cols))
+
+
 def cdc_view(pre: DataFrame | None, inc: DataFrame, keys: list[str]) -> DataFrame:
     """Classify incremental records against the pre-state: row-level
     change feed (``insert`` | ``update`` | ``delete`` — tombstoned

@@ -51,6 +51,15 @@ def read_incremental_stream(
     if not instants:
         raise ValueError(f"cannot stream an empty timeline table: {table.path}")
     schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
+    # tombstone deltas (TimelineTable.delete) carry a _deleted flag that
+    # the snapshot schema never has; declare it so delete events survive
+    # the stream (non-tombstone deltas read it as null -> "not deleted")
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import DELETED_COL
+
+    if DELETED_COL not in [f.name for f in schema.fields]:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType())]
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

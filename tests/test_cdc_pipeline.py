@@ -37,6 +37,60 @@ def _drop_file(spark, src, i, batch):
     shutil.rmtree(f"{src}/_stage{i}")
 
 
+def test_apply_change_feed_replica_with_deletes(spark, tmp_path):
+    """Live replication: source timeline table -> incremental stream ->
+    apply_change_feed into a replica UpsertTable. The replica must track
+    upserts, partition migrations of the merge, AND deletes — and a
+    same-batch upsert+delete of one key must not resurrect the row."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import apply_change_feed
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.incremental import read_incremental_stream
+
+    src = TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "src_tl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+    )
+    rows = lambda data: spark.createDataFrame(  # noqa: E731
+        [Row(k=k, part=p, v=v, ver=ver) for (k, p, v, ver) in data]
+    )
+    src.upsert(rows([(1, "a", "x", 1), (2, "b", "y", 1)]))
+
+    replica = UpsertTable(
+        spark=spark,
+        path=str(tmp_path / "replica"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+    )
+    stream = read_incremental_stream(spark, src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _id: apply_change_feed(replica, df))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r.k: (r.part, r.v) for r in replica.read().collect()} == {
+            1: ("a", "x"),
+            2: ("b", "y"),
+        }
+        # upsert commit + delete commit, drained TOGETHER in one batch:
+        # key 3 is created then deleted -> must not exist in the replica
+        src.upsert(rows([(3, "a", "z", 1), (1, "a", "x2", 2)]))
+        src.delete(spark.createDataFrame([Row(k=3, part="a", ver=2)]))
+        q.processAllAvailable()
+        assert {r.k: (r.part, r.v) for r in replica.read().collect()} == {
+            1: ("a", "x2"),
+            2: ("b", "y"),
+        }
+    finally:
+        q.stop()
+
+
 def test_stream_to_timeline_to_replica(spark, tmp_path):
     t0 = datetime(2024, 1, 1, 0, 0)
     src = str(tmp_path / "src")
