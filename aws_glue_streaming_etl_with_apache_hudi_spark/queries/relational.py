@@ -860,3 +860,59 @@ def json_extract_props(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "regression_price_quantity",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def regression_price_quantity(spark, sf_dir):
+    """Distributed least-squares + correlation from exact decimal moment
+    sums (sum x, y, xy, x2, y2): one map-side-combinable aggregation,
+    then closed-form doubles. Spark's corr()/regr_slope() stream floats
+    whose accumulation order varies run to run; moments as DECIMAL are
+    exact and order-free, so both engines derive bit-identical results —
+    the numerically-robust way to do regression over 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+    sx2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,4)")).cast("double")
+    sy2 = F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        sx.alias("sx"), sy.alias("sy"), sxy.alias("sxy"),
+        sx2.alias("sx2"), sy2.alias("sy2"),
+    )
+    N, SX, SY = F.col("n").cast("double"), F.col("sx"), F.col("sy")
+    slope = (N * F.col("sxy") - SX * SY) / (N * F.col("sx2") - SX * SX)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((SY - slope * SX) / N, 6).alias("intercept"),
+        F.round(
+            (N * F.col("sxy") - SX * SY)
+            / (F.sqrt(N * F.col("sx2") - SX * SX) * F.sqrt(N * F.col("sy2") - SY * SY)),
+            6,
+        ).alias("corr"),
+    ).orderBy("l_returnflag")
