@@ -916,3 +916,51 @@ def regression_price_quantity(spark, sf_dir):
             6,
         ).alias("corr"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "calendar_gap_fill",
+    sql=f"""
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    c AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             {dsum_sql('value', 2)} AS total
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           coalesce(n, 0) AS n,
+           coalesce(total, 0.0) AS total
+    FROM days LEFT JOIN c USING (day) ORDER BY day
+    """,
+)
+def calendar_gap_fill(spark, sf_dir):
+    """Time-series gap fill: generate the full calendar spine
+    (F.sequence + explode — no source scan), left-join daily event
+    aggregates, zero-fill missing days. The spine side is rows=days
+    (tiny, broadcast); the aggregate side shuffles 1 row per day. The
+    standard way to make window/trend math safe on sparse data."""
+    e = t(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    c = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total")
+    )
+    return (
+        days.join(c, on="day", how="left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+        )
+        .orderBy("day")
+    )
