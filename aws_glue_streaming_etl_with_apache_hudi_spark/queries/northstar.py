@@ -632,3 +632,46 @@ def knn_ivf_query(spark, sf_dir):
     return S.knn_ivf(emb, queries, cents, k=5, n_probe=3).select(
         "query_id", "neighbor_id", "sim", "rnk"
     )
+
+
+@register(
+    "inverted_index_postings",
+    sql=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    )
+    SELECT term,
+           count(DISTINCT doc_id) AS df,
+           count(*) AS cf,
+           array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS postings
+    FROM w GROUP BY term HAVING count(DISTINCT doc_id) >= 5 ORDER BY term
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build: explode terms, aggregate per-term document
+    frequency, collection frequency, and the sorted posting list — the
+    search/retrieval primitive behind corpus search and contamination
+    checks. Scale: one shuffle on term; posting lists are per-term
+    arrays built by collect_set (never a driver collect). Terms with
+    df < 5 are dropped (the long tail dominates vocabulary but not
+    retrieval). Postings render as a sorted comma string so the oracle
+    compare is order-exact."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(X.words("text")).alias("term"))
+    return (
+        w.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy("term")
+    )

@@ -77,6 +77,46 @@ def test_stale_lock_broken_by_ttl(tmp_path):
         pass
 
 
+def test_concurrent_writers_no_lost_commits(spark, tmp_path):
+    """Two writers upserting the same timeline table concurrently: the
+    commit lock must serialize the read-merge-write sections so every
+    commit lands (without it, both writers can read last_commit=N and
+    both write instant N+1 — one commit silently lost)."""
+    import threading
+
+    t = TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "mw"),
+        keys=["k"],
+        precombine="ver",
+        lock_commits=True,
+    )
+    t.upsert(spark.createDataFrame([Row(k=0, v="seed", ver=1)]))
+    errors = []
+
+    def writer(offset):
+        try:
+            for i in range(4):
+                t.upsert(
+                    spark.createDataFrame(
+                        [Row(k=offset + i, v=f"w{offset}-{i}", ver=1)]
+                    )
+                )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(off,)) for off in (100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors
+    assert t.last_commit() == 9  # 1 seed + 8 writer commits, none lost
+    keys = {r.k for r in t.read().collect()}
+    assert keys == {0, *range(100, 104), *range(200, 204)}
+
+
 def test_timeline_commits_under_lock(spark, tmp_path):
     t = TimelineTable(
         spark=spark,
