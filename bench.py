@@ -40,11 +40,11 @@ def main() -> None:
     for name in names:
         QUERIES[name].fn(spark, SF_DIR).count()
 
-    # steady state: best of 2 runs (absorbs GC/compilation jitter)
+    # steady state: best of 3 runs (absorbs GC/compilation jitter)
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(
-            min(run_one(spark, QUERIES[name].fn) for _ in range(2)), 3
+            min(run_one(spark, QUERIES[name].fn) for _ in range(3)), 3
         )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
