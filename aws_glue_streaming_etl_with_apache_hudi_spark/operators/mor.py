@@ -224,6 +224,40 @@ class MergeOnReadTable:
         to the last compaction but scan-speed identical to a plain table."""
         return self._read_base()
 
+    def pending_commits(self) -> list[int]:
+        """Delta commits not yet folded into the base (readable window
+        for ``read_incremental``)."""
+        return self._log_commits()
+
+    def read_incremental(self, begin: int = 0) -> DataFrame:
+        """Incremental query over the MOR delta log: latest state of
+        every record upserted by pending commits > ``begin``, tagged
+        ``_commit_id``. Scans only the in-range delta directories.
+
+        Unlike the TimelineTable (whose deltas are retained until the
+        cleaner runs), MOR logs are TRUNCATED by compaction — commits
+        folded into the base are no longer individually readable, so
+        ``begin`` must be within ``pending_commits()``. Incremental
+        consumers must keep up with the compaction cadence (or follow a
+        TimelineTable instead)."""
+        commits = [c for c in self._log_commits() if c > begin]
+        if not commits:
+            raise ValueError(
+                f"no pending delta commits after {begin} "
+                f"(pending: {self._log_commits()}; compaction truncates the log)"
+            )
+        merged = None
+        for seq in commits:
+            d = self.spark.read.parquet(
+                os.path.join(self._log, f"commit={seq}")
+            ).withColumn("_commit_id", F.lit(seq))
+            merged = d if merged is None else merged.unionByName(
+                d, allowMissingColumns=True
+            )
+        return precombine_latest(
+            merged, self._identity, self.precombine, tie_breakers=["_commit_id"]
+        )
+
     # -- compaction ----------------------------------------------------------
     def compact(self) -> int:
         """Fold pending deltas into the base; returns #commits compacted.

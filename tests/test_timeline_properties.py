@@ -1,0 +1,85 @@
+"""Property-based invariants of the commit timeline (hypothesis):
+time travel to instant N must equal folding the first N batches through
+the plain upsert algebra — the law that makes snapshots, rollback, and
+incremental reads mutually consistent. Plus the MOR incremental window."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import upsert_dataframe
+
+event = st.tuples(
+    st.integers(min_value=0, max_value=3),  # key
+    st.sampled_from(["a", "b"]),  # partition
+    st.integers(min_value=0, max_value=20),  # precombine
+)
+
+
+@given(
+    events=st.lists(event, min_size=1, max_size=12),
+    cuts=st.lists(st.integers(min_value=0, max_value=12), max_size=2),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_time_travel_equals_batch_fold(spark, tmp_path_factory, events, cuts):
+    rows = [(k, p, v, i) for i, (k, p, v) in enumerate(events)]
+    cols = ["k", "part", "ver", "row_id"]
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {len(rows)})
+    batches, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            batches.append(rows[prev:b])
+            prev = b
+    if not batches:
+        batches = [rows]
+
+    table = TimelineTable(
+        spark=spark,
+        path=str(tmp_path_factory.mktemp("tlprop") / "t"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+    )
+    folded = None
+    for i, batch_rows in enumerate(batches, start=1):
+        batch = spark.createDataFrame([Row(**dict(zip(cols, r))) for r in batch_rows])
+        table.upsert(batch)
+        folded = upsert_dataframe(folded, batch, ["part", "k"], "ver")
+        got = sorted(
+            (r.k, r.part, r.ver, r.row_id)
+            for r in table.read(as_of=i).collect()
+        )
+        want = sorted(
+            (r.k, r.part, r.ver, r.row_id) for r in folded.collect()
+        )
+        assert got == want, f"as_of={i}"
+
+
+def test_mor_incremental_window(spark, tmp_path):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    import pytest
+
+    t = MergeOnReadTable(
+        spark=spark,
+        path=str(tmp_path / "mor"),
+        keys=["k"],
+        precombine="ver",
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    t.upsert(spark.createDataFrame([Row(k=1, v="x", ver=1)]))  # base
+    t.upsert(spark.createDataFrame([Row(k=1, v="x2", ver=2)]))  # log 1
+    t.upsert(spark.createDataFrame([Row(k=2, v="y", ver=1)]))  # log 2
+
+    assert t.pending_commits() == [1, 2]
+    inc = {r.k: (r.v, r._commit_id) for r in t.read_incremental().collect()}
+    assert inc == {1: ("x2", 1), 2: ("y", 2)}
+    inc2 = {r.k for r in t.read_incremental(begin=1).collect()}
+    assert inc2 == {2}
+
+    t.compact()
+    with pytest.raises(ValueError):  # log truncated: window is gone
+        t.read_incremental()
