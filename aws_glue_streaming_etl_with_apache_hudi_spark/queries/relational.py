@@ -964,3 +964,43 @@ def calendar_gap_fill(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    sql="""
+    SELECT a.p_brand,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           count(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY 1, 2 ORDER BY a.p_brand, dist
+    """,
+)
+def fuzzy_match_levenshtein(spark, sf_dir):
+    """Blocked fuzzy self-match: candidate pairs come from an equi-join
+    on the blocking key (brand) — never a full cross product — then
+    edit distance filters within the block. The standard entity-
+    resolution shape; the blocking key is what makes it survive scale
+    (pairs grow with block size squared, not table size squared).
+    Levenshtein is integer-exact in both engines."""
+    part = t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("ak"),
+        F.col("p_brand").alias("p_brand"),
+        F.col("p_name").alias("an"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("bk"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_name").alias("bn"),
+    )
+    return (
+        a.join(b, (F.col("p_brand") == F.col("bb")) & (F.col("ak") < F.col("bk")))
+        .withColumn("dist", F.levenshtein(F.col("an"), F.col("bn")))
+        .filter(F.col("dist") <= 3)
+        .groupBy("p_brand", "dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("p_brand", "dist")
+    )
