@@ -22,6 +22,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -56,6 +57,10 @@ class StreamingUpsertPipeline:
     source_format: str = "parquet"
     max_files_per_trigger: int | None = 1
     transform: Callable[[DataFrame], DataFrame] | None = None
+    # Dead-letter queue for JSON sources: unparseable payloads are
+    # appended raw under this directory per batch instead of poisoning
+    # or silently vanishing from the pipeline (sources/quarantine.py).
+    quarantine_dir: str | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -67,15 +72,45 @@ class StreamingUpsertPipeline:
         if batch_df.isEmpty():  # A3, without the double materialization
             return
         self.batches_seen.append(batch_id)
+        if self.quarantine_dir is not None:
+            from aws_glue_streaming_etl_with_apache_hudi_spark.sources.quarantine import CORRUPT_COL
+
+            if CORRUPT_COL in batch_df.columns:
+                import os
+
+                batch_df = batch_df.cache()
+                bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+                    F.col(CORRUPT_COL).alias("raw")
+                )
+                if not bad.isEmpty():
+                    bad.write.mode("overwrite").text(
+                        os.path.join(self.quarantine_dir, f"batch={batch_id}")
+                    )
+                batch_df = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(
+                    CORRUPT_COL
+                )
+                if batch_df.isEmpty():
+                    return
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         self.table.upsert(batch_df)
+
+    def _stream_schema(self):
+        if self.quarantine_dir is not None and self.source_format == "json":
+            from aws_glue_streaming_etl_with_apache_hudi_spark.sources.quarantine import CORRUPT_COL
+
+            if CORRUPT_COL not in [f.name for f in self.schema.fields]:
+                return T.StructType(
+                    list(self.schema.fields)
+                    + [T.StructField(CORRUPT_COL, T.StringType())]
+                )
+        return self.schema
 
     def start(self, once: bool = False) -> StreamingQuery:
         stream = stream_from_directory(
             self.spark,
             self.source_dir,
-            self.schema,
+            self._stream_schema(),
             fmt=self.source_format,
             max_files_per_trigger=self.max_files_per_trigger,
         )

@@ -56,6 +56,45 @@ def test_quarantine_batch_writes_dlq_and_replays(spark, tmp_path):
     assert still_bad.count() == 2  # both are truly malformed JSON
 
 
+def test_streaming_pipeline_with_json_quarantine(spark, tmp_path):
+    """End to end: a JSON stream containing malformed payloads upserts
+    the clean rows and dead-letters the rest, per micro-batch."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_lines(
+        os.path.join(src, "b0.json"),
+        ['{"id": 1, "name": "a", "ver": 1}', "BROKEN {", '{"id": 2, "name": "b", "ver": 1}'],
+    )
+    dlq = str(tmp_path / "dlq")
+    table = UpsertTable(
+        spark=spark, path=str(tmp_path / "t"), keys=["id"], precombine="ver"
+    )
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=schema,
+        table=table,
+        checkpoint=str(tmp_path / "ck"),
+        source_format="json",
+        quarantine_dir=dlq,
+    )
+    pipe.run_available()
+
+    assert {r.id for r in table.read().collect()} == {1, 2}
+    saved = spark.read.text(os.path.join(dlq, "batch=0"))
+    assert [r.value for r in saved.collect()] == ["BROKEN {"]
+
+
 def test_all_clean_writes_nothing(spark, tmp_path):
     src = str(tmp_path / "in" / "data.json")
     _write_lines(src, GOOD)
