@@ -44,6 +44,7 @@ class PipelineConfig:
     starting_position: str = "latest"  # --kinesis iterator position, yaml:25-28
     database_name: str = "default"
     table_name: str = "hudi_table"
+    quarantine_dir: str | None = None  # JSON dead-letter queue (optional)
 
     @classmethod
     def from_argv(cls, argv: list[str]) -> "PipelineConfig":
@@ -53,7 +54,7 @@ class PipelineConfig:
             "checkpoint_path": opts["checkpoint_path"],
         }
         for k in ("record_key", "precombine", "window_size", "starting_position",
-                  "database_name", "table_name"):
+                  "database_name", "table_name", "quarantine_dir"):
             if k in opts:
                 kwargs[k] = opts[k]
         if "partition_fields" in opts:

@@ -97,6 +97,8 @@ def main(argv: list[str]) -> None:
         checkpoint=cfg.checkpoint_path,
         trigger=cfg.window_size,
         transform=transform,
+        source_format=opts.get("source_format", "parquet"),
+        quarantine_dir=cfg.quarantine_dir,
     )
 
     if opts.get("once", "false").lower() == "true":
