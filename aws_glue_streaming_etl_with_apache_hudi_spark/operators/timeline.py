@@ -164,17 +164,34 @@ class TimelineTable:
             raise ValueError(f"delete batch missing columns {missing}")
         tomb = keys_batch.select(*needed).withColumn(DELETED_COL, F.lit(True))
         tomb = precombine_latest(tomb, self._identity, self.precombine)
-        return self._commit_delta(tomb)
+        return self._commit_delta(tomb, operation="delete")
 
-    def _commit_delta(self, delta_batch: DataFrame) -> int:
+    def history(self) -> DataFrame:
+        """The timeline as a queryable DataFrame (Hudi ``show commits`` /
+        Delta ``DESCRIBE HISTORY``): one row per instant with its
+        operation, wall-clock time, and touched-partition count."""
+        rows = [
+            (
+                c["commit"],
+                c.get("operation", "upsert"),
+                float(c["ts"]),
+                len(c["touched_partitions"]),
+            )
+            for c in self.commits()
+        ]
+        return self.spark.createDataFrame(
+            rows, "commit INT, operation STRING, wall_ts DOUBLE, n_partitions INT"
+        )
+
+    def _commit_delta(self, delta_batch: DataFrame, operation: str = "upsert") -> int:
         if self.lock_commits:
             from aws_glue_streaming_etl_with_apache_hudi_spark.operators.locking import CommitLock
 
             with CommitLock(self.path):
-                return self._commit_delta_unlocked(delta_batch)
-        return self._commit_delta_unlocked(delta_batch)
+                return self._commit_delta_unlocked(delta_batch, operation)
+        return self._commit_delta_unlocked(delta_batch, operation)
 
-    def _commit_delta_unlocked(self, delta_batch: DataFrame) -> int:
+    def _commit_delta_unlocked(self, delta_batch: DataFrame, operation: str = "upsert") -> int:
         commit = self.last_commit() + 1
 
         touched = (
@@ -220,6 +237,7 @@ class TimelineTable:
         self._save_instant(
             {
                 "commit": commit,
+                "operation": operation,
                 "ts": time.time(),
                 "touched_partitions": touched,
                 "schema": merged.schema.json(),

@@ -115,6 +115,14 @@ def test_timeline_metadata_and_ts_lookup(table, spark):
     assert table.instant_for_ts(commits[0]["ts"] - 1) is None
 
 
+def test_history(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    table.delete(spark.createDataFrame([Row(k=2, part="b", ver=2)]))
+    h = {r.commit: (r.operation, r.n_partitions) for r in table.history().collect()}
+    assert h == {1: ("upsert", 2), 2: ("upsert", 1), 3: ("delete", 1)}
+
+
 def test_unpartitioned_table(spark, tmp_path):
     t = TimelineTable(
         spark=spark, path=str(tmp_path / "flat"), keys=["k"], precombine="ver"
