@@ -61,6 +61,69 @@ def test_stream_follows_commits(spark, tmp_path):
         q.stop()
 
 
+def test_stream_reopen_picks_up_evolved_schema(spark, tmp_path):
+    """A restarted consumer re-pins the schema from the latest instant:
+    columns added by later commits appear (nulls for older deltas), and
+    already-seen files are not re-delivered (checkpoint continuity)."""
+    table = TimelineTable(
+        spark=spark, path=str(tmp_path / "ev"), keys=["k"], precombine="ver"
+    )
+    table.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
+
+    ck = str(tmp_path / "ck")
+
+    def drain(name):
+        rows = []
+        q = (
+            read_incremental_stream(spark, table)
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return rows
+
+    first = drain("ev_sink_1")
+    assert {r.k for r in first} == {1}
+    assert "extra" not in first[0].asDict()
+
+    # commit with a NEW column, then reopen the consumer
+    table.upsert(spark.createDataFrame([Row(k=2, v="b", ver=1, extra="E")]))
+    second = drain("ev_sink_2")
+    got = {r.k: r.asDict().get("extra") for r in second}
+    assert got == {2: "E"}  # only the new commit, with the new column
+
+
+def test_multilevel_partition_timeline(spark, tmp_path):
+    """Two-level partition paths: ownership, pruned incremental reads,
+    and time travel all key on the full partition tuple."""
+    t = TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "ml"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["region", "day"],
+    )
+    rows = lambda data: spark.createDataFrame(  # noqa: E731
+        [Row(k=k, region=rg, day=d, v=v, ver=ver) for (k, rg, d, v, ver) in data]
+    )
+    t.upsert(rows([(1, "eu", 1, "x", 1), (2, "us", 1, "y", 1)]))
+    t.upsert(rows([(1, "eu", 1, "x2", 2), (3, "eu", 2, "z", 1)]))
+
+    state = {r.k: (r.region, r.day, r.v) for r in t.read().collect()}
+    assert state == {1: ("eu", 1, "x2"), 2: ("us", 1, "y"), 3: ("eu", 2, "z")}
+    assert {r.k for r in t.read(as_of=1).collect()} == {1, 2}
+    # commit 2 touched only (eu,1) and (eu,2): us/1 still owned by c1
+    import os
+
+    assert sorted(os.listdir(t._snapshot_dir(2))) [0].startswith("region=eu")
+    assert not os.path.isdir(os.path.join(t._snapshot_dir(2), "region=us"))
+
+
 def test_stream_accepts_path_and_requires_commits(spark, tmp_path):
     import pytest
 
