@@ -1,0 +1,54 @@
+"""Registry-order invariant (VERDICT r1 #1).
+
+The external correctness harness samples a prefix of the registry in
+iteration order (round 1: exactly the first 50 entries). This test pins the
+invariant that the first 50 entries cover every query category, so a future
+registration can't silently push the pipeline/storage/streaming/north-star
+surface back out of the verified window.
+"""
+
+from __future__ import annotations
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import PRIORITY_WINDOW, QUERIES
+
+WINDOW = 50
+
+# one representative name per category that MUST sit inside the window
+CATEGORY_SENTINELS = {
+    "upsert": "upsert_latest_state",
+    "schema_evolution": "schema_evolution_union",
+    "partitioning": "partition_path_derivation",
+    "asof": "asof_join_events_orders",
+    "streaming": "tumbling_window_agg",
+    "stateful": "stateful_running_totals",
+    "storage_mor": "mor_merge_chain",
+    "storage_incremental": "incremental_pull",
+    "storage_cdc": "cdc_change_feed",
+    "dedup": "dedup_minhash_lsh",
+    "similarity": "knn_bruteforce",
+    "text": "text_stats",
+    "multimodal": "multimodal_binary_meta",
+    "training": "corpus_build_pipeline",
+    "udf": "applyinpandas_group_rank",
+    "relational_agg": "q1_pricing_summary",
+    "relational_join": "join_inner_revenue",
+    "relational_window": "window_topk_per_group",
+}
+
+
+def test_priority_window_is_prefix():
+    names = list(QUERIES)
+    assert names[: len(PRIORITY_WINDOW)] == PRIORITY_WINDOW
+
+
+def test_every_category_inside_first_50():
+    head = set(list(QUERIES)[:WINDOW])
+    missing = {cat: n for cat, n in CATEGORY_SENTINELS.items() if n not in head}
+    assert not missing, f"categories outside the driver window: {missing}"
+
+
+def test_no_query_lost_by_reorder():
+    # reorder is a permutation: same names, no dupes, same count as before
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    assert len(names) >= 113
