@@ -1,0 +1,110 @@
+"""Persistent catalog sync — the Hive/Glue sync stage, Spark-native.
+
+The reference registers its Hudi table and every partition in the Glue
+metastore after each commit so OTHER engines (Athena, another Spark app)
+see the data (glue_job_script.py:64-73; database/table defined in
+cloudformation-template/Glue_StreamingJob_Hudi_Template.yaml:38-54).
+
+Spark analogue: an EXTERNAL (path-based, unmanaged) ``USING parquet``
+table in the session catalog, partition columns declared with their true
+types, partitions registered per commit. Unlike a temp view this lives in
+the shared external catalog: every session of the application
+(``spark.newSession()``) resolves it, and when the session is built with a
+persistent Hive metastore (``get_spark(warehouse_dir=...)``) it survives
+JVM restarts — a brand-new SparkSession pointed at the same warehouse sees
+the table, its partitions, and the latest commit, which is exactly the
+reference's hive-sync contract.
+
+Scale notes: per-commit partition registration is INCREMENTAL — the upsert
+passes the partitions the commit touched and only those get ``ALTER TABLE
+ADD PARTITION`` calls (Hudi's sync tool does the same; a full ``MSCK
+REPAIR`` per commit would list the entire table, O(partitions) — at 100 TB
+that's millions of directories). Full recovery runs only when the table is
+(re)created or the schema evolved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _q(name: str) -> str:
+    return ".".join(f"`{part}`" for part in name.split("."))
+
+
+def _ddl_fields(schema: T.StructType, partition_by: list[str]) -> list[T.StructField]:
+    """Column order for CREATE TABLE: data columns first, partition columns
+    last (Hive layout contract)."""
+    by_name = {f.name: f for f in schema.fields}
+    data = [f for f in schema.fields if f.name not in partition_by]
+    return data + [by_name[c] for c in partition_by if c in by_name]
+
+
+def _schema_matches(spark: SparkSession, name: str, want: list[T.StructField]) -> bool:
+    try:
+        cur = spark.table(name).schema.fields
+    except Exception:
+        return False
+    return [(f.name, f.dataType) for f in cur] == [(f.name, f.dataType) for f in want]
+
+
+def sync_external_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema: T.StructType,
+    partition_by: list[str],
+    touched: list[tuple] | None = None,
+) -> None:
+    """Register/refresh ``name`` as an external parquet table over ``path``.
+
+    ``touched`` — partition-value tuples this commit wrote (in
+    ``partition_by`` order). When given and the table already exists with
+    the right schema, only those partitions are registered (incremental
+    sync). ``None`` -> full partition recovery.
+    """
+    fields = _ddl_fields(schema, partition_by)
+    fresh = not _schema_matches(spark, name, fields)
+    if fresh:
+        # schema evolved / first sync / foreign table squatting on the name:
+        # recreate. DROP on an external table never touches the data files.
+        spark.sql(f"DROP TABLE IF EXISTS {_q(name)}")
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        stmt = f"CREATE TABLE {_q(name)} ({cols}) USING parquet"
+        if partition_by:
+            stmt += " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_by) + ")"
+        stmt += f" LOCATION '{path}'"
+        spark.sql(stmt)
+    if partition_by:
+        if fresh or touched is None or any(None in t for t in touched):
+            # ALTER ... ADD PARTITION can't spell a null partition value;
+            # recovery handles __HIVE_DEFAULT_PARTITION__ directories.
+            spark.catalog.recoverPartitions(name)
+        else:
+            for values in touched:
+                parts = ", ".join(
+                    f"`{c}` = '{v}'" for c, v in zip(partition_by, values)
+                )
+                spark.sql(
+                    f"ALTER TABLE {_q(name)} ADD IF NOT EXISTS PARTITION ({parts})"
+                )
+    # a commit replaced files in place: drop any cached file listing
+    spark.sql(f"REFRESH TABLE {_q(name)}")
+
+
+def drop_partition_from_catalog(
+    spark: SparkSession, name: str, partition_by: list[str], values: tuple
+) -> None:
+    """De-register one partition after DELETE_PARTITION / emptied-partition
+    cleanup. Null values fall back to full recovery (SQL can't name them)."""
+    if not spark.catalog.tableExists(name):
+        return
+    if any(v is None for v in values):
+        spark.catalog.recoverPartitions(name)
+        return
+    parts = ", ".join(f"`{c}` = '{v}'" for c, v in zip(partition_by, values))
+    spark.sql(f"ALTER TABLE {_q(name)} DROP IF EXISTS PARTITION ({parts})")
+    spark.sql(f"REFRESH TABLE {_q(name)}")
