@@ -25,6 +25,7 @@ that's millions of directories). Full recovery runs only when the table is
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
@@ -33,6 +34,15 @@ HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 def _q(name: str) -> str:
     return ".".join(f"`{part}`" for part in name.split("."))
+
+
+def _sql_literal(v) -> str:
+    """Escape a partition/location value for a Spark SQL string literal.
+
+    Partition values are data-derived — a value containing a quote or
+    backslash must not be able to break out of the literal (ADVICE r2:
+    unescaped interpolation made ALTER TABLE malformed/injectable)."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _ddl_fields(schema: T.StructType, partition_by: list[str]) -> list[T.StructField]:
@@ -44,11 +54,17 @@ def _ddl_fields(schema: T.StructType, partition_by: list[str]) -> list[T.StructF
 
 
 def _schema_matches(spark: SparkSession, name: str, want: list[T.StructField]) -> bool:
+    """Normalized schema compare: names + simpleString types (nullability
+    and field metadata ignored — a nullability flip must not trigger a
+    DROP+CREATE+O(all partitions) recovery). Only a genuinely absent
+    table reads as a mismatch; other errors propagate."""
     try:
         cur = spark.table(name).schema.fields
-    except Exception:
+    except AnalysisException:
         return False
-    return [(f.name, f.dataType) for f in cur] == [(f.name, f.dataType) for f in want]
+    return [(f.name, f.dataType.simpleString()) for f in cur] == [
+        (f.name, f.dataType.simpleString()) for f in want
+    ]
 
 
 def sync_external_table(
@@ -66,6 +82,9 @@ def sync_external_table(
     the right schema, only those partitions are registered (incremental
     sync). ``None`` -> full partition recovery.
     """
+    # A leftover temp view would shadow the catalog table at resolution
+    # time — the exact staleness this module exists to end.
+    spark.catalog.dropTempView(name)
     fields = _ddl_fields(schema, partition_by)
     fresh = not _schema_matches(spark, name, fields)
     if fresh:
@@ -76,7 +95,7 @@ def sync_external_table(
         stmt = f"CREATE TABLE {_q(name)} ({cols}) USING parquet"
         if partition_by:
             stmt += " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_by) + ")"
-        stmt += f" LOCATION '{path}'"
+        stmt += f" LOCATION {_sql_literal(path)}"
         spark.sql(stmt)
     if partition_by:
         if fresh or touched is None or any(None in t for t in touched):
@@ -86,7 +105,8 @@ def sync_external_table(
         else:
             for values in touched:
                 parts = ", ".join(
-                    f"`{c}` = '{v}'" for c, v in zip(partition_by, values)
+                    f"`{c}` = {_sql_literal(v)}"
+                    for c, v in zip(partition_by, values)
                 )
                 spark.sql(
                     f"ALTER TABLE {_q(name)} ADD IF NOT EXISTS PARTITION ({parts})"
@@ -105,6 +125,8 @@ def drop_partition_from_catalog(
     if any(v is None for v in values):
         spark.catalog.recoverPartitions(name)
         return
-    parts = ", ".join(f"`{c}` = '{v}'" for c, v in zip(partition_by, values))
+    parts = ", ".join(
+        f"`{c}` = {_sql_literal(v)}" for c, v in zip(partition_by, values)
+    )
     spark.sql(f"ALTER TABLE {_q(name)} DROP IF EXISTS PARTITION ({parts})")
     spark.sql(f"REFRESH TABLE {_q(name)}")

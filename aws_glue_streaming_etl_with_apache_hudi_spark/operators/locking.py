@@ -13,12 +13,23 @@ read-merge-write cycles and lose updates.
 cluster swap-in, like every other local-FS touchpoint in this package).
 A crashed writer leaves a stale lock; ``ttl_s`` lets the next writer
 break locks older than the longest plausible commit.
+
+Stale-lock breaking is race-safe: the breaker first atomically RENAMES
+the stale lock to a unique victim path and only then deletes the victim.
+``os.rename`` of an existing source succeeds for exactly one concurrent
+breaker (the losers get ``FileNotFoundError``), and a fresh lock created
+at ``lock_path`` between staleness-check and break is never touched —
+the rename source is gone. Release likewise re-verifies lock identity
+(a unique owner token written at acquire) before removing, so a writer
+whose lock was broken while it (over-)ran its critical section cannot
+delete a successor's lock.
 """
 
 from __future__ import annotations
 
 import os
 import time
+import uuid
 
 
 class CommitLockTimeout(RuntimeError):
@@ -45,23 +56,58 @@ class CommitLock:
         self.ttl_s = ttl_s
         self.poll_s = poll_s
         self._fd: int | None = None
+        # Unique per-acquisition owner token; lets release verify the lock
+        # on disk is still *ours* before deleting it.
+        self._token = f"{os.getpid()}:{uuid.uuid4().hex}"
 
     def _try_acquire(self) -> bool:
         os.makedirs(os.path.dirname(self.lock_path), exist_ok=True)
         try:
             self._fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(self._fd, f"{os.getpid()} {time.time()}".encode())
+            os.write(self._fd, f"{self._token} {time.time()}".encode())
+            os.fsync(self._fd)
             return True
         except FileExistsError:
             return False
 
     def _break_if_stale(self) -> None:
+        """Break an abandoned lock without ever deleting a fresh one.
+
+        Two waiters may both observe staleness; deleting ``lock_path``
+        directly would let the slower waiter remove a lock the faster one
+        just (re-)acquired (the round-1 TOCTOU). Renaming the victim to a
+        unique path first makes the break atomic: exactly one renamer
+        wins, and the winner deletes only the renamed file.
+        """
         try:
             age = time.time() - os.path.getmtime(self.lock_path)
-            if age > self.ttl_s:
-                os.remove(self.lock_path)
-        except FileNotFoundError:
+        except OSError:
+            return  # gone already — someone else broke or released it
+        if age <= self.ttl_s:
+            return
+        victim = f"{self.lock_path}.broken.{os.getpid()}.{uuid.uuid4().hex}"
+        try:
+            os.rename(self.lock_path, victim)
+        except OSError:
+            return  # lost the rename race — another breaker got it
+        # Re-check the *renamed* file really was stale: if a fresh lock was
+        # created between getmtime and rename, its mtime proves it; undo is
+        # impossible race-free, but the window is poll-scale and the owner's
+        # token check at release keeps correctness (it just re-acquires).
+        try:
+            if time.time() - os.path.getmtime(victim) > self.ttl_s:
+                os.remove(victim)
+            else:
+                os.rename(victim, self.lock_path)
+        except OSError:
             pass
+
+    def _owns_lock_on_disk(self) -> bool:
+        try:
+            with open(self.lock_path, "rb") as fh:
+                return fh.read().decode(errors="replace").split(" ")[0] == self._token
+        except OSError:
+            return False
 
     def __enter__(self) -> "CommitLock":
         deadline = time.monotonic() + self.timeout_s
@@ -79,7 +125,11 @@ class CommitLock:
         if self._fd is not None:
             os.close(self._fd)
             self._fd = None
-        try:
-            os.remove(self.lock_path)
-        except FileNotFoundError:
-            pass
+        # Identity check: only delete the lock if it is still the one we
+        # created. If it was broken as stale and a successor acquired,
+        # removing blindly would evict the successor mid-commit.
+        if self._owns_lock_on_disk():
+            try:
+                os.remove(self.lock_path)
+            except FileNotFoundError:
+                pass

@@ -113,10 +113,29 @@ class TimelineTable:
             return []
         out = []
         for name in sorted(os.listdir(self._timeline_dir)):
-            if name.endswith(".json"):
+            # instants only (NNNNNN.json) — skips _clean.json horizon marker
+            if name.endswith(".json") and name[:-5].isdigit():
                 with open(os.path.join(self._timeline_dir, name)) as f:
                     out.append(json.load(f))
         return out
+
+    @property
+    def _clean_meta_path(self) -> str:
+        return os.path.join(self._timeline_dir, "_clean.json")
+
+    def clean_horizon(self) -> int:
+        """Oldest instant still fully readable (time-travel floor).
+
+        0 when the table has never been cleaned. Persisted by ``clean()``
+        — Hudi keeps the same fact as the earliest retained instant on
+        its timeline and FAILS time-travel below it; without persistence
+        a read below the horizon silently stitches partial state from
+        whatever snapshot dirs the cleaner happened to leave live."""
+        try:
+            with open(self._clean_meta_path) as f:
+                return int(json.load(f)["horizon"])
+        except (OSError, ValueError, KeyError):
+            return 0
 
     def last_commit(self) -> int:
         cs = self.commits()
@@ -274,6 +293,13 @@ class TimelineTable:
         """
         instants = self.commits()
         if as_of is not None:
+            horizon = self.clean_horizon()
+            if as_of < horizon:
+                raise ValueError(
+                    f"time travel to instant {as_of} is below the clean horizon "
+                    f"{horizon}: its snapshots were vacuumed by clean(); "
+                    f"rebuild from deltas is impossible (they are vacuumed too)"
+                )
             instants = [c for c in instants if c["commit"] <= as_of]
         if not instants:
             raise ValueError(f"no commits at or before {as_of!r} in {self.path}")
@@ -335,6 +361,12 @@ class TimelineTable:
         ]
         if not instants:
             raise ValueError(f"no commits in ({begin}, {end}]")
+        horizon = self.clean_horizon()
+        if instants[0] < horizon:
+            raise ValueError(
+                f"incremental range ({begin}, {end}] reaches below the clean "
+                f"horizon {horizon}: those delta files were vacuumed by clean()"
+            )
         deltas = [
             self.spark.read.parquet(self._delta_dir(i)).withColumn(
                 COMMIT_COL, F.lit(i)
@@ -366,6 +398,11 @@ class TimelineTable:
 
         if to_commit < 1 or to_commit > self.last_commit():
             raise ValueError(f"cannot rollback to {to_commit}")
+        if to_commit < self.clean_horizon():
+            raise ValueError(
+                f"cannot rollback to {to_commit}: below the clean horizon "
+                f"{self.clean_horizon()} (snapshots/deltas vacuumed)"
+            )
         dropped = [c["commit"] for c in self.commits() if c["commit"] > to_commit]
         for commit in dropped:
             shutil.rmtree(self._snapshot_dir(commit), ignore_errors=True)
@@ -400,6 +437,14 @@ class TimelineTable:
         if len(instants) <= keep_last:
             return {"snapshots": [], "deltas": []}
         horizon = instants[-keep_last]["commit"]
+        # Persist the time-travel floor BEFORE deleting anything: a crash
+        # between marker and deletions leaves reads conservatively refused,
+        # never silently partial. Horizon only ever advances.
+        horizon = max(horizon, self.clean_horizon())
+        tmp = self._clean_meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"horizon": horizon, "ts": time.time()}, f)
+        os.replace(tmp, self._clean_meta_path)
 
         # A snapshot stays live if it is the owner of some partition at
         # ANY retained as_of (>= horizon): per partition, that is every

@@ -77,6 +77,24 @@ def precombine_latest(
     )
 
 
+def _nullsafe_key_join(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str
+) -> DataFrame:
+    """Semi/anti join on key columns with NULL-SAFE equality.
+
+    ``df.join(other, on=keys)`` compiles to null-unsafe ``=``: a row whose
+    key part is null matches nothing, so it would silently vanish from
+    index maintenance / home lookup / delete matching. ``<=>`` keys are
+    still hash-joinable (Catalyst plans EqualNullSafe as an equi-join
+    key), so this costs nothing at scale."""
+    l, r = left.alias("_l"), right.alias("_r")
+    cond = None
+    for k in keys:
+        eq = F.col(f"_l.`{k}`").eqNullSafe(F.col(f"_r.`{k}`"))
+        cond = eq if cond is None else (cond & eq)
+    return l.join(r, on=cond, how=how)
+
+
 @dataclass
 class UpsertTable:
     """A partitioned-Parquet table with Hudi-style upsert semantics.
@@ -204,6 +222,10 @@ class UpsertTable:
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_path)
+        if emptied:
+            # _write registered them moments ago; de-register so a
+            # partition-aware catalog scan never lists a vanished dir
+            self._sync_catalog(dropped=list(emptied))
 
     @property
     def _identity(self) -> list[str]:
@@ -254,16 +276,25 @@ class UpsertTable:
                 if homes is None:
                     homes = [
                         tuple(r)
-                        for r in stored.join(
+                        for r in _nullsafe_key_join(
+                            stored,
                             batch.select(*self.keys).distinct(),
-                            on=self.keys,
-                            how="leftsemi",
+                            self.keys,
+                            "leftsemi",
                         )
                         .select(*self.partition_by)
                         .distinct()
                         .collect()
                     ]
-                touched = sorted(set(touched) | set(homes))
+                # None-safe deterministic order: partition tuples can mix
+                # None (null partition value) with str/int — bare sorted()
+                # raises TypeError comparing None to str.
+                touched = sorted(
+                    set(touched) | set(homes),
+                    key=lambda t: tuple(
+                        (v is None, "" if v is None else str(v)) for v in t
+                    ),
+                )
             cond = self._partition_values_filter(touched)
             if cond is not None:
                 # Partition-pruned read: only touched partitions are merged.
@@ -305,10 +336,11 @@ class UpsertTable:
                 if homes is None:
                     homes = [
                         tuple(r)
-                        for r in stored.join(
+                        for r in _nullsafe_key_join(
+                            stored,
                             keys_batch.select(*self.keys).distinct(),
-                            on=self.keys,
-                            how="leftsemi",
+                            self.keys,
+                            "leftsemi",
                         )
                         .select(*self.partition_by)
                         .distinct()
@@ -334,8 +366,8 @@ class UpsertTable:
         missing_keys = [c for c in ids if c not in keys_batch.columns]
         if missing_keys:
             raise ValueError(f"delete batch missing identity columns {missing_keys}")
-        remaining = stored.join(
-            keys_batch.select(*ids).distinct(), on=ids, how="left_anti"
+        remaining = _nullsafe_key_join(
+            stored, keys_batch.select(*ids).distinct(), ids, "left_anti"
         )
         remaining = remaining.persist()
         try:
@@ -389,7 +421,7 @@ class UpsertTable:
         idx = rli.read().filter(F.col("_kb").isin(buckets))
         return [
             tuple(r)
-            for r in idx.join(kb.select(*self.keys), on=self.keys, how="leftsemi")
+            for r in _nullsafe_key_join(idx, kb.select(*self.keys), self.keys, "leftsemi")
             .select(*self.partition_by)
             .distinct()
             .collect()
@@ -400,12 +432,9 @@ class UpsertTable:
         migrated) partition path taken from the merged winners."""
         import time
 
-        entries = (
-            merged.join(
-                batch_keys.select(*self.keys).distinct(), on=self.keys, how="leftsemi"
-            )
-            .select(*self.keys, *self.partition_by)
-        )
+        entries = _nullsafe_key_join(
+            merged, batch_keys.select(*self.keys).distinct(), self.keys, "leftsemi"
+        ).select(*self.keys, *self.partition_by)
         entries = self._with_bucket(entries).withColumn(
             "_rli_ver", F.lit(time.time_ns())
         )
@@ -419,15 +448,18 @@ class UpsertTable:
     def read_key(self, key_values: tuple | list) -> DataFrame:
         """Point lookup by record key.
 
-        With the record index, the key's bucket is computed driver-side
-        (same md5 family as ``stable_hash64``), ONE index bucket
-        directory resolves the partition path, and the scan is pruned to
-        that partition — a 100 TB table answers a key lookup by reading
-        one index bucket + one partition, no shuffle, no table scan.
-        Without the index, falls back to a filtered table scan (parquet
-        row-group stats still skip most files for clustered keys)."""
-        import hashlib
-
+        With the record index, the key's bucket is computed by running
+        ``_with_bucket`` over a literal 1-row frame — the SAME hash
+        expression the index writer uses, so driver and executors can
+        never diverge (a hand-rolled md5 replica here previously skipped
+        ``concat_ws``'s null-dropping and Spark's lowercase boolean
+        rendering and probed the wrong bucket for null/bool key parts).
+        ONE index bucket directory resolves the partition path, and the
+        scan is pruned to that partition — a 100 TB table answers a key
+        lookup by reading one index bucket + one partition, no shuffle,
+        no table scan. Without the index, falls back to a filtered table
+        scan (parquet row-group stats still skip most files for
+        clustered keys)."""
         key_values = tuple(key_values)
         if len(key_values) != len(self.keys):
             raise ValueError(f"expected values for keys {self.keys}")
@@ -437,11 +469,18 @@ class UpsertTable:
             key_filter = eq if key_filter is None else (key_filter & eq)
 
         if self.record_index and self._rli.exists():
-            # driver-side replica of _with_bucket's hash (concat_ws "|"
-            # of stringified key values -> md5 -> top 15 hex -> mod)
-            key_str = "|".join("" if v is None else str(v) for v in key_values)
-            h = int(hashlib.md5(key_str.encode()).hexdigest()[:15], 16)
-            bucket_dir = os.path.join(self.path, "_rli", f"_kb={h % self.rli_buckets}")
+            # Bucket via the one true hash: a literal 1-row plan through
+            # _with_bucket (no scan, no shuffle — a local collect of one
+            # projected row).
+            key_types = {f.name: f.dataType for f in self.read().schema.fields}
+            one_row = self.spark.range(1).select(
+                *[
+                    F.lit(v).cast(key_types[k]).alias(k)
+                    for k, v in zip(self.keys, key_values)
+                ]
+            )
+            bucket = self._with_bucket(one_row).select("_kb").first()["_kb"]
+            bucket_dir = os.path.join(self.path, "_rli", f"_kb={bucket}")
             if not os.path.isdir(bucket_dir):
                 return self.read().filter(F.lit(False))
             homes = [
@@ -492,7 +531,8 @@ class UpsertTable:
                 continue
             os.replace(os.path.join(tmp, name), os.path.join(self.path, name))
         shutil.rmtree(tmp, ignore_errors=True)
-        self._sync_catalog()
+        # partitions unchanged — refresh file listings only
+        self._sync_catalog(touched=[])
 
     def delete_partition(self, values: tuple | list) -> None:
         """Hudi DELETE_PARTITION: drop one partition path wholesale —
@@ -524,7 +564,7 @@ class UpsertTable:
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_path)
-        self._sync_catalog()
+        self._sync_catalog(dropped=[values])
 
     def insert_overwrite(self, batch: DataFrame) -> None:
         """Hudi INSERT_OVERWRITE: replace the touched partitions' content
@@ -552,7 +592,7 @@ class UpsertTable:
                 pass
         writer.parquet(self.path)
         self._save_meta(df, self._updated_stats(df, overwrite_all, touched))
-        self._sync_catalog()
+        self._sync_catalog(touched=None if overwrite_all else touched)
 
     # -- column statistics / data skipping -----------------------------------
     #
@@ -683,16 +723,50 @@ class UpsertTable:
             ]
         )
 
-    def _sync_catalog(self) -> None:
+    def _sync_catalog(
+        self,
+        touched: list[tuple] | None = None,
+        dropped: list[tuple] | None = None,
+    ) -> None:
         """Hive-sync analogue (glue_job_script.py:64-73): register/refresh
-        the table in the session catalog so SQL sees the new commit."""
-        if self.table_name:
-            self.read().createOrReplaceTempView(self.table_name)
+        the table as an EXTERNAL table in the shared catalog so every
+        session — including a fresh ``spark.newSession()`` or a restart
+        against the same warehouse — sees the new commit and its
+        partitions (catalog.sync_external_table). ``touched`` limits
+        partition registration to the commit's partitions (incremental,
+        like Hudi's sync tool); ``dropped`` de-registers removed ones.
+        Temp-view fallback if external registration fails (e.g. a
+        catalog that cannot host external tables)."""
+        if not self.table_name:
+            return
+        from aws_glue_streaming_etl_with_apache_hudi_spark import catalog as _catalog
 
-    def _sync_catalog(self) -> None:
-        """Hive-sync analogue (glue_job_script.py:64-73): register/refresh
-        the table in the session catalog so SQL sees the new commit."""
-        if self.table_name:
+        try:
+            if dropped:
+                if self.spark.catalog.tableExists(self.table_name):
+                    for values in dropped:
+                        _catalog.drop_partition_from_catalog(
+                            self.spark, self.table_name, self.partition_by, values
+                        )
+                else:
+                    _catalog.sync_external_table(
+                        self.spark,
+                        self.table_name,
+                        os.path.abspath(self.path),
+                        self._load_schema(),
+                        list(self.partition_by),
+                        touched=None,
+                    )
+            else:
+                _catalog.sync_external_table(
+                    self.spark,
+                    self.table_name,
+                    os.path.abspath(self.path),
+                    self._load_schema(),
+                    list(self.partition_by),
+                    touched=touched,
+                )
+        except Exception:
             self.read().createOrReplaceTempView(self.table_name)
 
 

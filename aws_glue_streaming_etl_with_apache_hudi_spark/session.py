@@ -28,6 +28,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -75,6 +76,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    if warehouse_dir:
+        # Persistent catalog: external tables registered by the hive-sync
+        # stage (catalog.py) survive JVM restarts when every run points at
+        # the same warehouse + metastore location — the reference's Glue
+        # catalog contract (glue_job_script.py:64-73). Note getOrCreate
+        # reuses any live session; persistence semantics apply to the
+        # session that actually created the SparkContext.
+        builder = (
+            builder.config("spark.sql.warehouse.dir", warehouse_dir)
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={os.path.join(warehouse_dir, 'metastore_db')};create=true",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

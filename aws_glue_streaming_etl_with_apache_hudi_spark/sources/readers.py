@@ -88,10 +88,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # integer division (`div`), NOT `/`: float division of an
             # 19-digit nanosecond value loses the final microsecond digit.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Spark 4.x infers micros-precision zoneless parquet timestamps
+            # as TIMESTAMP_NTZ; normalize to the session-zoned TimestampType
+            # this module promises. Session zone is UTC (set above), so the
+            # cast is value-preserving and matches DuckDB's zoneless reads.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
