@@ -248,26 +248,50 @@ def simhash_near_pairs(
     """Near-dup pairs by Hamming distance with band blocking: split the
     fingerprint into ``bands`` chunks; pairs sharing any chunk value are
     candidates (guaranteed to catch hamming <= bands-1 by pigeonhole;
-    probabilistic above). Then exact ``bit_count(xor)`` filter."""
+    probabilistic above). Then exact ``bit_count(xor)`` filter.
+
+    Plan shape: bands are ONE exploded-array pass (like ``lsh_bands`` —
+    a union of per-band selects would re-execute the simhash aggregate
+    once per band per join side), and the banded frame is persist()ed
+    because the candidate self-join has two consumers. Net: the
+    expensive fingerprint subtree runs ONCE, where the round-2 version
+    ran it 8x (2 sides x 4 band branches)."""
     chunk = bits // bands
     mask = (1 << chunk) - 1
-    pieces = [
-        (F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask))).alias(f"c{b}")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask))).alias(
+                "key"
+            ),
+        )
         for b in range(bands)
     ]
-    keyed = sims.select(F.col(id_col), F.col("simhash"), *pieces)
-    out = None
-    for b in range(bands):
-        a = keyed.select(
-            F.col(f"c{b}").alias("k"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    keyed = (
+        sims.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(F.array(*band_structs)).alias("bk"),
         )
-        bb = keyed.select(
-            F.col(f"c{b}").alias("k"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+        .select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
         )
-        cand = a.join(bb, "k").filter(F.col("id_a") < F.col("id_b")).drop("k")
-        out = cand if out is None else out.unionByName(cand)
+        .persist()
+    )
+    a = keyed.select(
+        "band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = keyed.select(
+        "band", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
     return (
-        out.distinct()
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

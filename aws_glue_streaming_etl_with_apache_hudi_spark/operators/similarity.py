@@ -118,7 +118,11 @@ def hyperplane_signs(
     @F.pandas_udf("array<long>")
     def bucket_ids(vecs: pd.Series) -> pd.Series:
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # batch x dim
-        signs = (m @ w) > 0  # batch x (tables*planes)
+        # round before the sign test: a dot product within 1e-6 of zero
+        # must bucket identically across engines/summation orders (the
+        # DuckDB oracle replicates this blocking from the same literal
+        # weights — see queries/northstar.py dedup_embedding_cosine)
+        signs = np.round(m @ w, 6) > 0  # batch x (tables*planes)
         bits = signs.reshape(len(m), -1, num_planes)  # batch x tables x planes
         buckets = (bits * powers).sum(axis=2)  # batch x tables
         return pd.Series(list(buckets))

@@ -32,75 +32,76 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # no
 # Registry ordering.
 #
 # External correctness harnesses sample the registry in iteration order and
-# may only cover a prefix of it (round 1 covered exactly the first 50
-# entries, which were all relational — leaving the pipeline, storage,
-# streaming, and training surfaces driver-unverified). The priority window
-# below puts at least one query from EVERY category in SURVEY.md §2 inside
-# the first 50 entries: the flagship upsert path (A7-A10), streaming batch
-# oracles, storage/timeline, each north-star family, the UDF surface, and a
-# relational core. Remaining queries keep their original relative order.
-# tests/test_registry_order.py asserts the invariant.
+# may only cover a prefix of it (rounds 1-2 covered exactly the first 50
+# entries). The priority window rotates PER ROUND so every query eventually
+# gets an external CORRECTNESS row, under two standing invariants
+# (tests/test_registry_order.py):
+#   1. at least one sentinel from EVERY SURVEY.md §2 category stays inside
+#      the first 50 (a category can never silently lose external coverage);
+#   2. queries whose implementation changed since the last verified round
+#      are rotated IN.
+# Round-3 rotation: the 19 TPC-H shapes that had no driver row in r1/r2
+# (VERDICT r2 task 4) enter; the r2-green streaming/storage/north-star
+# rows cede slots (each category keeps a sentinel; all 113 queries remain
+# continuously verified by the local DuckDB suite, which runs the WHOLE
+# registry — tests/test_queries_oracle.py).
 
 PRIORITY_WINDOW: list[str] = [
-    # A7-A10: the reference pipeline's reason to exist
+    # A7-A10 flagship path (upsert.py changed this round -> all stay in)
     "upsert_latest_state",
     "upsert_merge_batches",
     "upsert_partitioned_state",
     "partition_path_derivation",
     "schema_evolution_union",
     "asof_join_events_orders",
-    # streaming semantics (batch-evaluated oracles)
+    # category sentinels: streaming / stateful
     "tumbling_window_agg",
-    "sliding_window_agg",
-    "stream_dedup_first_seen",
     "stateful_running_totals",
-    "sessionize_events",
-    "scd2_validity_intervals",
-    # storage / timeline
+    # category sentinels: storage/timeline (timeline.py changed)
     "mor_merge_chain",
     "incremental_pull",
     "cdc_change_feed",
-    "bloom_filter_join_prune",
-    "zorder_morton_keys",
-    # north-star: dedup
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_signatures",
+    # north-star sentinels + this round's rewritten queries
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    # north-star: similarity
+    "dedup_simhash_pairs",      # rebanded: one exploded-array pass
+    "dedup_embedding_cosine",   # re-routed through LSH blocking
     "knn_bruteforce",
-    "knn_lsh",
+    "knn_lsh",                  # hyperplane_signs rounding changed
     "knn_ivf",
-    "embedding_label_centroids",
-    "embedding_quantize",
-    # north-star: text + multimodal
     "text_stats",
-    "text_quality",
-    "text_langid",
-    "text_token_counts",
-    "text_fingerprints",
-    "text_tfidf_top_term",
+    "text_tfidf_top_term",      # N folded into the plan
     "multimodal_binary_meta",
-    # north-star: training-corpus assembly
-    "train_test_split",
-    "quota_sample_per_source",
     "corpus_build_pipeline",
-    "token_shard_packing",
-    "inverted_index_postings",
-    # UDF / pandas surface
     "applyinpandas_group_rank",
-    "map_json_ops",
-    # relational core (one per major relational category)
+    # the 19 TPC-H shapes never driver-verified in r1/r2
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",      # rewritten: broadcast scalar join
+    "q12_ship_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",         # rewritten: broadcast scalar join
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",    # rewritten: broadcast scalar join + dormancy cutoff
+    # relational core sentinels + r1-only relational rotation
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "join_inner_revenue",
     "window_topk_per_group",
-    "agg_cube",
+    "join_theta_range",
+    "agg_grouping_sets",
+    "subquery_correlated",
+    "percentiles_exact",
 ]
 
 

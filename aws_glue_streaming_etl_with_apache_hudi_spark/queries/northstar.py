@@ -284,37 +284,94 @@ def dedup_simhash_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_embedding_cosine",
-    sql="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-               FROM embeddings WHERE vec_id % 10 = 0)
-    SELECT id_a, id_b, sim FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+_EMB_LSH_PLANES = 2
+_EMB_LSH_TABLES = 8
+
+
+def _embedding_lsh_oracle_sql(threshold: float = 0.25, dim: int = 64) -> str:
+    """DuckDB replica of dedup_embedding_cosine's LSH blocking: the same
+    md5-derived plane weights (similarity.plane_weights) enter the SQL
+    as plain literals, one UNION ALL branch per table, buckets from
+    rounded-sign bits — bit-for-bit the Spark pandas-UDF's math."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import plane_weights
+
+    w = plane_weights(_EMB_LSH_PLANES * _EMB_LSH_TABLES, dim)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    branches = []
+    for t_i in range(_EMB_LSH_TABLES):
+        terms = [
+            f"(CASE WHEN round(list_dot_product(v, {lit(w[t_i * _EMB_LSH_PLANES + p])}), 6) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(_EMB_LSH_PLANES)
+        ]
+        branches.append(
+            f"SELECT vec_id, v, {t_i} AS tbl, " + " + ".join(terms) + " AS bucket FROM e"
+        )
+    sig = "\n      UNION ALL ".join(branches)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 10 = 0),
+    sig AS ({sig}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                    4) AS sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-    ) WHERE sim >= 0.25
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM cand WHERE sim >= {threshold}
     ORDER BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=_embedding_lsh_oracle_sql(),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup: cosine >= 0.25 among a deterministic sample
-    (vec_id % 10 = 0). Similarity rounded before thresholding so both
-    engines agree at the boundary."""
+    """Embedding near-dup via hyperplane-LSH blocking: candidates are
+    pairs colliding in ANY of 8 independent 2-bit random-projection
+    tables; only candidates get a cosine evaluation, and pairs with
+    round(cosine, 4) >= 0.25 are reported.
+
+    The DuckDB oracle replicates the SAME blocking from the same
+    md5-derived literal plane weights (operators/similarity.py
+    plane_weights), so the check is exact, not sampled. Short 2-bit
+    bands match the low 0.25 threshold (collide-prob p^2 per table,
+    1-(1-p^2)^8 overall — ~0.96 recall at sim 0.25); a 0.9-threshold
+    near-dup config would use longer bands and fewer tables.
+
+    Scale: this is the bucket-join shape — candidates come from a
+    (table, bucket) equi-join, the signature subtree is persisted so
+    the pandas-UDF matmul runs once, and NOTHING is all-pairs: no
+    CartesianProduct/BroadcastNestedLoopJoin in the plan (asserted in
+    tests/test_plans.py). The previous crossJoin version was O(n²) —
+    a scale-killer the moment the sample is not tiny."""
     from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import cosine_similarity
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import hyperplane_signs
 
     e = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 10 == 0)
         .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sigs = hyperplane_signs(
+        e, "vec_id", "v", num_planes=_EMB_LSH_PLANES, dim=64, num_tables=_EMB_LSH_TABLES
+    ).persist()
+    a = sigs.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "table", "bucket"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
@@ -562,20 +619,26 @@ def text_tfidf_top_term(spark, sf_dir):
     """TF-IDF: term frequency x inverse document frequency, top term per
     doc. Scale: two aggregations (tf, df) + a broadcast join of the df
     table (vocabulary-sized, tiny next to the corpus); the integer inputs
-    make ln() bit-identical across engines."""
+    make ln() bit-identical across engines. N is a 1-row aggregate
+    crossJoin-broadcast into the scoring — NOT a driver-side
+    ``docs.count()``, which was an extra full corpus scan per run."""
     docs = t(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("dfreq"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(dfreq), "word").select(
-        "doc_id",
-        "word",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
-        ).alias("tfidf"),
+    n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql.window import Window as W
 

@@ -144,7 +144,7 @@ def q18_large_orders(spark, sf_dir):
     SELECT partkey, round(val, 2) AS part_value
     FROM supp_part
     WHERE val > (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                        * 0.001
+                        * 0.0005
                  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
     ORDER BY part_value DESC, partkey
     """,
@@ -153,19 +153,22 @@ def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape: parts whose stock value exceeds a global-fraction
     threshold (aggregate + scalar subquery over the same join). Both the
     per-part and global sums are exact decimals cast to double, so the
-    threshold comparison is engine-identical. Scale: the global sum is a
-    second pass over the same shuffle output; Catalyst plans the scalar
-    subquery as a broadcast value."""
+    threshold comparison is engine-identical. Scale: ONE lazy plan — the
+    global sum is a 1-row aggregate crossJoin-broadcast to the per-part
+    rows (no mid-plan collect splitting the query into two jobs; the two
+    aggregations over the same join reuse the shuffle via
+    ReusedExchange/AQE)."""
     li, s = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier")
     joined = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
     per_part = joined.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("val")
     )
     total = joined.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("tv")
-    ).collect()[0].tv
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("_tv")
+    )
     return (
-        per_part.filter(F.col("val") > total * 0.001)
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("_tv") * 0.0005)
         .select("partkey", F.round("val", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "partkey")
     )
@@ -193,7 +196,10 @@ def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
     revenue (aggregate reused as both join input and max subquery —
     the classic 'view used twice' pattern). Exact decimal revenue makes
-    the max-equality comparison safe."""
+    the max-equality comparison safe. Scale: the max is a 1-row
+    broadcast crossJoin, not a driver collect — one lazy plan, and the
+    twice-used revenue subtree is shared via ReusedExchange instead of
+    being rebuilt from scratch for the max."""
     li, s = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier")
     revenue = (
         li.filter(
@@ -209,9 +215,14 @@ def q15_top_supplier(spark, sf_dir):
             .alias("total_rev")
         )
     )
-    max_rev = revenue.agg(F.max("total_rev").alias("m")).collect()[0].m
+    max_rev = revenue.agg(F.max("total_rev").alias("_m"))
+    top = (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("_m"))
+        .drop("_m")
+    )
     return (
-        s.join(F.broadcast(revenue.filter(F.col("total_rev") == max_rev)), s.s_suppkey == F.col("suppkey"))
+        s.join(F.broadcast(top), s.s_suppkey == F.col("suppkey"))
         .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev"))
         .orderBy("s_suppkey")
     )

@@ -479,35 +479,44 @@ def q21_waiting_supplier(spark, sf_dir):
                              FROM customer
                              WHERE c_acctbal > 0.0
                                AND c_nationkey IN (1, 5, 8, 12, 17, 20, 23))) cust
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
 )
 def q22_dormant_customers(spark, sf_dir):
-    """TPC-H Q22 shape: wealthy customers who never ordered, grouped by
-    country (nationkey stands in for the fixture's missing phone prefix).
+    """TPC-H Q22 shape: wealthy customers with no RECENT orders, grouped
+    by country (nationkey stands in for the fixture's missing phone
+    prefix; "no orders since 2001-01-01" replaces "never ordered" —
+    every fixture customer has ordered at least once, which would make
+    the classic anti-join vacuously empty and the oracle check trivial).
     Scalar avg threshold + NOT EXISTS -> anti join. The threshold is an
     exact-decimal sum divided by a count — identical doubles both sides,
-    so the > comparison is engine-exact. Scale: the scalar resolves to a
-    broadcast literal; the anti join shuffles only custkeys."""
+    so the > comparison is engine-exact. Scale: the scalar is a 1-row
+    aggregate crossJoin-broadcast into the filter (single lazy plan, no
+    driver round-trip); the anti join shuffles only custkeys."""
     c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
     codes = [1, 5, 8, 12, 17, 20, 23]
     in_codes = c.filter(F.col("c_nationkey").isin(codes))
-    thr = (
-        in_codes.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .collect()[0]
-        .m
+    thr = in_codes.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_thr")
     )
     return (
-        in_codes.filter(F.col("c_acctbal") > thr)
-        .join(o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        in_codes.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .drop("_thr")
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),

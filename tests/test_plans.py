@@ -143,6 +143,50 @@ def test_sessionize_and_quota_single_exchange(spark, sf_dir):
     assert plan2.count("Exchange hashpartitioning") == 1
 
 
+def test_embedding_dedup_is_bucket_joined_not_allpairs(spark, sf_dir):
+    """dedup_embedding_cosine must get candidates from a (table, bucket)
+    equi-join — no all-pairs operator anywhere in the plan (the round-2
+    version crossJoined the sample: O(n²), a scale-killer)."""
+    plan = explain_str(QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_single_fingerprint_aggregation(spark, sf_dir):
+    """simhash_near_pairs must band via one exploded-array pass over a
+    persisted frame: the 32-expression fingerprint aggregation appears
+    ONCE in the plan (round 2 executed it 8x — 2 join sides x 4 union
+    branches)."""
+    df = QUERIES["dedup_simhash_pairs"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    # both self-join sides read the persisted banded frame
+    assert plan.count("InMemoryTableScan") >= 2
+    # the word-hash aggregation (partial+final pair) is planned once,
+    # inside the cached subtree — not once per band branch
+    assert plan.count("partial_sum") <= 32 * 2
+
+
+def test_scalar_thresholds_are_single_plan(spark, sf_dir):
+    """q11/q15/q22's global thresholds must be broadcast 1-row joins in
+    ONE lazy plan — a mid-plan collect() would split each into two jobs
+    and recompute the aggregate input twice."""
+    for name in ("q11_important_stock", "q15_top_supplier", "q22_dormant_customers"):
+        plan = explain_str(QUERIES[name].fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_tfidf_no_driver_count(spark, sf_dir):
+    """text_tfidf_top_term folds N into the plan as a broadcast 1-row
+    aggregate — the count over documents appears IN the plan (broadcast
+    nested-loop join of a count aggregate), not as a separate driver
+    action."""
+    df = QUERIES["text_tfidf_top_term"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N crossJoin
+    assert plan.count("count(1)") >= 1  # N computed inside the plan
+    assert "_n_docs" not in df.columns
+
+
 def test_train_test_split_partial_aggregate(spark, sf_dir):
     """The split rollup must pre-aggregate map-side (partial HashAggregate
     before the exchange): at 100 TB the shuffle carries (lang, split)
