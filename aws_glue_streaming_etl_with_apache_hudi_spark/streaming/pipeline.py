@@ -35,7 +35,21 @@ class StreamingUpsertPipeline:
     """End-to-end equivalent of the reference job (glue_job_script.py:96-118).
 
     ``source_dir``   directory watched by the streaming file source.
-    ``schema``       stream schema (the catalog-declared stream table's role).
+    ``schema``       stream schema (the catalog-declared stream table's
+                     role). ``None`` -> schema-inference bootstrap (A1,
+                     the reference's ``{"inferSchema": "true"}``,
+                     glue_job_script.py:42): inferred ONCE per start()
+                     from the files currently in ``source_dir``, then
+                     pinned for the run (Structured Streaming file
+                     sources cannot re-infer mid-stream). Columns that
+                     first appear while a run is live are picked up at
+                     the next (re)start and reach the table through the
+                     upsert's additive schema evolution (A7) — the same
+                     eventual-evolution behavior as the reference's
+                     per-batch inference, at per-run granularity.
+                     Production JSON streams should pass an explicit
+                     schema (inference is a full extra pass; parquet
+                     reads footers only).
     ``table``        target ``UpsertTable`` (key/precombine/partition
                      semantics).
     ``checkpoint``   Structured Streaming checkpoint dir (A12) — restart
@@ -48,7 +62,7 @@ class StreamingUpsertPipeline:
 
     spark: SparkSession
     source_dir: str
-    schema: T.StructType
+    schema: T.StructType | None
     # any keyed table with Hudi upsert semantics: UpsertTable (COW),
     # MergeOnReadTable (MOR), or TimelineTable (COW + commit timeline)
     table: UpsertTable | object
@@ -95,16 +109,47 @@ class StreamingUpsertPipeline:
             batch_df = self.transform(batch_df)
         self.table.upsert(batch_df)
 
+    def _bootstrap_schema(self) -> T.StructType:
+        """Infer the stream schema from the files already in
+        ``source_dir`` (A1 bootstrap — the engine-side ``inferSchema``).
+        Batch inference over the existing files stands in for the
+        catalog-declared stream table the reference probes."""
+        reader = self.spark.read
+        if self.source_format == "json":
+            df = reader.json(self.source_dir)
+        elif self.source_format == "csv":
+            df = reader.option("header", "true").option("inferSchema", "true").csv(
+                self.source_dir
+            )
+        else:
+            # mergeSchema: the union of ALL files' schemas — without it
+            # parquet inference reads one footer and a column that first
+            # appears in a later file never enters the pinned schema
+            df = (
+                reader.format(self.source_format)
+                .option("mergeSchema", "true")
+                .load(self.source_dir)
+            )
+        fields = [f for f in df.schema.fields if f.name != "_corrupt_record"]
+        if not fields:
+            raise ValueError(
+                f"cannot bootstrap a schema from {self.source_dir}: no "
+                f"parseable {self.source_format} files present — pass an "
+                f"explicit schema or seed the directory first"
+            )
+        return T.StructType(fields)
+
     def _stream_schema(self):
+        schema = self.schema if self.schema is not None else self._bootstrap_schema()
         if self.quarantine_dir is not None and self.source_format == "json":
             from aws_glue_streaming_etl_with_apache_hudi_spark.sources.quarantine import CORRUPT_COL
 
-            if CORRUPT_COL not in [f.name for f in self.schema.fields]:
+            if CORRUPT_COL not in [f.name for f in schema.fields]:
                 return T.StructType(
-                    list(self.schema.fields)
+                    list(schema.fields)
                     + [T.StructField(CORRUPT_COL, T.StringType())]
                 )
-        return self.schema
+        return schema
 
     def start(self, once: bool = False) -> StreamingQuery:
         stream = stream_from_directory(
