@@ -197,6 +197,140 @@ def knn_lsh(
     )
 
 
+class IVFIndex:
+    """Materialized IVF index: the inverted lists written as a real
+    ``cluster``-partitioned parquet table (the design ``knn_ivf``'s
+    docstring promises — here it is the artifact, not a comment).
+
+    ``build`` assigns every corpus vector to its nearest centroid (one
+    Arrow-batched pass, centroids broadcast in the closure) and writes
+    the corpus partitioned by cluster id, with the trained centroids in
+    a JSON sidecar. ``search`` resolves each query's ``n_probe`` nearest
+    centroids and reads ONLY those partition directories — at 100 TB a
+    search touches n_probe/k of the corpus bytes; the pruning is
+    assertable via ``inputFiles()`` (tests/test_similarity.py).
+
+    Norms are precomputed at build time (``_cn``): scoring a candidate
+    is a single dot-product fold, the same trick knn_bruteforce uses."""
+
+    def __init__(self, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._meta_path = os.path.join(path, "_ivf_meta.json")
+
+    def build(self, corpus: DataFrame, k: int = 16, iterations: int = 5, dim: int = 64) -> None:
+        import json
+        import os
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import l2_norm
+
+        centroids = kmeans_centroids(
+            corpus, id_col=self.id_col, vec_col=self.vec_col, k=k,
+            iterations=iterations, dim=dim,
+        )
+        cents = np.asarray(centroids, dtype=np.float64)
+
+        @F.pandas_udf("int")
+        def nearest(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        (
+            corpus.select(
+                F.col(self.id_col),
+                _as_double(self.vec_col).alias("v"),
+                l2_norm(_as_double(self.vec_col)).alias("_cn"),
+                nearest(_as_double(self.vec_col)).alias("cluster"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(self.path)
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"centroids": centroids, "dim": dim}, f)
+        os.replace(tmp, self._meta_path)
+
+    def centroids(self) -> list[list[float]]:
+        import json
+
+        with open(self._meta_path) as f:
+            return json.load(f)["centroids"]
+
+    def probe_lists(self, queries: DataFrame, n_probe: int) -> DataFrame:
+        """(query_id, qv, qn, cluster) — each query exploded to its
+        ``n_probe`` nearest centroids."""
+        from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import l2_norm
+
+        cents = np.asarray(self.centroids(), dtype=np.float64)
+
+        @F.pandas_udf("array<int>")
+        def probes(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = d.argsort(axis=1)[:, :n_probe].astype("int32")
+            return pd.Series(list(order))
+
+        return queries.select(
+            F.col(self.id_col).alias("query_id"),
+            _as_double(self.vec_col).alias("qv"),
+            l2_norm(_as_double(self.vec_col)).alias("qn"),
+            F.explode(probes(_as_double(self.vec_col))).alias("cluster"),
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 3,
+        sim_decimals: int = 4,
+    ) -> DataFrame:
+        """Top-k per query over the probed inverted lists only.
+
+        The probed cluster ids are collected (tiny: <= queries x
+        n_probe ints) and the corpus read lists ONLY those partition
+        dirs — pruned partitions are never opened."""
+        import os
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product
+
+        qb = self.probe_lists(queries, n_probe)
+        probed = sorted({r.cluster for r in qb.select("cluster").distinct().collect()})
+        dirs = [
+            os.path.join(self.path, f"cluster={c}")
+            for c in probed
+            if os.path.isdir(os.path.join(self.path, f"cluster={c}"))
+        ]
+        if not dirs:
+            raise ValueError(f"no inverted lists for probed clusters {probed}")
+        lists = self.spark.read.option("basePath", self.path).parquet(*dirs)
+        scored = (
+            lists.join(F.broadcast(qb), "cluster")
+            .filter(F.col(self.id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col(self.id_col).alias("neighbor_id"),
+                F.round(
+                    dot_product(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("_cn")),
+                    sim_decimals,
+                ).alias("sim"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .orderBy("query_id", "rnk")
+        )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:

@@ -94,3 +94,33 @@ def test_knn_ivf_recall_and_determinism(spark, emb):
 
     cents2 = S.kmeans_centroids(emb, k=8, iterations=3, dim=64)
     assert cents == cents2  # deterministic training
+
+
+def test_ivf_index_table_prunes_partitions(spark, emb, tmp_path):
+    """The materialized IVF index is a cluster-partitioned table and a
+    search opens ONLY the probed clusters' partition directories —
+    the inputFiles() of the search plan stay inside cluster=<probed>/
+    paths (the 100 TB pruning story, asserted, not narrated)."""
+    idx = S.IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb, k=8, iterations=3, dim=64)
+
+    queries = emb.filter("vec_id % 100 = 0")
+    n_probe = 3
+    qb = idx.probe_lists(queries, n_probe)
+    probed = {r.cluster for r in qb.select("cluster").distinct().collect()}
+    assert len(probed) <= 8
+
+    out = idx.search(queries, k=5, n_probe=n_probe)
+    opened = {
+        f.split("cluster=")[1].split("/")[0]
+        for f in out.inputFiles()
+        if "cluster=" in f
+    }
+    assert opened == {str(c) for c in probed}, (opened, probed)
+
+    # the materialized search equals the inline knn_ivf on the same
+    # (deterministic) centroids — persistence changes cost, not results
+    inline = S.knn_ivf(emb, queries, idx.centroids(), k=5, n_probe=n_probe)
+    got = [(r.query_id, r.rnk, r.neighbor_id, r.sim) for r in out.collect()]
+    want = [(r.query_id, r.rnk, r.neighbor_id, r.sim) for r in inline.collect()]
+    assert got == want
