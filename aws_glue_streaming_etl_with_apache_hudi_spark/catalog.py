@@ -115,6 +115,76 @@ def sync_external_table(
     spark.sql(f"REFRESH TABLE {_q(name)}")
 
 
+def sync_external_table_locations(
+    spark: SparkSession,
+    name: str,
+    base_location: str,
+    schema: T.StructType,
+    partition_by: list[str],
+    partition_locations: dict[tuple, str],
+) -> None:
+    """Register a table whose partitions live at SCATTERED locations —
+    the timeline-table layout, where each partition's current files sit
+    under the snapshot directory of the commit that last rewrote it
+    (file-group reuse). This is exactly how Hudi's hive-sync registers a
+    COW table: the catalog partition's LOCATION points at the latest
+    file slice, and a new commit flips only the touched partitions'
+    locations (``ALTER ... SET LOCATION``), so other engines always read
+    the latest committed snapshot without knowing the timeline exists.
+
+    ``partition_locations`` is the COMPLETE current partition->directory
+    map (tuples in ``partition_by`` order; the owner map is O(metadata)
+    to produce — never a data scan): registered partitions absent from
+    it are dropped (emptied by deletes). Tuples containing None cannot
+    be spelled in partition DDL and must be handled by the caller
+    (temp-view fallback)."""
+    if not partition_by:
+        raise ValueError("use sync_external_table for unpartitioned tables")
+    spark.catalog.dropTempView(name)
+    fields = _ddl_fields(schema, partition_by)
+    if not _schema_matches(spark, name, fields):
+        spark.sql(f"DROP TABLE IF EXISTS {_q(name)}")
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        stmt = (
+            f"CREATE TABLE {_q(name)} ({cols}) USING parquet"
+            + " PARTITIONED BY ("
+            + ", ".join(f"`{c}`" for c in partition_by)
+            + f") LOCATION {_sql_literal(base_location)}"
+        )
+        spark.sql(stmt)
+    registered = {
+        tuple(
+            kv.split("=", 1)[1] for kv in r["partition"].split("/")
+        )
+        for r in spark.sql(f"SHOW PARTITIONS {_q(name)}").collect()
+    }
+    for values, loc in partition_locations.items():
+        if any(v is None for v in values):
+            raise ValueError(f"null partition value in {values}: DDL cannot spell it")
+        parts = ", ".join(
+            f"`{c}` = {_sql_literal(v)}" for c, v in zip(partition_by, values)
+        )
+        spark.sql(
+            f"ALTER TABLE {_q(name)} ADD IF NOT EXISTS PARTITION ({parts}) "
+            f"LOCATION {_sql_literal(loc)}"
+        )
+        # flip the location if the partition pre-existed under an older
+        # commit's directory (ADD IF NOT EXISTS leaves it untouched)
+        spark.sql(
+            f"ALTER TABLE {_q(name)} PARTITION ({parts}) "
+            f"SET LOCATION {_sql_literal(loc)}"
+        )
+    # de-register partitions that no longer exist (emptied by deletes)
+    current = {tuple(str(v) for v in vals) for vals in partition_locations}
+    for got in registered:
+        if got not in current:
+            parts = ", ".join(
+                f"`{c}` = {_sql_literal(v)}" for c, v in zip(partition_by, got)
+            )
+            spark.sql(f"ALTER TABLE {_q(name)} DROP IF EXISTS PARTITION ({parts})")
+    spark.sql(f"REFRESH TABLE {_q(name)}")
+
+
 def drop_partition_from_catalog(
     spark: SparkSession, name: str, partition_by: list[str], values: tuple
 ) -> None:

@@ -262,9 +262,64 @@ class TimelineTable:
                 "schema": merged.schema.json(),
             }
         )
-        if self.table_name:
-            self.read().createOrReplaceTempView(self.table_name)
+        self._sync_catalog()
         return commit
+
+    def _sync_catalog(self) -> None:
+        """Hive-sync for the timeline table (A11, glue_job_script.py:64-73,
+        Hudi's actual sync model): the catalog partition's LOCATION points
+        at the owning commit's snapshot directory, and each commit flips
+        only its touched partitions' locations — other engines and fresh
+        sessions always read the latest committed snapshot. Unpartitioned
+        tables re-point the table LOCATION. Null partition values cannot
+        be spelled in DDL -> temp-view fallback."""
+        if not self.table_name:
+            return
+        from aws_glue_streaming_etl_with_apache_hudi_spark import catalog as _catalog
+
+        instants = self.commits()
+        if not instants:
+            return
+        schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
+        try:
+            if not self.partition_by:
+                loc = os.path.abspath(self._snapshot_dir(instants[-1]["commit"]))
+                _catalog.sync_external_table(
+                    self.spark, self.table_name, loc, schema, [], touched=None
+                )
+                # the data lives under a NEW directory each commit
+                self.spark.sql(
+                    f"ALTER TABLE {_catalog._q(self.table_name)} "
+                    f"SET LOCATION {_catalog._sql_literal(loc)}"
+                )
+                self.spark.sql(
+                    f"REFRESH TABLE {_catalog._q(self.table_name)}"
+                )
+                return
+            owner: dict[tuple, int] = {}
+            for inst in instants:
+                for p in inst["touched_partitions"]:
+                    owner[tuple(p)] = inst["commit"]
+            part_locs: dict[tuple, str] = {}
+            for vals, commit in owner.items():
+                if any(v == _NULL_PART for v in vals):
+                    raise ValueError("null partition value: DDL cannot spell it")
+                d = os.path.join(
+                    self._snapshot_dir(commit),
+                    *(f"{c}={v}" for c, v in zip(self.partition_by, vals)),
+                )
+                if _has_parquet(d):  # emptied partitions drop out
+                    part_locs[vals] = os.path.abspath(d)
+            _catalog.sync_external_table_locations(
+                self.spark,
+                self.table_name,
+                os.path.abspath(self.path),
+                schema,
+                list(self.partition_by),
+                part_locs,
+            )
+        except Exception:
+            self.read().createOrReplaceTempView(self.table_name)
 
     def _partition_filter(self, df: DataFrame, touched: list[list[str]]):
         """OR-of-ANDs partition predicate from stringified tokens (partition
@@ -411,8 +466,8 @@ class TimelineTable:
                 os.remove(os.path.join(self._timeline_dir, f"{commit:06d}.json"))
             except FileNotFoundError:
                 pass
-        if self.table_name and dropped:
-            self.read().createOrReplaceTempView(self.table_name)
+        if dropped:
+            self._sync_catalog()
         return len(dropped)
 
     def clean(self, keep_last: int) -> dict:

@@ -166,3 +166,66 @@ def test_sql_literal_escapes():
     assert cat._sql_literal("a'b") == "'a\\'b'"
     assert cat._sql_literal("a\\b") == "'a\\\\b'"
     assert cat._sql_literal(5) == "'5'"
+
+
+def test_timeline_table_fresh_session_sees_latest_commit(spark, tmp_path):
+    """TimelineTable hive-sync: catalog partitions point at the OWNING
+    commit's snapshot dir (Hudi's sync model) — a fresh session reads
+    the latest committed state, and a new commit flips only touched
+    partitions' locations."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    t = TimelineTable(
+        spark,
+        str(tmp_path / "tl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        table_name="catalog_sync_tl",
+    )
+    try:
+        t.upsert(
+            spark.createDataFrame(
+                [Row(k=1, part="a", v="x", ver=1), Row(k=2, part="b", v="y", ver=1)]
+            )
+        )
+        fresh = spark.newSession()
+        assert {
+            (r.k, r.v) for r in fresh.sql("SELECT k, v FROM catalog_sync_tl").collect()
+        } == {(1, "x"), (2, "y")}
+
+        # commit 2 touches ONLY part=a; a fresh session sees the new
+        # state of a and the old state of b
+        t.upsert(spark.createDataFrame([Row(k=1, part="a", v="x2", ver=2)]))
+        fresh2 = spark.newSession()
+        assert {
+            (r.k, r.v) for r in fresh2.sql("SELECT k, v FROM catalog_sync_tl").collect()
+        } == {(1, "x2"), (2, "y")}
+
+        # rollback restores the catalog to commit 1
+        t.rollback(1)
+        fresh3 = spark.newSession()
+        assert {
+            (r.k, r.v) for r in fresh3.sql("SELECT k, v FROM catalog_sync_tl").collect()
+        } == {(1, "x"), (2, "y")}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS catalog_sync_tl")
+
+
+def test_timeline_unpartitioned_table_sync(spark, tmp_path):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    t = TimelineTable(
+        spark,
+        str(tmp_path / "tlu"),
+        keys=["k"],
+        precombine="ver",
+        table_name="catalog_sync_tlu",
+    )
+    try:
+        t.upsert(spark.createDataFrame([Row(k=1, v="x", ver=1)]))
+        t.upsert(spark.createDataFrame([Row(k=1, v="x2", ver=2)]))
+        fresh = spark.newSession()
+        assert fresh.sql("SELECT v FROM catalog_sync_tlu").first()["v"] == "x2"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS catalog_sync_tlu")
