@@ -470,6 +470,56 @@ class TimelineTable:
             self._sync_catalog()
         return len(dropped)
 
+    def compact(self) -> int:
+        """Collapse snapshot ownership into ONE instant (Hudi-style full
+        compaction, adapted to COW file-group reuse): rewrite the current
+        state as a new commit touching EVERY live partition, so a
+        snapshot read stitches one directory instead of one per owning
+        commit. The read plan goes from O(owning commits) union branches
+        back to a single partitioned scan — the lever that keeps
+        time-travel reads flat as the timeline grows (at 100 TB you run
+        this on a schedule, like Hudi's compactor). History is intact:
+        older instants still serve time travel until clean() vacuums
+        them. The compaction commit is an empty-delta 'replace' instant
+        (incremental readers correctly see no new records). Returns the
+        new instant id."""
+        state = self.read()
+        commit = self.last_commit() + 1
+        touched = (
+            [
+                [_part_token(v) for v in row]
+                for row in state.select(*self.partition_by).distinct().collect()
+            ]
+            if self.partition_by
+            else [[]]
+        )
+        # materialize BEFORE writing: state's lineage reads the snapshot
+        # dirs the write below could double-list mid-plan
+        state = state.persist()
+        try:
+            state.count()
+            writer = state.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(self._snapshot_dir(commit))
+        finally:
+            state.unpersist()
+        # empty delta: a compaction commits no new records
+        self.spark.createDataFrame([], state.schema).write.mode("overwrite").parquet(
+            self._delta_dir(commit)
+        )
+        self._save_instant(
+            {
+                "commit": commit,
+                "operation": "replacecommit",
+                "ts": time.time(),
+                "touched_partitions": touched,
+                "schema": state.schema.json(),
+            }
+        )
+        self._sync_catalog()
+        return commit
+
     def clean(self, keep_last: int) -> dict:
         """Hudi cleaner: bound retained history to the ``keep_last`` most
         recent instants. Snapshot directories of older instants are

@@ -63,6 +63,7 @@ PRIORITY_WINDOW: list[str] = [
     "cdc_change_feed",
     # north-star sentinels + this round's rewritten queries
     "dedup_minhash_lsh",
+    "dedup_groups_minhash",     # NEW: components + canonical pick
     "dedup_simhash",
     "dedup_simhash_pairs",      # rebanded: one exploded-array pass
     "dedup_embedding_cosine",   # re-routed through LSH blocking

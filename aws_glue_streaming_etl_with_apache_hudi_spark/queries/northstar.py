@@ -159,6 +159,68 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_groups_minhash",
+    sql=_MINHASH_SQL_BODY.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sigs GROUP BY doc_id, seed // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(sh) AS s FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+        FROM cands JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b
+      ) WHERE jac >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      -- min-label reachability; the comp < d prune is safe (the
+      -- component's minimum id is never pruned, and only the min
+      -- survives the final aggregation)
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+      WHERE r.comp < e.d
+    ),
+    cc AS (SELECT id AS doc_id, min(comp) AS group_id FROM reach GROUP BY id)
+    SELECT doc_id, group_id, doc_id = group_id AS keep
+    FROM cc ORDER BY doc_id
+    """,
+)
+def dedup_groups_minhash(spark, sf_dir):
+    """The full dedup DECISION: MinHash-LSH near-dup pairs grouped into
+    connected components (iterative min-label propagation — Spark's
+    pregel shape) and every document labeled (group_id, keep), canonical
+    = smallest id per group, isolated docs their own group. Filtering
+    ``keep`` IS the deduplicated corpus. The oracle reproduces the whole
+    chain, components included, via a recursive CTE.
+
+    Scale: components run on the pair graph only (candidates << corpus);
+    each round is one equi-join + min-aggregation; the corpus touches
+    the component map once, via a broadcast-sized left join."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    return (
+        D.dedup_survivors(docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     sql="""
     WITH words AS (

@@ -75,3 +75,39 @@ def test_simhash_near_pairs_blocks_and_verifies(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_connected_components_basic(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    # {1,2,3,9} one component (min 1), {5,6} another (min 5)
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A long path graph exercises multi-round propagation (diameter 9)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 1, -1)], "id_a BIGINT, id_b BIGINT"
+    )
+    # pairs (2,3)..(10,11): one path component over nodes 2..11
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {2}
+    assert len(comp) == 10
+
+
+def test_dedup_survivors_keep_semantics(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id BIGINT")
+    pairs = spark.createDataFrame([(2, 4), (4, 6)], "id_a BIGINT, id_b BIGINT")
+    out = {r.doc_id: (r.group_id, r.keep) for r in dedup_survivors(docs, pairs).collect()}
+    # group {2,4,6}: canonical 2; everyone else a singleton survivor
+    assert out[2] == (2, True) and out[4] == (2, False) and out[6] == (2, False)
+    for i in (1, 3, 5, 7):
+        assert out[i] == (i, True)

@@ -88,3 +88,31 @@ def test_clean_noop_when_history_short(table, spark):
     assert table.clean(keep_last=5) == {"snapshots": [], "deltas": []}
     with pytest.raises(ValueError):
         table.clean(keep_last=0)
+
+
+def test_compact_collapses_read_plan(table, spark):
+    """After compact(), a snapshot read stitches ONE commit's snapshot
+    dir; state is unchanged; history still serves time travel; the
+    incremental feed sees no phantom records from the compaction."""
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))   # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))                     # c2
+    table.upsert(_rows(spark, [(3, "c", "z", 1)]))                      # c3
+    before = _state(table)
+
+    c = table.compact()                                                 # c4
+    assert c == 4
+    assert _state(table) == before
+    # ownership collapsed: every partition owned by the compaction commit
+    files = table.read().inputFiles()
+    assert files and all(f"commit={c}" in f for f in files)
+    # time travel below the compaction still works (history intact)
+    assert _state(table, as_of=2)[1] == ("a", "x2", 2)
+    # compaction added no records to the incremental feed
+    inc = table.incremental(3, 4)
+    assert inc.count() == 0
+    # and the table keeps working after compaction
+    table.upsert(_rows(spark, [(4, "d", "w", 1)]))
+    assert _state(table)[4] == ("d", "w", 1)
+    # post-compaction clean can drop all pre-compaction snapshots
+    removed = table.clean(keep_last=2)
+    assert set(removed["snapshots"]) == {1, 2, 3}
