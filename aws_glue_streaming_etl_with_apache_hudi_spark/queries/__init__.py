@@ -102,7 +102,7 @@ PRIORITY_WINDOW: list[str] = [
     "join_theta_range",
     "agg_grouping_sets",
     "subquery_correlated",
-    "percentiles_exact",
+    "decontaminate_ngrams",      # NEW: benchmark decontamination
 ]
 
 

@@ -221,6 +221,76 @@ def dedup_groups_minhash(spark, sf_dir):
 
 
 @register(
+    "decontaminate_ngrams",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+        FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1) + 1)) AS i
+              FROM words)
+      ) WHERE g <> ''
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 25 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+    tot AS (SELECT doc_id, count(*) AS total_grams FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, count(*) AS shared_grams
+      FROM train t JOIN bench b ON t.g = b.g GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id AS doc_id, shared_grams, total_grams,
+           round(CAST(shared_grams AS DOUBLE) / total_grams, 6) AS contamination
+    FROM tot JOIN hits ON tot.doc_id = hits.doc_id
+    ORDER BY tot.doc_id
+    """,
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination — the held-out check every serious
+    training pipeline runs before the corpus ships: training documents
+    sharing any word n-gram with the benchmark split (doc_id % 25 = 0
+    stands in for the eval set) are reported with their shared-gram
+    count and contamination ratio. 4-grams are fixture-scaled (the
+    small synthetic vocabulary saturates longer grams to one planted
+    dup; production uses 8-13-gram windows — one constant).
+
+    Scale: grams are row-local arrays (no shuffle to build); the
+    benchmark gram set is DISTINCT and broadcast (eval sets are tiny
+    next to a corpus), so the contamination check is a map-side hash
+    probe of the training side — no n², no corpus shuffle; the only
+    exchange is the per-doc count aggregation. Matching is by
+    stable_hash64 of the gram, so the broadcast carries 8-byte hashes,
+    not strings (64-bit collisions are negligible at eval-set size)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+    docs = t(spark, sf_dir, "documents")
+    grams = D.word_shingles(docs, "doc_id", "text", n=4).select(
+        "doc_id", stable_hash64(F.col("shingle")).alias("h")
+    )
+    bench = grams.filter(F.col("doc_id") % 25 == 0).select("h").distinct()
+    train = grams.filter(F.col("doc_id") % 25 != 0)
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("total_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    return (
+        tot.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "shared_grams",
+            "total_grams",
+            F.round(
+                F.col("shared_grams").cast("double") / F.col("total_grams"), 6
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     sql="""
     WITH words AS (
