@@ -616,6 +616,60 @@ def text_stats(spark, sf_dir):
 
 
 @register(
+    "text_repetition",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_filter([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(w) - 2, 1) + 1)],
+                         g -> g <> '') AS gs
+      FROM words
+    )
+    SELECT doc_id,
+           len(gs) AS total_grams,
+           len(list_distinct(gs)) AS distinct_grams,
+           round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+                       / greatest(len(gs), 1), 6) AS dup_fraction
+    FROM grams ORDER BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signal: per document, the fraction
+    of duplicate word 3-grams (1 - distinct/total). A document that
+    repeats itself scores high and gets filtered before training.
+
+    Scale: ENTIRELY row-local — grams, distinct count, and ratio are
+    array expressions inside whole-stage codegen; the only exchange in
+    the plan is the final presentation sort. This is the ideal quality-
+    scoring shape: corpus-sized input, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    positions = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    grams = F.filter(
+        F.transform(positions, lambda i: F.concat_ws(" ", F.slice(words, i, 3))),
+        lambda g: g != "",
+    )
+    return (
+        docs.select("doc_id", grams.alias("gs"))
+        .select(
+            "doc_id",
+            F.size("gs").alias("total_grams"),
+            F.size(F.array_distinct("gs")).alias("distinct_grams"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("gs")).cast("double")
+                / F.greatest(F.size("gs"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_quality",
     sql="""
     WITH w AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
