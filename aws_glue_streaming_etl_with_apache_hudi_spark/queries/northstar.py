@@ -546,11 +546,60 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
-@register("knn_lsh", sql=None, headline=True)
+def _knn_lsh_oracle_sql(
+    num_planes: int = 4, num_tables: int = 6, dim: int = 64, k: int = 5
+) -> str:
+    """DuckDB replica of the knn_lsh query: the SAME md5-derived plane
+    weights as literals, per-table signature branches, bucket-join
+    candidates, cosine, per-query top-k. Exact because
+    hyperplane_signs rounds dot products to 1e-6 before the sign test
+    (cross-engine summation-order safety)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import plane_weights
+
+    w = plane_weights(num_planes * num_tables, dim)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    branches = []
+    for t_i in range(num_tables):
+        terms = [
+            f"(CASE WHEN round(list_dot_product(v, {lit(w[t_i * num_planes + p])}), 6) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        ]
+        branches.append(
+            f"SELECT vec_id, v, {t_i} AS tbl, " + " + ".join(terms) + " AS bucket FROM e"
+        )
+    sig = "\n      UNION ALL ".join(branches)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS ({sig}),
+    q AS (SELECT * FROM sig WHERE vec_id % 40 = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   4) AS sim
+      FROM sig c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+                       AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@register("knn_lsh", sql=_knn_lsh_oracle_sql(), headline=True)
 def knn_lsh(spark, sf_dir):
     """Approximate top-k via multi-table random-projection LSH (6 tables
-    x 4 planes): scores only bucket-colliding candidates. Rows-only
-    driver check; recall vs the exact baseline is asserted in
+    x 4 planes): scores only bucket-colliding candidates. FULLY
+    oracle-checked: the DuckDB SQL regenerates the identical blocking
+    from the same md5-derived plane-weight literals (was rows-only
+    before the 1e-6 sign rounding made signatures engine-portable).
+    Recall vs the exact baseline is asserted in
     tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
