@@ -297,11 +297,35 @@ class MergeOnReadTable:
             merged.write.mode("overwrite").parquet(self._base)
 
         shutil.rmtree(self._log, ignore_errors=True)
+        self._sync_catalog()
         return len(commits)
 
     def _sync_catalog(self) -> None:
-        if self.table_name:
-            self.read().createOrReplaceTempView(self.table_name)
+        """Hudi MOR's hive-sync registers a table PAIR: ``<name>_rt``
+        (realtime: base+log merged at read time — necessarily a view,
+        no static file listing can express the merge) and ``<name>_ro``
+        (read-optimized: base files only — a REAL external table that
+        other sessions and engines scan at plain-parquet speed, stale
+        up to the last compaction). The plain name aliases the realtime
+        view; compaction advances what ``_ro`` serves."""
+        if not self.table_name:
+            return
+        rt = self.read()
+        rt.createOrReplaceTempView(self.table_name)
+        rt.createOrReplaceTempView(f"{self.table_name}_rt")
+        from aws_glue_streaming_etl_with_apache_hudi_spark import catalog as _catalog
+
+        try:
+            _catalog.sync_external_table(
+                self.spark,
+                f"{self.table_name}_ro",
+                os.path.abspath(self._base),
+                self._read_base().schema,
+                list(self.partition_by),
+                touched=None,
+            )
+        except Exception:
+            self.read_optimized().createOrReplaceTempView(f"{self.table_name}_ro")
 
 
 def mor_merge_view(

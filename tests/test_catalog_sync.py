@@ -229,3 +229,43 @@ def test_timeline_unpartitioned_table_sync(spark, tmp_path):
         assert fresh.sql("SELECT v FROM catalog_sync_tlu").first()["v"] == "x2"
     finally:
         spark.sql("DROP TABLE IF EXISTS catalog_sync_tlu")
+
+
+def test_mor_ro_rt_table_pair(spark, tmp_path):
+    """MOR hive-sync registers Hudi's table pair: `<name>_ro` is a real
+    external table over the base files (fresh sessions can scan it;
+    stale until compaction), `<name>_rt`/plain name are the realtime
+    merge view (session-local by nature)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    t = MergeOnReadTable(
+        spark,
+        str(tmp_path / "mor"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        table_name="catalog_sync_mor",
+        policy=CompactionPolicy(max_delta_commits=None, max_log_bytes=None),
+    )
+    try:
+        t.upsert(
+            spark.createDataFrame(
+                [Row(k=1, part="a", v="x", ver=1), Row(k=2, part="b", v="y", ver=1)]
+            )
+        )
+        t.upsert(spark.createDataFrame([Row(k=1, part="a", v="x2", ver=2)]))
+
+        fresh = spark.newSession()
+        # read-optimized: base only -> still the pre-delta state
+        ro = {r.k: r.v for r in fresh.sql("SELECT k, v FROM catalog_sync_mor_ro").collect()}
+        assert ro == {1: "x", 2: "y"}
+        # realtime view exists in the OWNING session and sees the merge
+        rt = {r.k: r.v for r in spark.sql("SELECT k, v FROM catalog_sync_mor_rt").collect()}
+        assert rt == {1: "x2", 2: "y"}
+
+        t.compact()
+        fresh2 = spark.newSession()
+        ro2 = {r.k: r.v for r in fresh2.sql("SELECT k, v FROM catalog_sync_mor_ro").collect()}
+        assert ro2 == {1: "x2", 2: "y"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS catalog_sync_mor_ro")
