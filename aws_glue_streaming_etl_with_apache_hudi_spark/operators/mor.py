@@ -297,10 +297,10 @@ class MergeOnReadTable:
             merged.write.mode("overwrite").parquet(self._base)
 
         shutil.rmtree(self._log, ignore_errors=True)
-        self._sync_catalog()
+        self._sync_catalog(base_changed=True)
         return len(commits)
 
-    def _sync_catalog(self) -> None:
+    def _sync_catalog(self, base_changed: bool = False) -> None:
         """Hudi MOR's hive-sync registers a table PAIR: ``<name>_rt``
         (realtime: base+log merged at read time — necessarily a view,
         no static file listing can express the merge) and ``<name>_ro``
@@ -315,6 +315,13 @@ class MergeOnReadTable:
         rt.createOrReplaceTempView(f"{self.table_name}_rt")
         from aws_glue_streaming_etl_with_apache_hudi_spark import catalog as _catalog
 
+        # The base (and thus _ro's partitions) changes only on first write
+        # and at compaction — delta commits must not pay an O(partitions)
+        # recoverPartitions each.
+        if not base_changed and self.spark.catalog.tableExists(
+            f"{self.table_name}_ro"
+        ):
+            return
         try:
             _catalog.sync_external_table(
                 self.spark,
