@@ -138,13 +138,27 @@ def posexplode_with_position(spark, sf_dir):
     )
 
 
-@register("map_json_ops", sql=None)
+@register(
+    "map_json_ops",
+    sql="""
+    SELECT event_id,
+           array_to_string(json_keys(props::JSON), ',') AS keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(len(json_keys(props::JSON)) + 1 AS BIGINT) AS n_after_concat,
+           '{"id":' || event_id || ',"vals":[' ||
+             array_to_string([CAST(json_extract(props, '$.' || kk) AS BIGINT)
+                              FOR kk IN json_keys(props::JSON)], ',') || ']}'
+             AS as_json
+    FROM events ORDER BY event_id
+    """,
+)
 def map_json_ops(spark, sf_dir):
     """MapType surface: parse the JSON props payload into map<string,long>,
-    then map_keys/map_values/element_at/map_concat. Rows-only check
-    (DuckDB's MAP literals and JSON casts don't line up with Spark's map
-    rendering for a value-hash; the JSON-extraction path IS oracle-checked
-    in json_extract_props)."""
+    then map_keys/map_values/element_at/map_concat. Oracle-checked:
+    ``from_json`` maps preserve JSON document key order (as does DuckDB's
+    ``json_keys``), so map rendering, element lookup, concat size, and
+    the ``to_json`` re-serialization are all value-comparable — the
+    oracle rebuilds Spark's compact JSON rendering byte-for-byte."""
     from pyspark.sql import types as T
 
     e = t(spark, sf_dir, "events")
@@ -158,7 +172,13 @@ def map_json_ops(spark, sf_dir):
             "event_id",
             F.array_join(F.map_keys("m"), ",").alias("keys"),
             F.element_at("m", "k").alias("k_value"),
-            F.size(F.map_concat("m", F.create_map(F.lit("extra"), F.lit(1).cast("long")))).alias("n_after_concat"),
+            F.size(
+                F.map_concat(
+                    "m", F.create_map(F.lit("extra"), F.lit(1).cast("long"))
+                )
+            )
+            .cast("long")
+            .alias("n_after_concat"),
             F.to_json(F.struct(F.col("event_id").alias("id"), F.map_values("m").alias("vals"))).alias("as_json"),
         )
         .orderBy("event_id")
