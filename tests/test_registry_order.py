@@ -41,6 +41,14 @@ def test_priority_window_is_prefix():
     assert names[: len(PRIORITY_WINDOW)] == PRIORITY_WINDOW
 
 
+def test_priority_window_exactly_fills_driver_sample():
+    """The driver samples exactly the first 50 registry entries: a
+    window shorter than 50 wastes externally-verified slots, a longer
+    one silently pushes its tail outside verification."""
+    assert len(PRIORITY_WINDOW) == WINDOW
+    assert len(set(PRIORITY_WINDOW)) == len(PRIORITY_WINDOW)
+
+
 def test_every_category_inside_first_50():
     head = set(list(QUERIES)[:WINDOW])
     missing = {cat: n for cat, n in CATEGORY_SENTINELS.items() if n not in head}
