@@ -351,6 +351,31 @@ def label_centroids(
     )
 
 
+def literal_centroids(k: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random IVF coarse centroids in [-1, 1],
+    md5-derived exactly like ``plane_weights`` (distinct seed prefix so
+    they never collide with LSH planes): c(i,d) = (md5_60bit('ivf_i_d')
+    % 2001 - 1000)/1000.
+
+    Purpose: an IVF *query variant* whose coarse quantizer is a plain
+    literal lets the nearest-centroid assignment, n_probe selection and
+    top-k search all be re-derived in static ANSI SQL — giving the IVF
+    search semantics a hard DuckDB oracle (the same move that made
+    knn_lsh fully oracle-checked). Trained ``kmeans_centroids`` /
+    ``IVFIndex`` remain the production quantizer; the literal variant
+    checks the search path, not the training."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"ivf_{c}_{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        for c in range(k)
+    ]
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -427,18 +452,28 @@ def knn_ivf(
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
 
     cents = np.asarray(centroids, dtype=np.float64)
+    cc = (cents * cents).sum(axis=1)  # k centroid norms², precomputed
+
+    def _dists(vecs: pd.Series) -> np.ndarray:
+        """batch x k squared distances, expansion form |v|²-2v·c+|c|²,
+        ROUNDED to 6 dp before any argmin/argsort: a distance within
+        1e-6 of a tie must order identically across engines/summation
+        orders (ties then break on centroid index — numpy's stable sort
+        == the oracle's ORDER BY d, c). Same portability move as
+        hyperplane_signs' sign rounding."""
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        vv = (m * m).sum(axis=1, keepdims=True)
+        return np.round(vv - 2.0 * (m @ cents.T) + cc[None, :], 6)
 
     @F.pandas_udf("int")
     def nearest(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d = _dists(vecs)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     @F.pandas_udf("array<int>")
     def probes(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        order = d.argsort(axis=1)[:, :n_probe].astype("int32")
+        d = _dists(vecs)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
     cb = fan_out(corpus).select(

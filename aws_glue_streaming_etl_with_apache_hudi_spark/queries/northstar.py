@@ -917,15 +917,78 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
-@register("knn_ivf", sql=None)
+def _knn_ivf_oracle_sql(k_cent: int = 8, dim: int = 64, n_probe: int = 3, k: int = 5) -> str:
+    """DuckDB replica of the knn_ivf query: the SAME md5-derived literal
+    centroids (operators/similarity.py literal_centroids) enter the SQL
+    as VALUES rows; nearest-centroid assignment, the query's n_probe
+    probe list, and cosine top-k are all re-derived in static SQL.
+    Distances round to 6 dp before ranking (ties break on centroid
+    index) — the identical portability rule the Spark UDF applies, so
+    the blocking is exact, not sampled."""
+    import numpy as np
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import literal_centroids
+
+    cents = literal_centroids(k_cent, dim)
+    cc = (np.asarray(cents, dtype=np.float64) ** 2).sum(axis=1)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    rows = ",\n      ".join(
+        f"({c}, {lit(cents[c])}::DOUBLE[], {cc[c]!r})" for c in range(k_cent)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent(c, w, cc) AS (VALUES
+      {rows}),
+    dist AS (
+      SELECT vec_id, v, c,
+             round(list_dot_product(v, v) - 2 * list_dot_product(v, w) + cc, 6) AS d
+      FROM e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, v, c AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, v AS qv, c AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dist WHERE vec_id % 40 = 0) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, a.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a.v, a.v))),
+                   4) AS sim
+      FROM assign a JOIN probe p ON a.cluster = p.cluster
+                                AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@register("knn_ivf", sql=_knn_ivf_oracle_sql())
 def knn_ivf_query(spark, sf_dir):
-    """IVF approximate top-k: deterministic Lloyd-trained coarse quantizer
-    (k=8, 3 iterations), 3-probe search over the inverted lists. Rows-only
-    driver check; recall >= probe fraction is asserted in
-    tests/test_similarity.py. At scale the inverted lists are a
-    cluster-partitioned table and searches prune to n_probe partitions."""
+    """IVF approximate top-k, FULLY oracle-checked (was the last rows-only
+    similarity query): the coarse quantizer here is the md5-derived
+    literal-centroid variant (operators/similarity.py literal_centroids),
+    so assignment + 3-probe selection + cosine top-k are re-derived by
+    the DuckDB oracle from the same literals — the exact move that gave
+    knn_lsh its oracle. The production path (Lloyd-trained
+    kmeans_centroids + materialized IVFIndex with partition-pruned
+    search) is exercised in tests/test_similarity.py, including recall;
+    this query pins the SEARCH semantics with a hard external signal.
+    At scale the inverted lists are a cluster-partitioned table and
+    searches prune to n_probe partitions."""
     emb = t(spark, sf_dir, "embeddings")
-    cents = S.kmeans_centroids(emb, k=8, iterations=3, dim=64)
+    cents = S.literal_centroids(8, 64)
     queries = emb.filter(F.col("vec_id") % 40 == 0)
     return S.knn_ivf(emb, queries, cents, k=5, n_probe=3).select(
         "query_id", "neighbor_id", "sim", "rnk"

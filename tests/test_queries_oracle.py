@@ -33,3 +33,30 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_gate_catches_uncast_integer_sum(spark, sf_dir):
+    """The local gate must flag DuckDB HUGEINT (uncast integer sum) even
+    when values are identical — the q12_ship_priority r3 failure class."""
+    from pyspark.sql import functions as F
+
+    def probe(spark, sf_dir):
+        return (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n"))
+            .orderBy("o_orderstatus")
+        )
+
+    # deliberately UNCAST sum() -> HUGEINT -> pandas float64
+    bad_sql = """
+        SELECT o_orderstatus,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+    ok, msg = compare_query(spark, sf_dir, probe, bad_sql)
+    assert not ok and "dtype-kind" in msg, msg
+
+    good_sql = bad_sql.replace("END) AS n", "END)::BIGINT AS n")
+    ok, msg = compare_query(spark, sf_dir, probe, good_sql)
+    assert ok, msg
