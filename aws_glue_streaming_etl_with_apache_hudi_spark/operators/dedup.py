@@ -38,6 +38,33 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+#: One live cached frame per operator slot (see _persist_slot).
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def _persist_slot(df: DataFrame, slot: str) -> DataFrame:
+    """``persist()`` with a per-operator accumulation bound.
+
+    These operators return LAZY DataFrames, so there is no in-operator
+    point where the cache can be released — and repeated registry/
+    harness runs in one session would otherwise accumulate executor
+    storage indefinitely (ADVICE r3). Bound: before caching, the
+    PREVIOUS invocation's frame for the same slot is unpersisted
+    (async — in-flight jobs reading it just recompute). At most one
+    live cache per operator; plan shape (InMemoryTableScan, asserted in
+    tests/test_plans.py) is unchanged, unlike a localCheckpoint which
+    would truncate the gated lineage."""
+    prev = _PERSIST_SLOTS.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    out = df.persist()
+    _PERSIST_SLOTS[slot] = out
+    return out
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical text form for exact/fingerprint dedup: lowercase,
     whitespace-collapsed, trimmed."""
@@ -205,9 +232,15 @@ def minhash_lsh_dedup(
     # measured plan had 8 scans of the corpus. At 100 TB these ARE stored
     # artifacts (a signature table you write once and reuse across runs);
     # persist() is the in-session equivalent.
-    sh_arr = word_shingle_arrays(fan_out(df), id_col, text_col, n=shingle_n).persist()
+    sh_arr = _persist_slot(
+        word_shingle_arrays(fan_out(df), id_col, text_col, n=shingle_n),
+        "minhash.shingle_arrays",
+    )
     exploded = sh_arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    sig = minhash_signatures(exploded, id_col, num_hashes=num_hashes).persist()
+    sig = _persist_slot(
+        minhash_signatures(exploded, id_col, num_hashes=num_hashes),
+        "minhash.signatures",
+    )
     bands = lsh_bands(sig, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
     return jaccard_verify(cands, sh_arr, id_col, threshold)
@@ -279,8 +312,8 @@ def simhash_near_pairs(
             F.col("bk.band").alias("band"),
             F.col("bk.key").alias("key"),
         )
-        .persist()
     )
+    keyed = _persist_slot(keyed, "simhash.banded")
     a = keyed.select(
         "band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
     )

@@ -19,10 +19,12 @@ the stale lock to a unique victim path and only then deletes the victim.
 ``os.rename`` of an existing source succeeds for exactly one concurrent
 breaker (the losers get ``FileNotFoundError``), and a fresh lock created
 at ``lock_path`` between staleness-check and break is never touched —
-the rename source is gone. Release likewise re-verifies lock identity
-(a unique owner token written at acquire) before removing, so a writer
-whose lock was broken while it (over-)ran its critical section cannot
-delete a successor's lock.
+the rename source is gone; restores after a mistaken break go through
+``os.link`` (no-clobber) so a lock a third writer acquired meanwhile is
+never replaced. Release renames the lock to a private path and verifies
+the owner token INSIDE the renamed file (atomic take, no check-then-
+delete window), so a writer whose lock was broken while it (over-)ran
+its critical section cannot delete a successor's lock.
 """
 
 from __future__ import annotations
@@ -91,14 +93,25 @@ class CommitLock:
         except OSError:
             return  # lost the rename race — another breaker got it
         # Re-check the *renamed* file really was stale: if a fresh lock was
-        # created between getmtime and rename, its mtime proves it; undo is
-        # impossible race-free, but the window is poll-scale and the owner's
-        # token check at release keeps correctness (it just re-acquires).
+        # created between getmtime and rename, its mtime proves it and it
+        # must be put back. The restore must NOT clobber: a third writer may
+        # have acquired a brand-new lock at lock_path after our rename-away,
+        # and a plain rename-back would silently replace it (two writers in
+        # the critical section). os.link is the no-clobber primitive — it
+        # fails with FileExistsError when a new lock exists, in which case
+        # the displaced owner's release is already protected by its token
+        # check and the victim is simply dropped.
         try:
-            if time.time() - os.path.getmtime(victim) > self.ttl_s:
-                os.remove(victim)
-            else:
-                os.rename(victim, self.lock_path)
+            stale = time.time() - os.path.getmtime(victim) > self.ttl_s
+        except OSError:
+            return
+        if not stale:
+            try:
+                os.link(victim, self.lock_path)
+            except OSError:
+                pass  # FileExistsError: a new owner holds lock_path — keep it
+        try:
+            os.remove(victim)
         except OSError:
             pass
 
@@ -125,11 +138,29 @@ class CommitLock:
         if self._fd is not None:
             os.close(self._fd)
             self._fd = None
-        # Identity check: only delete the lock if it is still the one we
-        # created. If it was broken as stale and a successor acquired,
-        # removing blindly would evict the successor mid-commit.
-        if self._owns_lock_on_disk():
+        # Release by rename-then-verify, not check-then-delete: between an
+        # ownership check and os.remove the lock could be broken as stale
+        # and reacquired, making the remove delete the successor's lock.
+        # Renaming to a private path first makes the take atomic; the token
+        # is then verified INSIDE the private file. If it isn't ours we
+        # displaced a successor's fresh lock — restore it with the same
+        # no-clobber link primitive _break_if_stale uses.
+        private = f"{self.lock_path}.release.{os.getpid()}.{uuid.uuid4().hex}"
+        try:
+            os.rename(self.lock_path, private)
+        except OSError:
+            return  # lock already broken/released — nothing of ours on disk
+        try:
+            with open(private, "rb") as fh:
+                mine = fh.read().decode(errors="replace").split(" ")[0] == self._token
+        except OSError:
+            return
+        if not mine:
             try:
-                os.remove(self.lock_path)
-            except FileNotFoundError:
-                pass
+                os.link(private, self.lock_path)
+            except OSError:
+                pass  # FileExistsError: an even newer owner appeared — keep it
+        try:
+            os.remove(private)
+        except OSError:
+            pass

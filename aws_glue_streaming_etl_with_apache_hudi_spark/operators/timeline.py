@@ -318,7 +318,28 @@ class TimelineTable:
                 list(self.partition_by),
                 part_locs,
             )
-        except Exception:
+        except Exception as exc:
+            # A sync that died mid-DDL can leave the SHARED external table
+            # with a mix of old- and new-commit partition LOCATIONs. The
+            # temp-view fallback masks that only in THIS session — so drop
+            # the external table first: cross-session readers then fail
+            # loudly (table not found) instead of silently reading a torn
+            # mixed-commit snapshot, and the next successful sync recreates
+            # it. DROP on an external table never touches data files.
+            import logging
+
+            try:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {_catalog._q(self.table_name)}"
+                )
+            except Exception:
+                pass
+            logging.getLogger(__name__).warning(
+                "catalog sync for %s failed; external table dropped, "
+                "session-local temp view registered instead: %s",
+                self.table_name,
+                exc,
+            )
             self.read().createOrReplaceTempView(self.table_name)
 
     def _partition_filter(self, df: DataFrame, touched: list[list[str]]):

@@ -491,9 +491,14 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("vec_id") % 10 == 0)
         .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
     )
-    sigs = hyperplane_signs(
-        e, "vec_id", "v", num_planes=_EMB_LSH_PLANES, dim=64, num_tables=_EMB_LSH_TABLES
-    ).persist()
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    sigs = _persist_slot(
+        hyperplane_signs(
+            e, "vec_id", "v", num_planes=_EMB_LSH_PLANES, dim=64, num_tables=_EMB_LSH_TABLES
+        ),
+        "northstar.embedding_lsh_sigs",
+    )
     a = sigs.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "table", "bucket"
     )

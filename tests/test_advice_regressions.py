@@ -192,3 +192,146 @@ def test_read_key_with_bool_and_null_key_parts(spark, tmp_path):
     assert [r.v for r in t.read_key((None, "z")).collect()] == [3]
     # absent key still resolves to empty, not an error
     assert t.read_key((True, "nope")).count() == 0
+
+
+# -- 5. round-3 ADVICE: locking restore/release races ----------------------
+
+
+def test_break_restore_never_clobbers_third_writers_lock(tmp_path, monkeypatch):
+    """If a fresh lock appears at lock_path between a breaker's
+    rename-away and its restore, the restore must NOT replace it
+    (os.rename clobbers; os.link must be used). Simulated by injecting
+    the third writer's acquire between the two steps."""
+    path = str(tmp_path)
+    fresh = CommitLock(path, ttl_s=3600.0)
+    assert fresh._try_acquire()  # fresh lock the breaker mistakes as stale
+
+    third = CommitLock(path, ttl_s=3600.0)
+    breaker = CommitLock(path, ttl_s=3600.0)
+
+    real_getmtime = os.path.getmtime
+    calls = {"n": 0}
+
+    def tricked_getmtime(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 0.0  # lock_path looks ancient -> breaker renames it away
+        # second call (on the victim): truth — it's fresh, restore path runs.
+        # Before the breaker restores, a THIRD writer acquires lock_path.
+        if calls["n"] == 2 and not os.path.exists(breaker.lock_path):
+            assert third._try_acquire()
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", tricked_getmtime)
+    breaker._break_if_stale()
+    monkeypatch.undo()
+
+    # the third writer's lock must still be ITS lock, not the restored victim
+    assert third._owns_lock_on_disk()
+    # no stray victim files left behind
+    leftovers = [f for f in os.listdir(path) if f.startswith("_commit.lock.")]
+    assert leftovers == []
+
+
+def test_release_take_is_atomic_rename(tmp_path):
+    """Release must take the lock via rename and verify the token INSIDE
+    the renamed file — a successor's lock renamed away by mistake is
+    restored, never deleted."""
+    path = str(tmp_path)
+    owner = CommitLock(path, ttl_s=3600.0)
+    assert owner._try_acquire()
+    # simulate a stale-break + successor acquire while owner overran
+    os.remove(owner.lock_path)
+    successor = CommitLock(path, ttl_s=3600.0)
+    assert successor._try_acquire()
+    owner.__exit__(None, None, None)
+    # successor's lock survived owner's release and is still valid
+    assert successor._owns_lock_on_disk()
+    successor.__exit__(None, None, None)
+    assert not os.path.exists(successor.lock_path)
+
+
+# -- 6. round-3 ADVICE: hive-escaped partition values in catalog sync ------
+
+
+def test_catalog_sync_unescapes_partition_specs(spark, tmp_path):
+    """Partition values with Hive-escaped characters (space, ':') must
+    round-trip through SHOW PARTITIONS without being re-dropped every
+    sync, and a genuinely removed special-char partition must be
+    deregistered."""
+    from pyspark.sql import types as T
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark import catalog as C
+
+    base = str(tmp_path / "tbl")
+    schema = T.StructType(
+        [T.StructField("v", T.LongType()), T.StructField("p", T.StringType())]
+    )
+    locs = {}
+    for p in ["plain", "has space", "has:colon"]:
+        d = os.path.join(base, f"snap1/p={p}")
+        spark.createDataFrame([Row(v=1)]).write.mode("overwrite").parquet(d)
+        locs[(p,)] = d
+    name = "esc_sync_tbl"
+    C.sync_external_table_locations(spark, name, base, schema, ["p"], locs)
+    got = {r.p for r in spark.table(name).select("p").collect()}
+    assert got == {"plain", "has space", "has:colon"}
+
+    # re-sync with identical locations: special-char partitions must survive
+    C.sync_external_table_locations(spark, name, base, schema, ["p"], locs)
+    got = {r.p for r in spark.table(name).select("p").collect()}
+    assert got == {"plain", "has space", "has:colon"}
+
+    # drop one special-char partition from the map -> must be deregistered
+    del locs[("has space",)]
+    C.sync_external_table_locations(spark, name, base, schema, ["p"], locs)
+    got = {r.p for r in spark.table(name).select("p").collect()}
+    assert got == {"plain", "has:colon"}
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# -- 7. round-3 ADVICE: failed timeline sync must not leave a torn table ---
+
+
+def test_failed_timeline_sync_drops_shared_table(spark, tmp_path):
+    """If catalog sync dies midway, cross-session readers must fail loudly
+    (table gone) rather than read a mixed-commit snapshot; the writing
+    session keeps a temp-view fallback."""
+    path = str(tmp_path / "tl")
+    tbl = TimelineTable(
+        spark, path, keys=["k"], precombine="ver", partition_by=["p"],
+        table_name="torn_sync_tbl",
+    )
+    tbl.upsert(spark.createDataFrame([Row(k=1, ver=1, p="a")]))
+    assert spark.newSession().catalog.tableExists("torn_sync_tbl")
+    # a NULL partition value is un-spellable in partition DDL -> sync fails
+    tbl.upsert(
+        spark.createDataFrame([Row(k=2, ver=1, p=None)], "k bigint, ver bigint, p string")
+    )
+    # fresh session: shared table is GONE (loud failure, not torn reads)
+    assert not spark.newSession().catalog.tableExists("torn_sync_tbl")
+    # writing session: temp-view fallback still resolves, with both rows
+    assert spark.table("torn_sync_tbl").count() == 2
+    spark.catalog.dropTempView("torn_sync_tbl")
+
+
+# -- 8. round-3 ADVICE: persisted LSH frames must not accumulate -----------
+
+
+def test_persist_slots_bound_cache_accumulation(spark, sf_dir):
+    """Repeated runs of the persist()-backed dedup operators must hold at
+    most one live cached frame per operator slot (the returned frames
+    are lazy, so without slot recycling every harness run leaks executor
+    storage)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    QUERIES["dedup_simhash_pairs"].fn(spark, sf_dir).count()
+    QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir).count()
+    base = n_persistent()
+    for _ in range(3):
+        QUERIES["dedup_simhash_pairs"].fn(spark, sf_dir).count()
+        QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir).count()
+    assert n_persistent() <= base
