@@ -57,6 +57,19 @@ def _persist_slot(df: DataFrame, slot: str) -> DataFrame:
     prev = _PERSIST_SLOTS.get(slot)
     if prev is not None:
         try:
+            same = (
+                prev._jdf.queryExecution()
+                .analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = False
+        if same:
+            # identical plan (re-run of the same query on the same input):
+            # REUSE the live cache instead of evict+recompute — repeated
+            # runs hit warm data exactly like plain persist() did
+            return prev
+        try:
             prev.unpersist(blocking=False)
         except Exception:
             pass
@@ -180,9 +193,51 @@ def lsh_bands(signatures: DataFrame, id_col: str, num_hashes: int, rows_per_band
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def cap_bucket_size(
+    df: DataFrame, key_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows belonging to buckets with more than ``max_bucket_size``
+    members — the hot-bucket guard for LSH candidate generation.
+
+    A degenerate bucket (boilerplate documents all sharing a band value)
+    yields m² candidate pairs from the self-join *before* AQE can help:
+    AQE splits the join work but cannot shrink the pair count — at web
+    scale a million-doc boilerplate bucket means 10¹² pairs. Standard
+    MinHash-LSH practice is to DISCARD oversized buckets: they carry no
+    near-dup signal worth m² verifications (members still pair up in
+    their other, more selective bands). Recall trade: pairs whose ONLY
+    collision is a hot bucket are lost — by construction those are the
+    lowest-specificity collisions.
+
+    Cost: the oversized-bucket KEYS are found with a map-side-combined
+    groupBy (the shuffle carries one row per distinct bucket, not the
+    data) and removed with a broadcast LEFT ANTI join — the banded data
+    itself is never sorted or re-shuffled for the cap. A window count
+    over the bucket key would be semantically identical but forces a
+    full Sort of the bands (measured 3x on the minhash headline). The
+    hot list is tiny by construction (≤ |rows|/cap keys, and real
+    corpora have few boilerplate buckets); callers should persist the
+    input when its subtree is expensive, since the cap adds a second
+    consumer."""
+    if max_bucket_size is None:
+        return df
+    hot = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, max_bucket_size: int | None = 1000
+) -> DataFrame:
     """Self-join on (band, bucket): candidate pairs (id_a < id_b), distinct
-    across bands. The only shuffle keys are (band, bucket) — never n²."""
+    across bands. The only shuffle keys are (band, bucket) — never n² —
+    and buckets above ``max_bucket_size`` are dropped before the join
+    (see cap_bucket_size: the m²-pair hot-bucket guard)."""
+    bands = cap_bucket_size(bands, ["band", "bucket"], max_bucket_size)
     a = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     return (
@@ -221,9 +276,12 @@ def minhash_lsh_dedup(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns verified near-duplicate
-    pairs (id_a, id_b, jaccard >= threshold)."""
+    pairs (id_a, id_b, jaccard >= threshold). Buckets larger than
+    ``max_bucket_size`` are discarded before candidate generation
+    (cap_bucket_size — the hot-bucket m² guard)."""
     # Materialize the two tiny derived tables that every downstream branch
     # reuses: the per-doc shingle arrays (verify joins it twice) and the
     # signatures (the LSH bucket join is a self-join => two consumers).
@@ -237,12 +295,14 @@ def minhash_lsh_dedup(
         "minhash.shingle_arrays",
     )
     exploded = sh_arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    sig = _persist_slot(
-        minhash_signatures(exploded, id_col, num_hashes=num_hashes),
-        "minhash.signatures",
+    sig = minhash_signatures(exploded, id_col, num_hashes=num_hashes)
+    # cache the BANDED frame (not the raw signatures): it is the one with
+    # multiple consumers — the hot-bucket count, and both candidate-join
+    # sides — so the signature aggregation + banding run exactly once
+    bands = _persist_slot(
+        lsh_bands(sig, id_col, num_hashes, rows_per_band), "minhash.bands"
     )
-    bands = lsh_bands(sig, id_col, num_hashes, rows_per_band)
-    cands = lsh_candidate_pairs(bands, id_col)
+    cands = lsh_candidate_pairs(bands, id_col, max_bucket_size=max_bucket_size)
     return jaccard_verify(cands, sh_arr, id_col, threshold)
 
 
@@ -276,7 +336,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_near_pairs(
-    sims: DataFrame, id_col: str, bits: int = 32, bands: int = 4, max_hamming: int = 14
+    sims: DataFrame,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 14,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance with band blocking: split the
     fingerprint into ``bands`` chunks; pairs sharing any chunk value are
@@ -313,7 +378,11 @@ def simhash_near_pairs(
             F.col("bk.key").alias("key"),
         )
     )
+    # persist FIRST: the cap's bucket-count aggregation is an extra
+    # consumer of the banded frame, so the expensive fingerprint subtree
+    # must be cached before it (the anti-join then probes the cache too)
     keyed = _persist_slot(keyed, "simhash.banded")
+    keyed = cap_bucket_size(keyed, ["band", "key"], max_bucket_size)
     a = keyed.select(
         "band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
     )

@@ -129,9 +129,15 @@ def dedup_minhash_signatures(spark, sf_dir):
              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
       FROM sigs GROUP BY doc_id, seed // 2
     ),
+    -- hot-bucket guard (operators/dedup.py cap_bucket_size, cap=1000)
+    capped AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT bands.*, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands)
+      WHERE bsz <= 1000
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     sets AS (SELECT doc_id, list(sh) AS s FROM shingles GROUP BY doc_id)
@@ -167,9 +173,15 @@ def dedup_minhash_lsh(spark, sf_dir):
              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
       FROM sigs GROUP BY doc_id, seed // 2
     ),
+    -- hot-bucket guard (operators/dedup.py cap_bucket_size, cap=1000)
+    capped AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT bands.*, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands)
+      WHERE bsz <= 1000
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     sets AS (SELECT doc_id, list(sh) AS s FROM shingles GROUP BY doc_id),
@@ -392,10 +404,16 @@ def dedup_simhash(spark, sf_dir):
       SELECT doc_id, simhash, c.b AS band, (simhash >> (c.b * 8)) & 255 AS chunk
       FROM sims, (SELECT unnest(range(0, 4)) AS b) c
     ),
+    -- hot-bucket guard (operators/dedup.py cap_bucket_size, cap=1000)
+    capped AS (
+      SELECT doc_id, simhash, band, chunk FROM (
+        SELECT chunks.*, count(*) OVER (PARTITION BY band, chunk) AS bsz FROM chunks)
+      WHERE bsz <= 1000
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                       a.simhash AS sa, b.simhash AS sb
-      FROM chunks a JOIN chunks b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
@@ -447,13 +465,19 @@ def _embedding_lsh_oracle_sql(threshold: float = 0.25, dim: int = 64) -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                FROM embeddings WHERE vec_id % 10 = 0),
     sig AS ({sig}),
+    -- hot-bucket guard (operators/dedup.py cap_bucket_size, cap=1000)
+    capped AS (
+      SELECT vec_id, v, tbl, bucket FROM (
+        SELECT sig.*, count(*) OVER (PARTITION BY tbl, bucket) AS bsz FROM sig)
+      WHERE bsz <= 1000
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                    4) AS sim
-      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
-                           AND a.vec_id < b.vec_id
+      FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                                 AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, sim FROM cand WHERE sim >= {threshold}
     ORDER BY id_a, id_b
@@ -491,14 +515,18 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("vec_id") % 10 == 0)
         .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
     )
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot, cap_bucket_size
 
     sigs = _persist_slot(
         hyperplane_signs(
-            e, "vec_id", "v", num_planes=_EMB_LSH_PLANES, dim=64, num_tables=_EMB_LSH_TABLES
+            e, "vec_id", "v",
+            num_planes=_EMB_LSH_PLANES, dim=64, num_tables=_EMB_LSH_TABLES,
         ),
         "northstar.embedding_lsh_sigs",
     )
+    # hot-bucket guard AFTER the persist (its bucket-count aggregation is
+    # an extra consumer of the cached signature frame)
+    sigs = cap_bucket_size(sigs, ["table", "bucket"], 1000)
     a = sigs.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "table", "bucket"
     )
