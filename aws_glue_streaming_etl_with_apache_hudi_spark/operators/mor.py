@@ -19,7 +19,10 @@ module is that design, pure Spark:
   by delta-commit count or log bytes (Hudi's
   ``hoodie.compact.inline.max.delta.commits`` analogue); compaction
   rewrites ONLY partitions present in the logs (dynamic partition
-  overwrite) and truncates the log.
+  overwrite); folded commits are RETAINED on the timeline (time travel
+  ``read(as_of=…)`` and ``read_incremental`` stay valid across
+  compactions) until ``clean`` removes them — Hudi's commit-retention
+  model, which COW's ``TimelineTable`` already follows.
 
 Read amplification is bounded by the policy: a reader merges at most
 ``max_delta_commits`` deltas before a compaction folds them away.
@@ -114,7 +117,10 @@ class MergeOnReadTable:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
-    def _log_commits(self) -> list[int]:
+    def _log_commits_on_disk(self) -> list[int]:
+        """Every delta commit still on disk — including ones already
+        folded into the base by compaction (they are RETAINED for time
+        travel and incremental pulls until ``clean`` removes them)."""
         if not os.path.isdir(self._log):
             return []
         return sorted(
@@ -123,10 +129,27 @@ class MergeOnReadTable:
             if d.startswith("commit=")
         )
 
+    def _log_commits(self) -> list[int]:
+        """PENDING delta commits: on disk and newer than the last
+        compaction — the set a snapshot read must merge over the base."""
+        through = self._compacted_through()
+        return [c for c in self._log_commits_on_disk() if c > through]
+
+    def _compacted_through(self) -> int:
+        return self._meta().get("compacted_through", 0) if self.exists() else 0
+
+    def _cleaned_through(self) -> int:
+        return self._meta().get("cleaned_through", 0) if self.exists() else 0
+
     def _log_bytes(self) -> int:
+        """Bytes of PENDING deltas only (the read-amplification the
+        compaction policy bounds; retained-but-folded logs are the
+        cleaner's concern, not the compactor's)."""
         total = 0
-        for root, _dirs, files in os.walk(self._log):
-            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        for seq in self._log_commits():
+            d = os.path.join(self._log, f"commit={seq}")
+            for root, _dirs, files in os.walk(d):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         return total
 
     @property
@@ -143,17 +166,31 @@ class MergeOnReadTable:
         batch = precombine_latest(batch, self._identity, self.precombine)
 
         if not self.exists():
+            # Bootstrap = delta commit 1 + an immediate compaction of it:
+            # the batch lands BOTH in the base (read-optimized view works
+            # from commit one) and in the retained log (the commit log is
+            # the table's full history — time travel and incremental
+            # pulls replay it uniformly from seq 1).
             writer = batch.write.mode("overwrite")
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(self._base)
+            batch.write.mode("overwrite").parquet(
+                os.path.join(self._log, "commit=1")
+            )
             self._save_meta(
                 {
                     "schema": batch.schema.json(),
                     "keys": self.keys,
                     "precombine": self.precombine,
                     "partition_by": self.partition_by,
-                    "next_seq": 1,
+                    "next_seq": 2,
+                    "compacted_through": 1,
+                    "cleaned_through": 0,
+                    "timeline": [
+                        {"seq": 1, "action": "deltacommit"},
+                        {"seq": 1, "action": "compaction", "through": 1},
+                    ],
                 }
             )
             self._sync_catalog()
@@ -166,11 +203,21 @@ class MergeOnReadTable:
         )
         meta["next_seq"] = seq + 1
         meta["schema"] = self._evolved_schema_json(batch)
+        meta.setdefault("timeline", []).append({"seq": seq, "action": "deltacommit"})
         self._save_meta(meta)
 
         if self.policy.due(len(self._log_commits()), self._log_bytes()):
             self.compact()
         self._sync_catalog()
+
+    # -- timeline ------------------------------------------------------------
+    def timeline(self) -> list[dict]:
+        """Ordered instant metadata — deltacommits, compactions, cleans
+        (the MOR counterpart of ``TimelineTable.commits()``)."""
+        return list(self._meta().get("timeline", [])) if self.exists() else []
+
+    def latest_commit(self) -> int:
+        return self._meta()["next_seq"] - 1 if self.exists() else 0
 
     def _evolved_schema_json(self, batch: DataFrame) -> str:
         stored = T.StructType.fromJson(json.loads(self._meta()["schema"]))
@@ -199,25 +246,58 @@ class MergeOnReadTable:
             ]
         )
 
-    def read(self) -> DataFrame:
-        """Current table state: base ∪ deltas, merged on the fly.
-
-        One keyed aggregation over base+logs; the ``max_by`` ordering is
-        (precombine, commit seq, …) so later commits win exact precombine
-        ties — identical semantics to the COW merge's batch-wins rule,
-        extended transitively across N pending deltas. Base rows carry
-        seq 0 (they are, by construction, older than any pending delta).
-        """
-        merged = self._read_base().withColumn(_SEQ, F.lit(0))
-        for seq in self._log_commits():
+    def _merge_logs(self, base: DataFrame | None, seqs: list[int]) -> DataFrame:
+        merged = base
+        for seq in seqs:
             delta = self.spark.read.parquet(
                 os.path.join(self._log, f"commit={seq}")
             ).withColumn(_SEQ, F.lit(seq))
-            merged, delta = evolve_schema(merged, delta)
-            merged = merged.unionByName(delta)
+            if merged is None:
+                merged = delta
+            else:
+                merged, delta = evolve_schema(merged, delta)
+                merged = merged.unionByName(delta)
         return precombine_latest(
             merged, self._identity, self.precombine, tie_breakers=[_SEQ]
         ).drop(_SEQ)
+
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Table state — current, or time-traveled to instant ``as_of``.
+
+        Current state: base ∪ pending deltas, merged on the fly. One
+        keyed aggregation; the ``max_by`` ordering is (precombine,
+        commit seq, …) so later commits win exact precombine ties —
+        identical semantics to the COW merge's batch-wins rule, extended
+        transitively across N pending deltas. Base rows carry seq 0
+        (they are, by construction, older than any pending delta).
+
+        Time travel (``as_of`` = a commit seq): commits are RETAINED in
+        the log after compaction, so any instant down to the clean
+        horizon is reconstructible. as_of at/after the last compaction
+        reads base + the in-range pending deltas; as_of BEFORE it cannot
+        use the (already newer) base, so the state is replayed from the
+        commit log alone — commits 1..as_of, the same merge algebra
+        (replaying commits the base already folded would be idempotent;
+        an as_of below the base simply excludes the base side).
+        """
+        through = self._compacted_through()
+        if as_of is None or as_of >= through:
+            pend = [
+                s for s in self._log_commits() if as_of is None or s <= as_of
+            ]
+            return self._merge_logs(
+                self._read_base().withColumn(_SEQ, F.lit(0)), pend
+            )
+        if self._cleaned_through() >= 1:
+            raise ValueError(
+                f"as_of={as_of} predates the clean horizon "
+                f"({self._cleaned_through()}): replaying it requires commits "
+                "1.. which the cleaner removed"
+            )
+        seqs = [s for s in self._log_commits_on_disk() if s <= as_of]
+        if not seqs:
+            raise ValueError(f"no commits at or before as_of={as_of}")
+        return self._merge_logs(None, seqs)
 
     def read_optimized(self) -> DataFrame:
         """Hudi's read-optimized view: base only, no log merge — stale up
@@ -229,22 +309,31 @@ class MergeOnReadTable:
         for ``read_incremental``)."""
         return self._log_commits()
 
-    def read_incremental(self, begin: int = 0) -> DataFrame:
+    def read_incremental(self, begin: int = 0, end: int | None = None) -> DataFrame:
         """Incremental query over the MOR delta log: latest state of
-        every record upserted by pending commits > ``begin``, tagged
+        every record upserted by commits in ``(begin, end]``, tagged
         ``_commit_id``. Scans only the in-range delta directories.
 
-        Unlike the TimelineTable (whose deltas are retained until the
-        cleaner runs), MOR logs are TRUNCATED by compaction — commits
-        folded into the base are no longer individually readable, so
-        ``begin`` must be within ``pending_commits()``. Incremental
-        consumers must keep up with the compaction cadence (or follow a
-        TimelineTable instead)."""
-        commits = [c for c in self._log_commits() if c > begin]
+        Commits survive compaction (the base is a read-speed artifact;
+        the retained log is the history), so an incremental consumer can
+        lag arbitrarily behind the compactor — the same contract as
+        ``TimelineTable.incremental``. The floor is the CLEAN horizon:
+        ``begin`` below ``cleaned_through`` raises, because the cleaner
+        removed those commits."""
+        if begin < self._cleaned_through():
+            raise ValueError(
+                f"begin={begin} predates the clean horizon "
+                f"({self._cleaned_through()}): those commits were cleaned"
+            )
+        commits = [
+            c
+            for c in self._log_commits_on_disk()
+            if c > begin and (end is None or c <= end)
+        ]
         if not commits:
             raise ValueError(
-                f"no pending delta commits after {begin} "
-                f"(pending: {self._log_commits()}; compaction truncates the log)"
+                f"no delta commits in ({begin}, {end if end is not None else '∞'}] "
+                f"(on disk: {self._log_commits_on_disk()})"
             )
         merged = None
         for seq in commits:
@@ -265,9 +354,13 @@ class MergeOnReadTable:
         Only partitions PRESENT IN THE LOGS are rewritten (dynamic
         partition overwrite) — untouched base partitions are neither read
         nor written, so compaction cost scales with delta size, not table
-        size. The merged view is computed once and the log truncated
-        after a successful base write (crash between the two replays the
-        log onto an already-merged base — idempotent, same max_by winner).
+        size. The merged view is computed once; the folded commits stay
+        ON DISK (``compacted_through`` advances instead of truncating
+        the log), keeping time travel and incremental pulls valid across
+        the compaction — ``clean`` is the operation that actually
+        removes history. A crash between base write and meta save
+        replays the log onto an already-merged base — idempotent, same
+        max_by winner.
         """
         commits = self._log_commits()
         if not commits:
@@ -296,9 +389,42 @@ class MergeOnReadTable:
         else:
             merged.write.mode("overwrite").parquet(self._base)
 
-        shutil.rmtree(self._log, ignore_errors=True)
+        meta = self._meta()
+        meta["compacted_through"] = max(commits)
+        meta.setdefault("timeline", []).append(
+            {"seq": max(commits), "action": "compaction", "through": max(commits)}
+        )
+        self._save_meta(meta)
         self._sync_catalog(base_changed=True)
         return len(commits)
+
+    def clean(self, through: int) -> int:
+        """Remove folded delta commits ≤ ``through`` from the retained
+        log — the operation that actually gives up history (compaction
+        never does). Only commits the base already contains may be
+        cleaned; time travel / incremental below the horizon raises
+        afterwards (the same only-advancing horizon contract as
+        ``TimelineTable.clean``). Returns #commits removed."""
+        compacted = self._compacted_through()
+        if through > compacted:
+            raise ValueError(
+                f"cannot clean through {through}: base only contains commits "
+                f"≤ {compacted} (compact first)"
+            )
+        removed = 0
+        for seq in self._log_commits_on_disk():
+            if seq <= through:
+                shutil.rmtree(
+                    os.path.join(self._log, f"commit={seq}"), ignore_errors=True
+                )
+                removed += 1
+        meta = self._meta()
+        meta["cleaned_through"] = max(meta.get("cleaned_through", 0), through)
+        meta.setdefault("timeline", []).append(
+            {"seq": through, "action": "clean", "through": through}
+        )
+        self._save_meta(meta)
+        return removed
 
     def _sync_catalog(self, base_changed: bool = False) -> None:
         """Hudi MOR's hive-sync registers a table PAIR: ``<name>_rt``

@@ -150,3 +150,71 @@ def sessionize_events(spark, sf_dir):
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_id")
+
+
+@register(
+    "mor_incremental",
+    sql=f"""
+    SELECT user_id, _commit_id, event_id, event_type,
+           round(value, 2) AS value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 CASE WHEN ts >= TIMESTAMP '{_CUT2}' THEN 3 ELSE 2 END AS _commit_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts >= TIMESTAMP '{_CUT1}') x
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def mor_incremental(spark, sf_dir):
+    """Incremental pull ACROSS a MOR compaction, against the real on-disk
+    ``MergeOnReadTable`` (operators/mor.py) — not an in-memory replay:
+    the events fixture streams in as three delta commits, the table is
+    compacted after commit 2 (folding it into the base), and the
+    consumer then pulls commits (1, 3]. Round-3's design truncated logs
+    at compaction, so this exact read RAISED; commits now survive on the
+    retained timeline until ``clean`` (Hudi's retention model). The
+    oracle is the same latest-state-per-key algebra over the post-cut1
+    events, tagged by producing commit.
+
+    Scale: the pull scans only the two in-range delta directories —
+    never the base, never untouched history."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    cut1, cut2 = F.lit(_CUT1).cast("timestamp"), F.lit(_CUT2).cast("timestamp")
+    # pre-precombine each commit batch with the event_id tie-breaker so
+    # within-batch same-timestamp winners are deterministic (the thirds
+    # partition on ts, so CROSS-commit precombine ties cannot occur)
+    thirds = [
+        precombine_latest(f, ["user_id"], "ts", tie_breakers=["event_id"])
+        for f in (
+            e.filter(F.col("ts") < cut1),
+            e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+            e.filter(F.col("ts") >= cut2),
+        )
+    ]
+    path = Path(tempfile.gettempdir()) / (
+        "spark_graft_mor_inc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = MergeOnReadTable(
+        spark, str(path), keys=["user_id"], precombine="ts",
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    tbl.upsert(thirds[0])  # commit 1 (bootstrap)
+    tbl.upsert(thirds[1])  # commit 2
+    tbl.compact()          # folds commit 2 — history must survive this
+    tbl.upsert(thirds[2])  # commit 3
+    inc = tbl.read_incremental(begin=1)
+    return inc.select(
+        "user_id",
+        "_commit_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")

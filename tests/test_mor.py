@@ -121,3 +121,90 @@ def test_merge_equivalence_with_cow(spark, tmp_path):
     m = sorted(tuple(r) for r in mor.read().select("k", "part", "v", "ver").collect())
     c = sorted(tuple(r) for r in cow.read().select("k", "part", "v", "ver").collect())
     assert m == c
+
+
+# -- timeline parity (round-4: time travel + incremental across compaction) --
+
+
+def test_time_travel_across_compaction(table, spark):
+    """read(as_of=N) reconstructs any instant — including ones BELOW the
+    last compaction, which replay from the retained commit log."""
+    table.upsert(_rows(spark, [(1, "a", "v1", 1), (2, "a", "y", 1)]))   # seq 1
+    table.upsert(_rows(spark, [(1, "a", "v2", 2)]))                      # seq 2
+    table.upsert(_rows(spark, [(1, "a", "v3", 3), (3, "b", "z", 1)]))   # seq 3
+    table.compact()                                                      # folds 2,3
+    table.upsert(_rows(spark, [(1, "a", "v4", 4)]))                      # seq 4
+
+    def state(as_of):
+        return {r.k: r.v for r in table.read(as_of=as_of).collect()}
+
+    assert state(None) == {1: "v4", 2: "y", 3: "z"}
+    assert state(4) == {1: "v4", 2: "y", 3: "z"}
+    assert state(3) == {1: "v3", 2: "y", 3: "z"}  # == post-compaction base
+    assert state(2) == {1: "v2", 2: "y"}          # BELOW the compaction: log replay
+    assert state(1) == {1: "v1", 2: "y"}
+    # timeline records every instant
+    actions = [(i["action"], i["seq"]) for i in table.timeline()]
+    assert ("deltacommit", 2) in actions and ("compaction", 3) in actions
+
+
+def test_incremental_pull_across_compaction(table, spark):
+    """An incremental consumer lagging behind the compactor still reads
+    the folded commits (retention model; old behavior raised)."""
+    table.upsert(_rows(spark, [(1, "a", "v1", 1)]))                      # seq 1
+    table.upsert(_rows(spark, [(1, "a", "v2", 2), (2, "a", "y", 1)]))    # seq 2
+    table.upsert(_rows(spark, [(3, "b", "z", 1)]))                       # seq 3
+    table.compact()
+    inc = {
+        (r.k, r._commit_id) for r in table.read_incremental(begin=1).collect()
+    }
+    assert inc == {(1, 2), (2, 2), (3, 3)}
+    # bounded range
+    inc2 = {(r.k, r._commit_id) for r in table.read_incremental(1, end=2).collect()}
+    assert inc2 == {(1, 2), (2, 2)}
+
+
+def test_clean_enforces_horizon(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "v1", 1)]))        # seq 1
+    table.upsert(_rows(spark, [(1, "a", "v2", 2)]))        # seq 2
+    table.upsert(_rows(spark, [(1, "a", "v3", 3)]))        # seq 3
+    # cannot clean commits the base does not contain yet
+    with pytest.raises(ValueError, match="compact first"):
+        table.clean(through=3)
+    table.compact()
+    assert table.clean(through=2) == 2                      # commits 1,2 removed
+    # current state unaffected; history below the horizon raises
+    assert table.read().collect()[0].v == "v3"
+    with pytest.raises(ValueError, match="clean horizon"):
+        table.read(as_of=2)
+    with pytest.raises(ValueError, match="clean horizon"):
+        table.read_incremental(begin=1)
+    # at/after the horizon still fine
+    assert {r._commit_id for r in table.read_incremental(begin=2).collect()} == {3}
+
+
+def test_mor_timeline_matches_cow_timeline_semantics(spark, tmp_path):
+    """MOR time travel must agree with the COW TimelineTable instant-for-
+    instant over the same upsert sequence."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    batches = [
+        [(1, "a", "x", 1), (2, "a", "y", 1)],
+        [(1, "a", "x2", 2), (3, "b", "z", 1)],
+        [(2, "a", "y2", 2), (1, "a", "OLD", 0)],
+    ]
+    mor = MergeOnReadTable(
+        spark=spark, path=str(tmp_path / "m"), keys=["k"], precombine="ver",
+        partition_by=["part"], policy=CompactionPolicy(max_delta_commits=2),
+    )
+    cow = TimelineTable(
+        spark=spark, path=str(tmp_path / "c"), keys=["k"], precombine="ver",
+        partition_by=["part"],
+    )
+    for b in batches:
+        mor.upsert(_rows(spark, b))
+        cow.upsert(_rows(spark, b))
+    for as_of in (1, 2, 3):
+        m = sorted(tuple(r) for r in mor.read(as_of=as_of).select("k", "v", "ver").collect())
+        c = sorted(tuple(r) for r in cow.read(as_of=as_of).select("k", "v", "ver").collect())
+        assert m == c, f"as_of={as_of}: {m} != {c}"
