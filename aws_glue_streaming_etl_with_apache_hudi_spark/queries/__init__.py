@@ -40,69 +40,77 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # no
 #      the first 50 (a category can never silently lose external coverage);
 #   2. queries whose implementation changed since the last verified round
 #      are rotated IN.
-# Round-3 rotation: the 19 TPC-H shapes that had no driver row in r1/r2
-# (VERDICT r2 task 4) enter; the r2-green streaming/storage/north-star
-# rows cede slots (each category keeps a sentinel; all 113 queries remain
-# continuously verified by the local DuckDB suite, which runs the WHOLE
-# registry — tests/test_queries_oracle.py).
+# Round-4 rotation (VERDICT r3 task 3): the relational/scalar/set-op core
+# last driver-verified in ROUND 1 rotates back in (29 of the 41 — the 12
+# deferred to r5 each have an in-window sibling of the same family:
+# join_cross, set_intersect, set_except, scalar_string_funcs2, date_parts,
+# agg_bool_bit, unpivot_measures, posexplode_with_position,
+# subquery_scalar, agg_collect_sorted, sql_api_shared_dialect, plus
+# rows-only approx_aggregates, whose hard signal now rides the new
+# approx_error_bound). text_repetition (never sampled) and map_json_ops
+# (oracle added r3, never sampled with it) enter; every query whose
+# implementation or oracle changed THIS round enters (q12's recast
+# oracle, knn_ivf's literal-centroid oracle, the four bucket-capped
+# dedup queries, the new mor_incremental + approx_error_bound); each
+# category keeps a sentinel. All queries remain continuously verified by
+# the local DuckDB suite, which runs the WHOLE registry
+# (tests/test_queries_oracle.py).
 
 PRIORITY_WINDOW: list[str] = [
-    # A7-A10 flagship path (upsert.py changed this round -> all stay in)
+    # category sentinels (r3-green; hold the category's external signal)
     "upsert_latest_state",
-    "upsert_merge_batches",
-    "upsert_partitioned_state",
-    "partition_path_derivation",
     "schema_evolution_union",
+    "partition_path_derivation",
     "asof_join_events_orders",
-    # category sentinels: streaming / stateful
     "tumbling_window_agg",
     "stateful_running_totals",
-    # category sentinels: storage/timeline (timeline.py changed)
-    "mor_merge_chain",
     "incremental_pull",
     "cdc_change_feed",
-    # north-star sentinels + this round's rewritten queries
-    "dedup_minhash_lsh",
-    "dedup_groups_minhash",     # NEW: components + canonical pick
-    "dedup_simhash",
-    "dedup_simhash_pairs",      # rebanded: one exploded-array pass
-    "dedup_embedding_cosine",   # re-routed through LSH blocking
-    "knn_bruteforce",
-    "knn_lsh",                  # hyperplane_signs rounding changed
-    "knn_ivf",
-    "text_stats",
-    "text_tfidf_top_term",      # N folded into the plan
     "multimodal_binary_meta",
     "corpus_build_pipeline",
     "applyinpandas_group_rank",
-    # the 19 TPC-H shapes never driver-verified in r1/r2
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",      # rewritten: broadcast scalar join
-    "q12_ship_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",         # rewritten: broadcast scalar join
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",    # rewritten: broadcast scalar join + dormancy cutoff
-    # relational core sentinels + r1-only relational rotation
-    "q1_pricing_summary",
-    "join_inner_revenue",
-    "window_topk_per_group",
-    "join_theta_range",
-    "agg_grouping_sets",
-    "subquery_correlated",
-    "decontaminate_ngrams",      # NEW: benchmark decontamination
+    # changed/new this round — must re-verify
+    "q12_ship_priority",        # oracle recast to BIGINT (r3's one red row)
+    "knn_ivf",                  # literal-centroid variant + first oracle
+    "dedup_minhash_lsh",        # hot-bucket cap (operator + oracle)
+    "dedup_groups_minhash",     # rides the capped pair pipeline
+    "dedup_simhash_pairs",      # hot-bucket cap (operator + oracle)
+    "dedup_embedding_cosine",   # hot-bucket cap (operator + oracle)
+    "mor_incremental",          # NEW: on-disk MOR pull across compaction
+    "approx_error_bound",       # NEW: sketch error bound, hard signal
+    # never sampled / oracle never sampled
+    "text_repetition",
+    "map_json_ops",
+    # the r1-stale relational/scalar core rotation
+    "filter_predicates",
+    "agg_distinct_having",
+    "agg_rollup",
+    "agg_stats",
+    "agg_pivot",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank_ntile",
+    "window_range_frame",
+    "topk_orders",
+    "sort_nulls_ordering",
+    "set_union_distinct",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_cond",
+    "json_extract_props",
+    "regression_price_quantity",
+    "calendar_gap_fill",
+    "fuzzy_match_levenshtein",
+    "percentiles_exact",
+    "subquery_in",
+    "explode_wordcount",
+    "agg_salted_skew",
+    "null_semantics",
 ]
 
 

@@ -266,6 +266,53 @@ def approx_aggregates(spark, sf_dir):
     )
 
 
+@register(
+    "approx_error_bound",
+    sql="""
+    SELECT l_returnflag,
+           TRUE AS parts_within_5pct,
+           TRUE AS median_within_5pct,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def approx_error_bound(spark, sf_dir):
+    """Hard external signal for the sketches behind ``approx_aggregates``:
+    per group, emit the BOOLEAN ``|approx - exact| / exact < 0.05`` for
+    the HLL distinct count (rsd=0.01) and the KLL-style approximate
+    median (accuracy=1000). The raw estimates are engine-specific (no
+    cross-engine oracle possible), but the error-bound predicate is
+    deterministic — sketches are deterministic for a fixed dataset — so
+    DuckDB can assert the ground truth: every group TRUE, with the exact
+    row count anchoring the rows. A sketch regression (wrong merge,
+    precision loss) flips a boolean and fails the driver's hash compare.
+
+    Scale: the exact side exists only to judge the sketch at test scale;
+    the 100 TB deployment runs the sketch alone (bounded memory, one
+    pass, mergeable partials)."""
+    li = t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a_median"),
+        F.count("*").alias("n"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("e_parts"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e_median"),
+    )
+    within = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)) < 0.05
+    return (
+        approx.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            within("a_parts", "e_parts").alias("parts_within_5pct"),
+            within("a_median", "e_median").alias("median_within_5pct"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # One SQL text, two engines: the dialect-neutral core (CTE + join + window
 # + aggregation) runs verbatim through spark.sql AND DuckDB.
 _SHARED_SQL = """

@@ -13,7 +13,10 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import PRIORITY_WINDO
 
 WINDOW = 50
 
-# one representative name per category that MUST sit inside the window
+# one representative name per category that MUST sit inside the window.
+# The representative may rotate (any member of the category holds the
+# line) — round 4 points several at this round's changed queries so a
+# sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
     "upsert": "upsert_latest_state",
     "schema_evolution": "schema_evolution_union",
@@ -21,18 +24,18 @@ CATEGORY_SENTINELS = {
     "asof": "asof_join_events_orders",
     "streaming": "tumbling_window_agg",
     "stateful": "stateful_running_totals",
-    "storage_mor": "mor_merge_chain",
+    "storage_mor": "mor_incremental",
     "storage_incremental": "incremental_pull",
     "storage_cdc": "cdc_change_feed",
     "dedup": "dedup_minhash_lsh",
-    "similarity": "knn_bruteforce",
-    "text": "text_stats",
+    "similarity": "knn_ivf",
+    "text": "text_repetition",
     "multimodal": "multimodal_binary_meta",
     "training": "corpus_build_pipeline",
     "udf": "applyinpandas_group_rank",
-    "relational_agg": "q1_pricing_summary",
-    "relational_join": "join_inner_revenue",
-    "relational_window": "window_topk_per_group",
+    "relational_agg": "agg_rollup",
+    "relational_join": "join_left_outer",
+    "relational_window": "window_running_sum",
 }
 
 
