@@ -496,6 +496,78 @@ class UpsertTable:
             return self._read_partition_dirs(homes).filter(key_filter)
         return self.read().filter(key_filter)
 
+    def read_for(self, conditions: dict) -> DataFrame:
+        """One read entry point that PICKS the access path — the caller no
+        longer needs to know which index to ask for (``read_key`` vs
+        ``read_skipping`` vs partition pruning vs scan).
+
+        ``conditions`` maps column -> predicate: a scalar means equality,
+        a 2-tuple ``(lo, hi)`` a closed range (``None`` end = unbounded).
+        All conditions are ALWAYS applied to the result; the planner only
+        chooses which index serves the scan:
+
+        1. equality on every record key  -> record-index point lookup
+           (one RLI bucket + one partition read, no scan);
+        2. else a condition on a stats-indexed column -> column-stats
+           partition skipping (the most selective choice available
+           without cardinality estimates: point conditions before
+           ranges, declaration order breaks ties);
+        3. else equality on every partition column -> partition-path
+           pruned read (never lists pruned directories);
+        4. else -> full snapshot scan with the filter pushed down to
+           parquet row-group stats.
+
+        The chosen path only changes WHICH files are listed — results are
+        identical across paths (asserted in tests/test_upsert.py)."""
+        unknown = set(conditions) - {f.name for f in self._load_schema().fields}
+        if unknown:
+            raise ValueError(f"unknown columns in conditions: {sorted(unknown)}")
+
+        def is_eq(v) -> bool:
+            return not isinstance(v, tuple)
+
+        def residual(df: DataFrame) -> DataFrame:
+            cond = None
+            for c, v in conditions.items():
+                if is_eq(v):
+                    e = F.col(c).eqNullSafe(F.lit(v))
+                else:
+                    lo, hi = v
+                    e = F.lit(True)
+                    if lo is not None:
+                        e = e & (F.col(c) >= F.lit(lo))
+                    if hi is not None:
+                        e = e & (F.col(c) <= F.lit(hi))
+                cond = e if cond is None else (cond & e)
+            return df.filter(cond) if cond is not None else df
+
+        # 1. point lookup through the record index
+        if (
+            self.record_index
+            and self._rli.exists()
+            and all(k in conditions and is_eq(conditions[k]) for k in self.keys)
+        ):
+            return residual(self.read_key(tuple(conditions[k] for k in self.keys)))
+
+        # 2. column-stats data skipping (point conditions first)
+        indexed = [c for c in self.stats_columns if c in conditions]
+        indexed.sort(key=lambda c: 0 if is_eq(conditions[c]) else 1)
+        if indexed and self.exists():
+            c = indexed[0]
+            v = conditions[c]
+            lo, hi = (v, v) if is_eq(v) else v
+            return residual(self.read_skipping(c, lower=lo, upper=hi))
+
+        # 3. partition-path pruning
+        if self.partition_by and all(
+            p in conditions and is_eq(conditions[p]) for p in self.partition_by
+        ):
+            values = tuple(conditions[p] for p in self.partition_by)
+            return residual(self._read_partition_dirs([values]))
+
+        # 4. full scan — Catalyst pushes the filter to the parquet readers
+        return residual(self.read())
+
     def cluster(self, cols: list[str], n_files: int = 8, bits: int = 8) -> None:
         """Clustering table service (Hudi ``hoodie.layout.optimize``):
         rewrite the table's files Z-ordered on ``cols`` so parquet
