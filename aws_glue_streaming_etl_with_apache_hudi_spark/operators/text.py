@@ -130,3 +130,36 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str, gram: int = 8) -
         stable_hash64(c).alias("content_hash"),
         F.array_min(gram_hashes).alias("winnow_min"),
     )
+
+
+# PII redaction patterns — RE2-safe (no lookaround) so the same regex
+# text runs on Java's engine (Spark) and RE2 (DuckDB) with identical
+# matches. Order matters: emails before phones (an email's digits must
+# not be half-eaten by the phone pattern once the email is replaced).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses from a text column —
+    the redaction pass every training-data pipeline runs before a corpus
+    ships. Returns (id, text_redacted, n_email, n_phone, n_ipv4).
+
+    Scale: pure row-local column expressions (``regexp_count`` +
+    chained ``regexp_replace``) inside whole-stage codegen — zero
+    shuffle, embarrassingly parallel, the ideal 100 TB map shape.
+    Counts are computed BEFORE any replacement so overlapping pattern
+    classes (an email also containing digits) are counted on the
+    original text; replacements then apply in PII_PATTERNS order."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(rx)).cast("long").alias(f"n_{name}")
+        for name, rx, _tok in PII_PATTERNS
+    ]
+    red = c
+    for _name, rx, token in PII_PATTERNS:
+        red = F.regexp_replace(red, rx, token)
+    return df.select(F.col(id_col), red.alias("text_redacted"), *counts)

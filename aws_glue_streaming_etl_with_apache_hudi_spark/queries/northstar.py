@@ -1069,3 +1069,72 @@ def inverted_index_postings(spark, sf_dir):
         .filter(F.col("df") >= 5)
         .orderBy("term")
     )
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB replica of text_pii_redaction: the same RE2-safe regexes
+    (operators/text.py PII_PATTERNS) count on the salted text and then
+    replace in declaration order ('g' flag = Spark's replace-all)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.text import PII_PATTERNS
+
+    salted = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN"
+        " ' reach user' || doc_id || '@mail.example.org"
+        " call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.77'"
+        " ELSE '' END"
+    )
+    red = "t"
+    for _name, rx, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{rx}', '{token}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS BIGINT) AS n_{name}"
+        for name, rx, _tok in PII_PATTERNS
+    )
+    return f"""
+    WITH salted AS (SELECT doc_id, {salted} AS t FROM documents)
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS redacted_md5
+    FROM salted ORDER BY doc_id
+    """
+
+
+@register("text_pii_redaction", sql=_pii_oracle_sql())
+def text_pii_redaction(spark, sf_dir):
+    """PII scrub — the redaction pass a training corpus runs before it
+    ships (operators/text.py redact_pii): emails, phone numbers, IPv4
+    addresses counted then replaced with typed tokens. The fixture text
+    is synthetic word-salad with no PII, so the query deterministically
+    SALTS a third of the documents with doc_id-derived addresses first;
+    the operator itself is generic. RE2-safe patterns (no lookaround)
+    make the same regex text run identically on Java's engine and
+    DuckDB's RE2; output is counts + an md5 of the redacted text, so
+    the oracle checks every replaced byte.
+
+    Scale: row-local regexp_count/regexp_replace expressions in
+    whole-stage codegen — zero shuffle (the presentation sort is the
+    only exchange)."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    salt = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" reach user"),
+            did.cast("string"),
+            F.lit("@mail.example.org call 555-123-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.2."),
+            (did % 256).cast("string"),
+            F.lit(".77"),
+        ),
+    ).otherwise(F.lit(""))
+    salted = docs.select("doc_id", F.concat(F.col("text"), salt).alias("text"))
+    red = X.redact_pii(salted, "doc_id", "text")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")

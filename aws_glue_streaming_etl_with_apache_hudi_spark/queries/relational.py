@@ -399,6 +399,35 @@ def join_left_outer(spark, sf_dir):
 
 
 @register(
+    "join_right_outer",
+    sql="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS spend
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """RIGHT OUTER join (§2 joins row: left/right/full). Semantically the
+    mirror of join_left_outer — Catalyst plans both as the same outer
+    hash join with sides swapped — declared so the right-join API
+    surface is exercised and oracle-checked in its own right."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)).cast("double"),
+                2,
+            ).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "join_full_outer",
     sql="""
     WITH a AS (SELECT o_custkey AS k, count(*) AS n95 FROM orders

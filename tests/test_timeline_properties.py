@@ -70,16 +70,21 @@ def test_mor_incremental_window(spark, tmp_path):
         precombine="ver",
         policy=CompactionPolicy(max_delta_commits=100),
     )
-    t.upsert(spark.createDataFrame([Row(k=1, v="x", ver=1)]))  # base
-    t.upsert(spark.createDataFrame([Row(k=1, v="x2", ver=2)]))  # log 1
-    t.upsert(spark.createDataFrame([Row(k=2, v="y", ver=1)]))  # log 2
+    t.upsert(spark.createDataFrame([Row(k=1, v="x", ver=1)]))  # commit 1 (bootstrap)
+    t.upsert(spark.createDataFrame([Row(k=1, v="x2", ver=2)]))  # commit 2
+    t.upsert(spark.createDataFrame([Row(k=2, v="y", ver=1)]))  # commit 3
 
-    assert t.pending_commits() == [1, 2]
+    assert t.pending_commits() == [2, 3]
     inc = {r.k: (r.v, r._commit_id) for r in t.read_incremental().collect()}
-    assert inc == {1: ("x2", 1), 2: ("y", 2)}
-    inc2 = {r.k for r in t.read_incremental(begin=1).collect()}
+    assert inc == {1: ("x2", 2), 2: ("y", 3)}
+    inc2 = {r.k for r in t.read_incremental(begin=2).collect()}
     assert inc2 == {2}
 
+    # commits SURVIVE compaction (retained timeline): the same pull works
     t.compact()
-    with pytest.raises(ValueError):  # log truncated: window is gone
+    inc3 = {r.k: (r.v, r._commit_id) for r in t.read_incremental().collect()}
+    assert inc3 == inc
+    # clean is what removes history — then the window really is gone
+    t.clean(through=3)
+    with pytest.raises(ValueError):
         t.read_incremental()
