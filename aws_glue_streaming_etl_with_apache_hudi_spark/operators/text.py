@@ -163,3 +163,34 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for _name, rx, token in PII_PATTERNS:
         red = F.regexp_replace(red, rx, token)
     return df.select(F.col(id_col), red.alias("text_redacted"), *counts)
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log-probability under a unigram LM
+    fitted on the corpus itself — the CCNet/Gopher-style perplexity
+    proxy for quality filtering (high score = improbable word soup,
+    low = in-distribution text). Returns (id, n_tokens, avg_neg_logp).
+
+    Scale shape: ONE token explode feeds both the LM fit (word counts;
+    the vocabulary aggregate is small) and the scoring join; the
+    fitted vocabulary broadcasts to the scorer and the corpus-total N
+    rides a 1-row broadcast aggregate IN the plan (the same fold-N-in
+    trick text_tfidf uses — no driver-side count). Per-doc averaging
+    shuffles on doc id once."""
+    w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_n_tokens_corpus"))
+    scored = (
+        w.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("cnt") / F.col("_n_tokens_corpus"))).alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
+    )

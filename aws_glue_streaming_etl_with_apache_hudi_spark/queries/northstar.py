@@ -1138,3 +1138,81 @@ def text_pii_redaction(spark, sf_dir):
         "n_ipv4",
         F.md5("text_redacted").alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    sql=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, w FROM w WHERE w <> ''),
+    vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(cnt / n)), 6) AS avg_neg_logp
+    FROM tok JOIN vocab USING (w) CROSS JOIN total
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM perplexity proxy (operators/text.py unigram_logprob):
+    mean -ln p(word) per document under the corpus's own unigram model —
+    the classic CCNet-style quality-filter signal (word-soup documents
+    score high). The LM fit, the in-plan corpus-total broadcast, and the
+    scoring join are all replayed by the oracle; avg rounds to 6 dp so
+    summation order across engines cannot leak into the hash."""
+    docs = t(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "corpus_mix_weights",
+    sql="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM per)
+    SELECT source, n_docs, n_chars,
+           round(n_docs / n, 6) AS actual_share,
+           round((1.0 / (SELECT count(*) FROM per)) / (n_docs / n), 6)
+             AS uniform_weight
+    FROM per CROSS JOIN tot ORDER BY source
+    """,
+)
+def corpus_mix_weights(spark, sf_dir):
+    """Source-mixing weights for corpus assembly: per source, its actual
+    share of documents and the resampling weight that would flatten the
+    mix to uniform (the domain-reweighting step of every training-data
+    recipe — DoReMi-style mixes just swap the target vector in). Shares
+    and weights are plan-internal broadcast aggregates; nothing touches
+    the driver.
+
+    Scale: one groupBy(source) over the corpus (map-side combined); the
+    totals are 1-row broadcast joins."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs") / F.col("_n"), 6).alias("actual_share"),
+            F.round(
+                (1.0 / F.col("_k")) / (F.col("n_docs") / F.col("_n")), 6
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
