@@ -31,25 +31,20 @@ from pyspark.sql import types as T
 
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
-_HIVE_ESCAPE_RE = None
-
-
 def _hive_unescape(s: str) -> str:
     """Decode Hive partition-path %XX escapes (space, ':', '/', '#', …).
 
     ``SHOW PARTITIONS`` prints the PATH spelling of a partition spec, in
-    which Hive escapes special characters as %XX. Comparing that spelling
+    which Hive escapes special characters as %XX (the URL quoting
+    scheme — stdlib ``unquote`` decodes it). Comparing that spelling
     against raw ``str(value)`` never matches for such values — the sync
     would then DROP the escaped spelling (a no-op) every commit and never
     deregister a genuinely emptied special-char partition. Because '/'
     itself is escaped (%2F), splitting the spec on '/' BEFORE unescaping
     is unambiguous."""
-    global _HIVE_ESCAPE_RE
-    if _HIVE_ESCAPE_RE is None:
-        import re
+    from urllib.parse import unquote
 
-        _HIVE_ESCAPE_RE = re.compile("%([0-9A-Fa-f]{2})")
-    return _HIVE_ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+    return unquote(s)
 
 
 def _q(name: str) -> str:

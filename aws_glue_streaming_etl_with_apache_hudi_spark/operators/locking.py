@@ -141,10 +141,21 @@ class CommitLock:
         # Release by rename-then-verify, not check-then-delete: between an
         # ownership check and os.remove the lock could be broken as stale
         # and reacquired, making the remove delete the successor's lock.
-        # Renaming to a private path first makes the take atomic; the token
-        # is then verified INSIDE the private file. If it isn't ours we
-        # displaced a successor's fresh lock — restore it with the same
-        # no-clobber link primitive _break_if_stale uses.
+        # A lock that already reads as NOT ours is never renamed at all —
+        # renaming would open a vacancy window at lock_path in which a
+        # third waiter could acquire while a successor still holds the
+        # displaced file. Only an apparently-ours lock is renamed to a
+        # private path; the token is then re-verified INSIDE the renamed
+        # file (the break-and-reacquire race between check and rename is
+        # what the second verify catches), and a mistakenly displaced
+        # successor lock is restored with the same no-clobber link
+        # primitive _break_if_stale uses. The residual unrecoverable case
+        # (successor displaced AND a third writer acquired before the
+        # restore) requires our lock to have crossed the TTL in that
+        # instant — the same presumed-dead contract stale breaking
+        # already accepts.
+        if not self._owns_lock_on_disk():
+            return  # broken/replaced while we overran — nothing of ours
         private = f"{self.lock_path}.release.{os.getpid()}.{uuid.uuid4().hex}"
         try:
             os.rename(self.lock_path, private)
@@ -154,7 +165,7 @@ class CommitLock:
             with open(private, "rb") as fh:
                 mine = fh.read().decode(errors="replace").split(" ")[0] == self._token
         except OSError:
-            return
+            mine = False  # unreadable -> treat as foreign: restore, don't strand
         if not mine:
             try:
                 os.link(private, self.lock_path)

@@ -138,6 +138,12 @@ class MergeOnReadTable:
     def _compacted_through(self) -> int:
         return self._meta().get("compacted_through", 0) if self.exists() else 0
 
+    def _is_legacy(self) -> bool:
+        """Tables written before the commit timeline existed: no
+        ``compacted_through`` in meta, logs truncated at compaction, no
+        bootstrap commit — their history is simply not on disk."""
+        return self.exists() and "compacted_through" not in self._meta()
+
     def _cleaned_through(self) -> int:
         return self._meta().get("cleaned_through", 0) if self.exists() else 0
 
@@ -280,6 +286,17 @@ class MergeOnReadTable:
         (replaying commits the base already folded would be idempotent;
         an as_of below the base simply excludes the base side).
         """
+        if as_of is not None and self._is_legacy():
+            # A pre-timeline table truncated its logs at compaction and
+            # never logged its bootstrap: historical instants are not on
+            # disk, and its commit numbering is shifted relative to the
+            # timeline format. Refuse loudly rather than serve the
+            # current base as if it were instant `as_of`.
+            raise ValueError(
+                "this table predates the commit timeline (no "
+                "compacted_through in meta): time travel is unavailable; "
+                "re-ingest or continue with read()"
+            )
         through = self._compacted_through()
         if as_of is None or as_of >= through:
             pend = [
@@ -411,6 +428,18 @@ class MergeOnReadTable:
                 f"cannot clean through {through}: base only contains commits "
                 f"≤ {compacted} (compact first)"
             )
+        # Advance the horizon marker BEFORE deleting anything: a crash
+        # mid-clean then leaves reads below the horizon conservatively
+        # REFUSED (marker says gone, some dirs linger — harmless), never
+        # silently partial (dirs gone, marker stale — reads would replay
+        # an incomplete log as if complete). Same ordering rule as
+        # TimelineTable.clean.
+        meta = self._meta()
+        meta["cleaned_through"] = max(meta.get("cleaned_through", 0), through)
+        meta.setdefault("timeline", []).append(
+            {"seq": through, "action": "clean", "through": through}
+        )
+        self._save_meta(meta)
         removed = 0
         for seq in self._log_commits_on_disk():
             if seq <= through:
@@ -418,12 +447,6 @@ class MergeOnReadTable:
                     os.path.join(self._log, f"commit={seq}"), ignore_errors=True
                 )
                 removed += 1
-        meta = self._meta()
-        meta["cleaned_through"] = max(meta.get("cleaned_through", 0), through)
-        meta.setdefault("timeline", []).append(
-            {"seq": through, "action": "clean", "through": through}
-        )
-        self._save_meta(meta)
         return removed
 
     def _sync_catalog(self, base_changed: bool = False) -> None:

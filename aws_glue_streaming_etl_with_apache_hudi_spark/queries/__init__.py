@@ -40,21 +40,23 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # no
 #      the first 50 (a category can never silently lose external coverage);
 #   2. queries whose implementation changed since the last verified round
 #      are rotated IN.
-# Round-4 rotation (VERDICT r3 task 3): the relational/scalar/set-op core
-# last driver-verified in ROUND 1 rotates back in (29 of the 41 — the 12
-# deferred to r5 each have an in-window sibling of the same family:
-# join_cross, set_intersect, set_except, scalar_string_funcs2, date_parts,
-# agg_bool_bit, unpivot_measures, posexplode_with_position,
-# subquery_scalar, agg_collect_sorted, sql_api_shared_dialect, plus
-# rows-only approx_aggregates, whose hard signal now rides the new
-# approx_error_bound). text_repetition (never sampled) and map_json_ops
-# (oracle added r3, never sampled with it) enter; every query whose
-# implementation or oracle changed THIS round enters (q12's recast
-# oracle, knn_ivf's literal-centroid oracle, the four bucket-capped
-# dedup queries, the new mor_incremental + approx_error_bound); each
-# category keeps a sentinel. All queries remain continuously verified by
-# the local DuckDB suite, which runs the WHOLE registry
-# (tests/test_queries_oracle.py).
+# Round-4 rotation (VERDICT r3 task 3): never-externally-verified queries
+# outrank stale ones, stale (r1-only) outrank recently-green. In: every
+# query whose implementation or oracle changed this round (q12's recast
+# oracle, knn_ivf's literal-centroid oracle, the four bucket-capped dedup
+# queries, new mor_incremental / approx_error_bound), the four queries
+# ADDED this round (join_right_outer, text_pii_redaction,
+# text_unigram_logprob, corpus_mix_weights — zero driver rows yet),
+# text_repetition + map_json_ops (never sampled), and 25 of the 41
+# r1-stale relational/scalar queries. Deferred to r5, each with an
+# in-window sibling of the same family: join_cross, join_semi,
+# set_intersect, set_except, scalar_string_funcs2, date_parts,
+# agg_bool_bit, agg_pivot, unpivot_measures, posexplode_with_position,
+# subquery_scalar, agg_collect_sorted, sql_api_shared_dialect,
+# window_rank_ntile, percentiles_exact, plus rows-only approx_aggregates
+# (its hard signal now rides approx_error_bound). Each category keeps a
+# sentinel. All queries remain continuously verified by the local DuckDB
+# suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 
 PRIORITY_WINDOW: list[str] = [
     # category sentinels (r3-green; hold the category's external signal)
@@ -78,23 +80,24 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_embedding_cosine",   # hot-bucket cap (operator + oracle)
     "mor_incremental",          # NEW: on-disk MOR pull across compaction
     "approx_error_bound",       # NEW: sketch error bound, hard signal
-    # never sampled / oracle never sampled
+    # never sampled / oracle never sampled / added this round
     "text_repetition",
     "map_json_ops",
+    "join_right_outer",
+    "text_pii_redaction",
+    "text_unigram_logprob",
+    "corpus_mix_weights",
     # the r1-stale relational/scalar core rotation
     "filter_predicates",
     "agg_distinct_having",
     "agg_rollup",
     "agg_stats",
-    "agg_pivot",
     "join_left_outer",
     "join_full_outer",
-    "join_semi",
     "join_anti",
     "join_broadcast_dim",
     "window_running_sum",
     "window_lag_lead",
-    "window_rank_ntile",
     "window_range_frame",
     "topk_orders",
     "sort_nulls_ordering",
@@ -106,7 +109,6 @@ PRIORITY_WINDOW: list[str] = [
     "regression_price_quantity",
     "calendar_gap_fill",
     "fuzzy_match_levenshtein",
-    "percentiles_exact",
     "subquery_in",
     "explode_wordcount",
     "agg_salted_skew",

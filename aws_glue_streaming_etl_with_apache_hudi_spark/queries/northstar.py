@@ -969,7 +969,9 @@ def _knn_ivf_oracle_sql(k_cent: int = 8, dim: int = 64, n_probe: int = 3, k: int
         return "[" + ", ".join(repr(x) for x in vec) + "]"
 
     rows = ",\n      ".join(
-        f"({c}, {lit(cents[c])}::DOUBLE[], {cc[c]!r})" for c in range(k_cent)
+        # float() strips the numpy scalar: np.float64.__repr__ becomes
+        # 'np.float64(x)' under numpy >= 2.0, which is not SQL
+        f"({c}, {lit(cents[c])}::DOUBLE[], {float(cc[c])!r})" for c in range(k_cent)
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

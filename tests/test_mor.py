@@ -208,3 +208,47 @@ def test_mor_timeline_matches_cow_timeline_semantics(spark, tmp_path):
         m = sorted(tuple(r) for r in mor.read(as_of=as_of).select("k", "v", "ver").collect())
         c = sorted(tuple(r) for r in cow.read(as_of=as_of).select("k", "v", "ver").collect())
         assert m == c, f"as_of={as_of}: {m} != {c}"
+
+
+def test_clean_crash_leaves_horizon_conservative(table, spark, monkeypatch):
+    """clean() persists the horizon BEFORE deleting: a crash mid-clean
+    leaves reads below the horizon refused (marker says gone, dirs may
+    linger), never silently partial."""
+    table.upsert(_rows(spark, [(1, "a", "v1", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "v2", 2)]))
+    table.upsert(_rows(spark, [(1, "a", "v3", 3)]))
+    table.compact()
+
+    import aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor as mor_mod
+
+    def boom(path, **kw):
+        raise OSError("simulated IO failure before any dir removed")
+
+    monkeypatch.setattr(mor_mod.shutil, "rmtree", boom)
+    with pytest.raises(OSError):
+        table.clean(through=2)
+    monkeypatch.undo()
+
+    # the horizon advanced first: history below it refuses loudly even
+    # though the commit dirs still exist on disk
+    assert table._log_commits_on_disk()[:2] == [1, 2]
+    with pytest.raises(ValueError, match="clean horizon"):
+        table.read(as_of=2)
+    # current state unaffected
+    assert table.read().collect()[0].v == "v3"
+
+
+def test_legacy_table_time_travel_refused(table, spark):
+    """A table whose meta predates the commit timeline (no
+    compacted_through) must refuse time travel loudly — its history was
+    truncated and its commit numbering is shifted."""
+    import json
+
+    table.upsert(_rows(spark, [(1, "a", "v1", 1)]))
+    meta = table._meta()
+    for k in ("compacted_through", "cleaned_through", "timeline"):
+        meta.pop(k, None)
+    table._save_meta(meta)
+    with pytest.raises(ValueError, match="predates the commit timeline"):
+        table.read(as_of=1)
+    assert table.read().collect()[0].v == "v1"  # snapshot read still fine
