@@ -199,3 +199,24 @@ def test_train_test_split_partial_aggregate(spark, sf_dir):
     plan = _exec_plan(QUERIES["train_test_split"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert plan.count("Exchange hashpartitioning") == 1  # the agg only
+
+
+def test_pii_redaction_is_pure_map(spark, sf_dir):
+    """text_pii_redaction is row-local regexp expressions: no hash
+    shuffle (the presentation sort is the only exchange) and no Python
+    in the plan — the ideal 100 TB scrubbing shape."""
+    plan = _exec_plan(QUERIES["text_pii_redaction"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "EvalPython" not in plan  # no row-wise or Arrow Python stage
+
+
+def test_unigram_lm_fits_inside_the_plan(spark, sf_dir):
+    """text_unigram_logprob's LM must live IN the plan: the vocabulary
+    joins broadcast and the corpus-total token count is a 1-row
+    broadcast aggregate — no driver-side count(), no shuffle of the
+    token stream beyond the per-doc rollup."""
+    df = QUERIES["text_unigram_logprob"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
+    assert "BroadcastExchange" in plan  # vocabulary broadcast
+    assert "_n_tokens_corpus" not in df.columns

@@ -88,3 +88,46 @@ def test_mor_incremental_window(spark, tmp_path):
     t.clean(through=3)
     with pytest.raises(ValueError):
         t.read_incremental()
+
+
+@given(
+    events=st.lists(event, min_size=1, max_size=10),
+    compact_after=st.sets(st.integers(min_value=1, max_value=5), max_size=2),
+)
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mor_time_travel_equals_batch_fold(
+    spark, tmp_path_factory, events, compact_after
+):
+    """MOR law: read(as_of=N) == folding batches 1..N through the plain
+    upsert algebra, REGARDLESS of where compactions land in the sequence
+    (compaction timing must be unobservable to any historical read)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    rows = [(k, p, v, i) for i, (k, p, v) in enumerate(events)]
+    cols = ["k", "part", "ver", "row_id"]
+    # batches of 2
+    batches = [rows[i : i + 2] for i in range(0, len(rows), 2)]
+
+    table = MergeOnReadTable(
+        spark=spark,
+        path=str(tmp_path_factory.mktemp("morprop") / "t"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    folds = []  # folds[i] = model state after batch i+1
+    folded = None
+    for i, batch_rows in enumerate(batches, start=1):
+        batch = spark.createDataFrame([Row(**dict(zip(cols, r))) for r in batch_rows])
+        table.upsert(batch)
+        folded = upsert_dataframe(folded, batch, ["part", "k"], "ver")
+        folds.append(sorted((r.k, r.part, r.ver, r.row_id) for r in folded.collect()))
+        if i in compact_after:
+            table.compact()
+    # verify EVERY instant after the full sequence (compactions included)
+    for i, want in enumerate(folds, start=1):
+        got = sorted(
+            (r.k, r.part, r.ver, r.row_id) for r in table.read(as_of=i).collect()
+        )
+        assert got == want, f"as_of={i} (compactions at {sorted(compact_after)})"
