@@ -61,6 +61,14 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch read — Spark's other first-class columnar format (same
+    vectorized reader, predicate pushdown, and column pruning as the
+    parquet path; Hudi tables can be ORC-based via
+    ``hoodie.table.base.file.format=ORC``)."""
+    return spark.read.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None, header: bool = True) -> DataFrame:
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:

@@ -91,3 +91,24 @@ def test_rate_source_smoke(spark):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT count(*) n FROM rate_smoke").collect()[0].n >= 0
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC read path: round-trip a fixture table and confirm the same
+    pushdown/pruning contract the parquet scans get (both formats share
+    Spark's vectorized columnar reader)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table, read_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+
+    pruned = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
