@@ -79,3 +79,36 @@ def _table_from_path(spark: SparkSession, path: str) -> TimelineTable:
     if not t.commits():
         raise ValueError(f"no timeline at {path}")
     return t
+
+
+def read_mor_incremental_stream(
+    spark: SparkSession,
+    table,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming incremental read of a ``MergeOnReadTable``: tail the
+    retained commit log (``log/commit=N/``) as a file-streaming source —
+    the MOR counterpart of ``read_incremental_stream``, possible since
+    the log is append-only and survives compaction (operators/mor.py:
+    compaction advances ``compacted_through``; only ``clean`` removes
+    directories, and the file source never re-lists processed files).
+
+    Two properties consumers rely on, both asserted in
+    tests/test_incremental_stream.py:
+    - a COMPACTION emits nothing (it writes base files, not log files),
+      so followers never see duplicate records when the table compacts;
+    - every upsert arrives exactly once, tagged ``_commit_id``.
+
+    ``table`` may be a ``MergeOnReadTable`` or its path."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import MergeOnReadTable
+
+    if isinstance(table, str):
+        table = MergeOnReadTable(spark=spark, path=table, keys=[], precombine="")
+    if not table.exists():
+        raise ValueError(f"cannot stream an empty MOR table: {table.path}")
+    schema = T.StructType.fromJson(json.loads(table._meta()["schema"]))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(os.path.join(table.path, "log"))
+    return df.withColumn(COMMIT_COL, F.col("commit").cast("int")).drop("commit")

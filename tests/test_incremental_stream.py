@@ -136,3 +136,57 @@ def test_stream_accepts_path_and_requires_commits(spark, tmp_path):
     table.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
     stream = read_incremental_stream(spark, str(tmp_path / "flat"))
     assert "_commit_id" in stream.columns
+
+
+def test_mor_stream_follows_commits_and_skips_compaction(spark, tmp_path):
+    """MOR streaming incremental: every upsert arrives exactly once
+    tagged with its commit, and a COMPACTION emits nothing (it writes
+    base files, not log files) — followers see no duplicates when the
+    table compacts."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.incremental import read_mor_incremental_stream
+
+    table = MergeOnReadTable(
+        spark=spark,
+        path=str(tmp_path / "mor"),
+        keys=["k"],
+        precombine="ver",
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))  # commit 1
+
+    stream = read_mor_incremental_stream(spark, table)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mor_inc_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.k, r._commit_id)
+            for r in spark.sql("SELECT * FROM mor_inc_sink").collect()
+        }
+        assert got == {(1, 1), (2, 1)}
+
+        table.upsert(_rows(spark, [(1, "a", "x2", 2)]))  # commit 2
+        q.processAllAvailable()
+        table.compact()  # folds 2 — must emit NOTHING on the stream
+        q.processAllAvailable()
+        table.upsert(_rows(spark, [(3, "b", "z", 1)]))  # commit 3
+        q.processAllAvailable()
+
+        rows = spark.sql("SELECT * FROM mor_inc_sink").collect()
+        got = {(r.k, r.v, r._commit_id) for r in rows}
+        assert got == {
+            (1, "x", 1),
+            (2, "y", 1),
+            (1, "x2", 2),
+            (3, "z", 3),
+        }
+        assert len(rows) == len(got)  # exactly-once across the compaction
+    finally:
+        q.stop()
