@@ -198,20 +198,25 @@ def mor_incremental(spark, sf_dir):
             e.filter(F.col("ts") >= cut2),
         )
     ]
+    # Cache key = every input the build depends on (fixture dir, column
+    # list, commit cuts, key/precombine config) — a definition change
+    # lands at a NEW path, so a stale /tmp table can never be served.
+    build_sig = "|".join([sf_dir, ",".join(_EVENT_COLS), _CUT1, _CUT2, "user_id:ts:v2"])
     path = Path(tempfile.gettempdir()) / (
-        "spark_graft_mor_inc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        "spark_graft_mor_inc_" + hashlib.md5(build_sig.encode()).hexdigest()[:12]
     )
     tbl = MergeOnReadTable(
         spark, str(path), keys=["user_id"], precombine="ts",
         policy=CompactionPolicy(max_delta_commits=100),
     )
-    # The build is deterministic per sf_dir (the path encodes it), so a
-    # table already in the exact expected end state — 3 commits, commit 2
-    # folded — is reused instead of rebuilt: harnesses that invoke the
+    # The build is deterministic per signature (the path encodes it), so
+    # a table already in the exact expected end state — 3 commits, commit
+    # 2 folded — is reused instead of rebuilt: harnesses that invoke the
     # query several times (oracle compare runs it twice) pay the
     # upsert/compact cost once.
     expected = {"next_seq": 4, "compacted_through": 2}
-    if not (tbl.exists() and all(tbl._meta().get(k) == v for k, v in expected.items())):
+    meta = tbl._meta() if tbl.exists() else {}
+    if not all(meta.get(k) == v for k, v in expected.items()):
         shutil.rmtree(path, ignore_errors=True)
         tbl.upsert(thirds[0])  # commit 1 (bootstrap)
         tbl.upsert(thirds[1])  # commit 2

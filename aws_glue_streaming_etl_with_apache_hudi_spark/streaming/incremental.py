@@ -61,13 +61,40 @@ def read_incremental_stream(
             list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType())]
         )
 
-    reader = spark.readStream.schema(schema)
+    return _stream_commit_dirs(
+        spark, os.path.join(table.path, "deltas"), schema, max_files_per_trigger
+    )
+
+
+def _stream_commit_dirs(
+    spark: SparkSession,
+    log_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """File-streaming source over a ``commit=N`` partitioned log dir,
+    exposing the commit id as ``COMMIT_COL`` — shared by the COW and MOR
+    incremental streams.
+
+    The ``commit`` partition column is declared IN the schema rather
+    than left to directory inference: with inference, a log whose
+    retained window is currently empty (everything cleaned, next commit
+    not yet written) has no ``commit=N`` dir to infer from and the later
+    rename would fail to resolve — declaring it makes an empty log a
+    valid stream that simply waits for the next commit."""
+    if "commit" in {f.name for f in schema.fields}:
+        raise ValueError(
+            "table schema has a column literally named 'commit', which "
+            "collides with the log's partition key; rename the column "
+            "before streaming the log"
+        )
+    declared = T.StructType(
+        list(schema.fields) + [T.StructField("commit", T.IntegerType())]
+    )
+    reader = spark.readStream.schema(declared)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(os.path.join(table.path, "deltas"))
-    # deltas/commit=N is a partitioned-directory layout, so the commit id
-    # arrives as a (string) partition column named by the dir key; expose
-    # it under the engine's standard name.
+    df = reader.parquet(log_dir)
     return df.withColumn(COMMIT_COL, F.col("commit").cast("int")).drop("commit")
 
 
@@ -91,13 +118,23 @@ def read_mor_incremental_stream(
     the MOR counterpart of ``read_incremental_stream``, possible since
     the log is append-only and survives compaction (operators/mor.py:
     compaction advances ``compacted_through``; only ``clean`` removes
-    directories, and the file source never re-lists processed files).
+    directories).
 
     Two properties consumers rely on, both asserted in
     tests/test_incremental_stream.py:
     - a COMPACTION emits nothing (it writes base files, not log files),
       so followers never see duplicate records when the table compacts;
     - every upsert arrives exactly once, tagged ``_commit_id``.
+
+    Clean-vs-stream contract (inherent to the file source, so stated
+    rather than papered over): a stream STARTED after a ``clean`` begins
+    at the retained window with no error — unlike batch
+    ``read_incremental(begin=0)``, which raises below the horizon; use
+    ``table.timeline()`` to detect cleaned history if completeness
+    matters. And ``clean`` must not outrun live followers: deleting a
+    commit a lagging stream has listed but not yet processed fails that
+    stream (Hudi's cleaner has the same rule — retain at least the
+    slowest consumer's window).
 
     ``table`` may be a ``MergeOnReadTable`` or its path."""
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import MergeOnReadTable
@@ -107,8 +144,6 @@ def read_mor_incremental_stream(
     if not table.exists():
         raise ValueError(f"cannot stream an empty MOR table: {table.path}")
     schema = T.StructType.fromJson(json.loads(table._meta()["schema"]))
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(os.path.join(table.path, "log"))
-    return df.withColumn(COMMIT_COL, F.col("commit").cast("int")).drop("commit")
+    return _stream_commit_dirs(
+        spark, os.path.join(table.path, "log"), schema, max_files_per_trigger
+    )

@@ -190,3 +190,43 @@ def test_mor_stream_follows_commits_and_skips_compaction(spark, tmp_path):
         assert len(rows) == len(got)  # exactly-once across the compaction
     finally:
         q.stop()
+
+
+def test_mor_stream_starts_on_fully_cleaned_log(spark, tmp_path):
+    """A stream opened while the retained window is EMPTY (everything
+    cleaned, next commit not yet written) must be valid and pick up the
+    next commit — the partition column is declared, not inferred, so an
+    empty log cannot fail column resolution."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.incremental import read_mor_incremental_stream
+
+    table = MergeOnReadTable(
+        spark=spark,
+        path=str(tmp_path / "mor"),
+        keys=["k"],
+        precombine="ver",
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.clean(through=table._compacted_through())  # empty retained window
+
+    stream = read_mor_incremental_stream(spark, table)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mor_cleaned_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM mor_cleaned_sink").count() == 0
+        table.upsert(_rows(spark, [(2, "a", "y", 1)]))  # commit 2
+        q.processAllAvailable()
+        got = {
+            (r.k, r._commit_id)
+            for r in spark.sql("SELECT * FROM mor_cleaned_sink").collect()
+        }
+        assert got == {(2, 2)}
+    finally:
+        q.stop()

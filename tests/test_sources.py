@@ -109,6 +109,7 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
     assert dict(back.dtypes) == dict(orders.dtypes)
 
+    from aws_glue_streaming_etl_with_apache_hudi_spark.plans import has_pushed_filter
+
     pruned = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    assert has_pushed_filter(pruned, "o_orderstatus")
