@@ -165,6 +165,94 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), red.alias("text_redacted"), *counts)
 
 
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Row-local word n-gram array (space-joined), '' entries filtered —
+    the shared primitive for repetition scoring and vocabulary building.
+    Pure array expressions inside codegen; no explode, no shuffle."""
+    w = words(col)
+    positions = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    return F.filter(
+        F.transform(positions, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+        lambda g: g != "",
+    )
+
+
+def corpus_vocab(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 50
+) -> DataFrame:
+    """Corpus-level vocabulary: the top-k word n-grams by total occurrence
+    count, with document frequency — the tokenizer-training / BPE-prep
+    aggregate every corpus pipeline computes before fitting a vocab.
+
+    Returns (gram, total_count, doc_freq) with the total order
+    (total_count DESC, gram ASC) so rank-k boundaries are deterministic.
+
+    Scale: grams are built row-locally (no shuffle), then ONE explode
+    feeds a groupBy(gram) with map-side partial aggregation — the
+    shuffle carries (gram, partial_count, partial_distinct) pairs, not
+    documents. The final top-k is a TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a full sort of the vocabulary."""
+    grams = word_ngrams(text_col, n)
+    exploded = df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("total_count"),
+        F.countDistinct("_doc").cast("long").alias("doc_freq"),
+    )
+    return counts.orderBy(F.desc("total_count"), F.asc("gram")).limit(k)
+
+
+def word_lines(col: Column | str, line_len: int = 8) -> Column:
+    """Chunk a document into non-overlapping ``line_len``-word "lines"
+    (the fixture corpus has no sentence punctuation, so fixed word
+    windows stand in for lines/sentences). Row-local array expression."""
+    w = words(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(line_len))
+    return F.filter(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, line_len))),
+        lambda s: s != "",
+    )
+
+
+def boilerplate_line_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup signal: per document, the
+    fraction of its (distinct) lines that also appear in >= ``min_docs``
+    documents corpus-wide. High ratio = boilerplate (headers, footers,
+    licence blocks, mirrored pages) — dropped or down-weighted before
+    training. Returns (id, n_lines, n_boilerplate, boilerplate_ratio).
+
+    Scale shape: lines are chunked and distinct'd row-locally, then the
+    explode emits (doc, line_hash) with a 60-bit portable hash — the
+    corpus-wide frequency groupBy and the join back both shuffle 8-byte
+    keys, never text. groupBy (map-side partial agg) is used instead of
+    a count window because boilerplate lines are BY DEFINITION hot keys:
+    a window partition puts every copy of a hot line in one task, while
+    partial aggregation collapses them map-side. Catalyst reuses the
+    exchange between the aggregate and the join (same child, same
+    partitioning), so the plan pays two net shuffles: line_hash, doc."""
+    lines = F.array_distinct(word_lines(text_col, line_len))
+    hashed = df.select(
+        F.col(id_col).alias("_doc"), F.explode(lines).alias("_line")
+    ).select("_doc", stable_hash64(F.col("_line")).alias("_line_h"))
+    freq = hashed.groupBy("_line_h").agg(F.count(F.lit(1)).alias("_n_docs"))
+    boiler = (F.col("_n_docs") >= min_docs).cast("long")
+    return (
+        hashed.join(freq, "_line_h")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(boiler).cast("long").alias("n_boilerplate"),
+            F.round(F.sum(boiler) / F.count(F.lit(1)), 4).alias("boilerplate_ratio"),
+        )
+        .withColumnRenamed("_doc", id_col)
+    )
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document mean negative log-probability under a unigram LM
     fitted on the corpus itself — the CCNet/Gopher-style perplexity

@@ -1218,3 +1218,76 @@ def corpus_mix_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "vocab_top_bigrams",
+    sql=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_filter([array_to_string(ws[i:i+1], ' ')
+                                 FOR i IN range(1, greatest(len(ws)-1,1)+1)],
+                                x -> x <> '')) AS gram
+      FROM w
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS total_count,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM g GROUP BY gram ORDER BY total_count DESC, gram LIMIT 50
+    """,
+)
+def vocab_top_bigrams(spark, sf_dir):
+    """Tokenizer-prep vocabulary build (operators/text.py corpus_vocab):
+    top-50 word bigrams by total occurrence with document frequency —
+    the counting pass a BPE/vocab fit runs over the whole corpus.
+    (gram, total_count, doc_freq); (total DESC, gram ASC) is a total
+    order so the rank-50 boundary is deterministic.
+
+    Scale: grams built row-locally, one explode, groupBy(gram) with
+    map-side partial aggregation (shuffle carries gram+counters, not
+    documents), top-k via TakeOrderedAndProject — never a full sort."""
+    docs = t(spark, sf_dir, "documents")
+    return X.corpus_vocab(docs, "doc_id", "text", n=2, k=50)
+
+
+@register(
+    "text_boilerplate_lines",
+    sql=rf"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+               FROM documents),
+    l AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               [array_to_string(ws[i:i+7], ' ')
+                FOR i IN range(1, greatest(len(ws),1)+1, 8)],
+               x -> x <> ''))) AS line
+      FROM w
+    ),
+    h AS (SELECT doc_id, {_h('line')} AS line_h FROM l),
+    c AS (SELECT line_h, count(*) AS n_docs FROM h GROUP BY line_h)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           round(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS boilerplate_ratio
+    FROM h JOIN c USING (line_h)
+    GROUP BY h.doc_id ORDER BY h.doc_id
+    """,
+)
+def text_boilerplate_lines(spark, sf_dir):
+    """CCNet-style cross-document line dedup signal (operators/text.py
+    boilerplate_line_ratio): fraction of each document's distinct 8-word
+    "lines" that appear in >=2 documents corpus-wide — the remove-
+    boilerplate pass (headers/footers/mirrored pages) of a training-data
+    pipeline. The fixture corpus has no sentence punctuation, so fixed
+    8-word windows stand in for lines.
+
+    Scale: chunking + distinct are row-local; the corpus-wide frequency
+    groupBy and the join back shuffle 60-bit line hashes (not text), with
+    map-side combine absorbing the hot boilerplate keys."""
+    docs = t(spark, sf_dir, "documents")
+    return X.boilerplate_line_ratio(
+        docs, "doc_id", "text", line_len=8, min_docs=2
+    ).orderBy("doc_id")

@@ -42,3 +42,61 @@ def test_fingerprint_shift_robustness(spark):
     rows = {r.doc_id: r for r in X.doc_fingerprints(df, "doc_id", "text").collect()}
     assert rows[1].content_md5 != rows[2].content_md5
     assert rows[1].winnow_min >= rows[2].winnow_min  # superset of grams => min can only drop
+
+
+def test_corpus_vocab_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b c"),
+            Row(doc_id=2, text="a b x"),
+            Row(doc_id=3, text="z"),  # single word: no bigram, filtered
+        ]
+    )
+    rows = X.corpus_vocab(df, "doc_id", "text", n=2, k=10).collect()
+    got = [(r.gram, r.total_count, r.doc_freq) for r in rows]
+    # "a b": doc1 twice + doc2 once = 3 total / 2 docs; ties break on gram asc
+    assert got[0] == ("a b", 3, 2)
+    assert ("b a", 1, 1) in got and ("b c", 1, 1) in got and ("b x", 1, 1) in got
+    assert all(g != "" for g, _, _ in got)
+    totals = [r.total_count for r in rows]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_corpus_vocab_topk_plan(spark, sf_dir):
+    """Top-k must be a TakeOrderedAndProject (per-partition heaps), not a
+    global sort of the whole vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = X.corpus_vocab(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_line_ratio_detects_shared_lines(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " unique1 u2 u3 u4 u5 u6 u7 u8"),
+            Row(doc_id=2, text=shared + " other1 o2 o3 o4 o5 o6 o7 o8"),
+            Row(doc_id=3, text="totally different words here now ok fine yes"),
+        ]
+    )
+    rows = {r.doc_id: r for r in X.boilerplate_line_ratio(df, "doc_id", "text").collect()}
+    assert rows[1].n_lines == 2 and rows[1].n_boilerplate == 1
+    assert rows[1].boilerplate_ratio == 0.5
+    assert rows[2].n_boilerplate == 1
+    assert rows[3].n_boilerplate == 0 and rows[3].boilerplate_ratio == 0.0
+
+
+def test_boilerplate_duplicate_lines_within_doc_count_once(spark):
+    """A line repeated INSIDE one document must not make it 'cross-document'
+    boilerplate: per-doc lines are distinct'd before the corpus count."""
+    line = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=line + " " + line),  # same line twice, one doc
+            Row(doc_id=2, text="x1 x2 x3 x4 x5 x6 x7 x8"),
+        ]
+    )
+    rows = {r.doc_id: r for r in X.boilerplate_line_ratio(df, "doc_id", "text").collect()}
+    assert rows[1].n_lines == 1  # distinct within the doc
+    assert rows[1].n_boilerplate == 0  # only one DOC carries it
