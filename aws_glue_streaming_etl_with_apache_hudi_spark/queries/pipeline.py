@@ -384,3 +384,54 @@ def scd2_validity_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+@register(
+    "interval_join_attribution",
+    sql="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT v.user_id, view_id, click_id,
+           epoch_us(click_ts) - epoch_us(view_ts) AS delay_us
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND click_ts >= view_ts
+     AND click_ts <= view_ts + INTERVAL 6 HOUR
+    ORDER BY v.user_id, view_id, click_id
+    """,
+)
+def interval_join_attribution(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.py interval_join),
+    evaluated batch-wise: attribute each click to the views by the same
+    user in the preceding 6 hours — the impression->click correlation
+    shape. The IDENTICAL composition runs under readStream with
+    watermarks on both sides (tests/test_stream_stream_join.py);
+    withWatermark is a no-op on batch, so this query exercises the same
+    code path the streaming golden test does.
+
+    Scale: both sides shuffle by user_id (equi-key extracted by Catalyst
+    from the conjunction); the range predicate is evaluated post-match.
+    Under streaming, state per side is bounded by watermark + interval
+    (O(rate x 6h), independent of stream length). Delay is exact integer
+    microseconds — no float time math to diverge across engines."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.joins import interval_join
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = interval_join(
+        views, clicks, key="user_id", left_ts="view_ts", right_ts="click_ts",
+        upper="INTERVAL 6 HOURS", watermark_delay="15 minutes",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+    ).orderBy("user_id", "view_id", "click_id")

@@ -1,0 +1,88 @@
+"""Stream-stream interval join (streaming/joins.py): two watermarked
+file-source streams joined on key + event-time range, checked against the
+identical batch composition (the golden the append-mode inner join must
+reproduce once all input is processed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.joins import interval_join
+
+VIEW_COLS = ("user_id", "view_id", "view_ts")
+CLICK_COLS = ("user_id", "click_id", "click_ts")
+
+
+def _sides(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return views, clicks
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    views, clicks = _sides(spark, sf_dir)
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.coalesce(1).write.parquet(vdir)
+    clicks.coalesce(1).write.parquet(cdir)
+
+    expected = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in interval_join(
+            views, clicks, "user_id", "view_ts", "click_ts",
+            upper="INTERVAL 6 HOURS",
+        ).collect()
+    }
+    assert expected, "fixture must produce at least one attributed pair"
+
+    vstream = spark.readStream.schema(views.schema).parquet(vdir)
+    cstream = spark.readStream.schema(clicks.schema).parquet(cdir)
+    out = interval_join(
+        vstream, cstream, "user_id", "view_ts", "click_ts",
+        upper="INTERVAL 6 HOURS",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == expected
+
+
+def test_interval_join_rejects_unknown_type(spark, sf_dir):
+    views, clicks = _sides(spark, sf_dir)
+    import pytest
+
+    with pytest.raises(ValueError, match="join type"):
+        interval_join(views, clicks, "user_id", "view_ts", "click_ts", how="fullOuter")
+
+
+def test_interval_join_left_outer_keeps_unmatched_views(spark, sf_dir):
+    """Batch-mode leftOuter: every view appears; unmatched ones carry null
+    click columns (streaming emits these after the watermark passes)."""
+    views, clicks = _sides(spark, sf_dir)
+    out = interval_join(
+        views, clicks, "user_id", "view_ts", "click_ts",
+        upper="INTERVAL 6 HOURS", how="leftOuter",
+    )
+    n_views = views.count()
+    per_view = out.groupBy("view_id").count()
+    assert per_view.count() == n_views
+    unmatched = out.filter(F.col("click_id").isNull()).count()
+    matched_views = out.filter(F.col("click_id").isNotNull()).select("view_id").distinct().count()
+    assert unmatched == n_views - matched_views
