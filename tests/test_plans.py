@@ -220,3 +220,38 @@ def test_unigram_lm_fits_inside_the_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
     assert "BroadcastExchange" in plan  # vocabulary broadcast
     assert "_n_tokens_corpus" not in df.columns
+
+
+def test_vocab_topk_never_full_sorts(spark, sf_dir):
+    """vocab_top_bigrams: the rank-50 cut must be a TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows) — a full Sort of the
+    vocabulary would shuffle every distinct gram at 100 TB."""
+    plan = _exec_plan(QUERIES["vocab_top_bigrams"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_lines_shuffles_hashes_not_text(spark, sf_dir):
+    """text_boilerplate_lines: after the row-local chunking, every
+    exchange carries the 60-bit line hash or the doc id — the line TEXT
+    itself must never be a shuffle column (at 100 TB the text is the
+    data, the hashes are the metadata)."""
+    import re
+
+    plan = _exec_plan(QUERIES["text_boilerplate_lines"].fn(spark, sf_dir))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_line#" not in m.group(1), m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_extracts_equi_key(spark, sf_dir):
+    """interval_join_attribution: Catalyst must pull user_id out of the
+    conjunction as the equi-join key (hash-partitioned join with the
+    time-range as a post-condition) — a nested-loop over two streams of
+    events would be quadratic."""
+    plan = _exec_plan(QUERIES["interval_join_attribution"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

@@ -88,3 +88,53 @@ def test_stream_upsert_end_to_end(spark, sf_dir, tmp_path):
     assert pipe2.batches_seen == []
     after = sorted(map(tuple, table.read().select("event_type", "user_id", "ts", "event_id", "value").collect()))
     assert before == after
+
+
+def test_stream_to_mor_table_with_midstream_compaction(spark, sf_dir, tmp_path):
+    """The canonical Hudi STREAMING ingest shape the reference's COW job
+    doesn't show: micro-batches append MOR delta commits, the compaction
+    policy fires mid-stream, and the merged read equals the COW answer.
+    (The reference pins COW — glue_job_script.py:54 — so this is the
+    beyond-reference MOR leg of A2/A8 under a live stream.)"""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    _write_event_files(spark, sf_dir, src, n_files=3)
+
+    table = MergeOnReadTable(
+        spark=spark,
+        path=str(tmp_path / "mor_state"),
+        keys=["user_id"],
+        precombine="ts",
+        partition_by=["event_type"],
+        policy=CompactionPolicy(max_delta_commits=2),  # fires mid-stream
+    )
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=EVENTS_SCHEMA,
+        table=table,
+        checkpoint=str(tmp_path / "ckpt_mor"),
+    )
+    pipe.run_available()
+    assert len(pipe.batches_seen) == 3
+
+    # compaction really fired under the stream: base exists and the
+    # unfolded log is shorter than the number of delta commits
+    assert table._compacted_through() > 0
+    assert len(table._log_commits()) < 3
+
+    events = load_table(spark, sf_dir, "events")
+    expected = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.max_by(F.struct("ts", "event_id", "value"), F.struct("ts", "event_id")).alias("r"))
+        .select("event_type", "user_id", "r.ts", "r.event_id", "r.value")
+    )
+    got = table.read().select("event_type", "user_id", "ts", "event_id", "value")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+    # read-optimized view: only compacted state, a subset of the full merge
+    ro = table.read_optimized().select("event_type", "user_id", "ts", "event_id", "value")
+    assert ro.exceptAll(got).isEmpty()
