@@ -57,3 +57,35 @@ def top_keys_by_frequency(df: DataFrame, keys: list[str], n: int = 10) -> DataFr
         .orderBy(F.desc("n_rows"), *keys)
         .limit(n)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt skew join: the manual fallback for when AQE's
+    skew-join split cannot apply (e.g. the skewed side feeds a bucketed /
+    pre-partitioned exchange AQE must preserve, or a deterministic plan
+    is required).
+
+    ``big`` rows get a salt in [0, num_salts); ``small`` is replicated
+    once per salt value (an explode of a literal salt array — its rows
+    multiply by num_salts, so keep ``small`` the dimension side). The
+    join key becomes (on..., _salt): a hot key's rows now spread across
+    ``num_salts`` reducers instead of serializing on one.
+
+    The result is IDENTICAL to ``big.join(small, on, how)`` for inner
+    and left joins — every big row meets exactly one replica of each
+    matching small row (its own salt's copy). Semantic cost is zero;
+    physical cost is num_salts× the small side's shuffle volume, the
+    price of unseizing the hot reducer.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got: {how}")
+    salted_big = big.withColumn("_salt", F.spark_partition_id() % num_salts)
+    salts = F.array(*[F.lit(i) for i in range(num_salts)])
+    replicated = small.withColumn("_salt", F.explode(salts))
+    return salted_big.join(replicated, [*on, "_salt"], how).drop("_salt")

@@ -217,3 +217,40 @@ def applyinpandas_group_rank(spark, sf_dir):
         .applyInPandas(rank_group, schema="p_brand string, p_partkey long, price_rank long")
         .orderBy("p_brand", "price_rank")
     )
+
+
+@register(
+    "join_salted_skew",
+    sql="""
+    SELECT c.c_mktsegment, count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Replicate-and-salt skew join (operators/skew.py salted_join): the
+    events fact (15 distinct user_ids at fixture scale = maximal key
+    heat) joins the customer dim on a salted composite key, spreading
+    each hot user across num_salts reducers. The oracle is the PLAIN
+    join — salting must be a physical-only rewrite, invisible in the
+    result. The manual fallback for when AQE skew splitting can't apply
+    (bucketed exchanges, deterministic-plan requirements)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import salted_join
+
+    e = t(spark, sf_dir, "events").select("user_id", "value")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, ["user_id"], num_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,92 @@
+"""Skew operators: salted aggregation and salted join must be
+physical-only rewrites — bit-identical to the plain plan's result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+    top_keys_by_frequency,
+)
+from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+
+
+def _sides(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return e, c
+
+
+def test_salted_join_equals_plain_inner(spark, sf_dir):
+    e, c = _sides(spark, sf_dir)
+    plain = e.join(c, ["user_id"])
+    salted = salted_join(e, c, ["user_id"], num_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+
+
+def test_salted_join_equals_plain_left(spark, sf_dir):
+    e, c = _sides(spark, sf_dir)
+    # poke holes in the dim so LEFT actually exercises unmatched rows
+    c = c.filter(F.col("user_id") % 3 != 0)
+    plain = e.join(c, ["user_id"], "left")
+    salted = salted_join(e, c, ["user_id"], num_salts=8, how="left")
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+    assert salted.filter(F.col("c_mktsegment").isNull()).count() > 0
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    e, c = _sides(spark, sf_dir)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(e, c, ["user_id"], how="full")
+
+
+def test_salted_join_key_includes_salt(spark, sf_dir):
+    """The physical join key must be (user_id, _salt) — that spread IS the
+    operator; a plan that joins on user_id alone re-serializes hot keys."""
+    e, c = _sides(spark, sf_dir)
+    plan = (
+        salted_join(e, c, ["user_id"], num_salts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "user_id" in l]
+    assert join_lines and all("_salt" in l for l in join_lines), plan[:2000]
+
+
+def test_top_keys_by_frequency_orders_desc(spark, sf_dir):
+    e, _ = _sides(spark, sf_dir)
+    rows = top_keys_by_frequency(e, ["user_id"], n=5).collect()
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert len(rows) == 5
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    e, _ = _sides(spark, sf_dir)
+    plain = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    salted = salted_aggregate(
+        e,
+        ["user_id"],
+        lambda: [
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        ],
+        lambda: [
+            F.sum("_n").cast("long").alias("n"),
+            F.sum("_s").alias("s"),
+        ],
+    )
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
