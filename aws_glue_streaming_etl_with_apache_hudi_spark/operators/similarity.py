@@ -81,6 +81,63 @@ def knn_bruteforce(
     )
 
 
+def knn_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    filter_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 4,
+) -> DataFrame:
+    """Filtered exact kNN: each query only considers corpus vectors whose
+    ``filter_cols`` metadata EQUALS the query's — the "filtered vector
+    search" pattern (search within a tenant/category/language).
+
+    Scale story: the metadata filter turns the brute-force crossJoin into
+    an EQUI-join on the filter key — Catalyst hash-partitions (or
+    broadcasts) on it, so each query row meets only its segment of the
+    corpus, cutting compared pairs from |Q|x|C| to the sum of segment
+    sizes. This composition (pre-filter as join key, then rank) is why
+    filtered ANN is CHEAPER than unfiltered, not an afterthought bolted
+    onto a vector index. Returns (query_id, neighbor_id, *filter_cols,
+    sim, rnk)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
+
+    q = queries.select(
+        *filter_cols,
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
+    )
+    c = fan_out(corpus).select(
+        *filter_cols,
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), filter_cols)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *filter_cols,
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                sim_decimals,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
 def plane_weights(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane weights in [-1, 1], derived
     from md5 — the same digest ``functions.hashing.stable_hash64`` uses,

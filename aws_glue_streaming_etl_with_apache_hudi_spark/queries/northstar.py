@@ -1291,3 +1291,103 @@ def text_boilerplate_lines(spark, sf_dir):
     return X.boilerplate_line_ratio(
         docs, "doc_id", "text", line_len=8, min_docs=2
     ).orderBy("doc_id")
+
+
+@register(
+    "knn_filtered",
+    sql="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 40 = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, q.label,
+             round(list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(e.v, e.v))),
+                   4) AS sim
+      FROM q JOIN e ON e.label = q.label AND e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, label, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs)
+    WHERE rn <= 5 ORDER BY query_id, rnk
+    """,
+)
+def knn_filtered(spark, sf_dir):
+    """Filtered vector search (operators/similarity.py knn_filtered):
+    exact cosine top-5 restricted to neighbors sharing the query's
+    label — the tenant/category-scoped ANN pattern. The metadata filter
+    becomes the JOIN KEY, so each query meets only its label's segment
+    of the corpus (|Q|x|C| pairs collapse to per-segment sums)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.knn_filtered(emb, queries, filter_cols=["label"], k=5).select(
+        "query_id", "neighbor_id", "label", "sim", "rnk"
+    )
+
+
+@register(
+    "quality_median_filter",
+    sql="""
+    WITH w AS (SELECT doc_id, lang,
+                      string_split_regex(lower(text), '\\s+') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(ws) AS n_words,
+                 round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS distinct_ratio,
+                 round(CAST(len(list_filter(ws, x -> list_contains(['hash','order','table','row','batch'], x))) AS DOUBLE)
+                       / len(ws), 4) AS filler_ratio
+          FROM w),
+    q AS (SELECT doc_id, lang,
+                 round(0.4 * least(n_words / 100.0, 1.0)
+                       + 0.4 * distinct_ratio + 0.2 * (1 - filler_ratio), 4) AS quality
+          FROM s),
+    m AS (SELECT lang, quantile_cont(quality, 0.5) AS med FROM q GROUP BY lang)
+    SELECT q.lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN quality >= med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(med, 6) AS median_quality,
+           round(CAST(sum(CASE WHEN quality >= med THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS kept_ratio
+    FROM q JOIN m ON q.lang = m.lang
+    GROUP BY q.lang, med ORDER BY q.lang
+    """,
+)
+def quality_median_filter(spark, sf_dir):
+    """Per-language quality gate: keep documents at or above their
+    language's MEDIAN quality score — the "top half by quality, per
+    language" filtering step of a corpus recipe (a global threshold
+    would silently empty low-resource languages; per-group medians keep
+    the mix). Reports per lang: totals, kept count/ratio, the median.
+
+    Cross-engine exactness: quality is rounded to 4 decimals, so scores
+    are integer multiples of 1e-4 and the interpolated median (mean of
+    two such values) is exactly representable — Spark's percentile()
+    and DuckDB's quantile_cont() produce bit-identical doubles, making
+    the >= comparison deterministic.
+
+    Scale: one groupBy(lang) for the medians (tiny aggregate,
+    broadcast back), one groupBy(lang) for the report — the per-doc
+    scoring is row-local map work."""
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    med = q.groupBy("lang").agg(F.percentile("quality", 0.5).alias("med"))
+    kept = (F.col("quality") >= F.col("med")).cast("long")
+    return (
+        q.join(F.broadcast(med), "lang")
+        .groupBy("lang", "med")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 4).alias("kept_ratio"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            F.round("med", 6).alias("median_quality"),
+            "kept_ratio",
+        )
+        .orderBy("lang")
+    )

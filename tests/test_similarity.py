@@ -124,3 +124,42 @@ def test_ivf_index_table_prunes_partitions(spark, emb, tmp_path):
     got = [(r.query_id, r.rnk, r.neighbor_id, r.sim) for r in out.collect()]
     want = [(r.query_id, r.rnk, r.neighbor_id, r.sim) for r in inline.collect()]
     assert got == want
+
+
+def test_knn_filtered_respects_label_and_matches_bruteforce_within_label(spark, emb):
+    """Every neighbor shares the query's label, and the ranking equals a
+    per-label brute force (the filter is a constraint, not an
+    approximation)."""
+    queries = emb.filter("vec_id % 100 = 0")
+    out = S.knn_filtered(emb, queries, filter_cols=["label"], k=3)
+    rows = out.collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r.neighbor_id] == labels[r.query_id] == r.label
+        assert r.neighbor_id != r.query_id
+
+    # per-label brute force gives the same top-k for one probe query
+    probe = rows[0].query_id
+    lbl = labels[probe]
+    seg = emb.filter(f"label = {lbl}")
+    want = {
+        (r.query_id, r.rnk, r.neighbor_id)
+        for r in S.knn_bruteforce(seg, seg.filter(f"vec_id = {probe}"), k=3).collect()
+    }
+    got = {(r.query_id, r.rnk, r.neighbor_id) for r in rows if r.query_id == probe}
+    assert got == want
+
+
+def test_knn_filtered_is_equi_join_not_cartesian(spark, emb):
+    """The metadata filter must become the JOIN KEY: the plan joins on
+    label (hash or broadcast), never a cartesian/nested-loop over the
+    whole corpus."""
+    queries = emb.filter("vec_id % 100 = 0")
+    plan = (
+        S.knn_filtered(emb, queries, filter_cols=["label"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
