@@ -254,3 +254,63 @@ def join_salted_skew(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _profile_oracle_sql() -> str:
+    """UNION-ALL-per-column DuckDB replica of table_profile's one-pass
+    aggregate (the oracle restates the semantics; the Spark plan still
+    computes every column in a single scan)."""
+    plain = "CAST(min({c}) AS VARCHAR)", "CAST(max({c}) AS VARCHAR)"
+    money = (
+        "CAST(CAST(round(min({c}), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+        "CAST(CAST(round(max({c}), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+    )
+    ts = (
+        "strftime(min({c}), '%Y-%m-%d %H:%M:%S')",
+        "strftime(max({c}), '%Y-%m-%d %H:%M:%S')",
+    )
+    kinds = {
+        "o_orderkey": plain,
+        "o_custkey": plain,
+        "o_orderstatus": plain,
+        "o_orderpriority": plain,
+        "o_orderdate": ts,
+        "o_totalprice": money,
+    }
+    branches = []
+    for c in sorted(kinds):
+        mn, mx = kinds[c]
+        branches.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn.format(c=c)} AS min_value, {mx.format(c=c)} AS max_value "
+            f"FROM orders"
+        )
+    return " UNION ALL ".join(branches) + " ORDER BY col_name"
+
+
+@register("table_profile", sql=_profile_oracle_sql())
+def table_profile(spark, sf_dir):
+    """Catalog-statistics profile (operators/profile.py profile_columns):
+    null/distinct/min/max for every orders column, computed in ONE scan
+    (single aggregate, map-side partials) — the ANALYZE TABLE pass that
+    feeds CBO and data-quality checks, exposed as a query."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.profile import profile_columns
+
+    o = t(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_totalprice",
+        ],
+        formatters={
+            "o_totalprice": lambda c: F.round(c, 2).cast("decimal(18,2)").cast("string"),
+            "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+        },
+    ).orderBy("col_name")
