@@ -87,31 +87,41 @@ PRIORITY_WINDOW: list[str] = [
     "text_pii_redaction",
     "text_unigram_logprob",
     "corpus_mix_weights",
-    # the r1-stale relational/scalar core rotation
+    # added later in round 4 (never externally verified -> outrank stale;
+    # each pre-verified at sf0.01 via tests/oracle_utils.compare_query)
+    "vocab_top_bigrams",
+    "text_boilerplate_lines",
+    "interval_join_attribution",
+    "join_salted_skew",
+    "knn_filtered",
+    "quality_median_filter",
+    "table_profile",
+    # the r1-stale relational/scalar core rotation (7 deferred to r5 to
+    # make room for the new queries above, each deferred name keeping an
+    # in-window family sibling: agg_stats->agg_rollup,
+    # join_full_outer->join_left_outer/join_anti,
+    # window_range_frame->window_running_sum/window_lag_lead,
+    # sort_nulls_ordering->topk_orders,
+    # scalar_math_cond->scalar_string_funcs/scalar_date_funcs,
+    # explode_wordcount->json_extract_props + the new explode-based pair,
+    # agg_salted_skew->join_salted_skew)
     "filter_predicates",
     "agg_distinct_having",
     "agg_rollup",
-    "agg_stats",
     "join_left_outer",
-    "join_full_outer",
     "join_anti",
     "join_broadcast_dim",
     "window_running_sum",
     "window_lag_lead",
-    "window_range_frame",
     "topk_orders",
-    "sort_nulls_ordering",
     "set_union_distinct",
     "scalar_string_funcs",
     "scalar_date_funcs",
-    "scalar_math_cond",
     "json_extract_props",
     "regression_price_quantity",
     "calendar_gap_fill",
     "fuzzy_match_levenshtein",
     "subquery_in",
-    "explode_wordcount",
-    "agg_salted_skew",
     "null_semantics",
 ]
 
