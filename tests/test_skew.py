@@ -90,3 +90,35 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     )
     assert salted.exceptAll(plain).isEmpty()
     assert plain.exceptAll(salted).isEmpty()
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3),  # key (tiny range => heat)
+    st.integers(min_value=0, max_value=999),  # payload
+)
+
+
+@given(
+    big=st.lists(_row, min_size=0, max_size=25),
+    small=st.lists(_row, min_size=0, max_size=10),
+    salts=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_join_law(spark, big, small, salts):
+    """For ANY frames and salt count, salted inner/left joins equal the
+    plain joins — salting is a physical rewrite, never a semantic one
+    (duplicates and hot keys included)."""
+    cols_b, cols_s = ["k", "bv"], ["k", "sv"]
+    bdf = spark.createDataFrame(big, cols_b) if big else spark.createDataFrame([], "k int, bv int")
+    sdf = spark.createDataFrame(small, cols_s) if small else spark.createDataFrame([], "k int, sv int")
+    for how in ("inner", "left"):
+        plain = bdf.join(sdf, ["k"], how)
+        salted = salted_join(bdf, sdf, ["k"], num_salts=salts, how=how)
+        got = sorted(map(tuple, salted.collect()))
+        want = sorted(map(tuple, plain.collect()))
+        assert got == want, (how, salts)
