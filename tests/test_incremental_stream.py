@@ -230,3 +230,93 @@ def test_mor_stream_starts_on_fully_cleaned_log(spark, tmp_path):
         assert got == {(2, 2)}
     finally:
         q.stop()
+
+
+def test_medallion_chain_bronze_to_silver(spark, sf_dir, tmp_path):
+    """End-to-end medallion composition: file stream -> bronze
+    TimelineTable (commit per micro-batch) -> incremental stream over the
+    bronze commit log -> silver UpsertTable. The silver state must equal
+    the batch-derived latest-event-per-user, and a second wave of source
+    files must flow through BOTH hops via their checkpoints without
+    reprocessing the first wave."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import EVENTS_SCHEMA, load_table
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    wave1 = events.filter("event_id % 2 = 0")
+    wave2 = events.filter("event_id % 2 = 1")
+    wave1.coalesce(1).write.parquet(src + "/_w")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(src + "/_w/*.parquet")[0], src + "/w1.parquet")
+    shutil.rmtree(src + "/_w")
+
+    bronze = TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "bronze"),
+        keys=["event_id"],
+        precombine="ts",
+    )
+    silver = UpsertTable(
+        spark,
+        str(tmp_path / "silver"),
+        keys=["user_id"],
+        precombine="ts",
+    )
+
+    def run_bronze():
+        StreamingUpsertPipeline(
+            spark,
+            source_dir=src,
+            schema=EVENTS_SCHEMA,
+            table=bronze,
+            checkpoint=str(tmp_path / "ckpt_bronze"),
+        ).run_available()
+
+    def run_silver():
+        stream = read_incremental_stream(spark, bronze)
+        q = (
+            stream.drop("_deleted")
+            .writeStream.foreachBatch(
+                lambda df, _bid: None if df.isEmpty() else silver.upsert(df)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_silver"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def expected(upto):
+        return (
+            upto.groupBy("user_id")
+            .agg(F.max_by(F.struct("ts", "event_id", "value"), F.struct("ts", "event_id")).alias("r"))
+            .select("user_id", "r.ts", "r.event_id", "r.value")
+        )
+
+    run_bronze()
+    run_silver()
+    got1 = silver.read().select("user_id", "ts", "event_id", "value")
+    want1 = expected(wave1)
+    assert got1.exceptAll(want1).isEmpty() and want1.exceptAll(got1).isEmpty()
+
+    # wave 2: only the new commits travel the chain
+    wave2.coalesce(1).write.parquet(src + "/_w")
+    shutil.move(glob.glob(src + "/_w/*.parquet")[0], src + "/w2.parquet")
+    shutil.rmtree(src + "/_w")
+    n_commits_before = len(bronze.commits())
+    run_bronze()
+    run_silver()
+    assert len(bronze.commits()) == n_commits_before + 1
+    got2 = silver.read().select("user_id", "ts", "event_id", "value")
+    want2 = expected(events)
+    assert got2.exceptAll(want2).isEmpty() and want2.exceptAll(got2).isEmpty()
