@@ -86,3 +86,71 @@ def test_interval_join_left_outer_keeps_unmatched_views(spark, sf_dir):
     unmatched = out.filter(F.col("click_id").isNull()).count()
     matched_views = out.filter(F.col("click_id").isNotNull()).select("view_id").distinct().count()
     assert unmatched == n_views - matched_views
+
+
+def test_stream_left_outer_emits_nulls_after_watermark(spark, sf_dir, tmp_path):
+    """Streaming leftOuter semantics: matched pairs emit as found;
+    unmatched views emit with null click columns only after the
+    watermark passes their interval. A far-future sentinel row in BOTH
+    streams advances the global watermark past every real interval, so
+    the final state is exactly (batch inner pairs) + (unmatched views as
+    nulls), with only the sentinel's own interval still pending."""
+    import glob
+    import os
+    import shutil
+
+    views, clicks = _sides(spark, sf_dir)
+    far = F.expr("timestamp'2024-06-01 00:00:00'")
+    sent_v = views.limit(1).select(
+        "user_id", (F.col("view_id") + 10**6).alias("view_id"), far.alias("view_ts")
+    )
+    sent_c = clicks.limit(1).select(
+        "user_id", (F.col("click_id") + 10**6).alias("click_id"), far.alias("click_ts")
+    )
+
+    def put(df, d, name):
+        df.coalesce(1).write.mode("overwrite").parquet(d + "/_t")
+        os.makedirs(d, exist_ok=True)
+        shutil.move(glob.glob(d + "/_t/*.parquet")[0], f"{d}/{name}.parquet")
+        shutil.rmtree(d + "/_t")
+
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    put(views, vdir, "a_main")
+    put(clicks, cdir, "a_main")
+
+    vs = spark.readStream.schema(views.schema).option("maxFilesPerTrigger", "1").parquet(vdir)
+    cs = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cdir)
+    out = interval_join(
+        vs, cs, "user_id", "view_ts", "click_ts",
+        upper="INTERVAL 6 HOURS", how="leftOuter",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("loj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        put(sent_v, vdir, "b_sent")
+        put(sent_c, cdir, "b_sent")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_pairs = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in interval_join(
+            views, clicks, "user_id", "view_ts", "click_ts", upper="INTERVAL 6 HOURS"
+        ).collect()
+    }
+    rows = spark.sql("SELECT * FROM loj").collect()
+    matched = {(r.user_id, r.view_id, r.click_id) for r in rows if r.click_id is not None}
+    assert matched == batch_pairs
+    n_views = views.count()
+    matched_views = len({v for _, v, _ in batch_pairs})
+    nulls = [r for r in rows if r.click_id is None]
+    # every real unmatched view has been flushed; the sentinel's own
+    # interval is the only one still open
+    assert len(nulls) == n_views - matched_views
+    assert all(r.view_id <= 10**6 for r in nulls)
