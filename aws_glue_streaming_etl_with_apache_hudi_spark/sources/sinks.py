@@ -103,3 +103,25 @@ def compact_partitions(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    target_records_per_file: int,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned write with a per-file record budget
+    (``maxRecordsPerFile``) — the write-side complement of
+    ``compact_partitions``: prevention instead of cure. A task whose
+    partition split exceeds the budget rolls to a new file, bounding
+    file sizes WITHOUT an extra repartition shuffle (task parallelism is
+    unchanged; only the writer's file rollover point moves). Use when a
+    downstream consumer needs bounded files (range-restartable backfills,
+    object-store multipart limits) and the natural task output would
+    exceed them."""
+    writer = df.write.mode(mode).option("maxRecordsPerFile", target_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

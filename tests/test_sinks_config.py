@@ -71,3 +71,21 @@ def test_table_schema_probe(spark, sf_dir):
     R.register_views(spark, sf_dir, ("region",))
     schema = R.table_schema(spark, "region")
     assert [f.name for f in schema.fields] == ["r_regionkey", "r_name"]
+
+
+def test_write_sized_bounds_records_per_file(spark, sf_dir, tmp_path):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.sinks import write_sized
+
+    orders = load_table(spark, sf_dir, "orders").coalesce(1)
+    out = str(tmp_path / "sized")
+    write_sized(orders, out, [], target_records_per_file=100)
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    n = orders.count()
+    assert len(files) >= n // 100  # rollover happened
+    import pyarrow.parquet as pq
+
+    assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 100
+    assert spark.read.parquet(out).count() == n
