@@ -1391,3 +1391,76 @@ def quality_median_filter(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_datasheet",
+    sql="""
+    WITH w AS (SELECT doc_id, lang, source,
+                      string_split_regex(lower(text), '\\s+') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, lang, source,
+                 len(ws) AS n_words,
+                 round(0.4 * least(len(ws) / 100.0, 1.0)
+                       + 0.4 * round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+                       + 0.2 * (1 - round(CAST(len(list_filter(ws,
+                             x -> list_contains(['hash','order','table','row','batch'], x))) AS DOUBLE)
+                             / len(ws), 4)), 4) AS quality
+          FROM w),
+    per AS (SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*), 6) AS mean_quality
+            FROM s GROUP BY lang, source),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per)
+    SELECT lang, source, n_docs, n_tokens, mean_quality,
+           round(n_tokens / t, 6) AS token_share
+    FROM per CROSS JOIN tot
+    ORDER BY lang, source
+    """,
+)
+def corpus_datasheet(spark, sf_dir):
+    """The corpus "data card" aggregate: per (language, source) cell,
+    document count, whitespace-token total, mean quality score, and the
+    cell's share of all tokens — the datasheet table every corpus
+    release publishes and every mixing decision starts from.
+
+    Scale: per-doc token counts and quality are row-local expressions;
+    ONE groupBy(lang, source) with map-side partials; the corpus token
+    total rides a 1-row broadcast aggregate inside the plan."""
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score(docs, "doc_id", "text")
+    base = docs.select(
+        "doc_id", "lang", "source", X.token_count_whitespace("text").alias("n_words")
+    ).join(q, "doc_id")
+    per = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        # exact decimal sum -> identical doubles in both engines before
+        # the divide (ROUND_NOTES rule 2: float avg is summation-order-
+        # dependent; quality is 4-decimal fixed-point so the cast is
+        # exact). Round at 6dp, not 4: a 4dp sum over a power-of-two
+        # group size yields quotients EXACT at 5-6 decimals, and
+        # rounding at fewer digits than the value's intrinsic precision
+        # is the cross-engine half-way hazard (rule 3; bit us here at
+        # sf0.001 with a 4-doc group: 2.3406/4 = 0.585150).
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            F.round(F.col("n_tokens") / F.col("_t"), 6).alias("token_share"),
+        )
+        .orderBy("lang", "source")
+    )
