@@ -236,8 +236,18 @@ def lsh_candidate_pairs(
     """Self-join on (band, bucket): candidate pairs (id_a < id_b), distinct
     across bands. The only shuffle keys are (band, bucket) — never n² —
     and buckets above ``max_bucket_size`` are dropped before the join
-    (see cap_bucket_size: the m²-pair hot-bucket guard)."""
-    bands = cap_bucket_size(bands, ["band", "bucket"], max_bucket_size)
+    (see cap_bucket_size: the m²-pair hot-bucket guard).
+
+    The CAPPED frame is slotted (persisted), not just the raw bands: the
+    self-join consumes it twice, so without the cache each branch would
+    re-run the hot-key anti-join; with it, the count + anti-join execute
+    once per corpus and repeated searches (the stored-artifact pattern
+    the signature/band caches already serve) skip them entirely."""
+    if max_bucket_size is not None:
+        bands = _persist_slot(
+            cap_bucket_size(bands, ["band", "bucket"], max_bucket_size),
+            "minhash.bands_capped",
+        )
     a = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     return (
