@@ -96,6 +96,7 @@ PRIORITY_WINDOW: list[str] = [
     "knn_filtered",
     "quality_median_filter",
     "table_profile",
+    "corpus_datasheet",
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -104,7 +105,8 @@ PRIORITY_WINDOW: list[str] = [
     # sort_nulls_ordering->topk_orders,
     # scalar_math_cond->scalar_string_funcs/scalar_date_funcs,
     # explode_wordcount->json_extract_props + the new explode-based pair,
-    # agg_salted_skew->join_salted_skew)
+    # agg_salted_skew->join_salted_skew,
+    # json_extract_props->map_json_ops — deferred late for corpus_datasheet)
     "filter_predicates",
     "agg_distinct_having",
     "agg_rollup",
@@ -117,7 +119,6 @@ PRIORITY_WINDOW: list[str] = [
     "set_union_distinct",
     "scalar_string_funcs",
     "scalar_date_funcs",
-    "json_extract_props",
     "regression_price_quantity",
     "calendar_gap_fill",
     "fuzzy_match_levenshtein",
