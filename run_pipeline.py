@@ -34,6 +34,16 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import Str
 
 
 def main(argv: list[str]) -> None:
+    if "--help" in argv or "-h" in argv:
+        print(__doc__.strip())
+        print(
+            "\nRequired: --source_dir --table_path --checkpoint_path\n"
+            "Optional: --record_key (user_id) --precombine (ts) "
+            "--partition_fields (comma-separated) --table_name "
+            "--window_size ('10 seconds') --source_format (parquet) "
+            "--quarantine_dir --once (true|false)"
+        )
+        return
     opts = resolve_options(argv, ["source_dir", "table_path", "checkpoint_path"])
     cfg = PipelineConfig.from_argv(argv)
     spark = get_spark(app_name="streaming-upsert-pipeline")

@@ -89,3 +89,15 @@ def test_write_sized_bounds_records_per_file(spark, sf_dir, tmp_path):
 
     assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 100
     assert spark.read.parquet(out).count() == n
+
+
+def test_run_pipeline_help_prints_usage(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/run_pipeline.py", "--help"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0
+    assert "Required: --source_dir" in r.stdout
