@@ -122,3 +122,39 @@ def test_salted_join_law(spark, big, small, salts):
         got = sorted(map(tuple, salted.collect()))
         want = sorted(map(tuple, plain.collect()))
         assert got == want, (how, salts)
+
+
+def test_aqe_skew_join_engages_on_hot_key(spark):
+    """The JOIN half of the skew story is delegated to AQE (the module
+    docstring's claim) — prove the delegation is real: a hot-key
+    SortMergeJoin under tight skew thresholds must come out of adaptive
+    re-planning marked skew=true (partition split applied)."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 250_000, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = big.join(small, "k").groupBy().count()
+        assert j.collect()[0][0] == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
