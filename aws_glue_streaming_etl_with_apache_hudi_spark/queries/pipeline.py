@@ -435,3 +435,47 @@ def interval_join_attribution(spark, sf_dir):
         "click_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
     ).orderBy("user_id", "view_id", "click_id")
+
+
+@register(
+    "asof_join_forward_tolerance",
+    sql="""
+    SELECT event_id, user_id, o_orderkey AS next_orderkey,
+           round(o_totalprice, 2) AS next_total
+    FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id
+           AND o.o_orderdate >= e.ts
+           AND o.o_orderdate <= e.ts + INTERVAL 30 DAY) x
+    WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def asof_join_forward_tolerance(spark, sf_dir):
+    """Forward as-of with tolerance (operators/asof.py asof_join): each
+    event's NEXT order by the same customer within 30 days — the
+    order-fulfillment / next-action attribution shape, and the generic
+    operator's merge_asof(direction='forward', tolerance=...) parity
+    surface. Same union-carry-forward plan as the backward headline
+    query: one shuffle on the key, no join explosion."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    j = asof_join(
+        e, o, ["user_id"], "ts", "order_ts", ["o_orderkey", "o_totalprice"],
+        direction="forward", tolerance="INTERVAL 30 DAYS",
+        tie_breakers=["o_orderkey"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.round("o_totalprice", 2).alias("next_total"),
+    ).orderBy("event_id")

@@ -1,0 +1,105 @@
+"""Generic as-of join operator (operators/asof.py): pandas merge_asof
+parity in both directions, tolerance nulling, tie-break rule."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (2, 40, "e4"), (3, 7, "e5")],
+        ["k", "lt", "ev"],
+    ).withColumn("lt", F.timestamp_seconds("lt"))
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 20, 101), (2, 6, 200), (2, 39, 201), (4, 1, 300)],
+        ["k", "rt", "val"],
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tolerance=None):
+    lp = left.toPandas().sort_values("lt").reset_index(drop=True)
+    rp = right.toPandas().sort_values("rt").reset_index(drop=True)
+    return pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction=direction, tolerance=tolerance,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_matches_pandas_merge_asof(spark, direction):
+    left, right = _frames(spark)
+    got = {
+        (r.k, r.ev): (r.val, r.rt)
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", ["val"], direction=direction
+        ).collect()
+    }
+    want = _pandas_asof(left, right, direction)
+    for _, row in want.iterrows():
+        val = None if pd.isna(row["val"]) else int(row["val"])
+        assert got[(row["k"], row["ev"])][0] == val, (direction, row["ev"])
+    assert len(got) == left.count()  # every left row survives
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_tolerance_nulls_far_matches(spark, direction):
+    left, right = _frames(spark)
+    got = {
+        (r.k, r.ev): r.val
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", ["val"],
+            direction=direction, tolerance="INTERVAL 3 SECONDS",
+        ).collect()
+    }
+    want = _pandas_asof(left, right, direction, tolerance=pd.Timedelta(seconds=3))
+    for _, row in want.iterrows():
+        val = None if pd.isna(row["val"]) else int(row["val"])
+        assert got[(row["k"], row["ev"])] == val, (direction, row["ev"])
+
+
+def test_tie_break_rule(spark):
+    """Equal right timestamps: backward takes the LAST in tie order,
+    forward the FIRST — the documented deterministic rule."""
+    left = spark.createDataFrame([(1, 10, "e")], ["k", "lt", "ev"]).withColumn(
+        "lt", F.timestamp_seconds("lt")
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 10, 3)], ["k", "rt", "val"]
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    back = asof_join(
+        left, right, ["k"], "lt", "rt", ["val"],
+        direction="backward", tie_breakers=["val"],
+    ).collect()[0]
+    fwd = asof_join(
+        left, right, ["k"], "lt", "rt", ["val"],
+        direction="forward", tie_breakers=["val"],
+    ).collect()[0]
+    assert back.val == 3 and fwd.val == 1
+
+
+def test_rejects_colliding_columns_and_bad_direction(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, ["k"], "lt", "rt", ["val"], direction="nearest")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumnRenamed("ev", "val"), right, ["k"], "lt", "rt", ["val"]
+        )
+
+
+def test_single_shuffle_no_join_explosion(spark):
+    """The plan must be the union-carry-forward shape: no Join operator at
+    all, one hash exchange on the key for the window."""
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, ["k"], "lt", "rt", ["val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
