@@ -103,3 +103,48 @@ def test_single_shuffle_no_join_explosion(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _asof_case(draw):
+    # unique (k, t) pairs on the right so pandas' input-order tie rule
+    # cannot diverge from our explicit tie_breakers
+    lefts = draw(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                          min_size=1, max_size=12))
+    rights = draw(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                           min_size=0, max_size=12, unique=True))
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    return lefts, rights, direction
+
+
+@given(case=_asof_case())
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_matches_pandas_on_random_frames(spark, case):
+    lefts, rights, direction = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], ["k", "lt", "lid"]
+    ).withColumn("lt", F.timestamp_seconds("lt"))
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in rights], ["k", "rt", "val"]
+    ).withColumn("rt", F.timestamp_seconds("rt")) if rights else spark.createDataFrame(
+        [], "k bigint, rt timestamp, val bigint"
+    )
+    got = {
+        r.lid: r.val
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", ["val"], direction=direction
+        ).collect()
+    }
+    lp = left.toPandas().sort_values("lt", kind="stable").reset_index(drop=True)
+    rp = right.toPandas().sort_values("rt", kind="stable").reset_index(drop=True)
+    want = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k",
+                         direction=direction)
+    for _, row in want.iterrows():
+        val = None if pd.isna(row["val"]) else int(row["val"])
+        assert got[row["lid"]] == val, (direction, row["lid"])
