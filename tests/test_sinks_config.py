@@ -101,3 +101,19 @@ def test_run_pipeline_help_prints_usage(tmp_path):
     )
     assert r.returncode == 0
     assert "Required: --source_dir" in r.stdout
+
+
+def test_run_query_cli_list_and_unknown(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/run_query.py", "--list"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0 and "q1_pricing_summary" in r.stdout
+    r2 = subprocess.run(
+        [sys.executable, "/root/repo/run_query.py", "definitely_not_a_query"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r2.returncode == 2 and "unknown query" in r2.stdout
