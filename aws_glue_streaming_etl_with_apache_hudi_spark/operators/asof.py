@@ -59,6 +59,10 @@ def asof_join(
     dup = set(carried) & set(left.columns)
     if dup:
         raise ValueError(f"right columns collide with left: {sorted(dup)}")
+    reserved = {"_t", "_side", "_row" + _SENTINEL_SUFFIX}
+    bad = reserved & (set(left.columns) | set(carried))
+    if bad:
+        raise ValueError(f"reserved column names in inputs: {sorted(bad)}")
 
     # one timeline: _t is the shared time axis, _side orders equal
     # timestamps so the boundary row is visible to the running window
@@ -72,6 +76,20 @@ def asof_join(
     )
     tagged = lt.unionByName(rt, allowMissingColumns=True)
 
+    # Carry the matched right row as ONE struct, not column-by-column:
+    # independent last/first(ignorenulls) per column would resurrect a
+    # stale value from an OLDER right row whenever the nearest row holds
+    # a null in that column — mixing columns across rows and breaking
+    # merge_asof parity (a null value in the nearest row must surface as
+    # null). The struct is non-null exactly on right rows (even when
+    # every field inside is null), so the carry is atomic.
+    row_col = "_row" + _SENTINEL_SUFFIX
+    tagged = tagged.withColumn(
+        row_col,
+        F.when(
+            F.col("_side") == right_side, F.struct(*[F.col(c) for c in carried])
+        ),
+    )
     tie = [F.col(c) for c in (tie_breakers or [])]
     if direction == "backward":
         w = (
@@ -79,38 +97,31 @@ def asof_join(
             .orderBy(F.col("_t"), F.col("_side"), *tie)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.last(row_col, ignorenulls=True).over(w)
     else:
         w = (
             W.partitionBy(*on)
             .orderBy(F.col("_t"), F.col("_side"), *tie)
             .rowsBetween(W.currentRow, W.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.first(row_col, ignorenulls=True).over(w)
 
     matched = tagged.select(
         *[F.col(c) for c in left.columns],
         F.col("_side"),
         F.col("_t"),
-        *[pick(c).alias(c + _SENTINEL_SUFFIX) for c in carried],
+        picked.alias(row_col),
     ).filter(F.col("_side") == left_side)
 
     if tolerance is not None:
-        mts = F.col(right_ts + _SENTINEL_SUFFIX)
+        mts = F.col(row_col)[right_ts]
         if direction == "backward":
             in_tol = mts + F.expr(tolerance) >= F.col("_t")
         else:
             in_tol = mts <= F.col("_t") + F.expr(tolerance)
-        matched = matched.select(
-            *[F.col(c) for c in left.columns],
-            F.col("_t"),
-            *[
-                F.when(in_tol, F.col(c + _SENTINEL_SUFFIX)).alias(c + _SENTINEL_SUFFIX)
-                for c in carried
-            ],
-        )
+        matched = matched.withColumn(row_col, F.when(in_tol, F.col(row_col)))
 
     return matched.select(
         *[F.col(c) for c in left.columns],
-        *[F.col(c + _SENTINEL_SUFFIX).alias(c) for c in carried],
+        *[F.col(row_col)[c].alias(c) for c in carried],
     )

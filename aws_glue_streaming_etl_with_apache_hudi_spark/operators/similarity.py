@@ -117,8 +117,12 @@ def knn_filtered(
         _as_double(vec_col).alias("cv"),
         l2_norm(_as_double(vec_col)).alias("cn"),
     )
+    # no forced broadcast: Catalyst/AQE picks broadcast for small query
+    # sets and falls back to a shuffled equi-join on the filter key for
+    # bulk ones (a forced broadcast would OOM exactly when the "bulk
+    # query set" pitch applies — caught by code review)
     scored = (
-        c.join(F.broadcast(q), filter_cols)
+        c.join(q, filter_cols)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -77,6 +77,15 @@ def salted_join(
     join key becomes (on..., _salt): a hot key's rows now spread across
     ``num_salts`` reducers instead of serializing on one.
 
+    The salt hashes the WHOLE row's content (xxhash64 over every
+    column), not spark_partition_id: a partition-derived salt is
+    constant per upstream partition, so a hot key concentrated in fewer
+    input partitions than num_salts would still serialize on a few
+    reducers while paying the full num_salts replication (caught by
+    code review). Content hashing spreads per ROW — duplicates of one
+    hot key differ in their payload columns, which is exactly what
+    makes the key hot.
+
     The result is IDENTICAL to ``big.join(small, on, how)`` for inner
     and left joins — every big row meets exactly one replica of each
     matching small row (its own salt's copy). Semantic cost is zero;
@@ -85,7 +94,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got: {how}")
-    salted_big = big.withColumn("_salt", F.spark_partition_id() % num_salts)
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)).cast("int"),
+    )
     salts = F.array(*[F.lit(i) for i in range(num_salts)])
     replicated = small.withColumn("_salt", F.explode(salts))
     return salted_big.join(replicated, [*on, "_salt"], how).drop("_salt")

@@ -166,15 +166,21 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
-    """Row-local word n-gram array (space-joined), '' entries filtered —
-    the shared primitive for repetition scoring and vocabulary building.
-    Pure array expressions inside codegen; no explode, no shuffle."""
+    """Row-local word n-gram array (space-joined) — the shared primitive
+    for vocabulary building. A document with fewer than ``n`` words
+    contributes NO grams (the greatest(...,1) position-clamp pattern
+    used elsewhere would emit the truncated remainder as a bogus gram —
+    caught by code review; ``F.when`` guards instead). Pure array
+    expressions inside codegen; no explode, no shuffle."""
     w = words(col)
-    positions = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    return F.filter(
-        F.transform(positions, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
-        lambda g: g != "",
-    )
+    positions = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(
+        F.size(w) >= n,
+        F.filter(
+            F.transform(positions, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+            lambda g: g != "",
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def corpus_vocab(

@@ -1227,9 +1227,11 @@ def corpus_mix_weights(spark, sf_dir):
                FROM documents),
     g AS (
       SELECT doc_id,
-             unnest(list_filter([array_to_string(ws[i:i+1], ' ')
-                                 FOR i IN range(1, greatest(len(ws)-1,1)+1)],
-                                x -> x <> '')) AS gram
+             unnest(CASE WHEN len(ws) >= 2
+                         THEN list_filter([array_to_string(ws[i:i+1], ' ')
+                                           FOR i IN range(1, len(ws)-1+1)],
+                                          x -> x <> '')
+                         ELSE [] END) AS gram
       FROM w
     )
     SELECT gram, CAST(count(*) AS BIGINT) AS total_count,

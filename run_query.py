@@ -48,12 +48,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"run-query-{args.name}")
     df = QUERIES[args.name].fn(spark, args.sf_dir)
     if args.explain:
+        # plan only — no execution (the point of asking for the plan)
         from aws_glue_streaming_etl_with_apache_hudi_spark.plans import explain_str
 
         print(explain_str(df))
     elif args.limit > 0:
+        # one job: show() materializes limit+1 rows, no second full count
         df.show(args.limit, truncate=False)
-    print(f"{args.name}: {df.count()} rows @ {args.sf_dir}")
+        print(f"{args.name}: first {args.limit} rows @ {args.sf_dir}")
+    else:
+        print(f"{args.name}: {df.count()} rows @ {args.sf_dir}")
     return 0
 
 

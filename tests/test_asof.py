@@ -148,3 +148,30 @@ def test_asof_matches_pandas_on_random_frames(spark, case):
     for _, row in want.iterrows():
         val = None if pd.isna(row["val"]) else int(row["val"])
         assert got[row["lid"]] == val, (direction, row["lid"])
+
+
+def test_null_value_in_nearest_row_stays_null(spark):
+    """Code-review regression: the nearest right row's NULL value must
+    surface as NULL — per-column ignorenulls carry would resurrect the
+    stale value from an older row (and with tolerance, an out-of-window
+    stale value could even survive the nulling)."""
+    left = spark.createDataFrame([(1, 10, "e")], ["k", "lt", "ev"]).withColumn(
+        "lt", F.timestamp_seconds("lt")
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 8, None)], ["k", "rt", "val"]
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    r = asof_join(left, right, ["k"], "lt", "rt", ["val"]).collect()[0]
+    assert r.val is None  # nearest row (rt=8) carries its own null
+    assert r.rt is not None and r.rt.second == 8
+    # tolerance 3s: nearest row in-window, still null; stale val must NOT leak
+    r2 = asof_join(
+        left, right, ["k"], "lt", "rt", ["val"], tolerance="INTERVAL 3 SECONDS"
+    ).collect()[0]
+    assert r2.val is None and r2.rt is not None
+
+
+def test_reserved_column_names_rejected(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumnRenamed("ev", "_t"), right, ["k"], "lt", "rt", ["val"])

@@ -158,3 +158,23 @@ def test_aqe_skew_join_engages_on_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_spreads_hot_key_from_one_partition(spark):
+    """Code-review regression: the salt must vary PER ROW, not per input
+    partition — a hot key sitting in a single upstream partition (one
+    file, coalesced input) must still fan out across reducers."""
+    hot = spark.range(0, 5000).select(
+        F.lit(7).alias("k"), F.col("id").alias("v")
+    ).coalesce(1)
+    dim = spark.createDataFrame([(7, "x")], ["k", "w"])
+    out = salted_join(hot, dim, ["k"], num_salts=8)
+    assert out.count() == 5000  # correctness unchanged
+    # distinct salt values over the single partition: the row-content hash
+    # must produce (nearly) all 8 salts
+    n_salts = (
+        hot.select(F.pmod(F.xxhash64("k", "v"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8

@@ -58,6 +58,9 @@ def test_corpus_vocab_counts_and_order(spark):
     assert got[0] == ("a b", 3, 2)
     assert ("b a", 1, 1) in got and ("b c", 1, 1) in got and ("b x", 1, 1) in got
     assert all(g != "" for g, _, _ in got)
+    # the 1-word doc contributes NOTHING — no truncated "z" pseudo-bigram
+    # (code-review regression)
+    assert all(" " in g for g, _, _ in got)
     totals = [r.total_count for r in rows]
     assert totals == sorted(totals, reverse=True)
 
