@@ -105,7 +105,14 @@ def word_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
     position sequence -> slice/concat -> array_distinct) — codegen'd, NO
     shuffle, no explode. The array form feeds both the signature path
     (explode downstream) and Jaccard verification (array_intersect)
-    without ever shuffling raw shingle strings."""
+    without ever shuffling raw shingle strings.
+
+    Documents SHORTER than ``n`` words shingle as their full text (the
+    greatest(...,1) position clamp) — deliberate, unlike the vocabulary
+    builder (text.word_ngrams) which excludes them: a short document
+    must still produce a non-empty shingle set or it would get an empty
+    MinHash signature and silently fall out of dedup entirely; two
+    identical short docs still collide via their full-text shingle."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     positions = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     grams = F.transform(positions, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
