@@ -1,0 +1,250 @@
+"""Incremental near-duplicate detection against a persisted MinHash index.
+
+The batch dedup operators (operators/dedup.py) answer "which documents in
+THIS corpus are near-duplicates of each other". A continuously-ingesting
+training-data pipeline needs the streaming form of that question: "is this
+NEW document a near-duplicate of anything we have EVER accepted" — asked
+per micro-batch, against an index that grows with every batch. The
+reference's pipeline shape (stream -> foreachBatch -> keyed table,
+glue_job_script.py:44-56) is exactly where this slots in: the index is one
+more keyed artifact maintained by the batch hook.
+
+Design for 100 TB:
+
+- The persisted artifact is the MINIMAL normal form: one row of k 60-bit
+  MinHash values per accepted document (k longs — ~64 bytes/doc, i.e. a
+  billion-doc index is ~100 GB of parquet, scan-parallel). Bands are pure
+  row-local md5s of signature slices, so they are re-derived at probe
+  time instead of being stored (storing them would multiply the artifact
+  by num_bands and pin the banding scheme into the data).
+- A probe batch computes its own signatures (row-local shingling, one
+  map-side-combinable groupBy — see operators/dedup.py), derives bands
+  for BOTH sides, and joins on (band, bucket): the only shuffle keys are
+  16-byte bucket digests, never document text, never n² pairs.
+- The hot-bucket guard (cap_bucket_size) runs over the UNION of index and
+  probe bands, so a boilerplate bucket that accreted over months cannot
+  produce m² candidates against every new batch.
+- Candidate verification is signature agreement (fraction of equal
+  MinHash positions — the standard unbiased Jaccard estimator), NOT exact
+  shingle Jaccard: the index deliberately does not retain shingle sets,
+  so verification needs nothing but the k longs already joined in. With
+  k=8 the estimate is an exact multiple of 1/8 (binary-exact double,
+  cross-engine deterministic).
+- Within-batch duplicates are resolved by the same join: batch bands are
+  tagged and a batch document also pairs with LOWER-id batch documents,
+  so the first occurrence in a batch survives and later copies flag
+  against it. (Chains — B dups A, C dups B — flag against their nearest
+  predecessor in one pass; collapsing chains to one canonical survivor
+  is the batch `dedup_survivors` job, not the streaming gate's.)
+
+`incremental_flags` is the pure composition (no I/O — oracle-checkable);
+`LSHDedupIndex` wraps it with the parquet-append persistence and is the
+foreachBatch-facing API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+    cap_bucket_size,
+    lsh_bands,
+    minhash_signatures,
+    word_shingles,
+)
+
+
+def incremental_flags(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_sigs: DataFrame | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Flag each batch document against the index and earlier batch rows.
+
+    Returns one row per batch document:
+    ``(id, is_duplicate, dup_of, est_jaccard)`` where ``dup_of`` is the
+    best-matching accepted document (highest signature agreement, ties
+    to the smallest id) and ``est_jaccard`` the agreement fraction, or
+    NULL when nothing reaches ``threshold``.
+
+    ``index_sigs`` is a (id, mh0..mh{k-1}) frame of previously-accepted
+    signatures (None = empty index — pure within-batch dedup).
+    """
+    sigs = minhash_signatures(
+        word_shingles(batch, id_col, text_col, n=shingle_n), id_col, num_hashes
+    )
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band).withColumn(
+        "_probe", F.lit(True)
+    )
+    sig_pool = sigs
+    if index_sigs is not None:
+        ibands = lsh_bands(index_sigs, id_col, num_hashes, rows_per_band).withColumn(
+            "_probe", F.lit(False)
+        )
+        bands = bands.unionByName(ibands)
+        sig_pool = sigs.unionByName(index_sigs)
+
+    capped = cap_bucket_size(bands, ["band", "bucket"], max_bucket_size)
+    p = capped.filter(F.col("_probe")).select(
+        "band", "bucket", F.col(id_col).alias("_pid")
+    )
+    q = capped.select("band", "bucket", F.col(id_col).alias("_cid"), "_probe")
+    # a probe doc pairs with every indexed doc in its bucket and with
+    # EARLIER (lower-id) probe docs — the first occurrence survives
+    cands = (
+        p.join(q, ["band", "bucket"])
+        .filter((~F.col("_probe")) | (F.col("_cid") < F.col("_pid")))
+        .select("_pid", "_cid")
+        .distinct()
+    )
+
+    k = num_hashes
+    a = sigs.select(
+        F.col(id_col).alias("_pid"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]
+    )
+    b = sig_pool.select(
+        F.col(id_col).alias("_cid"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    est = (
+        cands.join(a, "_pid")
+        .join(b, "_cid")
+        .select("_pid", "_cid", (agree.cast("double") / F.lit(k)).alias("_ej"))
+        .filter(F.col("_ej") >= threshold)
+    )
+    # argmax by (agreement desc, candidate id asc) — deterministic tie rule
+    best = (
+        est.groupBy("_pid")
+        .agg(
+            F.max_by(F.col("_cid"), F.struct(F.col("_ej"), -F.col("_cid"))).alias(
+                "dup_of"
+            ),
+            F.max("_ej").alias("est_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("_pid"), "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+            "est_jaccard",
+        )
+    )
+
+
+class LSHDedupIndex:
+    """Persisted MinHash-LSH dedup index for continuous ingestion.
+
+    On disk: ``{path}/sigs`` — an append-only parquet table of
+    ``(id, mh0..mh{k-1})`` for every ACCEPTED (novel) document. Probing
+    never rewrites the index; ingesting appends only the novel rows of
+    the batch, so the artifact grows with the deduplicated corpus, not
+    the raw stream.
+
+    Typical use inside a foreachBatch hook::
+
+        flags = index.ingest(batch_df)          # flags + index append
+        survivors = batch_df.join(
+            flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id")
+        table.upsert(survivors)
+
+    Re-ingesting an identical batch is idempotent in effect: every row
+    flags as a duplicate of its accepted twin (agreement 1.0) and the
+    index gains nothing.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_n: int = 3,
+        num_hashes: int = 8,
+        rows_per_band: int = 2,
+        threshold: float = 0.5,
+        max_bucket_size: int | None = 1000,
+    ) -> None:
+        if num_hashes % rows_per_band != 0:
+            raise ValueError("num_hashes must be divisible by rows_per_band")
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+        self._sigs_dir = os.path.join(path, "sigs")
+
+    # -- index state ----------------------------------------------------
+
+    def _has_sigs(self) -> bool:
+        d = self._sigs_dir
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    def signatures(self) -> DataFrame | None:
+        """The accepted-document signature table (None when empty)."""
+        if not self._has_sigs():
+            return None
+        return self.spark.read.parquet(self._sigs_dir)
+
+    def size(self) -> int:
+        sigs = self.signatures()
+        return 0 if sigs is None else sigs.count()
+
+    # -- probe / ingest --------------------------------------------------
+
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """Flag batch rows against the index (read-only, no append)."""
+        return incremental_flags(
+            batch,
+            self.id_col,
+            self.text_col,
+            index_sigs=self.signatures(),
+            shingle_n=self.shingle_n,
+            num_hashes=self.num_hashes,
+            rows_per_band=self.rows_per_band,
+            threshold=self.threshold,
+            max_bucket_size=self.max_bucket_size,
+        )
+
+    def ingest(self, batch: DataFrame) -> DataFrame:
+        """Probe the batch, append the NOVEL rows' signatures, return flags.
+
+        The flags plan reads the index's CURRENT parquet files, so it is
+        eagerly localCheckpoint'ed (lineage truncated to the materialized
+        rows) BEFORE the append — a merely-lazy (or even persisted) plan
+        re-executed after the append would see the rows it is itself
+        writing and flag novel documents against their own signatures
+        (the self-read-write hazard the upsert merge path documents).
+        The novel-signature plan reads only the batch, so its write
+        needs no such barrier."""
+        flags = self.probe(batch).localCheckpoint(eager=True)
+        novel_ids = flags.filter(~F.col("is_duplicate")).select(self.id_col)
+        novel_sigs = minhash_signatures(
+            word_shingles(
+                batch.join(novel_ids, self.id_col), self.id_col, self.text_col,
+                n=self.shingle_n,
+            ),
+            self.id_col,
+            self.num_hashes,
+        )
+        if not novel_ids.isEmpty():
+            novel_sigs.write.mode("append").parquet(self._sigs_dir)
+        return flags

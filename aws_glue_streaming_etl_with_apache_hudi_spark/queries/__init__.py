@@ -97,6 +97,9 @@ PRIORITY_WINDOW: list[str] = [
     "quality_median_filter",
     "table_profile",
     "corpus_datasheet",
+    "dedup_incremental_index",  # NEW: continuous-ingestion near-dup gate
+    # (displaces fuzzy_match_levenshtein to r5; its string-distance
+    # family keeps scalar_string_funcs as the in-window sibling)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -121,7 +124,6 @@ PRIORITY_WINDOW: list[str] = [
     "scalar_date_funcs",
     "regression_price_quantity",
     "calendar_gap_fill",
-    "fuzzy_match_levenshtein",
     "subquery_in",
     "null_semantics",
 ]

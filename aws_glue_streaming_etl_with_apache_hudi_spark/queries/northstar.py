@@ -1466,3 +1466,76 @@ def corpus_datasheet(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "dedup_incremental_index",
+    sql=_MINHASH_SQL_BODY
+    + """
+    , band2 AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket,
+             doc_id % 2 = 1 AS is_probe
+      FROM sigs GROUP BY doc_id, seed // 2
+    ),
+    -- hot-bucket guard over the UNION of index and probe bands
+    capped AS (
+      SELECT doc_id, band, bucket, is_probe FROM (
+        SELECT band2.*, count(*) OVER (PARTITION BY band, bucket) AS bsz
+        FROM band2)
+      WHERE bsz <= 1000
+    ),
+    -- a probe doc pairs with indexed docs and with LOWER-id probe docs
+    cands AS (
+      SELECT DISTINCT p.doc_id AS pid, q.doc_id AS cid
+      FROM capped p JOIN capped q
+        ON p.band = q.band AND p.bucket = q.bucket
+      WHERE p.is_probe AND (NOT q.is_probe OR q.doc_id < p.doc_id)
+    ),
+    est AS (
+      SELECT pid, cid,
+             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS ej
+      FROM cands
+      JOIN sigs a ON a.doc_id = pid
+      JOIN sigs b ON b.doc_id = cid AND b.seed = a.seed
+      GROUP BY pid, cid
+    ),
+    best AS (
+      SELECT pid, cid, ej,
+             row_number() OVER (PARTITION BY pid ORDER BY ej DESC, cid) AS rn
+      FROM est WHERE ej >= 0.5
+    )
+    SELECT d.doc_id, b.cid IS NOT NULL AS is_duplicate,
+           b.cid AS dup_of, b.ej AS est_jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.pid = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Continuous-ingestion near-dup gate (operators/dedup_index.py):
+    even-id documents stand in for the accepted index, odd-id documents
+    for the arriving batch; each batch doc is flagged against the index
+    AND earlier batch rows via one tagged (band, bucket) join, verified
+    by MinHash signature agreement (exact multiples of 1/8 — binary-safe
+    doubles). The oracle replays shingling, the seeded hash family,
+    banding, the union hot-bucket cap, the tagged candidate join, and
+    the (agreement desc, id asc) argmax.
+
+    Scale: the persisted artifact is k longs per accepted doc; the probe
+    shuffles 16-byte bucket digests only; candidate verification needs
+    nothing beyond the signatures already joined in."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import incremental_flags
+
+    docs = t(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    index_sigs = D.minhash_signatures(
+        D.word_shingles(index_docs, "doc_id", "text", n=3), "doc_id", num_hashes=8
+    )
+    return incremental_flags(
+        probe, "doc_id", "text", index_sigs=index_sigs,
+        shingle_n=3, num_hashes=8, rows_per_band=2,
+        threshold=0.5, max_bucket_size=1000,
+    ).orderBy("doc_id")
