@@ -479,6 +479,14 @@ class TimelineTable:
                 f"cannot rollback to {to_commit}: below the clean horizon "
                 f"{self.clean_horizon()} (snapshots/deltas vacuumed)"
             )
+        blocking = sorted(
+            s["commit"] for s in self.savepoints() if s["commit"] > to_commit
+        )
+        if blocking:
+            raise ValueError(
+                f"savepoints at {blocking} block rollback to {to_commit}; "
+                "delete_savepoint them first"
+            )
         dropped = [c["commit"] for c in self.commits() if c["commit"] > to_commit]
         for commit in dropped:
             shutil.rmtree(self._snapshot_dir(commit), ignore_errors=True)
@@ -490,6 +498,77 @@ class TimelineTable:
         if dropped:
             self._sync_catalog()
         return len(dropped)
+
+    # -- savepoints ---------------------------------------------------------
+    #
+    # Hudi savepoint/restore: a savepoint PINS an instant against the
+    # cleaner (its whole read closure stays on disk however aggressively
+    # clean() runs), and restore() rolls the table back to it. Metadata is
+    # one JSON file per savepoint under the timeline dir (write = atomic
+    # rename; no read-modify-write of shared state, so concurrent
+    # savepoint creation never loses an entry). commits() filters to
+    # NNNNNN.json names, so savepoint files are invisible to the timeline.
+
+    def _savepoint_path(self, commit: int) -> str:
+        return os.path.join(self._timeline_dir, f"savepoint_{commit:06d}.json")
+
+    def savepoints(self) -> list[dict]:
+        """Ordered savepoint metadata ({commit, name, ts})."""
+        if not os.path.isdir(self._timeline_dir):
+            return []
+        out = []
+        for fname in sorted(os.listdir(self._timeline_dir)):
+            if fname.startswith("savepoint_") and fname.endswith(".json"):
+                with open(os.path.join(self._timeline_dir, fname)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def savepoint(self, commit: int | None = None, name: str | None = None) -> int:
+        """Pin ``commit`` (default: the latest instant) against cleaning.
+
+        The instant must exist and still be readable (at or above the
+        clean horizon) — savepointing already-vacuumed history would
+        promise a restore that cannot be served."""
+        commit = self.last_commit() if commit is None else commit
+        if commit < 1 or commit not in {c["commit"] for c in self.commits()}:
+            raise ValueError(f"cannot savepoint unknown instant {commit}")
+        if commit < self.clean_horizon():
+            raise ValueError(
+                f"cannot savepoint {commit}: below the clean horizon "
+                f"{self.clean_horizon()} (history vacuumed)"
+            )
+        meta = {"commit": commit, "name": name or f"sp-{commit}", "ts": time.time()}
+        final = self._savepoint_path(commit)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, final)
+        return commit
+
+    def delete_savepoint(self, commit: int) -> None:
+        try:
+            os.remove(self._savepoint_path(commit))
+        except FileNotFoundError:
+            raise ValueError(f"no savepoint at instant {commit}") from None
+
+    def restore(self, commit: int) -> int:
+        """Roll the table back to savepointed instant ``commit``.
+
+        Mirrors Hudi's restore contract: the target must actually be
+        savepointed, and savepoints ABOVE the target block the restore
+        (they are promises to preserve that history — the caller must
+        delete them explicitly before destroying it). Returns #commits
+        dropped."""
+        sps = {s["commit"] for s in self.savepoints()}
+        if commit not in sps:
+            raise ValueError(f"no savepoint at instant {commit}")
+        later = sorted(c for c in sps if c > commit)
+        if later:
+            raise ValueError(
+                f"savepoints at {later} block restore to {commit}; "
+                "delete_savepoint them first"
+            )
+        return self.rollback(commit)
 
     def compact(self) -> int:
         """Collapse snapshot ownership into ONE instant (Hudi-style full
@@ -563,6 +642,13 @@ class TimelineTable:
         if len(instants) <= keep_last:
             return {"snapshots": [], "deltas": []}
         horizon = instants[-keep_last]["commit"]
+        # Savepoints clamp the horizon: a pinned instant (and everything
+        # at or after it) must stay readable no matter how aggressive the
+        # retention ask is. Savepoint creation validates commit >= the
+        # current horizon, so the clamp can never regress the floor.
+        sps = [s["commit"] for s in self.savepoints()]
+        if sps:
+            horizon = min(horizon, min(sps))
         # Persist the time-travel floor BEFORE deleting anything: a crash
         # between marker and deletions leaves reads conservatively refused,
         # never silently partial. Horizon only ever advances.

@@ -116,3 +116,83 @@ def test_compact_collapses_read_plan(table, spark):
     # post-compaction clean can drop all pre-compaction snapshots
     removed = table.clean(keep_last=2)
     assert set(removed["snapshots"]) == {1, 2, 3}
+
+
+# -- savepoints (Hudi savepoint/restore parity) -----------------------------
+
+
+def test_savepoint_pins_history_from_clean(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))            # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))           # c2
+    table.upsert(_rows(spark, [(2, "b", "y", 1)]))            # c3
+    table.upsert(_rows(spark, [(1, "a", "x4", 4)]))           # c4
+    before = _state(table, as_of=2)
+
+    assert table.savepoint(2, name="pre-migration") == 2
+    assert [s["name"] for s in table.savepoints()] == ["pre-migration"]
+
+    # aggressive retention: without the savepoint the horizon would be 4
+    table.clean(keep_last=1)
+    assert table.clean_horizon() <= 2
+    # the pinned instant stays fully readable
+    assert _state(table, as_of=2) == before
+
+
+def test_clean_without_savepoint_vacuums_same_history(spark, tmp_path):
+    t = TimelineTable(
+        spark=spark, path=str(tmp_path / "nosp"), keys=["k"],
+        precombine="ver", partition_by=["part"],
+    )
+    t.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    t.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    t.upsert(_rows(spark, [(1, "a", "x3", 3)]))
+    t.clean(keep_last=1)
+    assert t.clean_horizon() == 3
+    with pytest.raises(ValueError):
+        t.read(as_of=2)
+
+
+def test_restore_to_savepoint(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))  # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))                    # c2
+    table.savepoint(name="stable")                                     # sp@2
+    table.upsert(_rows(spark, [(3, "c", "z", 1)]))                     # c3
+    expected = _state(table, as_of=2)
+
+    assert table.restore(2) == 1
+    assert table.last_commit() == 2
+    assert _state(table) == expected
+    # the savepoint survives its own restore
+    assert [s["commit"] for s in table.savepoints()] == [2]
+
+
+def test_restore_blocked_by_later_savepoint(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))   # c1
+    table.savepoint(1)
+    table.upsert(_rows(spark, [(2, "b", "y", 1)]))   # c2
+    table.savepoint(2)
+
+    with pytest.raises(ValueError, match="block restore"):
+        table.restore(1)
+    with pytest.raises(ValueError, match="block rollback"):
+        table.rollback(1)
+
+    table.delete_savepoint(2)
+    assert table.restore(1) == 1
+    assert _state(table) == {1: ("a", "x", 1)}
+
+
+def test_savepoint_validation(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    with pytest.raises(ValueError, match="unknown instant"):
+        table.savepoint(7)
+    with pytest.raises(ValueError, match="no savepoint"):
+        table.restore(1)
+    with pytest.raises(ValueError, match="no savepoint"):
+        table.delete_savepoint(1)
+    # below the clean horizon -> refuse to promise unservable restores
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    table.upsert(_rows(spark, [(1, "a", "x3", 3)]))
+    table.clean(keep_last=1)
+    with pytest.raises(ValueError, match="below the clean horizon"):
+        table.savepoint(1)
