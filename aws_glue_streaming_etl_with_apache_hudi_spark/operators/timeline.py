@@ -104,6 +104,15 @@ class TimelineTable:
     def _snapshot_dir(self, commit: int) -> str:
         return os.path.join(self.path, "snapshots", f"commit={commit}")
 
+    def _data_dir(self, commit: int, instants: list[dict] | None = None) -> str:
+        """Directory holding this instant's full-partition data files: the
+        snapshot dir, or the external location for a metadata-only
+        bootstrap instant (whose files were adopted in place)."""
+        for c in instants if instants is not None else self.commits():
+            if c["commit"] == commit and c.get("location"):
+                return c["location"]
+        return self._snapshot_dir(commit)
+
     def _delta_dir(self, commit: int) -> str:
         return os.path.join(self.path, "deltas", f"commit={commit}")
 
@@ -184,6 +193,61 @@ class TimelineTable:
         tomb = keys_batch.select(*needed).withColumn(DELETED_COL, F.lit(True))
         tomb = precombine_latest(tomb, self._identity, self.precombine)
         return self._commit_delta(tomb, operation="delete")
+
+    def bootstrap(self, location: str) -> int:
+        """Metadata-only adoption of an existing parquet dataset (Hudi's
+        bootstrap operation): registers ``location`` as the table's first
+        instant WITHOUT copying or rewriting a byte — at 100 TB, adopting
+        the table format must not cost a full rewrite. The files stay
+        where they are; the instant records the external location and the
+        partition list, and every table service then works: snapshot and
+        time-travel reads stitch the location like any owning commit,
+        upserts rewrite only touched partitions (into normal snapshot
+        dirs — the adopted files are never modified), incremental pull
+        treats the bootstrap instant's records as commit 1's, and
+        clean/rollback never delete the external location (they only ever
+        remove ``snapshots/``/``deltas/`` dirs under the table path).
+
+        Requirements: the table has no commits yet, and ``location`` is
+        (for a partitioned table) Hive-partitioned by the same columns.
+        """
+        if self.commits():
+            raise ValueError("bootstrap requires an empty table (no commits)")
+        if not os.path.isdir(location):
+            raise ValueError(f"bootstrap location not found: {location}")
+        df = self.spark.read.parquet(location)
+        needed = list(self.partition_by) + [
+            c for c in self.keys if c not in self.partition_by
+        ] + [self.precombine]
+        missing = [c for c in needed if c not in df.columns]
+        if missing:
+            raise ValueError(f"bootstrap location lacks table columns: {missing}")
+        touched = (
+            [
+                [_part_token(v) for v in row]
+                for row in df.select(*self.partition_by).distinct().collect()
+            ]
+            if self.partition_by
+            else [[]]
+        )
+        # the bootstrap instant owns its records via the external location;
+        # the delta dir exists but is empty (incremental() special-cases
+        # the operation and reads the location instead)
+        self.spark.createDataFrame([], df.schema).write.mode("overwrite").parquet(
+            self._delta_dir(1)
+        )
+        self._save_instant(
+            {
+                "commit": 1,
+                "operation": "bootstrap",
+                "ts": time.time(),
+                "touched_partitions": touched,
+                "schema": df.schema.json(),
+                "location": os.path.abspath(location),
+            }
+        )
+        self._sync_catalog()
+        return 1
 
     def history(self) -> DataFrame:
         """The timeline as a queryable DataFrame (Hudi ``show commits`` /
@@ -283,7 +347,9 @@ class TimelineTable:
         schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
         try:
             if not self.partition_by:
-                loc = os.path.abspath(self._snapshot_dir(instants[-1]["commit"]))
+                loc = os.path.abspath(
+                    self._data_dir(instants[-1]["commit"], instants)
+                )
                 _catalog.sync_external_table(
                     self.spark, self.table_name, loc, schema, [], touched=None
                 )
@@ -305,7 +371,7 @@ class TimelineTable:
                 if any(v == _NULL_PART for v in vals):
                     raise ValueError("null partition value: DDL cannot spell it")
                 d = os.path.join(
-                    self._snapshot_dir(commit),
+                    self._data_dir(commit, instants),
                     *(f"{c}={v}" for c, v in zip(self.partition_by, vals)),
                 )
                 if _has_parquet(d):  # emptied partitions drop out
@@ -383,7 +449,7 @@ class TimelineTable:
         latest_schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
 
         if not self.partition_by:
-            d = self._snapshot_dir(instants[-1]["commit"])
+            d = self._data_dir(instants[-1]["commit"], instants)
             if not _has_parquet(d):  # delete commit can empty the table
                 return self.spark.createDataFrame([], latest_schema)
             df = self.spark.read.parquet(d)
@@ -399,7 +465,7 @@ class TimelineTable:
 
         pieces = []
         for commit in sorted(by_commit):
-            d = self._snapshot_dir(commit)
+            d = self._data_dir(commit, instants)
             if not _has_parquet(d):  # all of this commit's partitions emptied
                 continue
             df = self.spark.read.parquet(d)
@@ -430,24 +496,29 @@ class TimelineTable:
         upserted by instants in ``(begin, end]``, tagged with the instant
         that produced it (``_commit_id``). Scans ONLY delta files in
         range — never the table."""
-        instants = [
-            c["commit"]
+        metas = [
+            c
             for c in self.commits()
             if c["commit"] > begin and (end is None or c["commit"] <= end)
         ]
-        if not instants:
+        if not metas:
             raise ValueError(f"no commits in ({begin}, {end}]")
         horizon = self.clean_horizon()
-        if instants[0] < horizon:
+        if metas[0]["commit"] < horizon:
             raise ValueError(
                 f"incremental range ({begin}, {end}] reaches below the clean "
                 f"horizon {horizon}: those delta files were vacuumed by clean()"
             )
+        # a metadata-only bootstrap instant's "delta" IS its adopted
+        # location: those are the records the instant introduced, and an
+        # incremental replica built from begin=0 must converge to read()
         deltas = [
-            self.spark.read.parquet(self._delta_dir(i)).withColumn(
-                COMMIT_COL, F.lit(i)
-            )
-            for i in instants
+            self.spark.read.parquet(
+                c["location"]
+                if c.get("operation") == "bootstrap" and c.get("location")
+                else self._delta_dir(c["commit"])
+            ).withColumn(COMMIT_COL, F.lit(c["commit"]))
+            for c in metas
         ]
         return incremental_view(deltas, self._identity, self.precombine)
 
