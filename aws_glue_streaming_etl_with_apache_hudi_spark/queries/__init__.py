@@ -100,6 +100,9 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_incremental_index",  # NEW: continuous-ingestion near-dup gate
     # (displaces fuzzy_match_levenshtein to r5; its string-distance
     # family keeps scalar_string_funcs as the in-window sibling)
+    "bootstrap_adopted_state",  # NEW: on-disk metadata-only bootstrap
+    # (displaces regression_price_quantity to r5; its stats family keeps
+    # table_profile + corpus_datasheet as in-window siblings)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -122,7 +125,6 @@ PRIORITY_WINDOW: list[str] = [
     "set_union_distinct",
     "scalar_string_funcs",
     "scalar_date_funcs",
-    "regression_price_quantity",
     "calendar_gap_fill",
     "subquery_in",
     "null_semantics",

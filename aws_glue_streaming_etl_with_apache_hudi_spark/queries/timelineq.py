@@ -230,3 +230,84 @@ def mor_incremental(spark, sf_dir):
         "event_type",
         F.round("value", 2).alias("value"),
     ).orderBy("user_id")
+
+
+@register(
+    "bootstrap_adopted_state",
+    sql=f"""
+    SELECT event_type, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_id, round(value, 2) AS value
+    FROM (
+      SELECT event_type, user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts < TIMESTAMP '{_CUT2}'
+        AND (event_type <> 'view' OR ts < TIMESTAMP '{_CUT1}')
+    ) x WHERE rn = 1
+    ORDER BY event_type, user_id
+    """,
+)
+def bootstrap_adopted_state(spark, sf_dir):
+    """Metadata-only bootstrap in the production read path
+    (operators/timeline.py ``TimelineTable.bootstrap``): a pre-existing
+    Hive-partitioned parquet dataset (latest pre-cut1 state per
+    (event_type, user_id)) is ADOPTED in place as commit 1 — no copy, no
+    rewrite — then commit 2 upserts the [cut1, cut2) events for every
+    event_type EXCEPT 'view'. The snapshot read stitches the untouched
+    'view' partition straight from the adopted external files and the
+    rewritten partitions from commit 2's snapshot — the oracle replays
+    the merged latest-state algebra over raw events.
+
+    Scale: this is the 100 TB adoption story — taking an existing lake
+    table under timeline management costs one metadata commit, and
+    subsequent upserts rewrite only the partitions they touch."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    cut1, cut2 = F.lit(_CUT1).cast("timestamp"), F.lit(_CUT2).cast("timestamp")
+    pre = precombine_latest(
+        e.filter(F.col("ts") < cut1),
+        ["event_type", "user_id"], "ts", tie_breakers=["event_id"],
+    )
+    batch2 = precombine_latest(
+        e.filter(
+            (F.col("ts") >= cut1) & (F.col("ts") < cut2) & (F.col("event_type") != "view")
+        ),
+        ["event_type", "user_id"], "ts", tie_breakers=["event_id"],
+    )
+    build_sig = "|".join(
+        [sf_dir, ",".join(_EVENT_COLS), _CUT1, _CUT2, "bootstrap:user_id:ts:v1"]
+    )
+    root = Path(tempfile.gettempdir()) / (
+        "spark_graft_bootstrap_" + hashlib.md5(build_sig.encode()).hexdigest()[:12]
+    )
+    ext, tpath = root / "external", root / "table"
+    tbl = TimelineTable(
+        spark, str(tpath), keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    commits = tbl.commits()
+    ok = (
+        len(commits) == 2
+        and commits[0].get("operation") == "bootstrap"
+        and commits[0].get("location") == str(ext.resolve())
+    )
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        pre.write.partitionBy("event_type").parquet(str(ext))
+        tbl.bootstrap(str(ext))   # commit 1: adopted in place
+        tbl.upsert(batch2)        # commit 2: rewrites non-'view' partitions
+    return tbl.read().select(
+        "event_type",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_id",
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_type", "user_id")
