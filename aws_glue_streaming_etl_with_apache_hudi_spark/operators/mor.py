@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -224,6 +225,95 @@ class MergeOnReadTable:
 
     def latest_commit(self) -> int:
         return self._meta()["next_seq"] - 1 if self.exists() else 0
+
+    # -- savepoints ----------------------------------------------------------
+    #
+    # Same contract as TimelineTable: a savepoint pins an instant against
+    # the cleaner, restore() rolls the table back to it, and later
+    # savepoints block destructive operations until deleted. MOR keeps
+    # them in the single meta file (its one-writer metadata model) rather
+    # than per-savepoint files.
+
+    def savepoints(self) -> list[dict]:
+        return list(self._meta().get("savepoints", [])) if self.exists() else []
+
+    def savepoint(self, commit: int | None = None, name: str | None = None) -> int:
+        """Pin ``commit`` (default: latest) against cleaning."""
+        commit = self.latest_commit() if commit is None else commit
+        if commit < 1 or commit > self.latest_commit():
+            raise ValueError(f"cannot savepoint unknown instant {commit}")
+        if commit <= self._cleaned_through() or (
+            commit < self._compacted_through() and self._cleaned_through() >= 1
+        ):
+            raise ValueError(
+                f"cannot savepoint {commit}: not reconstructible (clean "
+                f"horizon {self._cleaned_through()})"
+            )
+        meta = self._meta()
+        sps = [s for s in meta.get("savepoints", []) if s["commit"] != commit]
+        sps.append({"commit": commit, "name": name or f"sp-{commit}", "ts": time.time()})
+        meta["savepoints"] = sorted(sps, key=lambda s: s["commit"])
+        self._save_meta(meta)
+        return commit
+
+    def delete_savepoint(self, commit: int) -> None:
+        meta = self._meta() if self.exists() else {}
+        sps = meta.get("savepoints", [])
+        if commit not in {s["commit"] for s in sps}:
+            raise ValueError(f"no savepoint at instant {commit}")
+        meta["savepoints"] = [s for s in sps if s["commit"] != commit]
+        self._save_meta(meta)
+
+    def restore(self, commit: int) -> int:
+        """Roll the table back to savepointed instant ``commit``; returns
+        #delta commits dropped.
+
+        A restore point at or after the last compaction is metadata-cheap
+        (drop the newer delta dirs). Below it, the base already folded
+        newer commits, so the base is REBUILT from the log replay of
+        ``read(as_of=commit)`` — a full rewrite, the honest cost of
+        un-compacting (Hudi's restore pays the same). Later savepoints
+        block the restore until deleted."""
+        sps = {s["commit"] for s in self.savepoints()}
+        if commit not in sps:
+            raise ValueError(f"no savepoint at instant {commit}")
+        later = sorted(c for c in sps if c > commit)
+        if later:
+            raise ValueError(
+                f"savepoints at {later} block restore to {commit}; "
+                "delete_savepoint them first"
+            )
+        dropped = [c for c in self._log_commits_on_disk() if c > commit]
+        rebuild = commit < self._compacted_through()
+        if rebuild:
+            # write the replayed state to a sibling dir and swap: a full
+            # overwrite under dynamic-partition-overwrite mode would leave
+            # partitions that no longer exist at `commit` lingering in the
+            # base, and writing in place would race the plan still reading
+            # the old base files
+            state = self.read(as_of=commit)
+            tmp_base = self._base + ".restore_tmp"
+            shutil.rmtree(tmp_base, ignore_errors=True)
+            writer = state.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(tmp_base)
+            shutil.rmtree(self._base, ignore_errors=True)
+            os.rename(tmp_base, self._base)
+        for seq in dropped:
+            shutil.rmtree(
+                os.path.join(self._log, f"commit={seq}"), ignore_errors=True
+            )
+        meta = self._meta()
+        meta["next_seq"] = commit + 1
+        if rebuild or meta.get("compacted_through", 0) > commit:
+            meta["compacted_through"] = commit
+        meta.setdefault("timeline", []).append(
+            {"seq": commit, "action": "restore", "through": commit}
+        )
+        self._save_meta(meta)
+        self._sync_catalog(base_changed=True)
+        return len(dropped)
 
     def _evolved_schema_json(self, batch: DataFrame) -> str:
         stored = T.StructType.fromJson(json.loads(self._meta()["schema"]))
@@ -428,6 +518,15 @@ class MergeOnReadTable:
                 f"cannot clean through {through}: base only contains commits "
                 f"≤ {compacted} (compact first)"
             )
+        # Savepoints pin their read closure against cleaning. A savepoint
+        # AT/AFTER the compaction point reads base + pending deltas — the
+        # folded commits clean() removes are not part of its closure, so
+        # no clamp is needed. A savepoint BELOW the compaction point is
+        # served by log-only replay from commit 1 (read()'s contract), so
+        # while one exists NOTHING may be cleaned.
+        sps = [s["commit"] for s in self.savepoints()]
+        if sps and min(sps) < compacted:
+            return 0
         # Advance the horizon marker BEFORE deleting anything: a crash
         # mid-clean then leaves reads below the horizon conservatively
         # REFUSED (marker says gone, some dirs linger — harmless), never

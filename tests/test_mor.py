@@ -252,3 +252,102 @@ def test_legacy_table_time_travel_refused(table, spark):
     with pytest.raises(ValueError, match="predates the commit timeline"):
         table.read(as_of=1)
     assert table.read().collect()[0].v == "v1"  # snapshot read still fine
+
+
+# -- savepoints (Hudi savepoint/restore parity, MOR side) -------------------
+
+
+def _state(t, **kw):
+    return {r.k: (r.part, r.v, r.ver) for r in t.read(**kw).collect()}
+
+
+def test_mor_savepoint_pins_log_from_clean(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))     # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))    # c2
+    table.savepoint(2, name="pin")                     # below future compaction
+    table.upsert(_rows(spark, [(1, "a", "x3", 3)]))    # c3
+    table.compact()                                    # folds through c3
+    before = _state(table, as_of=2)
+
+    # the pinned instant is below the compaction point: clean is a no-op
+    assert table.clean(through=3) == 0
+    assert _state(table, as_of=2) == before
+
+    # after deleting the savepoint, cleaning proceeds and the instant dies
+    table.delete_savepoint(2)
+    assert table.clean(through=3) == 3
+    with pytest.raises(ValueError):
+        table.read(as_of=2)
+
+
+def test_mor_savepoint_at_compaction_point_allows_clean(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))     # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))    # c2
+    table.compact()                                    # through c2
+    table.savepoint(2)                                 # at the compaction point
+    table.upsert(_rows(spark, [(2, "b", "y", 1)]))     # c3 pending
+    before = _state(table, as_of=2)
+
+    # folded commits are not part of the savepoint's closure
+    assert table.clean(through=2) == 2
+    assert _state(table, as_of=2) == before
+
+
+def test_mor_restore_metadata_only_above_compaction(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))     # c1
+    table.compact()
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))    # c2
+    table.savepoint(2)
+    table.upsert(_rows(spark, [(3, "b", "z", 1)]))     # c3
+    expected = _state(table, as_of=2)
+
+    assert table.restore(2) == 1
+    assert table.latest_commit() == 2
+    assert _state(table) == expected
+    # next write continues the sequence from the restore point
+    table.upsert(_rows(spark, [(4, "b", "w", 1)]))
+    assert table.latest_commit() == 3
+    assert _state(table)[4] == ("b", "w", 1)
+
+
+def test_mor_restore_rebuilds_base_below_compaction(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))                 # c1
+    table.savepoint(1)
+    table.upsert(_rows(spark, [(1, "a", "x2", 2), (3, "b", "z", 1)]))  # c2
+    table.compact()                                                # folds c1-c2
+    expected = _state(table, as_of=1)
+
+    assert table.restore(1) == 1
+    assert _state(table) == expected
+    assert table._compacted_through() == 1
+    # the partition born in c2 is gone from the rebuilt base
+    assert "b" not in {p for (p, _v, _ver) in _state(table).values()}
+    # the table keeps working after the rebuild
+    table.upsert(_rows(spark, [(5, "b", "new", 1)]))
+    assert _state(table)[5] == ("b", "new", 1)
+
+
+def test_mor_restore_blocked_by_later_savepoint(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))   # c1
+    table.savepoint(1)
+    table.upsert(_rows(spark, [(2, "a", "y", 1)]))   # c2
+    table.savepoint(2)
+    with pytest.raises(ValueError, match="block restore"):
+        table.restore(1)
+    table.delete_savepoint(2)
+    assert table.restore(1) == 1
+
+
+def test_mor_savepoint_validation(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    with pytest.raises(ValueError, match="unknown instant"):
+        table.savepoint(9)
+    with pytest.raises(ValueError, match="no savepoint"):
+        table.restore(1)
+    with pytest.raises(ValueError, match="no savepoint"):
+        table.delete_savepoint(1)
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    table.compact()
+    table.clean(through=1)
+    with pytest.raises(ValueError, match="not reconstructible"):
+        table.savepoint(1)
