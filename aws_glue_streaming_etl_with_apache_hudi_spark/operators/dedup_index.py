@@ -49,6 +49,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+    _persist_slot,
     cap_bucket_size,
     lsh_bands,
     minhash_signatures,
@@ -78,8 +79,15 @@ def incremental_flags(
     ``index_sigs`` is a (id, mh0..mh{k-1}) frame of previously-accepted
     signatures (None = empty index — pure within-batch dedup).
     """
-    sigs = minhash_signatures(
-        word_shingles(batch, id_col, text_col, n=shingle_n), id_col, num_hashes
+    # the signature aggregation and the capped band frame each feed
+    # multiple plan branches (probe + candidate sides, agreement join);
+    # Catalyst does not share common subtrees, so slot-persist both —
+    # the shingle/md5 work runs once per batch, not once per consumer
+    sigs = _persist_slot(
+        minhash_signatures(
+            word_shingles(batch, id_col, text_col, n=shingle_n), id_col, num_hashes
+        ),
+        "dedup_index.sigs",
     )
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band).withColumn(
         "_probe", F.lit(True)
@@ -92,7 +100,10 @@ def incremental_flags(
         bands = bands.unionByName(ibands)
         sig_pool = sigs.unionByName(index_sigs)
 
-    capped = cap_bucket_size(bands, ["band", "bucket"], max_bucket_size)
+    capped = _persist_slot(
+        cap_bucket_size(bands, ["band", "bucket"], max_bucket_size),
+        "dedup_index.bands_capped",
+    )
     p = capped.filter(F.col("_probe")).select(
         "band", "bucket", F.col(id_col).alias("_pid")
     )
