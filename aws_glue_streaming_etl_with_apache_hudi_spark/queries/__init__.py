@@ -103,6 +103,9 @@ PRIORITY_WINDOW: list[str] = [
     "bootstrap_adopted_state",  # NEW: on-disk metadata-only bootstrap
     # (displaces regression_price_quantity to r5; its stats family keeps
     # table_profile + corpus_datasheet as in-window siblings)
+    "range_join_binned",        # NEW: pure range join via binning
+    # (displaces join_anti to r5; join family keeps join_left_outer,
+    # join_right_outer, join_broadcast_dim, join_salted_skew in-window)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -117,7 +120,6 @@ PRIORITY_WINDOW: list[str] = [
     "agg_distinct_having",
     "agg_rollup",
     "join_left_outer",
-    "join_anti",
     "join_broadcast_dim",
     "window_running_sum",
     "window_lag_lead",

@@ -314,3 +314,53 @@ def table_profile(spark, sf_dir):
             "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
         },
     ).orderBy("col_name")
+
+
+@register(
+    "range_join_binned",
+    sql="""
+    SELECT p.event_id AS p_event_id, count(c.event_id) AS n_clicks
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+      ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 6 HOUR
+    GROUP BY p.event_id ORDER BY p.event_id
+    """,
+)
+def range_join_binned(spark, sf_dir):
+    """PURE range join (no equi key): clicks attributed to every purchase
+    whose 6-hour window contains them. Spark would execute the raw theta
+    predicate as a BroadcastNestedLoopJoin — O(n*m) comparisons — so the
+    operator (operators/rangejoin.py) bins time at the window width,
+    explodes each interval to its <=2 covered bins, equi-joins on the
+    bin id and applies the exact bounds as a residual filter. The oracle
+    IS the naive theta join: binning must be a physical-only rewrite.
+
+    Scale: shuffle keys are bin ids; the comparison count is the true
+    candidate count, not n*m; unmatched purchases reattach by id (left
+    semantics without an outer theta join)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.rangejoin import binned_range_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("p_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("ts").alias("c_ts")
+    )
+    joined = binned_range_join(
+        purchases,
+        clicks,
+        start_col="p_ts",
+        end_col="p_end",
+        point_col="c_ts",
+        bin_width_seconds=6 * 3600,
+        how="left",
+        interval_id=["p_event_id"],
+    )
+    return (
+        joined.groupBy("p_event_id")
+        .agg(F.count("c_event_id").alias("n_clicks"))
+        .orderBy("p_event_id")
+    )
