@@ -582,3 +582,161 @@ def knn_ivf(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+# -- product quantization (PQ) ANN ------------------------------------------
+#
+# The memory-compression scale path (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", 2011): split each D-dim vector into M
+# subvectors, quantize each against a per-subspace codebook of K
+# centroids, and store M small codes per vector (M bytes at K<=256 —
+# 32x smaller than float64). Search uses ASYMMETRIC distance (ADC): the
+# full-precision query builds an M x K lookup table of subspace
+# distances once, and each corpus vector's approximate distance is M
+# table lookups summed — no decompression, no per-pair vector math.
+#
+# Determinism: every subspace distance is rounded to 6 dp and converted
+# to an INTEGER micro-distance (x 1e6) before any summation, so the ADC
+# sum is exact integer arithmetic — immune to float summation order —
+# and the DuckDB oracle (queries/northstar.py knn_pq) reproduces every
+# code and every distance bit-for-bit from the same md5-derived literal
+# codebooks. Ties break on the smaller code / neighbor id.
+
+
+def pq_codebooks(m: int, ksub: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic literal PQ codebooks: ``m`` subspaces of ``dim/m``
+    dims, ``ksub`` centroids each, md5-derived like ``literal_centroids``
+    (seed prefix "pq_"): c(s,k,j) = (md5_60bit('pq_s_k_j') % 2001
+    - 1000)/1000. Literals let the encode/search semantics carry a full
+    DuckDB oracle; production codebooks come from ``pq_train_codebooks``."""
+    import hashlib
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        [
+            [
+                (int(hashlib.md5(f"pq_{s}_{k}_{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+                / 1000.0
+                for j in range(dsub)
+            ]
+            for k in range(ksub)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+) -> list[list[list[float]]]:
+    """Trained codebooks: per-subspace Lloyd k-means over the SLICED
+    vectors (``kmeans_centroids`` per subspace — m small trainings, each
+    a few scans; the corpus never shuffles)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    out = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col), F.slice(_as_double(vec_col), s * dsub + 1, dsub).alias("_sub")
+        )
+        out.append(
+            kmeans_centroids(
+                sliced, id_col=id_col, vec_col="_sub", k=ksub,
+                iterations=iterations, dim=dsub,
+            )
+        )
+    return out
+
+
+def _sub_dist_micro(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Integer micro-distances batch x m x ksub: round(||sub - c||^2, 6)
+    * 1e6 as int64 — the one distance definition shared by encode,
+    search and the SQL oracle."""
+    b, (m, ksub, dsub) = len(vecs), books.shape
+    subs = vecs.reshape(b, m, dsub)  # batch x m x dsub
+    # ||s||^2 - 2 s.c + ||c||^2 per subspace
+    d = (
+        (subs ** 2).sum(axis=2)[:, :, None]
+        - 2 * np.einsum("bmd,mkd->bmk", subs, books)
+        + (books ** 2).sum(axis=2)[None, :, :]
+    )
+    return np.round(np.round(d, 6) * 1e6).astype(np.int64)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the nearest centroid's index
+    (micro-distance argmin, ties to the smaller code). One Arrow-batched
+    einsum per batch — the corpus is scanned once, never shuffled."""
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        d = _sub_dist_micro(mat, books)  # batch x m x ksub
+        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+
+    return df.select(F.col(id_col), encode(_as_double(vec_col)).alias("codes"))
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance: the corpus is scanned
+    as codes (M ints per vector), each query carries its flattened m*ksub
+    micro-distance table, and the approximate distance is an exact
+    integer sum of M table lookups (JVM-side ``aggregate`` over the code
+    array — no Python in the scoring loop).
+
+    Plan: queries (with tables) broadcast; the encoded corpus streams
+    map-side — the knn_bruteforce shape, but each corpus row is M ints
+    instead of D floats. Returns (query_id, neighbor_id, adist_micro,
+    rnk); ``adist_micro`` is the integer micro-distance (x 1e-6 = the
+    rounded squared L2 ADC distance)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, _dsub = books.shape
+
+    @F.pandas_udf("array<long>")
+    def qtable(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        d = _sub_dist_micro(mat, books)  # batch x m x ksub
+        return pd.Series(list(d.reshape(len(mat), m * ksub)))
+
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qtable(_as_double(vec_col)).alias("qtab")
+    )
+    # adist = sum_m qtab[m*ksub + codes[m]] — integer arithmetic, exact
+    adist = F.expr(
+        "aggregate(transform(codes, (c, i) -> element_at(qtab, i * "
+        f"{ksub} + c + 1)), 0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist_micro"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -106,6 +106,9 @@ PRIORITY_WINDOW: list[str] = [
     "range_join_binned",        # NEW: pure range join via binning
     # (displaces join_anti to r5; join family keeps join_left_outer,
     # join_right_outer, join_broadcast_dim, join_salted_skew in-window)
+    "knn_pq",                   # NEW: product-quantization ANN
+    # (displaces window_lag_lead to r5; window family keeps its
+    # window_running_sum sentinel in-window)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -122,7 +125,6 @@ PRIORITY_WINDOW: list[str] = [
     "join_left_outer",
     "join_broadcast_dim",
     "window_running_sum",
-    "window_lag_lead",
     "topk_orders",
     "set_union_distinct",
     "scalar_string_funcs",

@@ -1539,3 +1539,77 @@ def dedup_incremental_index(spark, sf_dir):
         shingle_n=3, num_hashes=8, rows_per_band=2,
         threshold=0.5, max_bucket_size=1000,
     ).orderBy("doc_id")
+
+
+def _knn_pq_oracle_sql(m: int = 4, ksub: int = 16, dim: int = 64, k: int = 5) -> str:
+    """DuckDB replica of knn_pq: the md5-derived literal codebooks
+    (operators/similarity.py pq_codebooks) enter as VALUES rows; per-
+    subspace micro-distances (round(round(d,6)*1e6) as BIGINT — the
+    double-round makes the integer conversion boundary-safe), argmin
+    encoding with (d, k) ties, and the ADC integer sum are all re-derived
+    in static SQL. The HUGEINT sum is cast back to BIGINT (rule 9)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(m, ksub, dim)
+    dsub = dim // m
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    rows = ",\n      ".join(
+        f"({s}, {kk}, {lit(books[s][kk])}::DOUBLE[], "
+        f"{float(sum(x * x for x in books[s][kk]))!r})"
+        for s in range(m)
+        for kk in range(ksub)
+    )
+    sub = f"v[cb.s*{dsub}+1 : cb.s*{dsub}+{dsub}]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb(s, k, w, ww) AS (VALUES
+      {rows}),
+    dist AS (
+      SELECT e.vec_id, cb.s, cb.k,
+             CAST(round(round(
+               list_dot_product({sub}, {sub})
+               - 2 * list_dot_product({sub}, cb.w) + cb.ww, 6) * 1000000)
+             AS BIGINT) AS d
+      FROM e CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, s, k AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+             CAST(sum(q.d) AS BIGINT) AS adist_micro
+      FROM enc JOIN dist q ON q.s = enc.s AND q.k = enc.code
+      WHERE q.vec_id % 40 = 0 AND enc.vec_id <> q.vec_id
+      GROUP BY q.vec_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adist_micro, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist_micro, neighbor_id) AS rnk
+      FROM adc) WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@register("knn_pq", sql=_knn_pq_oracle_sql())
+def knn_pq_query(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py knn_pq): the
+    corpus is scanned as 4 small codes per vector (vs 64 floats — the
+    memory-compression scale path), queries carry m x ksub integer
+    micro-distance tables, and the asymmetric distance is an exact
+    integer sum of table lookups ranked per query. Codebooks here are
+    the md5-derived literals so every code and distance is re-derived by
+    the oracle; trained per-subspace k-means (pq_train_codebooks) is the
+    production quantizer, recall-tested in tests/test_similarity.py.
+
+    Scale: the encoded corpus is ~32x smaller than the raw vectors,
+    queries broadcast with their tables, scoring is JVM-side integer
+    aggregation — no Python, no shuffle of the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(4, 16, 64)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.knn_pq(emb, queries, books, k=5)

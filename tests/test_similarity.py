@@ -163,3 +163,69 @@ def test_knn_filtered_is_equi_join_not_cartesian(spark, emb):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- product quantization ----------------------------------------------------
+
+
+def test_pq_encode_matches_numpy(spark, emb):
+    books = S.pq_codebooks(4, 16, 64)
+    got = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(emb, books).collect()}
+
+    rows = emb.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    b = np.asarray(books, dtype=np.float64)  # m x ksub x dsub
+    subs = mat.reshape(len(mat), 4, 16)
+    d = (
+        (subs ** 2).sum(axis=2)[:, :, None]
+        - 2 * np.einsum("bmd,mkd->bmk", subs, b)
+        + (b ** 2).sum(axis=2)[None, :, :]
+    )
+    codes = np.round(np.round(d, 6) * 1e6).astype(np.int64).argmin(axis=2)
+    for i, r in enumerate(rows):
+        assert got[r.vec_id] == list(codes[i])
+
+
+def test_pq_trained_codebooks_recall_beats_literals(spark, emb):
+    """Trained per-subspace codebooks must reconstruct the corpus better
+    than arbitrary literals: recall@5 of knn_pq vs exact brute force is
+    strictly higher with training (and clears a floor)."""
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def recall(books):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.knn_pq(emb, queries, books, k=5).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_lit = recall(S.pq_codebooks(4, 16, 64))
+    r_trn = recall(S.pq_train_codebooks(emb, 4, 16, 64, iterations=3))
+    # The fixture embeddings are iid synthetic — PQ's worst case (no
+    # inter-dimension structure to exploit), and the baseline ranks by
+    # cosine while PQ ranks by L2, so absolute recall is modest here
+    # (measured: literals 0.08, trained 0.16 at m=4; 0.44 at m=16/k=64).
+    # The assertions that matter: training strictly beats arbitrary
+    # literals, deterministically, above a stable floor.
+    assert r_trn > r_lit
+    assert r_trn >= 0.1
+
+
+def test_pq_scoring_is_jvm_side_integer_sum(spark, emb):
+    books = S.pq_codebooks(4, 16, 64)
+    queries = emb.filter("vec_id % 100 = 0")
+    df = S.knn_pq(emb, queries, books, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # queries broadcast; the encoded corpus streams map-side
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    # deterministic output type: exact integer micro-distances
+    assert dict(df.dtypes)["adist_micro"] == "bigint"
+
+
+def test_pq_codebook_validation(spark):
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_codebooks(5, 16, 64)
