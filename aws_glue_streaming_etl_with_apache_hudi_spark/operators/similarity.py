@@ -297,7 +297,22 @@ class IVFIndex:
         self.vec_col = vec_col
         self._meta_path = os.path.join(path, "_ivf_meta.json")
 
-    def build(self, corpus: DataFrame, k: int = 16, iterations: int = 5, dim: int = 64) -> None:
+    def build(
+        self,
+        corpus: DataFrame,
+        k: int = 16,
+        iterations: int = 5,
+        dim: int = 64,
+        pq_m: int | None = None,
+        pq_ksub: int = 16,
+    ) -> None:
+        """Build the inverted lists; with ``pq_m`` set, store PQ codes of
+        the RESIDUALS (v - centroid) instead of the raw vectors — classic
+        IVF-PQ (Jégou et al. 2011): the coarse quantizer removes the
+        cluster mean, the product quantizer encodes what remains, and a
+        billion-vector index shrinks to m small ints per vector. The
+        codebooks are trained per-subspace on the residual distribution
+        (pq_train_codebooks)."""
         import json
         import os
 
@@ -315,21 +330,45 @@ class IVFIndex:
             d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             return pd.Series(d.argmin(axis=1).astype("int32"))
 
-        (
-            corpus.select(
-                F.col(self.id_col),
-                _as_double(self.vec_col).alias("v"),
-                l2_norm(_as_double(self.vec_col)).alias("_cn"),
-                nearest(_as_double(self.vec_col)).alias("cluster"),
-            )
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(self.path)
+        assigned = corpus.select(
+            F.col(self.id_col),
+            _as_double(self.vec_col).alias("v"),
+            l2_norm(_as_double(self.vec_col)).alias("_cn"),
+            nearest(_as_double(self.vec_col)).alias("cluster"),
         )
+        meta: dict = {"centroids": centroids, "dim": dim}
+        if pq_m is not None:
+
+            @F.pandas_udf("array<double>")
+            def residual(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+                m = np.asarray(vecs.tolist(), dtype=np.float64)
+                r = m - cents[clusters.to_numpy()]
+                return pd.Series(list(r))
+
+            res = assigned.select(
+                self.id_col, "cluster", residual("v", "cluster").alias("_res")
+            ).persist()  # consumed by training (m*iters scans) AND encoding
+            try:
+                books = pq_train_codebooks(
+                    res, pq_m, pq_ksub, dim, id_col=self.id_col, vec_col="_res"
+                )
+                codes = pq_encode(res, books, id_col=self.id_col, vec_col="_res")
+                (
+                    res.select(self.id_col, "cluster")
+                    .join(codes, self.id_col)
+                    .write.mode("overwrite")
+                    .partitionBy("cluster")
+                    .parquet(self.path)
+                )
+            finally:
+                res.unpersist()
+            meta["pq"] = {"m": pq_m, "ksub": pq_ksub, "codebooks": books}
+        else:
+            assigned.write.mode("overwrite").partitionBy("cluster").parquet(self.path)
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"centroids": centroids, "dim": dim}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
     def centroids(self) -> list[list[float]]:
@@ -385,6 +424,8 @@ class IVFIndex:
         if not dirs:
             raise ValueError(f"no inverted lists for probed clusters {probed}")
         lists = self.spark.read.option("basePath", self.path).parquet(*dirs)
+        if self._pq_meta() is not None:
+            return self._search_pq(lists, qb, k)
         scored = (
             lists.join(F.broadcast(qb), "cluster")
             .filter(F.col(self.id_col) != F.col("query_id"))
@@ -399,6 +440,60 @@ class IVFIndex:
             .dropDuplicates(["query_id", "neighbor_id"])
         )
         w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .orderBy("query_id", "rnk")
+        )
+
+    def _pq_meta(self) -> dict | None:
+        import json
+
+        with open(self._meta_path) as f:
+            return json.load(f).get("pq")
+
+    def _search_pq(self, lists: DataFrame, qb: DataFrame, k: int) -> DataFrame:
+        """ADC scoring over the probed PQ code lists: per (query, probed
+        cluster) the query's RESIDUAL against that cluster's centroid
+        builds an m x ksub integer micro-distance table; a candidate's
+        distance is the exact integer sum of its codes' table entries.
+        Returns (query_id, neighbor_id, adist_micro, rnk) — ranked by
+        approximate L2, ties to the smaller id."""
+        pq = self._pq_meta()
+        books = np.asarray(pq["codebooks"], dtype=np.float64)
+        m, ksub = pq["m"], pq["ksub"]
+        cents = np.asarray(self.centroids(), dtype=np.float64)
+
+        @F.pandas_udf("array<long>")
+        def qtable(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+            mat = np.asarray(vecs.tolist(), dtype=np.float64)
+            res = mat - cents[clusters.to_numpy()]
+            d = _sub_dist_micro(res, books)
+            return pd.Series(list(d.reshape(len(mat), m * ksub)))
+
+        qt = qb.select(
+            "query_id", "cluster", qtable("qv", "cluster").alias("qtab")
+        )
+        adist = F.expr(
+            "aggregate(transform(codes, (c, i) -> element_at(qtab, i * "
+            f"{ksub} + c + 1)), 0L, (acc, x) -> acc + x)"
+        )
+        scored = (
+            lists.join(F.broadcast(qt), "cluster")
+            .filter(F.col(self.id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col(self.id_col).alias("neighbor_id"),
+                adist.alias("adist_micro"),
+            )
+            # a neighbor reachable through several probed clusters keeps
+            # its best (smallest) approximate distance
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.min("adist_micro").alias("adist_micro"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.asc("adist_micro"), F.asc("neighbor_id")
+        )
         return (
             scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)

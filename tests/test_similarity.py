@@ -229,3 +229,43 @@ def test_pq_scoring_is_jvm_side_integer_sum(spark, emb):
 def test_pq_codebook_validation(spark):
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_codebooks(5, 16, 64)
+
+
+def test_ivf_pq_index_search_and_pruning(spark, emb, tmp_path):
+    """IVF-PQ composition: inverted lists store residual PQ codes (m ints
+    per vector); search prunes to the probed cluster dirs AND scores by
+    exact-integer ADC. Recall is measured against exact L2."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import IVFIndex
+
+    idx = IVFIndex(spark, str(tmp_path / "ivfpq"))
+    idx.build(emb, k=8, iterations=3, dim=64, pq_m=16, pq_ksub=16)
+
+    queries = emb.filter("vec_id % 100 = 0")
+    got = idx.search(queries, k=5, n_probe=4)
+    assert got.columns == ["query_id", "neighbor_id", "adist_micro", "rnk"]
+    rows = got.collect()
+    assert rows and all(r["rnk"] <= 5 for r in rows)
+
+    # partition pruning: only probed cluster dirs are opened
+    qb = idx.probe_lists(queries, 4)
+    probed = {r.cluster for r in qb.select("cluster").distinct().collect()}
+    opened = {
+        f.split("cluster=")[1].split("/")[0]
+        for f in got.inputFiles()
+        if "cluster=" in f
+    }
+    assert opened and opened <= {str(c) for c in probed}
+
+    # recall vs exact L2 (iid synthetic embeddings = PQ's worst case;
+    # m=16 keeps distortion workable — see test_pq_trained_codebooks)
+    rows_all = emb.collect()
+    ids = np.array([r.vec_id for r in rows_all])
+    mat = np.array([r.embedding for r in rows_all], dtype=np.float64)
+    exact = set()
+    for qi in np.where(ids % 100 == 0)[0]:
+        d = ((mat - mat[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:5]
+        exact |= {(int(ids[qi]), int(ids[j])) for j in order}
+    found = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(found & exact) / len(exact) >= 0.3
