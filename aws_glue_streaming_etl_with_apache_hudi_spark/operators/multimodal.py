@@ -96,3 +96,102 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame
             yield out
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("decode_status", T.StringType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: each VIDEO asset yields ``n_frames`` rows — the
+    1->N mapInPandas shape (an Arrow batch of assets in, a LARGER batch
+    of frames out; no explode shuffle, no driver involvement). Non-video
+    assets produce no rows.
+
+    STUB kernel: a real implementation seeks the container's keyframes
+    (libav); the deterministic fake slices the payload into equal spans
+    so frame count, ordering, per-frame digests and batch flow are fully
+    exercised. Swap only the inner loop to productionize."""
+    import hashlib
+
+    import pandas as pd  # noqa: F401
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "video":
+                    continue
+                raw = bytes(payload) if payload is not None else b""
+                span = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = raw[i * span : (i + 1) * span]
+                    rows.append(
+                        (aid, i, n_frames, frame,
+                         hashlib.md5(frame).hexdigest(), "stubbed")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest_md5", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("decode_status", T.StringType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize: the 1->1 payload-transform mapInPandas shape (binary in,
+    binary out, metadata recomputed batch-side). STUB kernel: a real
+    implementation decodes + re-encodes (PIL); the deterministic fake
+    bounds the payload to width*height bytes so downstream size
+    accounting, digests and schema are exercised. Only image assets are
+    transformed; other modalities pass through untouched (status
+    'passthrough')."""
+    import hashlib
+
+    import pandas as pd  # noqa: F401
+
+    cap = width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if modality == "image":
+                    out, status = raw[:cap], "stubbed"
+                else:
+                    out, status = raw, "passthrough"
+                rows.append(
+                    (aid, modality, out, len(out),
+                     hashlib.md5(out).hexdigest(), width, height, status)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)

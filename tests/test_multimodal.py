@@ -46,3 +46,52 @@ def test_extract_features_mapinpandas(spark, sf_dir):
 def test_decode_kernel_rejects_unknown_modality():
     with pytest.raises(NotImplementedError):
         _decode_kernel(b"xx", "hologram")
+
+
+def test_sample_frames_explodes_video_assets(spark, sf_dir):
+    import hashlib
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.multimodal import FRAME_SCHEMA, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    videos = binary_assets(docs.filter("doc_id % 2 = 0"), "doc_id", "text", "video")
+    texts = binary_assets(docs.filter("doc_id % 2 = 1"), "doc_id", "text", "text")
+    frames = sample_frames(videos.unionByName(texts), n_frames=4)
+    assert frames.schema == FRAME_SCHEMA
+    rows = frames.collect()
+    n_videos = videos.count()
+    # 1->N: exactly n_frames rows per VIDEO asset; text assets yield none
+    assert len(rows) == 4 * n_videos
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+        assert r.frame_md5 == hashlib.md5(bytes(r.frame_bytes)).hexdigest()
+        assert r.decode_status == "stubbed"
+    for aid, fr in by_asset.items():
+        assert sorted(f.frame_index for f in fr) == [0, 1, 2, 3]
+    # deterministic
+    again = sample_frames(videos.unionByName(texts), n_frames=4).collect()
+    assert sorted((r.asset_id, r.frame_index, r.frame_md5) for r in again) == sorted(
+        (r.asset_id, r.frame_index, r.frame_md5) for r in rows
+    )
+
+
+def test_resize_images_transforms_only_images(spark, sf_dir):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.multimodal import RESIZED_SCHEMA, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    images = binary_assets(docs.filter("doc_id % 2 = 0"), "doc_id", "text", "image")
+    audio = binary_assets(docs.filter("doc_id % 2 = 1"), "doc_id", "text", "audio")
+    out = resize_images(images.unionByName(audio), width=8, height=8)
+    assert out.schema == RESIZED_SCHEMA
+    rows = {r.asset_id: r for r in out.collect()}
+    orig = {r.asset_id: r for r in images.unionByName(audio).collect()}
+    assert set(rows) == set(orig)
+    for aid, r in rows.items():
+        assert (r.target_w, r.target_h) == (8, 8)
+        assert r.n_bytes == len(r.payload)
+        if r.modality == "image":
+            assert r.decode_status == "stubbed" and r.n_bytes <= 64
+        else:
+            assert r.decode_status == "passthrough"
+            assert bytes(r.payload) == bytes(orig[aid].payload)
