@@ -238,7 +238,16 @@ class MergeOnReadTable:
         return list(self._meta().get("savepoints", [])) if self.exists() else []
 
     def savepoint(self, commit: int | None = None, name: str | None = None) -> int:
-        """Pin ``commit`` (default: latest) against cleaning."""
+        """Pin ``commit`` (default: latest) against cleaning.
+
+        Known limit vs Hudi (which pins data FILES, not replay ranges):
+        a savepoint taken at/after the compaction point while earlier
+        commits are ALREADY cleaned becomes unrestorable once a LATER
+        compaction overtakes it — its reconstruction then needs log-only
+        replay from commit 1, and the cleaned commits are gone. The
+        failure is loud (``read``/``restore`` raise, nothing silently
+        partial); avoid it by savepointing before the first clean, or by
+        restoring before compacting past the savepoint."""
         commit = self.latest_commit() if commit is None else commit
         if commit < 1 or commit > self.latest_commit():
             raise ValueError(f"cannot savepoint unknown instant {commit}")

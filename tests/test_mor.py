@@ -351,3 +351,22 @@ def test_mor_savepoint_validation(table, spark):
     table.clean(through=1)
     with pytest.raises(ValueError, match="not reconstructible"):
         table.savepoint(1)
+
+
+def test_mor_savepoint_overtaken_by_compaction_fails_loud(table, spark):
+    """Documented limit (savepoint docstring): sp taken at the compaction
+    point with earlier commits already cleaned becomes unrestorable once
+    a later compaction overtakes it — restore/read raise rather than
+    serving partial state."""
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))     # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))    # c2
+    table.compact()                                    # through c2
+    table.clean(through=1)                             # c1 gone
+    table.savepoint(2)                                 # legal: at compaction pt
+    table.upsert(_rows(spark, [(1, "a", "x3", 3)]))    # c3
+    table.compact()                                    # overtakes the sp
+
+    with pytest.raises(ValueError):
+        table.restore(2)
+    # and the table itself is still healthy
+    assert _state(table)[1] == ("a", "x3", 3)
