@@ -557,6 +557,36 @@ class MergeOnReadTable:
                 removed += 1
         return removed
 
+    def fsck(self) -> dict:
+        """Remove partial-write leftovers: log commit dirs at/above
+        ``next_seq`` (a crash between the delta write and the meta save
+        — unreadable, but accreting storage), the restore staging dir,
+        and stale meta tmp files. Run offline, like compaction/clean.
+        Returns the removed paths."""
+        removed: dict = {"dirs": [], "tmp_files": []}
+        next_seq = self._meta()["next_seq"] if self.exists() else 1
+        # a crash during bootstrap leaves a base with no meta — unreadable
+        if not self.exists() and os.path.isdir(self._base):
+            shutil.rmtree(self._base, ignore_errors=True)
+            removed["dirs"].append(self._base)
+        for seq in self._log_commits_on_disk():
+            if seq >= next_seq:
+                full = os.path.join(self._log, f"commit={seq}")
+                shutil.rmtree(full, ignore_errors=True)
+                removed["dirs"].append(full)
+        staging = self._base + ".restore_tmp"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+            removed["dirs"].append(staging)
+        tmp = self._meta_path + ".tmp"
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+                removed["tmp_files"].append(tmp)
+            except OSError:
+                pass
+        return removed
+
     def _sync_catalog(self, base_changed: bool = False) -> None:
         """Hudi MOR's hive-sync registers a table PAIR: ``<name>_rt``
         (realtime: base+log merged at read time — necessarily a view,

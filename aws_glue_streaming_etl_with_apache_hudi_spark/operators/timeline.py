@@ -764,6 +764,60 @@ class TimelineTable:
                 removed["deltas"].append(c)
         return removed
 
+    def fsck(self) -> dict:
+        """Remove UNREFERENCED data directories (Hudi's marker-based
+        partial-write rollback, offline form): a crash between the data
+        write and ``_save_instant`` leaves a ``snapshots/commit=N`` or
+        ``deltas/commit=N`` directory with no timeline instant — invisible
+        to every reader, but accreting storage forever. fsck deletes any
+        commit-numbered data dir whose instant json does not exist, plus
+        stale ``*.tmp`` metadata files. The bootstrap location is never
+        touched (it lives outside the table path).
+
+        Run it like a table service (offline, or under the commit lock
+        when ``lock_commits`` — a CONCURRENT writer's data lands before
+        its instant, exactly the window fsck would reap). Returns the
+        removed paths."""
+        import shutil
+
+        lock = None
+        if self.lock_commits:
+            from aws_glue_streaming_etl_with_apache_hudi_spark.operators.locking import CommitLock
+
+            lock = CommitLock(self.path)
+            lock.acquire()
+        try:
+            valid = {c["commit"] for c in self.commits()}
+            removed: dict = {"dirs": [], "tmp_files": []}
+            for sub in ("snapshots", "deltas"):
+                root = os.path.join(self.path, sub)
+                if not os.path.isdir(root):
+                    continue
+                for d in sorted(os.listdir(root)):
+                    if not d.startswith("commit="):
+                        continue
+                    try:
+                        cid = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if cid not in valid:
+                        full = os.path.join(root, d)
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed["dirs"].append(full)
+            if os.path.isdir(self._timeline_dir):
+                for fname in sorted(os.listdir(self._timeline_dir)):
+                    if fname.endswith(".tmp"):
+                        full = os.path.join(self._timeline_dir, fname)
+                        try:
+                            os.remove(full)
+                            removed["tmp_files"].append(full)
+                        except OSError:
+                            pass
+            return removed
+        finally:
+            if lock is not None:
+                lock.release()
+
 
 # -- pure transforms (no IO): the algebra, exposed for queries + oracles ----
 

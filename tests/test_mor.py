@@ -370,3 +370,34 @@ def test_mor_savepoint_overtaken_by_compaction_fails_loud(table, spark):
         table.restore(2)
     # and the table itself is still healthy
     assert _state(table)[1] == ("a", "x3", 3)
+
+
+def test_mor_fsck_reclaims_partial_writes(table, spark):
+    import shutil
+
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))   # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))  # c2
+    before = _state(table)
+
+    # crash window: delta for next_seq written, meta never advanced
+    orphan = os.path.join(table._log, f"commit={table.latest_commit() + 1}")
+    _rows(spark, [(9, "c", "zz", 1)]).write.parquet(orphan)
+    staging = table._base + ".restore_tmp"
+    os.makedirs(staging, exist_ok=True)
+
+    removed = table.fsck()
+    assert sorted(removed["dirs"]) == sorted([orphan, staging])
+    assert not os.path.isdir(orphan) and not os.path.isdir(staging)
+    assert _state(table) == before
+    # the reclaimed sequence number is reused cleanly
+    table.upsert(_rows(spark, [(3, "b", "z", 1)]))
+    assert _state(table)[3] == ("b", "z", 1)
+
+    # crashed bootstrap: base without meta is reclaimed
+    p2 = str(table.path) + "_crashed"
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import MergeOnReadTable
+    t2 = MergeOnReadTable(spark=spark, path=p2, keys=["k"], precombine="ver")
+    _rows(spark, [(1, "a", "x", 1)]).write.parquet(t2._base)
+    removed2 = t2.fsck()
+    assert removed2["dirs"] == [t2._base]
+    shutil.rmtree(p2, ignore_errors=True)

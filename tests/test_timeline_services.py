@@ -196,3 +196,36 @@ def test_savepoint_validation(table, spark):
     table.clean(keep_last=1)
     with pytest.raises(ValueError, match="below the clean horizon"):
         table.savepoint(1)
+
+
+# -- fsck: partial-write reclamation ----------------------------------------
+
+
+def test_fsck_removes_unreferenced_dirs_only(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))    # c1
+    table.upsert(_rows(spark, [(2, "b", "y", 1)]))    # c2
+    before = _state(table)
+
+    # simulate a crash between data write and instant save: data dirs for
+    # a commit 3 that never reached the timeline, plus a stale tmp file
+    orphan_snap = table._snapshot_dir(3)
+    orphan_delta = table._delta_dir(3)
+    _rows(spark, [(9, "c", "zz", 1)]).write.parquet(orphan_snap)
+    _rows(spark, [(9, "c", "zz", 1)]).write.parquet(orphan_delta)
+    tmp = os.path.join(table._timeline_dir, "000003.json.tmp")
+    with open(tmp, "w") as f:
+        f.write("{")
+
+    removed = table.fsck()
+    assert sorted(removed["dirs"]) == sorted([orphan_snap, orphan_delta])
+    assert removed["tmp_files"] == [tmp]
+    assert not os.path.isdir(orphan_snap) and not os.path.exists(tmp)
+    # referenced data untouched; next commit proceeds normally with id 3
+    assert _state(table) == before
+    assert table.upsert(_rows(spark, [(3, "c", "z", 1)])) == 3
+    assert _state(table)[3] == ("c", "z", 1)
+
+
+def test_fsck_noop_on_clean_table(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    assert table.fsck() == {"dirs": [], "tmp_files": []}
