@@ -288,3 +288,52 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
     )
+
+
+def hashed_embedding(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text vectorizer: each token maps
+    to index ``(h//2) % dim`` with sign ``+1/-1`` from the hash's parity
+    bit (signed hashing keeps collisions unbiased — Weinberger et al.
+    2009), summed into a dense ``dim``-length double array usable by
+    every vector operator downstream (knn_*, PQ, embedding dedup).
+
+    No vocabulary, no fit step, no driver state: the "model" is the hash
+    function, so the transform is a pure column computation — the
+    property that makes feature hashing THE vectorizer that scales to
+    unbounded vocabularies. Shuffles: one (id, idx) aggregation plus the
+    per-doc assembly; tokens never move unhashed.
+
+    Returns (id, embedding array<double>). The parity bit is consumed by
+    the sign and EXCLUDED from the index so the two stay independent."""
+    h = stable_hash64(F.col("_tok"))
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("_tok")).filter(
+        F.col("_tok") != ""
+    )
+    entries = (
+        toks.select(
+            F.col(id_col),
+            # integer shift, NOT h/2: double division loses low bits
+            # above 2^53 and h is 60-bit
+            (F.shiftright(h, 1) % dim).alias("_idx"),
+            F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("_sign"),
+        )
+        .groupBy(id_col, "_idx")
+        .agg(F.sum("_sign").alias("_w"))
+    )
+    return (
+        entries.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("_w")))
+            ).alias("_m")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i.cast("long")), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )

@@ -109,6 +109,9 @@ PRIORITY_WINDOW: list[str] = [
     "knn_pq",                   # NEW: product-quantization ANN
     # (displaces window_lag_lead to r5; window family keeps its
     # window_running_sum sentinel in-window)
+    "text_hash_embedding",      # NEW: feature-hashing vectorizer
+    # (displaces agg_distinct_having to r5; agg family keeps its
+    # agg_rollup sentinel in-window)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -120,7 +123,6 @@ PRIORITY_WINDOW: list[str] = [
     # agg_salted_skew->join_salted_skew,
     # json_extract_props->map_json_ops — deferred late for corpus_datasheet)
     "filter_predicates",
-    "agg_distinct_having",
     "agg_rollup",
     "join_left_outer",
     "join_broadcast_dim",

@@ -1613,3 +1613,45 @@ def knn_pq_query(spark, sf_dir):
     books = S.pq_codebooks(4, 16, 64)
     queries = emb.filter(F.col("vec_id") % 40 == 0)
     return S.knn_pq(emb, queries, books, k=5)
+
+
+@register(
+    "text_hash_embedding",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    h AS (SELECT doc_id, {_h('t')} AS hv FROM toks),
+    e AS (
+      SELECT doc_id, (hv // 2) % 64 AS idx,
+             CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS w
+      FROM h GROUP BY doc_id, (hv // 2) % 64
+    )
+    SELECT doc_id, CAST(idx AS INTEGER) AS idx, w
+    FROM e WHERE w <> 0 ORDER BY doc_id, idx
+    """,
+)
+def text_hash_embedding(spark, sf_dir):
+    """Feature-hashing vectorizer (operators/text.py hashed_embedding):
+    tokens map to (index, sign) from the stable 60-bit hash — parity bit
+    is the sign, the shifted hash mod 64 the index — and sum into a
+    dense 64-dim double vector, the bridge from the text family into
+    every vector operator (knn, PQ, embedding dedup). No vocabulary, no
+    fit: the model IS the hash, which is why the transform scales to
+    unbounded vocabularies with one aggregation. The query posexplodes
+    the DENSE operator output back to its non-zero entries so assembly,
+    indices, signs and sums are all value-checked by the oracle
+    replaying the identical hash arithmetic.
+
+    Scale: tokens shuffle only as (id, idx) partial sums; the dense
+    assembly is one per-doc map build."""
+    docs = t(spark, sf_dir, "documents")
+    emb = X.hashed_embedding(docs, "doc_id", "text", dim=64)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("idx", "w"))
+        .filter(F.col("w") != 0)
+        .orderBy("doc_id", "idx")
+    )

@@ -103,3 +103,32 @@ def test_boilerplate_duplicate_lines_within_doc_count_once(spark):
     rows = {r.doc_id: r for r in X.boilerplate_line_ratio(df, "doc_id", "text").collect()}
     assert rows[1].n_lines == 1  # distinct within the doc
     assert rows[1].n_boilerplate == 0  # only one DOC carries it
+
+
+def test_hashed_embedding_feeds_vector_operators(spark, sf_dir):
+    """The hashing-trick vectorizer output is a drop-in embedding: dense,
+    fixed-dim, usable by knn_bruteforce directly; exact duplicates of a
+    text map to identical vectors."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import similarity as S
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.text import hashed_embedding
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    emb = hashed_embedding(docs, "doc_id", "text", dim=64)
+    rows = emb.collect()
+    assert all(len(r.embedding) == 64 for r in rows)
+    assert any(any(v != 0 for v in r.embedding) for r in rows)
+
+    out = S.knn_bruteforce(
+        emb, emb.filter("doc_id < 3"), id_col="doc_id", vec_col="embedding", k=3
+    )
+    got = out.collect()
+    assert got and all(r.rnk <= 3 for r in got)
+
+    # same text -> same vector (pure function of content)
+    two = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha beta beta gamma")],
+        "doc_id long, text string",
+    )
+    vecs = {r.doc_id: r.embedding for r in hashed_embedding(two, "doc_id", "text").collect()}
+    assert vecs[1] == vecs[2]
