@@ -58,7 +58,10 @@ class PipelineConfig:
             if k in opts:
                 kwargs[k] = opts[k]
         if "partition_fields" in opts:
-            kwargs["partition_fields"] = opts["partition_fields"].split(",")
+            # --partition_fields "" = unpartitioned (empty tokens dropped)
+            kwargs["partition_fields"] = [
+                p for p in opts["partition_fields"].split(",") if p
+            ]
         return cls(**kwargs)
 
     @classmethod

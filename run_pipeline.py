@@ -41,7 +41,8 @@ def main(argv: list[str]) -> None:
             "Optional: --record_key (user_id) --precombine (ts) "
             "--partition_fields (comma-separated) --table_name "
             "--window_size ('10 seconds') --source_format (parquet) "
-            "--quarantine_dir --once (true|false)"
+            "--quarantine_dir --once (true|false) --infer_schema (true|false) "
+            "--dedup_index_dir --dedup_text_field (text) --dedup_id_field"
         )
         return
     opts = resolve_options(argv, ["source_dir", "table_path", "checkpoint_path"])
@@ -98,6 +99,37 @@ def main(argv: list[str]) -> None:
             )
     except Exception:
         pass
+
+    # Schema-inference bootstrap (the reference's inferSchema=true): for
+    # non-events sources, let the pipeline probe the first files.
+    if opts.get("infer_schema", "false").lower() == "true":
+        schema, transform = None, None
+
+    # Continuous-ingestion near-dup gate (operators/dedup_index.py): each
+    # micro-batch is probed against the persisted MinHash index; near-dup
+    # rows are dropped BEFORE the upsert and novel signatures accepted —
+    # the dedup-at-ingest shape of a training-data pipeline.
+    if opts.get("dedup_index_dir"):
+        from pyspark.sql import functions as F
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
+
+        idx = LSHDedupIndex(
+            spark,
+            opts["dedup_index_dir"],
+            id_col=opts.get("dedup_id_field", cfg.record_key),
+            text_col=opts.get("dedup_text_field", "text"),
+        )
+        base_transform = transform
+
+        def gated(df, _base=base_transform, _idx=idx):
+            if _base is not None:
+                df = _base(df)
+            flags = _idx.ingest(df)
+            keep = flags.filter(~F.col("is_duplicate")).select(_idx.id_col)
+            return df.join(keep, _idx.id_col)
+
+        transform = gated
 
     pipe = StreamingUpsertPipeline(
         spark,

@@ -138,3 +138,41 @@ def test_stream_to_mor_table_with_midstream_compaction(spark, sf_dir, tmp_path):
     # read-optimized view: only compacted state, a subset of the full merge
     ro = table.read_optimized().select("event_type", "user_id", "ts", "event_id", "value")
     assert ro.exceptAll(got).isEmpty()
+
+
+def test_run_pipeline_cli_dedup_gate(spark, tmp_path):
+    """CLI wiring of the continuous-ingestion near-dup gate: a documents
+    source with an exact duplicate drains through run_pipeline with
+    --dedup_index_dir; the duplicate is dropped before the upsert and
+    its signature never enters the index."""
+    import run_pipeline
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    run_pipeline.main(
+        [
+            "--source_dir", src,
+            "--table_path", str(tmp_path / "tbl"),
+            "--checkpoint_path", str(tmp_path / "ckpt"),
+            "--record_key", "doc_id",
+            "--precombine", "doc_id",
+            "--partition_fields", "",
+            "--table_name", "cli_dedup_tbl",
+            "--once", "true",
+            "--infer_schema", "true",
+            "--dedup_index_dir", str(tmp_path / "idx"),
+        ]
+    )
+    got = sorted(r.doc_id for r in spark.table("cli_dedup_tbl").collect())
+    assert got == [1, 2]
+    assert LSHDedupIndex(spark, str(tmp_path / "idx")).size() == 2
