@@ -464,7 +464,9 @@ class MergeOnReadTable:
         )
 
     # -- compaction ----------------------------------------------------------
-    def compact(self) -> int:
+    def compact(
+        self, zorder_by: list[str] | None = None, n_files: int = 8
+    ) -> int:
         """Fold pending deltas into the base; returns #commits compacted.
 
         Only partitions PRESENT IN THE LOGS are rewritten (dynamic
@@ -477,11 +479,30 @@ class MergeOnReadTable:
         removes history. A crash between base write and meta save
         replays the log onto an already-merged base — idempotent, same
         max_by winner.
+
+        ``zorder_by`` runs the compaction as a clustering service (Hudi's
+        inline clustering): the rewritten base files are Z-ordered on the
+        given columns into ``n_files`` contiguous Z-ranges per rewrite
+        (range exchange + within-partition sort — the COW ``cluster_write``
+        layout), so post-compaction scans with predicates on those columns
+        skip most files via row-group stats.
         """
         commits = self._log_commits()
         if not commits:
             return 0
         merged = self.read()
+
+        def _layout(df: DataFrame) -> DataFrame:
+            if not zorder_by:
+                return df
+            from aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering import ZCOL, zorder_value
+
+            return (
+                df.withColumn(ZCOL, zorder_value(df, zorder_by, 8))
+                .repartitionByRange(n_files, ZCOL)
+                .sortWithinPartitions(ZCOL)
+                .drop(ZCOL)
+            )
 
         if self.partition_by:
             # touched partitions: distinct tuples across all pending deltas
@@ -497,13 +518,13 @@ class MergeOnReadTable:
                     clause = eq if clause is None else (clause & eq)
                 cond = clause if cond is None else (cond | clause)
             (
-                merged.filter(cond)
+                _layout(merged.filter(cond))
                 .write.mode("overwrite")
                 .partitionBy(*self.partition_by)
                 .parquet(self._base)  # dynamic overwrite: touched parts only
             )
         else:
-            merged.write.mode("overwrite").parquet(self._base)
+            _layout(merged).write.mode("overwrite").parquet(self._base)
 
         meta = self._meta()
         meta["compacted_through"] = max(commits)

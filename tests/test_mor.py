@@ -401,3 +401,40 @@ def test_mor_fsck_reclaims_partial_writes(table, spark):
     removed2 = t2.fsck()
     assert removed2["dirs"] == [t2._base]
     shutil.rmtree(p2, ignore_errors=True)
+
+
+def test_mor_clustered_compaction(spark, tmp_path):
+    """compact(zorder_by=...) = Hudi's inline clustering: the rewritten
+    base is Z-ordered into contiguous ranges, results identical to a
+    plain compaction, and per-file spans on the leading cluster column
+    are tighter than an unclustered write's."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering import file_range_spans
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    rows = [(i, "a", f"v{i}", 1) for i in range(400)]
+    t = MergeOnReadTable(
+        spark=spark, path=str(tmp_path / "morz"), keys=["k"],
+        precombine="ver", partition_by=["part"],
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    t.upsert(_rows(spark, rows[:200]))
+    t.upsert(_rows(spark, rows[200:]))
+    t.compact(zorder_by=["k"], n_files=4)
+
+    got = {r.k for r in t.read().collect()}
+    assert got == set(range(400))
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(t._base).withColumn("_file", F.input_file_name())
+    per_file = (
+        base.groupBy("_file").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    ).collect()
+    assert len(per_file) >= 2
+    # contiguous Z-ranges on a single column: per-file spans must not
+    # overlap (each file owns a disjoint k range)
+    ordered = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_lo1, hi1), (lo2, _hi2) in zip(ordered, ordered[1:]):
+        assert hi1 <= lo2
+    # and the span metric confirms tight per-file coverage
+    fracs = [r["span_frac"] for r in file_range_spans(base, "k").collect()]
+    assert max(fracs) < 0.6
