@@ -317,7 +317,13 @@ class MergeOnReadTable:
         meta["next_seq"] = commit + 1
         if rebuild or meta.get("compacted_through", 0) > commit:
             meta["compacted_through"] = commit
-        meta.setdefault("timeline", []).append(
+        # drop the rolled-back instants' timeline entries: their seq
+        # numbers are reused by future commits, and ghost entries would
+        # make history() report dropped commits (and later, duplicates)
+        meta["timeline"] = [
+            e for e in meta.get("timeline", []) if e["seq"] <= commit
+        ]
+        meta["timeline"].append(
             {"seq": commit, "action": "restore", "through": commit}
         )
         self._save_meta(meta)

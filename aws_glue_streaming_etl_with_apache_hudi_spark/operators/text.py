@@ -306,7 +306,10 @@ def hashed_embedding(
     per-doc assembly; tokens never move unhashed.
 
     Returns (id, embedding array<double>). The parity bit is consumed by
-    the sign and EXCLUDED from the index so the two stay independent."""
+    the sign and EXCLUDED from the index so the two stay independent.
+    Documents with no tokens (empty/whitespace text) produce NO row —
+    there is nothing to embed; left-join against the source if zero
+    vectors are required."""
     h = stable_hash64(F.col("_tok"))
     toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("_tok")).filter(
         F.col("_tok") != ""

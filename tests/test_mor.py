@@ -438,3 +438,18 @@ def test_mor_clustered_compaction(spark, tmp_path):
     # and the span metric confirms tight per-file coverage
     fracs = [r["span_frac"] for r in file_range_spans(base, "k").collect()]
     assert max(fracs) < 0.6
+
+
+def test_mor_restore_truncates_timeline_entries(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))   # c1
+    table.savepoint(1)
+    table.upsert(_rows(spark, [(2, "a", "y", 1)]))   # c2
+    table.restore(1)
+    # no ghost entries for the dropped commit; restore marker present
+    seqs = [(e["seq"], e["action"]) for e in table.timeline()]
+    assert (2, "deltacommit") not in seqs
+    assert (1, "restore") in seqs
+    # the reused seq number appears exactly once after the next commit
+    table.upsert(_rows(spark, [(3, "a", "z", 1)]))   # new c2
+    entries = [e for e in table.timeline() if e["seq"] == 2 and e["action"] == "deltacommit"]
+    assert len(entries) == 1
