@@ -112,6 +112,9 @@ PRIORITY_WINDOW: list[str] = [
     "text_hash_embedding",      # NEW: feature-hashing vectorizer
     # (displaces agg_distinct_having to r5; agg family keeps its
     # agg_rollup sentinel in-window)
+    "temperature_sample_langs", # NEW: alpha-sampling language rebalance
+    # (displaces scalar_date_funcs to r5; scalar family keeps
+    # scalar_string_funcs in-window)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -130,7 +133,6 @@ PRIORITY_WINDOW: list[str] = [
     "topk_orders",
     "set_union_distinct",
     "scalar_string_funcs",
-    "scalar_date_funcs",
     "calendar_gap_fill",
     "subquery_in",
     "null_semantics",

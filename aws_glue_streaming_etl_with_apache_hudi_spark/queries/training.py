@@ -192,3 +192,64 @@ def token_shard_packing(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+_H_TEMP = stable_hash64_sql("CAST(doc_id AS VARCHAR)", "tsamp")
+_POW60 = float(1 << 60)
+
+
+@register(
+    "temperature_sample_langs",
+    sql=rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    agg AS (SELECT lang, CAST(sum(nt) AS DOUBLE) AS tl FROM tok GROUP BY lang),
+    tot AS (SELECT sum(tl) AS tt FROM agg),
+    sh AS (SELECT lang, tl / tt AS s FROM agg, tot),
+    mn AS (SELECT min(s) AS smin FROM sh),
+    rate AS (SELECT lang, pow(s / smin, -0.5) AS r FROM sh, mn)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rate USING (lang)
+    WHERE CAST({_H_TEMP} AS DOUBLE) / {_POW60!r} < r
+    ORDER BY doc_id
+    """,
+)
+def temperature_sample_langs(spark, sf_dir):
+    """Temperature-based language rebalancing (the mC4/T5 alpha-sampling
+    rule, alpha=0.5): target language shares proportional to
+    share^alpha, realized as per-language KEEP RATES
+    r_l = (s_l / s_min)^(alpha-1) — the rarest language keeps everything
+    (rate 1), dominant languages are hash-downsampled toward the
+    flattened mix. Membership is a pure function of doc_id + salt (the
+    train_test_split discipline): no RNG, no assignment table, stable
+    across runs and engines; the oracle recomputes shares, rates, and
+    every per-doc keep decision.
+
+    Scale: shares come from one map-side-combined aggregation (5 rows),
+    the rates broadcast back onto the corpus, and the keep decision is
+    one codegen'd expression per row — no shuffle of documents at all."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", X.token_count_whitespace("text").alias("nt")
+    )
+    shares = tok.groupBy("lang").agg(F.sum("nt").cast("double").alias("tl"))
+    total = shares.agg(F.sum("tl").alias("tt"))
+    sh = shares.crossJoin(F.broadcast(total)).select(
+        "lang", (F.col("tl") / F.col("tt")).alias("s")
+    )
+    smin = sh.agg(F.min("s").alias("smin"))
+    rate = sh.crossJoin(F.broadcast(smin)).select(
+        "lang", F.pow(F.col("s") / F.col("smin"), F.lit(-0.5)).alias("r")
+    )
+    u = stable_hash64(F.col("doc_id").cast("string"), "tsamp").cast("double") / float(
+        1 << 60
+    )
+    return (
+        docs.join(F.broadcast(rate), "lang")
+        .filter(u < F.col("r"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
