@@ -340,3 +340,72 @@ def hashed_embedding(
             ).alias("embedding"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, gram: int = 8, window: int = 16
+) -> DataFrame:
+    """Full winnowing (Schleimer et al. 2003): the distinct minimum gram
+    hash of every ``window`` consecutive rolling ``gram``-grams — the
+    guarantee is that any shared substring of length >= gram+window-1
+    yields at least one IDENTICAL fingerprint in both documents, which is
+    what makes fingerprint collisions a shared-passage detector (vs
+    ``doc_fingerprints``'s single global min, a whole-document signature).
+
+    Pure row-local expressions (position sequences + transform +
+    array_min over slices) — no explode before the final fingerprint
+    explode, no UDF, no shuffle. Output: (id, fp) rows, ~len/window
+    fingerprints per document."""
+    c = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (gram - 1), F.lit(1)))
+    gram_hashes = F.transform(
+        positions, lambda i: stable_hash64(c.substr(i, F.lit(gram)))
+    )
+    wpos = F.sequence(
+        F.lit(1), F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
+    )
+    wins = F.transform(
+        wpos, lambda i: F.array_min(F.slice(gram_hashes, i, window))
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def shared_passage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    window: int = 16,
+    min_shared: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the copied-passage / plagiarism signal (a different axis than
+    whole-document near-dup: two documents quoting the same paragraph
+    collide here even when globally dissimilar).
+
+    Scale shape is the LSH discipline (operators/dedup.py): fingerprints
+    are the only shuffle keys, hot fingerprints (boilerplate passages)
+    are capped before the self-join, and the pair count is the true
+    collision count, never n²."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot, cap_bucket_size
+
+    fps = _persist_slot(
+        cap_bucket_size(
+            winnow_fingerprints(df, id_col, text_col, gram, window),
+            ["fp"],
+            max_bucket_size,
+        ),
+        "text.shared_passage_fps",
+    )
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

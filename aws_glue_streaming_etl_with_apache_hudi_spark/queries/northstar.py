@@ -1655,3 +1655,58 @@ def text_hash_embedding(spark, sf_dir):
         .filter(F.col("w") != 0)
         .orderBy("doc_id", "idx")
     )
+
+
+@register(
+    "text_shared_passages",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, substring(text, 1, 400) AS text
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    gh AS (
+      SELECT doc_id,
+             [{_h("substring(text, i, 8)")}
+              for i in range(1, greatest(length(text) - 7, 1) + 1)] AS g
+      FROM docs
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct([list_min(g[i:i+15])
+                            for i in range(1, greatest(len(g) - 15, 1) + 1)]) AS fps
+      FROM gh
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT fp.*, count(*) OVER (PARTITION BY fp) AS c FROM fp)
+      WHERE c <= 1000
+    )
+    SELECT id_a, id_b, shared_fps FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    WHERE shared_fps >= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def text_shared_passages(spark, sf_dir):
+    """Shared-passage detection (operators/text.py shared_passage_pairs):
+    pairs of documents sharing >= 3 full-winnowing fingerprints — any
+    common substring of length >= 23 chars (gram 8, window 16) leaves an
+    identical fingerprint in both docs, so this catches copied passages
+    between globally DISSIMILAR documents (the axis MinHash whole-doc
+    dedup misses). The oracle replays gram hashing, per-window minima,
+    the hot-fingerprint cap, and the collision counts.
+
+    Scale: fingerprints (one per ~16 chars) are the only shuffle keys;
+    hot boilerplate fingerprints are capped before the self-join. The
+    QUERY scopes to a doc subset and a 400-char prefix purely to bound
+    the ORACLE's list-comprehension cost (DuckDB evaluates the rolling
+    grams interpretively); the operator itself has no such limits."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.substring("text", 1, 400).alias("text")
+    )
+    return X.shared_passage_pairs(
+        docs, "doc_id", "text", gram=8, window=16, min_shared=3
+    ).orderBy("id_a", "id_b")

@@ -132,3 +132,33 @@ def test_hashed_embedding_feeds_vector_operators(spark, sf_dir):
     )
     vecs = {r.doc_id: r.embedding for r in hashed_embedding(two, "doc_id", "text").collect()}
     assert vecs[1] == vecs[2]
+
+
+def test_shared_passage_pairs_detects_copied_passage(spark):
+    """The winnowing guarantee: a shared substring of length >=
+    gram+window-1 (23 chars here) yields identical fingerprints in both
+    docs — globally dissimilar documents sharing one passage collide;
+    unrelated documents do not."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.text import shared_passage_pairs, winnow_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated opening text here. " + passage + " and a different ending altogether."),
+            (2, "some other framing words first; " + passage + " then totally different closing material."),
+            (3, "nothing in common with the others at all, just plain filler content about engines and joins."),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in shared_passage_pairs(docs, "doc_id", "text", min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert not any(3 in p for p in pairs)
+
+    # fingerprint density ~ len/window: a 400-char doc yields a bounded set
+    n_fps = winnow_fingerprints(
+        docs.filter("doc_id = 1"), "doc_id", "text", gram=8, window=16
+    ).count()
+    assert 0 < n_fps < 120
