@@ -174,6 +174,13 @@ class LSHDedupIndex:
     Re-ingesting an identical batch is idempotent in effect: every row
     flags as a duplicate of its accepted twin (agreement 1.0) and the
     index gains nothing.
+
+    SINGLE WRITER: ingest appends without coordination, which is exactly
+    the foreachBatch contract (a checkpointed stream runs one batch at a
+    time — the reference pins the same with MaxConcurrentRuns: 1). Two
+    concurrent ingests could each accept the other's near-duplicate;
+    wrap ingest in operators/locking.CommitLock if multiple independent
+    jobs must share one index.
     """
 
     def __init__(

@@ -165,3 +165,19 @@ def test_streaming_foreachbatch_gate(spark, tmp_path):
     surv = spark.read.parquet(surv_dir)
     assert sorted(r["doc_id"] for r in surv.collect()) == [1, 2, 4]
     assert idx.size() == 3
+
+
+def test_flags_invariant_under_partitioning(spark):
+    """The flag decision is a pure function of content — physical layout
+    (input partitioning) must not change any flag, dup_of, or estimate."""
+    rows = [
+        (1, T_A), (2, T_B), (3, T_A), (4, T_C),
+        (5, T_E), (6, T_E), (7, T_B),
+    ]
+    base = _docs(spark, rows)
+    ref = sorted(map(tuple, incremental_flags(base, "doc_id", "text").collect()))
+    for n in (1, 3, 16):
+        got = sorted(
+            map(tuple, incremental_flags(base.repartition(n), "doc_id", "text").collect())
+        )
+        assert got == ref, f"partitioning {n} changed flags"
