@@ -409,3 +409,63 @@ def shared_passage_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed term list: per document,
+    sum over query terms of idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) — the standard
+    full-text relevance function, computed as pure relational algebra.
+
+    Scale: tf comes from one row-local array count per (doc, term) — the
+    term list is a literal, so there is NO posting-list join and NO
+    shuffle of text; df/N/avgdl are one tiny aggregation broadcast back
+    (the single-plan scalar pattern). Returns (id, score) for documents
+    matching at least one term; round the score before ranking for
+    cross-engine determinism."""
+    w = words(text_col)
+
+    def _tf(term: str) -> Column:
+        # a dedicated closure: a 2-arg lambda (x, t=term) would be taken
+        # by F.filter as the (element, index) form and bind the INDEX
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("double")
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)]
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(w).cast("double").alias("_dl"),
+        *tf_cols,
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1.0
+        )
+        term = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = term if score is None else score + term
+    any_match = None
+    for i in range(len(query_terms)):
+        cond = F.col(f"_tf{i}") > 0
+        any_match = cond if any_match is None else (any_match | cond)
+    return joined.filter(any_match).select(F.col(id_col), score.alias("score"))

@@ -115,6 +115,9 @@ PRIORITY_WINDOW: list[str] = [
     "temperature_sample_langs", # NEW: alpha-sampling language rebalance
     # (displaces scalar_date_funcs to r5; scalar family keeps
     # scalar_string_funcs in-window)
+    "bm25_search",              # NEW: Okapi BM25 ranked retrieval
+    # (displaces calendar_gap_fill to r5; its gap-fill/stats family
+    # keeps table_profile + corpus_datasheet in-window)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -133,7 +136,6 @@ PRIORITY_WINDOW: list[str] = [
     "topk_orders",
     "set_union_distinct",
     "scalar_string_funcs",
-    "calendar_gap_fill",
     "subquery_in",
     "null_semantics",
 ]

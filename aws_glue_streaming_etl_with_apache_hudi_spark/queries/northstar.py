@@ -1710,3 +1710,59 @@ def text_shared_passages(spark, sf_dir):
     return X.shared_passage_pairs(
         docs, "doc_id", "text", gram=8, window=16, min_shared=3
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "bm25_search",
+    sql=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+    ),
+    pd AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+             CAST(len(list_filter(ws, x -> x = 'hash'))  AS DOUBLE) AS tf0,
+             CAST(len(list_filter(ws, x -> x = 'order')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(ws, x -> x = 'batch')) AS DOUBLE) AS tf2
+      FROM w
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM pd
+    )
+    SELECT doc_id,
+           round(
+             ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0) * tf0 * 2.2
+               / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0) * tf1 * 2.2
+               / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0) * tf2 * 2.2
+               / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+             4) AS score
+    FROM pd, st
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (operators/text.py bm25_scores) for
+    the literal query {hash, order, batch}: top-20 documents by the
+    standard full-text relevance function, ties to the smaller id. The
+    oracle recomputes tf/df/N/avgdl and the identical arithmetic
+    association per term; scores round at 4 dp before ranking (the ln()
+    libm class of divergence — same acceptance as pow in the sampling
+    and distance oracles).
+
+    Scale: term frequencies are row-local array counts (the query is a
+    literal term list — no posting join, no text shuffle); corpus stats
+    are one tiny broadcast aggregate; top-20 is TakeOrdered, never a
+    global sort."""
+    docs = t(spark, sf_dir, "documents")
+    s = X.bm25_scores(docs, "doc_id", "text", ["hash", "order", "batch"])
+    return (
+        s.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

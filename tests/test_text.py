@@ -162,3 +162,27 @@ def test_shared_passage_pairs_detects_copied_passage(spark):
         docs.filter("doc_id = 1"), "doc_id", "text", gram=8, window=16
     ).count()
     assert 0 < n_fps < 120
+
+
+def test_bm25_ranks_term_density_and_plan_is_broadcast(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash join filter"),          # dense in 'hash'
+            (2, "hash appears once in this much longer document about many other things entirely"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_scores(docs, "doc_id", "text", ["hash"]).collect()}
+    # non-matching doc absent; high-tf short doc outranks low-tf long doc
+    assert set(out) == {1, 2}
+    assert out[1] > out[2] > 0
+    plan = (
+        bm25_scores(docs, "doc_id", "text", ["hash"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # corpus stats join is a broadcast of the 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
