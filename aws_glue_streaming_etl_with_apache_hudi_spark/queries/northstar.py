@@ -1766,3 +1766,154 @@ def bm25_search(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    sql=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+    ),
+    pd AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+             CAST(len(list_filter(ws, x -> x = 'hash'))  AS DOUBLE) AS tf0,
+             CAST(len(list_filter(ws, x -> x = 'order')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(ws, x -> x = 'batch')) AS DOUBLE) AS tf2
+      FROM w
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM pd
+    ),
+    bm AS (
+      SELECT doc_id,
+             round(
+               ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0) * tf0 * 2.2
+                 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0) * tf1 * 2.2
+                 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0) * tf2 * 2.2
+                 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+               4) AS score
+      FROM pd, st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ),
+    bm_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 20
+    ),
+    -- hashed-embedding sparse entries for docs and for the literal query
+    toks AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(ws) AS t FROM w) WHERE t <> ''),
+    h AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS hv FROM toks),
+    de AS (
+      SELECT doc_id, (hv // 2) % 64 AS idx,
+             CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS wv
+      FROM h GROUP BY doc_id, (hv // 2) % 64
+    ),
+    qh AS (SELECT CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS hv
+           FROM (SELECT unnest(['hash', 'order', 'batch']) AS t)),
+    qe AS (
+      SELECT (hv // 2) % 64 AS idx,
+             CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS wv
+      FROM qh GROUP BY (hv // 2) % 64
+    ),
+    dn AS (SELECT doc_id, sqrt(sum(wv * wv)) AS nrm FROM de WHERE wv <> 0 GROUP BY doc_id),
+    qn AS (SELECT sqrt(sum(wv * wv)) AS nrm FROM qe WHERE wv <> 0),
+    cos AS (
+      SELECT de.doc_id,
+             round(sum(de.wv * qe.wv) / (any_value(dn.nrm) * any_value(qn.nrm)), 6) AS sim
+      FROM de JOIN qe ON de.idx = qe.idx AND de.wv <> 0 AND qe.wv <> 0
+      JOIN dn ON dn.doc_id = de.doc_id
+      CROSS JOIN qn
+      GROUP BY de.doc_id
+      HAVING sum(de.wv * qe.wv) <> 0
+    ),
+    cos_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+      FROM cos QUALIFY r <= 20
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + b.r), 0) + coalesce(1.0 / (60 + c.r), 0), 6) AS rrf
+      FROM bm_rank b FULL JOIN cos_rank c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
+    and the hashed-embedding cosine top-20 for the same literal query
+    {hash, order, batch} — the lexical + dense two-tower pattern every
+    retrieval stack runs, composed entirely from already-oracled pieces
+    (bm25_scores + hashed_embedding) with the query vector built in-plan
+    from the literal terms. The oracle replays both rankings and the
+    fusion arithmetic; cosine rounds at 6 dp and BM25 at 4 dp before
+    ranking, RRF at 6 dp before the final order.
+
+    Scale: both branches are one corpus scan each (row-local tf / sparse
+    hash entries), stats and the 64-dim query vector broadcast; fusion
+    is a full join of two 20-row frames."""
+    from pyspark.sql.window import Window as W
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.text import bm25_scores, hashed_embedding
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["hash", "order", "batch"]
+
+    # top-20 via orderBy+limit (TakeOrderedAndProject — never a global
+    # sort/window over the scored corpus); the rank window then runs on
+    # the 20-row result only
+    wb = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (
+        bm25_scores(docs, "doc_id", "text", terms)
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("r", F.row_number().over(wb))
+        .select("doc_id", "r")
+    )
+
+    demb = hashed_embedding(docs, "doc_id", "text", dim=64)
+    qemb = hashed_embedding(
+        spark.createDataFrame([(0, " ".join(terms))], "doc_id long, text string"),
+        "doc_id", "text", dim=64,
+    ).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    wc = W.orderBy(F.desc("sim"), F.asc("doc_id"))
+    cos = (
+        demb.crossJoin(F.broadcast(qemb))
+        .select(
+            "doc_id",
+            F.round(dot / (nrm("embedding") * nrm("qv")), 6).alias("sim"),
+            dot.alias("_raw"),
+        )
+        .filter(F.col("_raw") != 0)
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("r", F.row_number().over(wc))
+        .select("doc_id", "r")
+    )
+
+    fused = (
+        bm.withColumnRenamed("r", "rb")
+        .join(cos.withColumnRenamed("r", "rc"), "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rc")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
