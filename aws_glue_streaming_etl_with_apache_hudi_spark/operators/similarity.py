@@ -835,3 +835,88 @@ def knn_pq(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Inline IVF-PQ search (the composition ``IVFIndex.build(pq_m=…)``
+    materializes on disk, expressed over in-plan frames so LITERAL
+    centroids + codebooks give it a full DuckDB oracle): corpus vectors
+    assign to their nearest coarse centroid (distances rounded to 6 dp,
+    ties to the smaller index — the knn_ivf convention), the RESIDUAL
+    against that centroid is PQ-encoded, and each query scores the
+    probed clusters' codes by the exact-integer ADC sum against its
+    per-cluster residual tables. Returns (query_id, neighbor_id,
+    adist_micro, rnk)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cc = (cents * cents).sum(axis=1)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, _dsub = books.shape
+
+    def _cdists(vecs: pd.Series) -> np.ndarray:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        vv = (mat * mat).sum(axis=1, keepdims=True)
+        return np.round(vv - 2.0 * (mat @ cents.T) + cc[None, :], 6)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        return pd.Series(_cdists(vecs).argmin(axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        order = np.argsort(_cdists(vecs), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    @F.pandas_udf("array<int>")
+    def res_codes(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        r = mat - cents[clusters.to_numpy()]
+        d = _sub_dist_micro(r, books)
+        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+
+    @F.pandas_udf("array<long>")
+    def qtable(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        r = mat - cents[clusters.to_numpy()]
+        d = _sub_dist_micro(r, books)
+        return pd.Series(list(d.reshape(len(mat), m * ksub)))
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("_v"),
+        nearest(_as_double(vec_col)).alias("cluster"),
+    )
+    lists = assigned.select(
+        "neighbor_id", "cluster", res_codes("_v", "cluster").alias("codes")
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("_qv"),
+        F.explode(probes(_as_double(vec_col))).alias("cluster"),
+    )
+    qt = qb.select("query_id", "cluster", qtable("_qv", "cluster").alias("qtab"))
+    adist = F.expr(
+        "aggregate(transform(codes, (c, i) -> element_at(qtab, i * "
+        f"{ksub} + c + 1)), 0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        lists.join(F.broadcast(qt), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist_micro"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("adist_micro").alias("adist_micro"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

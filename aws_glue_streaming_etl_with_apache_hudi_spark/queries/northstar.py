@@ -1917,3 +1917,127 @@ def hybrid_search_rrf(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+def _knn_ivf_pq_oracle_sql(
+    k_cent: int = 8, dim: int = 64, m: int = 4, ksub: int = 16,
+    n_probe: int = 3, k: int = 5,
+) -> str:
+    """DuckDB replica of knn_ivf_pq: literal coarse centroids (the
+    knn_ivf assignment CTEs) + literal PQ codebooks over the RESIDUALS
+    (the knn_pq micro-distance arithmetic), composed: assignment ->
+    residual encode -> per-(query, probed-cluster) residual tables ->
+    exact-integer ADC -> top-k."""
+    import numpy as np
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import literal_centroids, pq_codebooks
+
+    cents = literal_centroids(k_cent, dim)
+    cc = (np.asarray(cents, dtype=np.float64) ** 2).sum(axis=1)
+    books = pq_codebooks(m, ksub, dim)
+    dsub = dim // m
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    cent_rows = ",\n      ".join(
+        f"({c}, {lit(cents[c])}::DOUBLE[], {float(cc[c])!r})" for c in range(k_cent)
+    )
+    cb_rows = ",\n      ".join(
+        f"({s}, {kk}, {lit(books[s][kk])}::DOUBLE[], "
+        f"{float(sum(x * x for x in books[s][kk]))!r})"
+        for s in range(m)
+        for kk in range(ksub)
+    )
+    sub = f"r[cb.s*{dsub}+1 : cb.s*{dsub}+{dsub}]"
+    qsub = f"qr[cb.s*{dsub}+1 : cb.s*{dsub}+{dsub}]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent(c, w, cc) AS (VALUES
+      {cent_rows}),
+    cb(s, k, w, ww) AS (VALUES
+      {cb_rows}),
+    dist AS (
+      SELECT vec_id, v, c,
+             round(list_dot_product(v, v) - 2 * list_dot_product(v, w) + cc, 6) AS d
+      FROM e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, v, c AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    res AS (
+      SELECT a.vec_id, a.cluster,
+             [a.v[i] - ct.w[i] for i in range(1, {dim} + 1)] AS r
+      FROM assign a JOIN cent ct ON ct.c = a.cluster
+    ),
+    encd AS (
+      SELECT vec_id, cluster, s, k AS code FROM (
+        SELECT vec_id, cluster, s, k,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+        FROM (
+          SELECT res.vec_id, res.cluster, cb.s, cb.k,
+                 CAST(round(round(
+                   list_dot_product({sub}, {sub})
+                   - 2 * list_dot_product({sub}, cb.w) + cb.ww, 6) * 1000000)
+                 AS BIGINT) AS d
+          FROM res CROSS JOIN cb))
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, v AS qv, c AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dist WHERE vec_id % 40 = 0) WHERE rn <= {n_probe}
+    ),
+    qres AS (
+      SELECT p.query_id, p.cluster,
+             [p.qv[i] - ct.w[i] for i in range(1, {dim} + 1)] AS qr
+      FROM probe p JOIN cent ct ON ct.c = p.cluster
+    ),
+    qtab AS (
+      SELECT q.query_id, q.cluster, cb.s, cb.k,
+             CAST(round(round(
+               list_dot_product({qsub}, {qsub})
+               - 2 * list_dot_product({qsub}, cb.w) + cb.ww, 6) * 1000000)
+             AS BIGINT) AS d
+      FROM qres q CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT qt.query_id, en.vec_id AS neighbor_id,
+             CAST(sum(qt.d) AS BIGINT) AS adist_micro
+      FROM encd en
+      JOIN qtab qt ON qt.cluster = en.cluster AND qt.s = en.s AND qt.k = en.code
+      WHERE en.vec_id <> qt.query_id
+      GROUP BY qt.query_id, en.vec_id
+    )
+    SELECT query_id, neighbor_id, adist_micro, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist_micro, neighbor_id) AS rnk
+      FROM adc) WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@register("knn_ivf_pq", sql=_knn_ivf_pq_oracle_sql())
+def knn_ivf_pq_query(spark, sf_dir):
+    """IVF-PQ search with a FULL oracle (operators/similarity.py
+    knn_ivf_pq): literal coarse centroids assign every vector (knn_ivf's
+    6-dp-rounded distances, ties to the smaller index), the residual
+    against the assigned centroid is encoded with literal PQ codebooks
+    (integer micro-distances), and each query scores its 3 probed
+    clusters' codes by the exact-integer ADC sum. The disk-backed
+    composition (IVFIndex.build(pq_m=…) with TRAINED quantizers +
+    partition-pruned search) is recall-tested in tests/test_similarity;
+    this query pins the composed search semantics with a hard external
+    signal — assignment, residual encode, probing and fusion are all
+    re-derived by the oracle.
+
+    Scale: the index artifact is m ints per vector inside
+    cluster-partitioned lists; a search reads n_probe/k_cent of the
+    corpus BYTES compressed ~32x — the two ANN levers multiplied."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.literal_centroids(8, 64)
+    books = S.pq_codebooks(4, 16, 64)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.knn_ivf_pq(emb, queries, cents, books, k=5, n_probe=3)
