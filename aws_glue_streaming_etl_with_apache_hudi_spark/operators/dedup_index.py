@@ -242,6 +242,29 @@ class LSHDedupIndex:
             max_bucket_size=self.max_bucket_size,
         )
 
+    def delete(self, ids: DataFrame) -> int:
+        """Remove documents from the index (the right-to-be-forgotten
+        path: a deleted document must stop suppressing future
+        near-duplicates of itself). ``ids`` is a 1-column frame of
+        ``id_col`` values; returns the number of signatures removed.
+
+        The surviving signatures are eagerly localCheckpoint'ed BEFORE
+        the overwrite — the plan reads the very files the write replaces
+        (the same self-read-write barrier ingest uses)."""
+        sigs = self.signatures()
+        if sigs is None:
+            return 0
+        before = sigs.count()
+        kept = sigs.join(
+            ids.select(F.col(ids.columns[0]).alias(self.id_col)),
+            self.id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        removed = before - kept.count()
+        if removed:
+            kept.write.mode("overwrite").parquet(self._sigs_dir)
+        return removed
+
     def ingest(self, batch: DataFrame) -> DataFrame:
         """Probe the batch, append the NOVEL rows' signatures, return flags.
 

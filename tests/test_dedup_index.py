@@ -181,3 +181,20 @@ def test_flags_invariant_under_partitioning(spark):
             map(tuple, incremental_flags(base.repartition(n), "doc_id", "text").collect())
         )
         assert got == ref, f"partitioning {n} changed flags"
+
+
+def test_delete_reopens_the_slot(spark, tmp_path):
+    """A deleted document stops suppressing future near-duplicates: after
+    delete, re-ingesting the same text is accepted as novel again."""
+    idx = LSHDedupIndex(spark, str(tmp_path / "idx"))
+    idx.ingest(_docs(spark, [(1, T_A), (2, T_B)]))
+    assert idx.size() == 2
+
+    assert idx.delete(spark.createDataFrame([(1,)], "doc_id long")) == 1
+    assert idx.size() == 1
+    # unknown ids are a no-op
+    assert idx.delete(spark.createDataFrame([(99,)], "doc_id long")) == 0
+
+    flags = {r.doc_id: r for r in idx.ingest(_docs(spark, [(3, T_A)])).collect()}
+    assert not flags[3]["is_duplicate"]  # slot reopened
+    assert idx.size() == 2
