@@ -242,6 +242,23 @@ class LSHDedupIndex:
             max_bucket_size=self.max_bucket_size,
         )
 
+    def compact(self, n_files: int = 8) -> int:
+        """Rewrite the signature table into ``n_files`` files — every
+        ingest appends one small parquet file, so a long-running stream
+        accretes one file per micro-batch and probe-side scan planning
+        degrades (the classic small-file problem; same remedy as the
+        sink compaction service). Content is unchanged; returns the
+        number of files before the rewrite."""
+        sigs = self.signatures()
+        if sigs is None:
+            return 0
+        n_before = len(
+            [f for f in os.listdir(self._sigs_dir) if f.endswith(".parquet")]
+        )
+        staged = sigs.repartition(n_files).localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(self._sigs_dir)
+        return n_before
+
     def delete(self, ids: DataFrame) -> int:
         """Remove documents from the index (the right-to-be-forgotten
         path: a deleted document must stop suppressing future

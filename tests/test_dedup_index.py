@@ -198,3 +198,24 @@ def test_delete_reopens_the_slot(spark, tmp_path):
     flags = {r.doc_id: r for r in idx.ingest(_docs(spark, [(3, T_A)])).collect()}
     assert not flags[3]["is_duplicate"]  # slot reopened
     assert idx.size() == 2
+
+
+def test_compact_bounds_small_files(spark, tmp_path):
+    idx = LSHDedupIndex(spark, str(tmp_path / "idx"))
+    for i, t in enumerate((T_A, T_B, T_C, T_E)):
+        idx.ingest(_docs(spark, [(i + 1, t)]))  # one appended file each
+    files_before = len(
+        [f for f in os.listdir(idx._sigs_dir) if f.endswith(".parquet")]
+    )
+    assert files_before >= 4
+    sigs_before = sorted(map(tuple, idx.signatures().collect()))
+
+    assert idx.compact(n_files=2) == files_before
+    files_after = len(
+        [f for f in os.listdir(idx._sigs_dir) if f.endswith(".parquet")]
+    )
+    assert files_after <= 2
+    assert sorted(map(tuple, idx.signatures().collect())) == sigs_before
+    # probing still works on the compacted index
+    out = idx.probe(_docs(spark, [(9, T_A)])).collect()[0]
+    assert out["is_duplicate"] and out["dup_of"] == 1
