@@ -118,6 +118,10 @@ PRIORITY_WINDOW: list[str] = [
     "bm25_search",              # NEW: Okapi BM25 ranked retrieval
     # (displaces calendar_gap_fill to r5; its gap-fill/stats family
     # keeps table_profile + corpus_datasheet in-window)
+    "dq_expectations_orders",   # NEW: data-quality expectations gate
+    # (displaces join_broadcast_dim to r5; join family keeps
+    # join_left_outer, join_right_outer, join_salted_skew,
+    # range_join_binned in-window)
     # the r1-stale relational/scalar core rotation (7 deferred to r5 to
     # make room for the new queries above, each deferred name keeping an
     # in-window family sibling: agg_stats->agg_rollup,
@@ -131,7 +135,6 @@ PRIORITY_WINDOW: list[str] = [
     "filter_predicates",
     "agg_rollup",
     "join_left_outer",
-    "join_broadcast_dim",
     "window_running_sum",
     "topk_orders",
     "set_union_distinct",

@@ -364,3 +364,78 @@ def range_join_binned(spark, sf_dir):
         .agg(F.count("c_event_id").alias("n_clicks"))
         .orderBy("p_event_id")
     )
+
+
+@register(
+    "dq_expectations_orders",
+    sql="""
+    WITH r AS (
+      SELECT 'accepted_values(o_orderpriority)' AS check_name,
+             CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN
+                            ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'in_range(o_totalprice, 0.0, 100000.0)',
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0.0 OR o_totalprice > 100000.0)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'not_null(o_custkey)',
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'not_null(o_orderkey)',
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'references(o_custkey)',
+             CAST(count(*) AS BIGINT)
+      FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON c.c_custkey = o.o_custkey
+      WHERE c.c_custkey IS NULL
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+      FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    )
+    SELECT check_name, n_violations, n_violations = 0 AS passed
+    FROM r ORDER BY check_name
+    """,
+)
+def dq_expectations_orders(spark, sf_dir):
+    """Declarative data-quality gate (operators/expectations.py): six
+    named checks over orders — not-null keys, key uniqueness, price
+    range, priority domain, and o_custkey referential integrity against
+    customer — each reported as (check, n_violations, passed). All
+    single-pass aggregate checks share ONE scan (one agg with a
+    conditional count per check); uniqueness is one key aggregation;
+    the FK check one anti-join. This is the table-level promotion gate
+    (dbt-test / Great-Expectations pattern) that complements the
+    pipeline's row-level quarantine.
+
+    Scale: check count does not multiply scans — adding an aggregate
+    expectation adds one expression to the shared agg, not a pass."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import expectations as E
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    report = E.run_expectations(
+        o,
+        [
+            E.not_null("o_orderkey"),
+            E.not_null("o_custkey"),
+            E.unique("o_orderkey"),
+            E.in_range("o_totalprice", 0.0, 100000.0),
+            E.accepted_values(
+                "o_orderpriority",
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            ),
+            E.references(["o_custkey"], c, ["c_custkey"]),
+        ],
+    )
+    # 'check' is reserved in DuckDB; align the report column name
+    return report.withColumnRenamed("check", "check_name").orderBy("check_name")
