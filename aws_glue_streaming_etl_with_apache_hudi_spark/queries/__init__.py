@@ -27,6 +27,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import storage  # noq
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import timelineq  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import analytics  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering.

@@ -1,0 +1,203 @@
+"""Event-stream product analytics: funnel conversion, retention cohorts,
+statistical outliers — the analytic shapes a clickstream table (the
+reference's actual data product) is queried with, each DuckDB-oracled.
+
+Determinism: counts are exact integers; moments use the exact-decimal
+discipline (queries/base.py) — ``value`` is 2-dp fixed-point, so sums of
+value and value² are exact decimals at scales 2 and 4; the
+double-arithmetic that follows starts from IEEE-identical inputs in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
+
+
+@register(
+    "funnel_conversion",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.ts1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS stage_no, 'view' AS stage, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view>click', count(*) FROM s2
+      UNION ALL
+      SELECT 3, 'view>click>purchase', count(*) FROM s3
+    ) ORDER BY stage_no
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Sequential funnel: users who viewed, then clicked AFTER their
+    first view, then purchased AFTER that click — order matters (a
+    purchase before the click does not count), which is what makes this
+    a sequence-pattern query and not three filters. Each stage is one
+    aggregation on user_id; the stage joins carry one timestamp per
+    user, so at scale this is three slim shuffles on the same key —
+    co-partitioned end to end, never a shuffle of raw events per stage
+    beyond the first.
+
+    Reference tie-in: the clickstream table this engine serves IS the
+    funnel's input (events fixture = the stream A1 ingests)."""
+    e = t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    stages = [
+        s1.agg(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
+               F.count(F.lit(1)).alias("n_users")),
+        s2.agg(F.lit(2).alias("stage_no"), F.lit("view>click").alias("stage"),
+               F.count(F.lit(1)).alias("n_users")),
+        s3.agg(F.lit(3).alias("stage_no"),
+               F.lit("view>click>purchase").alias("stage"),
+               F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = stages[0].unionByName(stages[1]).unionByName(stages[2])
+    return out.orderBy("stage_no").select("stage", "n_users")
+
+
+@register(
+    "retention_cohorts",
+    sql="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+           count(*) AS n_active
+    FROM activity GROUP BY cohort, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by the week of their
+    FIRST event; each (cohort, week-offset) cell counts distinct users
+    active that many weeks later — the classic retention triangle.
+    Offsets derive from week-truncated timestamps (integer day
+    difference // 7), so both engines compute identical integers.
+
+    Scale: one aggregation for first-seen (slim: one row per user,
+    broadcast-joinable), one distinct on (user, offset) cells, one cell
+    rollup — raw events shuffle once."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                .cast("long") / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "events_outliers_zscore",
+    sql="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+             (e.value - s.s1 / s.n)
+               / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zs
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value, round(zs, 4) AS zscore
+    FROM z WHERE zs > 3.0 OR zs < -3.0
+    ORDER BY event_id
+    """,
+)
+def events_outliers_zscore(spark, sf_dir):
+    """Statistical outlier detection: events whose value is more than 3
+    population standard deviations from their event_type's mean. The
+    moments come from EXACT decimal sums (value is 2-dp fixed-point, so
+    sum and sum-of-squares are exact at scales 2 and 4 — the dsum
+    discipline); the double arithmetic after the cast starts from
+    IEEE-identical inputs, so both engines flag the identical rows.
+
+    Scale: one map-side-combined aggregation per event_type (5 rows)
+    broadcast back onto the events — the single-plan scalar pattern;
+    no second scan, no driver collect."""
+    e = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    zs = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            zs.alias("zs"),
+        )
+        .filter((F.col("zs") > 3.0) | (F.col("zs") < -3.0))
+        .select("event_id", "event_type", "value", F.round("zs", 4).alias("zscore"))
+        .orderBy("event_id")
+    )
