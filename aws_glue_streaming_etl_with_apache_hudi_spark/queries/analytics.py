@@ -201,3 +201,48 @@ def events_outliers_zscore(spark, sf_dir):
         .select("event_id", "event_type", "value", F.round("zs", 4).alias("zscore"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "path_transitions",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY from_type, to_type
+    """,
+)
+def path_transitions(spark, sf_dir):
+    """Clickstream path analysis: counts of consecutive event-type
+    transitions along each user's timeline (the Markov-chain view of the
+    stream — what follows what). Ordering ties break on event_id so both
+    engines see the identical sequence. One shuffle on user_id serves
+    the lead() window; the transition rollup aggregates 25 cells.
+
+    With funnel_conversion / retention_cohorts / events_outliers_zscore
+    this completes the product-analytics family over the events table
+    the reference pipeline exists to serve."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
