@@ -255,3 +255,32 @@ def test_interval_join_extracts_equi_key(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_outliers_stats_broadcast_single_plan(spark, sf_dir):
+    """events_outliers_zscore: the per-type moments join back as a
+    broadcast (5 rows) — never a shuffled join of the events against
+    their own aggregate."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["events_outliers_zscore"].fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_stage_joins_are_slim_equi_joins(spark, sf_dir):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["funnel_conversion"].fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
