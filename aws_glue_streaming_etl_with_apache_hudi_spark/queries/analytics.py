@@ -246,3 +246,64 @@ def path_transitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "time_weighted_avg",
+    sql="""
+    WITH seg AS (
+      SELECT user_id, value, ts, event_id,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             epoch_us(next_ts) - epoch_us(ts) AS dt
+      FROM seg WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+             AS twa_value
+    FROM w GROUP BY user_id
+    HAVING sum(dt) > 0
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of ``value`` per user (the time-series
+    aggregate where each observation holds until the next one — a plain
+    avg over-weights bursts): each segment weighs its value by its
+    microsecond duration. Exactness discipline: value is 2-dp
+    fixed-point and durations are integer microseconds, so
+    sum(value*dt) and sum(dt) are EXACT decimals/integers in both
+    engines; the single division of identical doubles is IEEE-identical
+    and the 6-dp rounding an identity-class round.
+
+    Scale: one shuffle on user_id serves the lead() window AND the
+    per-user aggregation (same key — no second exchange)."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (
+                F.sum(F.col("v") * F.col("dt")).cast("double")
+                / F.sum("dt").cast("double")
+            ).alias("_twa"),
+            F.sum("dt").alias("_sdt"),
+        )
+        .filter(F.col("_sdt") > 0)
+        .select("user_id", "n_segments", F.round("_twa", 6).alias("twa_value"))
+        .orderBy("user_id")
+    )
