@@ -307,3 +307,76 @@ def time_weighted_avg(spark, sf_dir):
         .select("user_id", "n_segments", F.round("_twa", 6).alias("twa_value"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "resample_locf_daily",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, day, v FROM (
+        SELECT user_id, date_trunc('day', ts) AS day, value AS v,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+    FROM joined
+    ORDER BY user_id, day
+    """,
+)
+def resample_locf_daily(spark, sf_dir):
+    """Daily resampling with gap fill by last-observation-carried-forward
+    (the time_bucket_gapfill + locf pattern): one row per (user, day)
+    from each user's first to last active day; silent days carry the
+    latest prior day's closing value (per-day close = arg-max by
+    (ts, event_id) — deterministic). No leading NULLs by construction
+    (the spine starts at the user's first active day).
+
+    Scale: the spine derives from per-user (min, max) bounds — one slim
+    aggregation — and explodes day sequences row-locally; the LOCF
+    window and the daily aggregation share the user_id shuffle key."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.max_by(F.col("value"), F.struct(F.col("ts"), F.col("event_id"))).alias("v")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value"),
+        )
+        .orderBy("user_id", "day")
+    )
