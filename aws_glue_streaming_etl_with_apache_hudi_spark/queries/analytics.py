@@ -380,3 +380,49 @@ def resample_locf_daily(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "value_histogram",
+    sql="""
+    WITH b AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    bucketed AS (
+      SELECT event_type,
+             least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+               AS bucket
+      FROM events, b
+    )
+    SELECT event_type, bucket, count(*) AS n
+    FROM bucketed GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Per-event-type value distribution: 10 equal-width buckets over the
+    GLOBAL [min, max] (shared edges make the per-type histograms
+    comparable); the max value folds into the last bucket via least().
+    Bucket ids come from identical IEEE arithmetic on identical doubles
+    in both engines — integer outputs, no rounding hazard.
+
+    Scale: the bounds are one tiny broadcast aggregate; bucketing is a
+    codegen'd row expression; the rollup aggregates 50 cells."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
