@@ -45,6 +45,7 @@ foreachBatch-facing API.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -109,10 +110,18 @@ def incremental_flags(
     )
     q = capped.select("band", "bucket", F.col(id_col).alias("_cid"), "_probe")
     # a probe doc pairs with every indexed doc in its bucket and with
-    # EARLIER (lower-id) probe docs — the first occurrence survives
+    # EARLIER (lower-id) probe docs — the first occurrence survives.
+    # Index-side SELF pairs (_cid == _pid) are excluded: a previously
+    # accepted document re-probed after a crash/replay must NOT flag as
+    # a duplicate of its own signature — it passes through as novel and
+    # the keyed upsert's idempotence absorbs the replay (the streaming
+    # pipeline's "replays are no-ops" contract).
     cands = (
         p.join(q, ["band", "bucket"])
-        .filter((~F.col("_probe")) | (F.col("_cid") < F.col("_pid")))
+        .filter(
+            ((~F.col("_probe")) & (F.col("_cid") != F.col("_pid")))
+            | (F.col("_cid") < F.col("_pid"))
+        )
         .select("_pid", "_cid")
         .distinct()
     )
@@ -242,6 +251,54 @@ class LSHDedupIndex:
             max_bucket_size=self.max_bucket_size,
         )
 
+    def _swap_in(self, result: DataFrame) -> None:
+        """Replace the live sigs dir with ``result`` via stage-and-rename.
+
+        An in-place ``mode('overwrite')`` deletes the only on-disk copy
+        first; until the rewrite finishes, the sole surviving copy of
+        the index is unreplicated localCheckpoint blocks on executors —
+        an executor loss mid-write would destroy the index with no
+        recovery path. Staging to a sibling dir and swapping with
+        ``os.rename`` (the MergeOnReadTable.restore pattern,
+        operators/mor.py) keeps a COMPLETE durable copy on disk at every
+        instant: stage the result to ``.compact_tmp``, rename the live
+        dir aside to ``.compact_old``, rename the staging dir in, then
+        drop the old copy. ``fsck`` repairs any crash window."""
+        tmp = self._sigs_dir + ".compact_tmp"
+        old = self._sigs_dir + ".compact_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        result.write.mode("overwrite").parquet(tmp)
+        os.rename(self._sigs_dir, old)
+        os.rename(tmp, self._sigs_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def fsck(self) -> dict:
+        """Repair a crash mid-``_swap_in``; safe in every window:
+
+        - crash before the first rename: live dir intact, staging is a
+          discardable duplicate -> reap ``.compact_tmp``;
+        - crash between the renames: live dir missing, staging IS the
+          complete result -> promote it, then reap ``.compact_old``;
+        - crash before the final cleanup: live dir is the result ->
+          reap the lingering ``.compact_old``."""
+        tmp = self._sigs_dir + ".compact_tmp"
+        old = self._sigs_dir + ".compact_old"
+        report = {
+            "staging_found": os.path.isdir(tmp),
+            "old_found": os.path.isdir(old),
+            "promoted": False,
+        }
+        if report["staging_found"]:
+            if not self._has_sigs():
+                os.rename(tmp, self._sigs_dir)
+                report["promoted"] = True
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+        if report["old_found"] and self._has_sigs():
+            shutil.rmtree(old, ignore_errors=True)
+        return report
+
     def compact(self, n_files: int = 8) -> int:
         """Rewrite the signature table into ``n_files`` files — every
         ingest appends one small parquet file, so a long-running stream
@@ -255,19 +312,14 @@ class LSHDedupIndex:
         n_before = len(
             [f for f in os.listdir(self._sigs_dir) if f.endswith(".parquet")]
         )
-        staged = sigs.repartition(n_files).localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(self._sigs_dir)
+        self._swap_in(sigs.repartition(n_files))
         return n_before
 
     def delete(self, ids: DataFrame) -> int:
         """Remove documents from the index (the right-to-be-forgotten
         path: a deleted document must stop suppressing future
         near-duplicates of itself). ``ids`` is a 1-column frame of
-        ``id_col`` values; returns the number of signatures removed.
-
-        The surviving signatures are eagerly localCheckpoint'ed BEFORE
-        the overwrite — the plan reads the very files the write replaces
-        (the same self-read-write barrier ingest uses)."""
+        ``id_col`` values; returns the number of signatures removed."""
         sigs = self.signatures()
         if sigs is None:
             return 0
@@ -276,33 +328,59 @@ class LSHDedupIndex:
             ids.select(F.col(ids.columns[0]).alias(self.id_col)),
             self.id_col,
             "left_anti",
-        ).localCheckpoint(eager=True)
+        )
         removed = before - kept.count()
         if removed:
-            kept.write.mode("overwrite").parquet(self._sigs_dir)
+            self._swap_in(kept)
         return removed
+
+    def accept(self, batch: DataFrame) -> int:
+        """Append signatures for ``batch`` rows not already indexed.
+
+        Idempotent by id (anti-join against the live signature table),
+        so it is safe to call AFTER the downstream table commit and safe
+        to re-run on a crash replay — the transactional half of the
+        probe/accept split the streaming gate uses (run_pipeline.py):
+        probe+filter inside the foreachBatch transform, accept only
+        after the keyed upsert has durably committed the batch. A crash
+        between the upsert and the accept replays as probe (no new
+        signatures yet, rows pass) -> idempotent re-upsert -> accept.
+
+        The anti-join plan reads the index's CURRENT parquet files, so
+        it is eagerly localCheckpoint'ed (lineage truncated to the
+        materialized rows) BEFORE the append — a merely-lazy plan
+        re-executed after the append would race the files it is itself
+        writing. Returns the number of signatures appended."""
+        rows = batch.select(self.id_col, self.text_col)
+        sigs = self.signatures()
+        if sigs is not None:
+            rows = rows.join(sigs.select(self.id_col), self.id_col, "left_anti")
+        novel_sigs = minhash_signatures(
+            word_shingles(rows, self.id_col, self.text_col, n=self.shingle_n),
+            self.id_col,
+            self.num_hashes,
+        ).localCheckpoint(eager=True)
+        n = novel_sigs.count()
+        if n:
+            novel_sigs.write.mode("append").parquet(self._sigs_dir)
+        return n
 
     def ingest(self, batch: DataFrame) -> DataFrame:
         """Probe the batch, append the NOVEL rows' signatures, return flags.
 
+        One-call convenience for batch/backfill use. Replay-safe: the
+        probe excludes index-side self-pairs (a previously-accepted row
+        re-probed after a crash flags as novel, not as a duplicate of
+        its own signature) and ``accept`` is idempotent by id, so
+        re-running ingest on the same batch neither drops rows nor
+        double-appends. Streaming pipelines that need the strict
+        commit-before-accept ordering call ``probe``/``accept``
+        separately (run_pipeline.py).
+
         The flags plan reads the index's CURRENT parquet files, so it is
-        eagerly localCheckpoint'ed (lineage truncated to the materialized
-        rows) BEFORE the append — a merely-lazy (or even persisted) plan
-        re-executed after the append would see the rows it is itself
-        writing and flag novel documents against their own signatures
-        (the self-read-write hazard the upsert merge path documents).
-        The novel-signature plan reads only the batch, so its write
-        needs no such barrier."""
+        eagerly localCheckpoint'ed BEFORE the append (self-read-write
+        barrier, as in ``accept``)."""
         flags = self.probe(batch).localCheckpoint(eager=True)
         novel_ids = flags.filter(~F.col("is_duplicate")).select(self.id_col)
-        novel_sigs = minhash_signatures(
-            word_shingles(
-                batch.join(novel_ids, self.id_col), self.id_col, self.text_col,
-                n=self.shingle_n,
-            ),
-            self.id_col,
-            self.num_hashes,
-        )
-        if not novel_ids.isEmpty():
-            novel_sigs.write.mode("append").parquet(self._sigs_dir)
+        self.accept(batch.join(novel_ids, self.id_col))
         return flags

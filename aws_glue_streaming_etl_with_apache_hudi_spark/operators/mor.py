@@ -251,9 +251,16 @@ class MergeOnReadTable:
         commit = self.latest_commit() if commit is None else commit
         if commit < 1 or commit > self.latest_commit():
             raise ValueError(f"cannot savepoint unknown instant {commit}")
-        if commit <= self._cleaned_through() or (
-            commit < self._compacted_through() and self._cleaned_through() >= 1
-        ):
+        # Reject only commits that genuinely need log replay through a
+        # cleaned range: a commit BELOW the compaction point is served by
+        # log-only replay from commit 1, impossible once anything is
+        # cleaned. A commit AT/ABOVE the compaction point reads base +
+        # pending deltas — in particular cleaned_through == commit ==
+        # compacted_through is fully reconstructible from the base alone
+        # (read(as_of=commit) succeeds via base + empty pending), so
+        # `commit <= cleaned_through` on its own would be over-broad
+        # (cleaned_through ≤ compacted_through is a clean() invariant).
+        if commit < self._compacted_through() and self._cleaned_through() >= 1:
             raise ValueError(
                 f"cannot savepoint {commit}: not reconstructible (clean "
                 f"horizon {self._cleaned_through()})"

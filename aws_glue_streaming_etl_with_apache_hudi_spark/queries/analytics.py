@@ -390,8 +390,10 @@ def resample_locf_daily(spark, sf_dir):
     ),
     bucketed AS (
       SELECT event_type,
-             least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
-               AS bucket
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(
+                    CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+             END AS bucket
       FROM events, b
     )
     SELECT event_type, bucket, count(*) AS n
@@ -407,20 +409,27 @@ def value_histogram(spark, sf_dir):
     in both engines — integer outputs, no rounding hazard.
 
     Scale: the bounds are one tiny broadcast aggregate; bucketing is a
-    codegen'd row expression; the rollup aggregates 50 cells."""
+    codegen'd row expression; the rollup aggregates 50 cells. Degenerate
+    range (hi == lo, all values equal) is guarded to bucket 0 in both
+    engines — unguarded, Spark's double division yields NaN -> NULL
+    buckets while DuckDB's CAST(NaN AS BIGINT) errors (divergent edge)."""
     e = t(spark, sf_dir, "events")
     b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     return (
         e.crossJoin(F.broadcast(b))
         .select(
             "event_type",
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / 10.0)
-                ).cast("long"),
-                F.lit(9).cast("long"),
-            ).alias("bucket"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 10.0)
+                    ).cast("long"),
+                    F.lit(9).cast("long"),
+                )
+            )
+            .alias("bucket"),
         )
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -1490,7 +1490,8 @@ def corpus_datasheet(spark, sf_dir):
       SELECT DISTINCT p.doc_id AS pid, q.doc_id AS cid
       FROM capped p JOIN capped q
         ON p.band = q.band AND p.bucket = q.bucket
-      WHERE p.is_probe AND (NOT q.is_probe OR q.doc_id < p.doc_id)
+      WHERE p.is_probe
+        AND ((NOT q.is_probe AND q.doc_id <> p.doc_id) OR q.doc_id < p.doc_id)
     ),
     est AS (
       SELECT pid, cid,

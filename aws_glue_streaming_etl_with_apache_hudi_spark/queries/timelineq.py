@@ -264,6 +264,7 @@ def bootstrap_adopted_state(spark, sf_dir):
     table under timeline management costs one metadata commit, and
     subsequent upserts rewrite only the partitions they touch."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -297,7 +298,12 @@ def bootstrap_adopted_state(spark, sf_dir):
     ok = (
         len(commits) == 2
         and commits[0].get("operation") == "bootstrap"
-        and commits[0].get("location") == str(ext.resolve())
+        # bootstrap() stores os.path.abspath(location); normalize the same
+        # way — Path.resolve() also resolves symlinks, so on hosts where
+        # the temp dir is behind one (macOS /tmp -> /private/tmp) a
+        # resolve()-based compare never matches and the cached fixture
+        # would be rebuilt on every invocation, skewing benchmarks
+        and commits[0].get("location") == os.path.abspath(str(ext))
     )
     if not ok:
         shutil.rmtree(root, ignore_errors=True)

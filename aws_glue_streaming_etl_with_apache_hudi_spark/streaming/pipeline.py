@@ -71,6 +71,14 @@ class StreamingUpsertPipeline:
     source_format: str = "parquet"
     max_files_per_trigger: int | None = 1
     transform: Callable[[DataFrame], DataFrame] | None = None
+    # Called with the (transformed) batch AFTER table.upsert has durably
+    # committed it — the hook for side-state that must only advance once
+    # the data is safe (e.g. LSHDedupIndex.accept: appending dedup
+    # signatures BEFORE the commit would, on a crash replay, flag the
+    # batch's own rows as duplicates and silently drop them). The hook
+    # must itself be idempotent: a crash between upsert and post_commit
+    # replays the whole batch.
+    post_commit: Callable[[DataFrame], None] | None = None
     # Dead-letter queue for JSON sources: unparseable payloads are
     # appended raw under this directory per batch instead of poisoning
     # or silently vanishing from the pipeline (sources/quarantine.py).
@@ -108,6 +116,8 @@ class StreamingUpsertPipeline:
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         self.table.upsert(batch_df)
+        if self.post_commit is not None:
+            self.post_commit(batch_df)
 
     def _bootstrap_schema(self) -> T.StructType:
         """Infer the stream schema from the files already in

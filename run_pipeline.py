@@ -106,9 +106,18 @@ def main(argv: list[str]) -> None:
         schema, transform = None, None
 
     # Continuous-ingestion near-dup gate (operators/dedup_index.py): each
-    # micro-batch is probed against the persisted MinHash index; near-dup
-    # rows are dropped BEFORE the upsert and novel signatures accepted —
-    # the dedup-at-ingest shape of a training-data pipeline.
+    # micro-batch is PROBED against the persisted MinHash index inside
+    # the transform (near-dup rows dropped before the upsert), but novel
+    # signatures are ACCEPTED only after the upsert has durably
+    # committed, via the pipeline's post_commit hook. Appending before
+    # the commit would, on a crash replay between the append and the
+    # upsert, flag every replayed row as a duplicate of its own
+    # signature and silently drop the batch — violating the pipeline's
+    # "replays are no-ops" contract. accept() is idempotent by id, so
+    # the remaining crash window (between upsert and accept) replays
+    # cleanly: probe passes the rows, the keyed upsert absorbs them,
+    # accept appends once.
+    post_commit = None
     if opts.get("dedup_index_dir"):
         from pyspark.sql import functions as F
 
@@ -125,11 +134,12 @@ def main(argv: list[str]) -> None:
         def gated(df, _base=base_transform, _idx=idx):
             if _base is not None:
                 df = _base(df)
-            flags = _idx.ingest(df)
+            flags = _idx.probe(df)
             keep = flags.filter(~F.col("is_duplicate")).select(_idx.id_col)
             return df.join(keep, _idx.id_col)
 
         transform = gated
+        post_commit = idx.accept
 
     pipe = StreamingUpsertPipeline(
         spark,
@@ -139,6 +149,7 @@ def main(argv: list[str]) -> None:
         checkpoint=cfg.checkpoint_path,
         trigger=cfg.window_size,
         transform=transform,
+        post_commit=post_commit,
         source_format=opts.get("source_format", "parquet"),
         quarantine_dir=cfg.quarantine_dir,
     )

@@ -335,3 +335,228 @@ def test_persist_slots_bound_cache_accumulation(spark, sf_dir):
         QUERIES["dedup_simhash_pairs"].fn(spark, sf_dir).count()
         QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir).count()
     assert n_persistent() <= base
+
+
+# -- 9. round-4 ADVICE: dedup gate must not lose rows on batch replay ------
+
+
+def test_dedup_gate_replay_does_not_drop_rows(spark, tmp_path):
+    """The high-severity r4 defect: appending signatures BEFORE the table
+    commit meant a crash-replay re-probed rows against their own
+    signatures and silently dropped the batch. The fix is twofold —
+    probe excludes index-side self-pairs, and accept() runs post-commit
+    and is idempotent by id. Simulate the worst crash window: signatures
+    accepted, then the WHOLE batch replays through probe->filter->accept."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
+    from pyspark.sql import functions as F
+
+    idx = LSHDedupIndex(spark, str(tmp_path / "idx"))
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "colorless green ideas sleep furiously while committees debate budgets"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # attempt 1: probe -> filter -> (upsert would commit here) -> accept
+    flags1 = idx.probe(batch)
+    kept1 = batch.join(
+        flags1.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    assert kept1.count() == 2
+    assert idx.accept(kept1) == 2
+
+    # crash AFTER accept, BEFORE the streaming checkpoint commit: the
+    # identical batch replays. Every row's only index match is its own
+    # signature -> must pass through (the keyed upsert absorbs the
+    # re-write), and accept must not double-append.
+    flags2 = idx.probe(batch)
+    kept2 = batch.join(
+        flags2.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    assert kept2.count() == 2, "replayed rows were dropped (self-pair flag)"
+    assert idx.accept(kept2) == 0, "replayed accept appended duplicates"
+    assert idx.size() == 2
+
+    # a genuinely NEW duplicate of an accepted doc still flags
+    probe3 = idx.probe(
+        spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog near the river")],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert probe3["is_duplicate"] and probe3["dup_of"] == 1
+
+
+def test_pipeline_post_commit_runs_after_upsert(spark, tmp_path):
+    """StreamingUpsertPipeline.post_commit fires once per non-empty batch,
+    strictly after the upsert committed the batch's rows."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [Row(k=1, ver=1), Row(k=2, ver=1)], "k bigint, ver bigint"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    table = UpsertTable(
+        spark, str(tmp_path / "tbl"), keys=["k"], precombine="ver",
+        table_name="post_commit_tbl",
+    )
+    seen: list[int] = []
+
+    def hook(batch_df):
+        # the upsert must already be durable when the hook runs
+        seen.append(table.read().count())
+
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=None,
+        table=table,
+        checkpoint=str(tmp_path / "ckpt"),
+        post_commit=hook,
+    )
+    pipe.run_available()
+    assert seen == [2]
+
+
+# -- 10. round-4 ADVICE: index rewrite must stage-and-rename ---------------
+
+
+def test_index_compact_stages_then_renames(spark, tmp_path, monkeypatch):
+    """compact()/delete() used to overwrite the live sigs dir in place —
+    a crash mid-write destroyed the only on-disk copy. Now the rewrite
+    lands in a sibling .compact_tmp dir and swaps via os.rename; a
+    simulated crash before the swap leaves the live dir intact."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
+
+    idx = LSHDedupIndex(spark, str(tmp_path / "idx"))
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "spark shuffles data between executors when joins exceed thresholds",
+    ]
+    for i, txt in enumerate(texts):
+        idx.ingest(
+            spark.createDataFrame([(i + 1, txt)], "doc_id long, text string")
+        )
+    before = sorted(map(tuple, idx.signatures().collect()))
+
+    # crash between staging and swap: rename raises after the tmp dir is
+    # fully written -> the live dir must be untouched
+    real_rename = os.rename
+
+    def boom(src, dst):
+        raise OSError("simulated crash before swap")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError):
+        idx.compact(n_files=1)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert sorted(map(tuple, idx.signatures().collect())) == before
+
+    # fsck reaps the orphaned staging dir (live dir present -> discard)
+    tmp = idx._sigs_dir + ".compact_tmp"
+    assert os.path.isdir(tmp)
+    report = idx.fsck()
+    assert report["staging_found"] and not report["promoted"]
+    assert not os.path.isdir(tmp)
+    assert sorted(map(tuple, idx.signatures().collect())) == before
+
+    # the successful path still compacts
+    assert idx.compact(n_files=1) >= 1
+    assert sorted(map(tuple, idx.signatures().collect())) == before
+
+
+def test_index_fsck_promotes_orphaned_staging(spark, tmp_path):
+    """Crash in the rmtree..rename window: the live dir is gone and the
+    staging dir holds the complete result — fsck must promote it."""
+    import shutil
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
+
+    idx = LSHDedupIndex(spark, str(tmp_path / "idx"))
+    idx.ingest(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+    )
+    before = sorted(map(tuple, idx.signatures().collect()))
+    # simulate: staged copy written, live dir removed, crash before rename
+    shutil.copytree(idx._sigs_dir, idx._sigs_dir + ".compact_tmp")
+    shutil.rmtree(idx._sigs_dir)
+    assert idx.signatures() is None
+    report = idx.fsck()
+    assert report["staging_found"] and report["promoted"]
+    assert sorted(map(tuple, idx.signatures().collect())) == before
+
+
+# -- 11. round-4 ADVICE: MOR savepoint guard over-broad edge ---------------
+
+
+def test_mor_savepoint_at_compaction_point_after_clean(spark, tmp_path):
+    """A commit with cleaned_through == commit == compacted_through is
+    fully reconstructible from the base alone, so savepointing it must
+    succeed; commits strictly below the compaction point stay refused
+    once anything is cleaned."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import MergeOnReadTable
+
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "mor"), keys=["k"], precombine="ver",
+    )
+    for c in range(1, 4):  # commits 1..3
+        tbl.upsert(
+            spark.createDataFrame([Row(k=1, ver=c), Row(k=c + 10, ver=c)],
+                                  "k bigint, ver bigint")
+        )
+    tbl.compact()          # base folds commits 1..3
+    tbl.clean(through=3)   # cleaned_through == compacted_through == 3
+
+    # below the compaction point: still refused (needs cleaned log replay)
+    with pytest.raises(ValueError):
+        tbl.savepoint(2)
+    # AT the compaction point: base-only reconstruction -> allowed
+    assert tbl.savepoint(3) == 3
+    assert tbl.read(as_of=3).count() == tbl.read().count()
+    tbl.restore(3)
+    assert {r.k for r in tbl.read().collect()} == {1, 11, 12, 13}
+
+
+# -- 12. round-4 ADVICE: value_histogram degenerate range ------------------
+
+
+def test_value_histogram_all_equal_values_matches_oracle(spark, tmp_path):
+    """hi == lo (every value identical) used to divide by zero: Spark
+    produced NULL buckets while DuckDB errored on CAST(NaN AS BIGINT) —
+    a divergent edge exactly where the guard is needed. Both engines now
+    put every row in bucket 0."""
+    import duckdb
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+    from tests.oracle_utils import canonical_rows
+
+    sf = str(tmp_path / "sf_equal")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [("click", 7.0, 1), ("view", 7.0, 2), ("click", 7.0, 3)],
+        "event_type string, value double, ts long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    q = QUERIES["value_histogram"]
+    sdf = q.fn(spark, sf)
+    s_rows = canonical_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    assert all(r is not None for row in s_rows for r in row)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    rel = con.execute(q.sql)
+    d_cols = [d[0] for d in rel.description]
+    d_rows = canonical_rows(d_cols, rel.fetchall())
+    assert s_rows == d_rows
+    # canonical column order is (bucket, event_type, n): all rows bucket 0
+    assert s_rows == sorted([("0", "click", "2"), ("0", "view", "1")])

@@ -83,11 +83,16 @@ def test_ingest_lifecycle_and_idempotence(spark, tmp_path):
     assert f2[6]["is_duplicate"] and f2[6]["dup_of"] == 5
     assert idx.size() == 4  # only the novel doc entered the index
 
-    # re-ingesting the same wave: everything flags (doc 5 against its own
-    # accepted twin), the index does not grow
+    # re-ingesting the same wave (crash-replay semantics): docs that flag
+    # against OTHER accepted docs still flag, but doc 5 — whose only index
+    # match is its OWN accepted signature — passes through as novel
+    # (index-side self-pairs are excluded so replays cannot drop rows the
+    # keyed upsert already owns), and the idempotent accept does not grow
+    # the index
     f3 = {r["doc_id"]: r for r in idx.ingest(w2).collect()}
-    assert all(r["is_duplicate"] for r in f3.values())
-    assert f3[5]["dup_of"] == 5 and f3[5]["est_jaccard"] == 1.0
+    assert f3[4]["is_duplicate"] and f3[4]["dup_of"] == 1
+    assert not f3[5]["is_duplicate"] and f3[5]["dup_of"] is None
+    assert f3[6]["is_duplicate"] and f3[6]["dup_of"] == 5
     assert idx.size() == 4
 
     # probe is read-only
