@@ -18,6 +18,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register,
 
 @register(
     "funnel_conversion",
+    headline=True,  # longitudinal perf tracking for the analytics family
     sql="""
     WITH s1 AS (
       SELECT user_id, min(ts) AS ts1 FROM events
@@ -250,6 +251,7 @@ def path_transitions(spark, sf_dir):
 
 @register(
     "time_weighted_avg",
+    headline=True,  # longitudinal perf tracking for the analytics family
     sql="""
     WITH seg AS (
       SELECT user_id, value, ts, event_id,

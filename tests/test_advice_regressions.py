@@ -560,3 +560,88 @@ def test_value_histogram_all_equal_values_matches_oracle(spark, tmp_path):
     assert s_rows == d_rows
     # canonical column order is (bucket, event_type, n): all rows bucket 0
     assert s_rows == sorted([("0", "click", "2"), ("0", "view", "1")])
+
+
+# -- 13. round-4 ADVICE: persist slots keyed by session; no .rdd probes ----
+
+
+def test_persist_slots_are_session_scoped(spark, monkeypatch):
+    """A slot cached under one SparkSession must never be served to
+    another (its cache blocks live in the other context), and entries
+    owned by stopped sessions are dropped eagerly."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import dedup as D
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    a = D._persist_slot(df, "test.session_scope")
+    # same session + same plan -> warm reuse (identity)
+    assert D._persist_slot(df, "test.session_scope") is a
+
+    other = spark.newSession()
+    odf = other.range(10).withColumnRenamed("id", "k")
+    b = D._persist_slot(odf, "test.session_scope")
+    assert b is not a, "cross-session cache reuse"
+    assert other in D._PERSIST_SLOTS and spark in D._PERSIST_SLOTS
+
+    # a stopped session's entries are evicted on the next call, without
+    # routing through a swallowed unpersist
+    monkeypatch.setattr(
+        D, "_session_stopped", lambda s: s is other
+    )
+    D._persist_slot(df, "test.session_scope")
+    assert other not in D._PERSIST_SLOTS
+    # cleanup
+    a.unpersist(blocking=False)
+    b.unpersist(blocking=False)
+    D._PERSIST_SLOTS.pop(spark, None)
+
+
+def test_no_rdd_access_in_operators():
+    """fan_out's former df.rdd.getNumPartitions() probe forced a full
+    plan-to-RDD conversion per call; the operators layer must stay on
+    the DataFrame API (width decisions come from inputFiles metadata)."""
+    import glob
+    import io
+    import tokenize
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "aws_glue_streaming_etl_with_apache_hudi_spark",
+        "operators",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(root, "*.py")):
+        toks = list(
+            tokenize.generate_tokens(io.StringIO(open(path).read()).readline)
+        )
+        for prev, tok in zip(toks, toks[1:]):
+            # actual attribute access `.rdd` in CODE (docstrings/comments
+            # tokenize as STRING/COMMENT and are skipped)
+            if (
+                tok.type == tokenize.NAME
+                and tok.string == "rdd"
+                and prev.type == tokenize.OP
+                and prev.string == "."
+            ):
+                offenders.append(f"{os.path.basename(path)}:{tok.start[0]}")
+    assert not offenders, offenders
+
+
+def test_fan_out_spreads_narrow_scan_and_skips_wide(spark, tmp_path):
+    """fan_out must widen a single-file scan to the cluster parallelism
+    and leave an already-wide (many-file) scan untouched."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
+
+    narrow_dir = str(tmp_path / "narrow")
+    spark.range(100).coalesce(1).write.parquet(narrow_dir)
+    narrow = spark.read.parquet(narrow_dir)
+    target = spark.sparkContext.defaultParallelism
+    out = fan_out(narrow)
+    assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 100
+
+    wide_dir = str(tmp_path / "wide")
+    spark.range(1000).repartition(target).write.parquet(wide_dir)
+    wide = spark.read.parquet(wide_dir)
+    assert len(wide.inputFiles()) >= target
+    out2 = fan_out(wide)
+    assert out2 is wide, "fan_out added a shuffle to an already-wide scan"

@@ -18,24 +18,27 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    "upsert": "upsert_latest_state",
+    # round-5 rotation: each sentinel points at its family's STALEST
+    # member (never-sampled or r1-only), so the sentinel slot doubles as
+    # a refresh slot; single-member families keep their representative.
+    "upsert": "upsert_partitioned_state",
     "schema_evolution": "schema_evolution_union",
     "partitioning": "partition_path_derivation",
-    "asof": "asof_join_events_orders",
-    "streaming": "tumbling_window_agg",
+    "asof": "asof_join_forward_tolerance",
+    "streaming": "sliding_window_agg",
     "stateful": "stateful_running_totals",
-    "storage_mor": "mor_incremental",
+    "storage_mor": "mor_merge_chain",
     "storage_incremental": "incremental_pull",
     "storage_cdc": "cdc_change_feed",
-    "dedup": "dedup_minhash_lsh",
-    "similarity": "knn_ivf",
-    "text": "text_repetition",
+    "dedup": "dedup_incremental_index",
+    "similarity": "knn_ivf_pq",
+    "text": "text_shared_passages",
     "multimodal": "multimodal_binary_meta",
-    "training": "corpus_build_pipeline",
+    "training": "token_shard_packing",
     "udf": "applyinpandas_group_rank",
-    "relational_agg": "agg_rollup",
-    "relational_join": "join_left_outer",
-    "relational_window": "window_running_sum",
+    "relational_agg": "agg_pivot",
+    "relational_join": "join_semi",
+    "relational_window": "window_rank_ntile",
 }
 
 
