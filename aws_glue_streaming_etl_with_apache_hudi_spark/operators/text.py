@@ -48,9 +48,14 @@ def token_count_bpe_ish(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(TOKEN_REGEX), 0)).cast("long")
 
 
-def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_stats(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-doc stats: word/char counts, distinct ratio, mean word length,
-    filler-word ratio — the quality-score feature block."""
+    filler-word ratio — the quality-score feature block. ``keep`` names
+    passthrough columns carried into the projection so downstream
+    consumers (e.g. a per-language rollup) don't need a join back to the
+    source frame."""
     w = words(text_col)
     n_words = F.size(w).cast("long")
     distinct_words = F.array_distinct(w)
@@ -58,6 +63,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_filler = F.size(F.filter(w, lambda x: F.array_contains(filler, x))).cast("long")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.length(text_col).cast("long").alias("n_chars"),
         n_words.alias("n_words"),
         F.size(distinct_words).cast("long").alias("n_distinct"),
@@ -67,19 +73,26 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Composite quality score in [0, 1]: favors length in a sane band,
-    lexical diversity, and low filler ratio. The formula is arbitrary but
-    fixed — what matters is that it is deterministic and cheap."""
-    stats = text_stats(df, id_col, text_col)
+def quality_expr() -> Column:
+    """The quality formula as a Column over text_stats's output columns
+    (``n_words``, ``distinct_ratio``, ``filler_ratio``): favors length in
+    a sane band, lexical diversity, and low filler ratio. Exposed
+    separately so composed pipelines (corpus_build_pipeline) can score in
+    the SAME projection that computes the stats — one documents scan, no
+    self-join — while standalone quality_score keeps its frame shape."""
     len_term = F.least(F.col("n_words") / 100.0, F.lit(1.0))
-    return stats.select(
-        F.col(id_col),
-        F.round(
-            0.4 * len_term + 0.4 * F.col("distinct_ratio") + 0.2 * (1 - F.col("filler_ratio")),
-            4,
-        ).alias("quality"),
+    return F.round(
+        0.4 * len_term + 0.4 * F.col("distinct_ratio") + 0.2 * (1 - F.col("filler_ratio")),
+        4,
     )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality score in [0, 1] (see quality_expr). The formula
+    is arbitrary but fixed — what matters is that it is deterministic and
+    cheap."""
+    stats = text_stats(df, id_col, text_col)
+    return stats.select(F.col(id_col), quality_expr().alias("quality"))
 
 
 def predict_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

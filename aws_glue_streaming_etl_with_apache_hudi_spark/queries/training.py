@@ -118,7 +118,11 @@ def corpus_build_pipeline(spark, sf_dir):
     real 100 TB corpus build runs as one job. Plan shape: one digest
     aggregation (16-byte shuffle keys), a semi-join back to documents,
     map-side quality scoring, final rollup — no full-text shuffle
-    anywhere."""
+    anywhere. Quality and token counts are computed in the SAME
+    projection over the deduped frame (text_stats keep= + quality_expr):
+    the former quality_score-vs-token-count self-join scanned documents
+    and recomputed the dedup semi-join twice for columns that are all
+    row-local expressions (the r4 perf drift on this query)."""
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators import dedup as D
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators import text as TX
 
@@ -127,9 +131,8 @@ def corpus_build_pipeline(spark, sf_dir):
         F.col("keep_id").alias("doc_id")
     )
     kept = docs.join(keep, on="doc_id", how="inner")
-    scored = TX.quality_score(kept, "doc_id", "text").join(
-        kept.select("doc_id", "lang", TX.token_count_whitespace("text").alias("n_words")),
-        on="doc_id",
+    scored = TX.text_stats(kept, "doc_id", "text", keep=("lang",)).select(
+        "doc_id", "lang", "n_words", TX.quality_expr().alias("quality")
     )
     h = stable_hash64(F.col("doc_id").cast("string"), "split")
     split = F.when(h % 100 < 95, "train").otherwise("test")
