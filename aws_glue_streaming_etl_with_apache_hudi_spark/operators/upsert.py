@@ -118,10 +118,18 @@ class UpsertTable:
     stats_columns: list[str] = field(default_factory=list)
     record_index: bool = False
     rli_buckets: int = 64
+    # "overwrite": the incoming row replaces the stored row wholesale
+    # (Hudi's default OverwriteWithLatestAvroPayload — the reference's
+    # behavior, glue_job_script.py:50-62). "partial": non-null incoming
+    # columns override, nulls preserve the stored value (Hudi's
+    # PartialUpdateAvroPayload — CDC/sparse-attribute feeds).
+    merge_mode: str = "overwrite"
 
     def __post_init__(self) -> None:
         if self.record_index and not (self.global_index and self.partition_by):
             raise ValueError("record_index requires global_index + partition_by")
+        if self.merge_mode not in ("overwrite", "partial"):
+            raise ValueError(f"unknown merge_mode {self.merge_mode!r}")
 
     @property
     def _meta_path(self) -> str:
@@ -248,7 +256,11 @@ class UpsertTable:
 
         Idempotent: re-applying the same batch leaves the table unchanged.
         """
-        batch = precombine_latest(batch, self._identity, self.precombine)
+        if self.merge_mode == "partial":
+            # within-batch combine under the same column-wise semantics
+            batch = partial_merge(None, batch, self._identity, self.precombine)
+        else:
+            batch = precombine_latest(batch, self._identity, self.precombine)
 
         if not self.exists():
             self._write(batch, overwrite_all=True)
@@ -303,7 +315,10 @@ class UpsertTable:
         # Schema evolution across commits (A7): align both sides additively.
         batch, stored = evolve_schema(batch, stored)
 
-        merged = _merge_batch_wins(stored, batch, self._identity, self.precombine)
+        if self.merge_mode == "partial":
+            merged = partial_merge(stored, batch, self._identity, self.precombine)
+        else:
+            merged = _merge_batch_wins(stored, batch, self._identity, self.precombine)
         if self.global_index and self.partition_by:
             merged = merged.persist()
             try:
@@ -863,6 +878,59 @@ def _merge_batch_wins(
         tagged, keys, precombine, tie_breakers=["_src"] + (tie_breakers or [])
     )
     return merged.drop("_src")
+
+
+def partial_merge(
+    stored: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    precombine: str,
+) -> DataFrame:
+    """Hudi PARTIAL UPDATE merge (PartialUpdateAvroPayload semantics):
+    per key, each non-key column independently takes its most recent
+    NON-NULL value across stored + batch rows ordered by
+    (precombine, provenance). A null in an incoming column means
+    "no change", not "set this column to null" — the payload shape of
+    CDC streams and sparse attribute feeds, where each event carries
+    only the fields that changed. (Pairwise newer-non-null-overrides,
+    folded across any number of versions, equals column-wise latest
+    non-null — so one aggregation implements the whole chain.)
+
+    The merged row's ``precombine`` is the overall latest (Hudi keeps
+    the winning ordering value even when older rows contribute columns).
+
+    Scale: ONE hash aggregation — every per-column ``max_by`` partial-
+    aggregates map-side, so at most one combined row per key per input
+    partition reaches the shuffle (same cost shape as precombine_latest;
+    no window sort, no per-column joins). Exact precombine ties resolve
+    batch-over-stored, then greatest-value-wins — deterministic under
+    any physical row order."""
+    tagged = batch.withColumn("_src", F.lit(1))
+    if stored is not None:
+        tagged = stored.withColumn("_src", F.lit(0)).unionByName(
+            tagged, allowMissingColumns=True
+        )
+    value_cols = [c for c in tagged.columns if c not in keys and c != "_src"]
+    aggs = []
+    for c in value_cols:
+        if c == precombine:
+            aggs.append(F.max(F.col(c)).alias(c))
+            continue
+        # max_by skips rows whose ordering expr is NULL, so wrapping the
+        # ordering in when(c IS NOT NULL, ...) restricts the argmax to
+        # rows that actually carry a value for this column; the column
+        # itself closes the ordering for full determinism on ties
+        aggs.append(
+            F.max_by(
+                F.col(c),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col(precombine), F.col("_src"), F.col(c)),
+                ),
+            ).alias(c)
+        )
+    out_cols = [c for c in tagged.columns if c != "_src"]
+    return tagged.groupBy(*[F.col(k) for k in keys]).agg(*aggs).select(*out_cols)
 
 
 def upsert_dataframe(

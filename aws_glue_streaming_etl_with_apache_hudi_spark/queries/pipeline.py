@@ -95,6 +95,79 @@ def upsert_merge_batches(spark, sf_dir):
 
 
 @register(
+    "partial_update_state",
+    sql="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    b0 AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    b AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END AS value
+      FROM b0
+    )
+    SELECT coalesce(b.user_id, s.user_id) AS user_id,
+           strftime(coalesce(b.ts, s.ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           coalesce(b.event_id, s.event_id) AS event_id,
+           coalesce(b.event_type, s.event_type) AS event_type,
+           round(coalesce(b.value, s.value), 2) AS value
+    FROM s FULL OUTER JOIN b ON s.user_id = b.user_id
+    ORDER BY user_id
+    """,
+)
+def partial_update_state(spark, sf_dir):
+    """Partial-update upsert (operators/upsert.py partial_merge — Hudi
+    PartialUpdateAvroPayload semantics): the second half of the stream
+    arrives as SPARSE payloads (event_type omitted for every third event,
+    value for every second — a null column means "no change"), merged
+    onto the first half's full state. Each untouched column retains the
+    stored value; the merged precombine is the latest. The oracle
+    replays the two precombined halves and the column-wise coalesce as a
+    full outer join.
+
+    Scale: the whole merge is ONE aggregation — per-column max_by with
+    null-skipping ordering — that partial-aggregates map-side; no join,
+    no window sort (vs the reference's overwrite payload which this
+    generalizes, glue_job_script.py:50-62)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import partial_merge
+
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    midpoint = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    stored = precombine_latest(
+        e.filter(F.col("ts") < midpoint), ["user_id"], "ts", tie_breakers=["event_id"]
+    )
+    latest2 = precombine_latest(
+        e.filter(F.col("ts") >= midpoint), ["user_id"], "ts", tie_breakers=["event_id"]
+    )
+    batch = latest2.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0, F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 2 != 0, F.col("value")).alias("value"),
+    )
+    merged = partial_merge(stored, batch, ["user_id"], "ts")
+    return merged.select(
+        "user_id",
+        _fmt_ts("ts").alias("ts_s"),
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
+
+
+@register(
     "partition_path_derivation",
     sql="""
     SELECT concat('y=', strftime(ts, '%Y'), '/m=', strftime(ts, '%m'),
