@@ -920,3 +920,114 @@ def knn_ivf_pq(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def knn_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 20,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Two-stage ANN search — the production retrieval pattern: an
+    IVF-PQ coarse pass nominates ``rerank`` candidates per query by
+    compressed-domain ADC distance, then ONLY those candidates are
+    re-scored with the exact cosine against the raw vectors and the
+    top ``k`` kept. PQ quantization error perturbs the coarse ranking;
+    reranking restores exact ordering among survivors at the cost of
+    fetching rerank (not |corpus|) raw vectors per query.
+
+    Scale: stage 1 reads the ~32x-compressed codes of n_probe/k_cent of
+    the corpus; stage 2 touches Q x rerank rows — the candidate join
+    shuffles only (query_id, neighbor_id) pairs against the corpus and
+    broadcasts the Q raw query vectors; the exact similarity is the
+    JVM-side dot-product fold (no Python in stage 2). Returns
+    (query_id, neighbor_id, sim, rnk) — same shape as knn_bruteforce,
+    rounded before ranking with id tie-break (cross-engine stable)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+
+    cands = knn_ivf_pq(
+        corpus, queries, centroids, codebooks, id_col, vec_col,
+        k=rerank, n_probe=n_probe,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
+    )
+    exact = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 4,
+) -> DataFrame:
+    """Range (radius) similarity search: ALL corpus vectors with cosine
+    similarity >= ``threshold`` per query — the fixed-radius complement
+    of top-k (used for density probes, near-dup audits, coverage
+    checks, where "how many are this close" matters more than "the
+    closest k"). Returns (query_id, neighbor_id, sim), unranked.
+
+    Scale: broadcast queries x map-side corpus scan with a JVM
+    dot-product fold — one pass over the corpus, no shuffle at all
+    (top-k needs the per-query rank exchange; a radius filter doesn't).
+    For selective thresholds at 100 TB, feed the hyperplane-LSH bucket
+    join (knn_lsh's candidate stage) in front and verify only
+    collisions — same contract as dedup_embedding_cosine."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
+
+    corpus = fan_out(corpus)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                sim_decimals,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

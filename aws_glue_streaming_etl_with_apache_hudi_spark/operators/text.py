@@ -303,6 +303,46 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-fit
+    bigram LM — the next step up from unigram_logprob in the perplexity-
+    filter ladder: p(w2 | w1) = c(w1 w2) / c(w1 ·), where c(w1 ·) sums
+    the bigram counts sharing the left word (conditional MLE; the model
+    is fit on the corpus being scored, so every observed bigram has
+    p > 0 and no smoothing constant enters the algebra). Word-soup
+    documents score high on unigrams already; REORDERED text (scrambled
+    scrapes, shuffled boilerplate) only the bigram model catches.
+    Returns (id, n_bigrams, avg_neg_logp); documents with fewer than 2
+    words contribute no row (nothing to score — left-join if needed).
+
+    Scale shape: same as unigram_logprob — ONE gram explode feeds the LM
+    fit and the scoring join; the fitted table broadcasts; left-word
+    marginals are a second small aggregate OF the fitted table (not a
+    second corpus pass); per-doc averaging shuffles on doc id once."""
+    g = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g")
+    )
+    counts = g.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    lefts = (
+        counts.select(F.substring_index("g", " ", 1).alias("w1"), "cnt")
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("lcnt"))
+    )
+    scored = (
+        g.join(F.broadcast(counts), "g")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(F.broadcast(lefts), "w1")
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("cnt") / F.col("lcnt"))).alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
+    )
+
+
 def hashed_embedding(
     df: DataFrame, id_col: str, text_col: str, dim: int = 64
 ) -> DataFrame:

@@ -1171,6 +1171,50 @@ def text_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "text_bigram_logprob",
+    sql=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 2
+                         THEN list_filter([array_to_string(ws[i:i+1], ' ')
+                                           FOR i IN range(1, len(ws)-1+1)],
+                                          x -> x <> '')
+                         ELSE [] END) AS g
+      FROM w
+    ),
+    counts AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
+    lefts AS (
+      SELECT split_part(g, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS lcnt
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(CAST(cnt AS DOUBLE) / lcnt)), 6) AS avg_neg_logp
+    FROM g
+    JOIN counts USING (g)
+    JOIN lefts ON lefts.w1 = split_part(g.g, ' ', 1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity proxy (operators/text.py bigram_logprob):
+    mean -ln p(w2|w1) per document under the corpus's own conditional
+    bigram MLE — catches REORDERED text (scrambled scrapes, shuffled
+    boilerplate) that unigram perplexity cannot see. The gram fit, the
+    left-word marginals, and the scoring joins are all replayed by the
+    oracle; avg rounds to 6 dp so summation order cannot leak into the
+    hash.
+
+    Scale: one gram explode feeds both fit and scoring; the marginals
+    aggregate the FITTED table, not the corpus; shuffles carry grams and
+    counters, never documents."""
+    docs = t(spark, sf_dir, "documents")
+    return X.bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "corpus_mix_weights",
     sql="""
     WITH per AS (
@@ -2042,3 +2086,167 @@ def knn_ivf_pq_query(spark, sf_dir):
     books = S.pq_codebooks(4, 16, 64)
     queries = emb.filter(F.col("vec_id") % 40 == 0)
     return S.knn_ivf_pq(emb, queries, cents, books, k=5, n_probe=3)
+
+
+def _knn_rerank_oracle_sql(k: int = 5, rerank: int = 20) -> str:
+    """DuckDB replica of knn_rerank: the full knn_ivf_pq oracle (with
+    k=rerank) nominates candidates, then the exact-cosine rerank is the
+    knn_bruteforce arithmetic restricted to those pairs."""
+    cand_sql = _knn_ivf_pq_oracle_sql(k=rerank)
+    return f"""
+    WITH cand AS ({cand_sql}),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, n.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(n.v, n.v))), 4) AS sim
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM exact)
+    WHERE rn <= {k} ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "radius_search_cosine",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 40 = 0)
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, e.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(e.v, e.v))), 4) AS sim
+    FROM q JOIN e ON e.vec_id <> q.vec_id
+    WHERE round(list_dot_product(q.v, e.v)
+                / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(e.v, e.v))), 4) >= 0.22
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def radius_search_cosine(spark, sf_dir):
+    """Fixed-radius similarity search (operators/similarity.py
+    radius_search): every corpus vector within cosine >= 0.22 of each
+    probe — the range-query complement of top-k, for density probes and
+    near-dup audits. Rounded-before-filter so the boundary is identical
+    across engines.
+
+    Scale: broadcast probes x one map-side corpus pass, JVM dot-product
+    fold, NO shuffle (top-k pays a per-query rank exchange; a radius
+    filter emits matches inline); selective thresholds at 100 TB front
+    this with the hyperplane-LSH bucket join."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.radius_search(emb, queries, threshold=0.22).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+@register("knn_rerank", sql=_knn_rerank_oracle_sql())
+def knn_rerank_query(spark, sf_dir):
+    """Two-stage ANN (operators/similarity.py knn_rerank): IVF-PQ
+    nominates 20 candidates per query in the compressed domain, the
+    exact cosine re-scores ONLY those 20 and keeps the top 5 — the
+    production retrieval pattern (coarse quantized recall, exact
+    precision at the top). The oracle composes the full IVF-PQ replica
+    (assignment, residual encode, probing, integer ADC) with the
+    brute-force cosine arithmetic over the nominated pairs.
+
+    Scale: stage 1 reads ~32x-compressed codes of the probed clusters
+    only; stage 2 fetches rerank raw vectors per query (not |corpus|),
+    joins on slim (query, neighbor) pairs, and scores JVM-side."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.literal_centroids(8, 64)
+    books = S.pq_codebooks(4, 16, 64)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.knn_rerank(emb, queries, cents, books, k=5, rerank=20, n_probe=3)
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 256, k: int = 20) -> str:
+    """DuckDB replica of heavy_hitters_cms: the depth salted md5 hash
+    functions, cell counting, exact top-k, and the min-of-cells
+    estimator are all static SQL (one UNION ALL arm per row of the
+    sketch — depth is a literal)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+
+    def arm(d: int, src: str) -> str:
+        return (
+            f"SELECT w, {d} AS d, "
+            f"{stable_hash64_sql('w', f'cms{d}')} % {width} AS bucket FROM {src}"
+        )
+
+    cell_arms = "\n      UNION ALL ".join(arm(d, "t2") for d in range(depth))
+    probe_arms = "\n      UNION ALL ".join(
+        f"SELECT w, exact_cnt, {d} AS d, "
+        f"{stable_hash64_sql('w', f'cms{d}')} % {width} AS bucket FROM exact"
+        for d in range(depth)
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+    ),
+    t2 AS (SELECT w FROM tok WHERE w <> ''),
+    cms AS (
+      SELECT d, bucket, count(*) AS cnt FROM (
+      {cell_arms}) cells GROUP BY d, bucket
+    ),
+    exact AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt FROM t2
+      GROUP BY w ORDER BY exact_cnt DESC, w LIMIT {k}
+    ),
+    probe AS (
+      {probe_arms}
+    ),
+    est AS (
+      SELECT w, exact_cnt,
+             CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_estimate
+      FROM probe LEFT JOIN cms USING (d, bucket)
+      GROUP BY w, exact_cnt
+    )
+    SELECT w, exact_cnt, cms_estimate,
+           cms_estimate >= exact_cnt AS no_underestimate
+    FROM est ORDER BY exact_cnt DESC, w
+    """
+
+
+@register("heavy_hitters_cms", sql=_cms_oracle_sql())
+def heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch frequency estimation (operators/sketches.py):
+    a 4x256 counter grid absorbs the corpus token stream, then the
+    exact top-20 words are re-estimated from the sketch — every
+    estimate must sit at or above its true count (the CMS one-sided
+    guarantee), which the output pins per row alongside the absolute
+    counts. Salted md5 hashing makes every counter cell and estimate
+    bit-identical across engines.
+
+    Scale: the sketch build is one map-side-combinable aggregation
+    bounded at depth*width cells per partition regardless of stream
+    size, and sketches merge by cell-wise addition (days/corpora
+    combine without re-reading data); estimation broadcasts the ~1 KB
+    grid. The exact top-k here exists only to VERIFY the sketch —
+    production uses the sketch precisely to avoid that vocabulary-wide
+    shuffle."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import sketches as SK
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.words("text")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(20)
+    )
+    cms = SK.count_min_build(toks, "w", depth=4, width=256)
+    est = SK.count_min_estimate(cms, exact, "w", depth=4, width=256)
+    return est.select(
+        "w",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_cnt")).alias("no_underestimate"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("w"))

@@ -439,3 +439,35 @@ def dq_expectations_orders(spark, sf_dir):
     )
     # 'check' is reserved in DuckDB; align the report column name
     return report.withColumnRenamed("check", "check_name").orderBy("check_name")
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, top.c_name, top.c_acctbal
+    FROM nation n
+    JOIN LATERAL (
+      SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey
+      LIMIT 2
+    ) AS top ON true
+    ORDER BY n.n_name, top.c_acctbal DESC, top.c_name
+"""
+
+
+@register("join_lateral_topk", sql=_LATERAL_SQL)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery in FROM — per-nation top-2 customers
+    by balance, written as the SQL-standard lateral join (the same
+    string runs on Catalyst and DuckDB; Catalyst decorrelates it to a
+    ranked window under the hood). The set-returning-per-row shape
+    window functions can't express directly in older dialects, and the
+    third member of the SQL-API parity family (subquery_in,
+    sql_api_shared_dialect).
+
+    Scale: Catalyst rewrites the correlated limit to a partitioned
+    rank-filter — one shuffle on the correlation key, per-group heaps,
+    never nation x customer nested loops."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)

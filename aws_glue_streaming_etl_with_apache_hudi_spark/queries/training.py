@@ -256,3 +256,71 @@ def temperature_sample_langs(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curriculum_phases",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_words,
+             round((length(text) - len(string_split_regex(lower(text), '\s+')) + 1.0)
+                   / len(string_split_regex(lower(text), '\s+')), 4) AS difficulty
+      FROM documents
+    ),
+    c AS (
+      SELECT quantile_cont(difficulty, 1.0/3) AS c1,
+             quantile_cont(difficulty, 2.0/3) AS c2
+      FROM s
+    )
+    SELECT CASE WHEN difficulty <= c1 THEN 0
+                WHEN difficulty <= c2 THEN 1
+                ELSE 2 END AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens,
+           round(min(difficulty), 4) AS min_difficulty,
+           round(max(difficulty), 4) AS max_difficulty
+    FROM s CROSS JOIN c
+    GROUP BY 1 ORDER BY phase
+    """,
+)
+def curriculum_phases(spark, sf_dir):
+    """Curriculum-learning phase assignment: documents bucket into three
+    difficulty tiers (easy -> hard) by mean word length, with per-phase
+    doc counts and token budgets — the schedule-construction pass of a
+    curriculum training recipe. Cut points are EXACT interpolated
+    terciles (Spark percentile == DuckDB quantile_cont, the proven
+    parity from percentiles_exact) broadcast into a row-local CASE, so
+    phase assignment never sorts the corpus.
+
+    Scale: contrast the naive global ntile — a full sort of every row on
+    one partition. Here: one stats pass (row-local expressions), a
+    2-value broadcast aggregate, map-side bucketing, and a 3-group
+    rollup. The exact percentile itself sorts only the per-partition
+    difficulty COLUMN; at 100 TB swap in percentile_approx with no other
+    change (approx_error_bound pins that substitution's error)."""
+    docs = t(spark, sf_dir, "documents")
+    stats = X.text_stats(docs, "doc_id", "text").select(
+        "doc_id", "n_words", F.col("avg_word_len").alias("difficulty")
+    )
+    cuts = stats.agg(
+        F.percentile("difficulty", F.lit(1.0 / 3)).alias("c1"),
+        F.percentile("difficulty", F.lit(2.0 / 3)).alias("c2"),
+    )
+    phase = (
+        F.when(F.col("difficulty") <= F.col("c1"), 0)
+        .when(F.col("difficulty") <= F.col("c2"), 1)
+        .otherwise(2)
+    )
+    return (
+        stats.crossJoin(F.broadcast(cuts))
+        .select(phase.alias("phase"), "n_words", "difficulty")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+            F.round(F.min("difficulty"), 4).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 4).alias("max_difficulty"),
+        )
+        .orderBy("phase")
+    )

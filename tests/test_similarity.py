@@ -269,3 +269,63 @@ def test_ivf_pq_index_search_and_pruning(spark, emb, tmp_path):
         exact |= {(int(ids[qi]), int(ids[j])) for j in order}
     found = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(found & exact) / len(exact) >= 0.3
+
+
+def test_knn_rerank_improves_or_matches_ivf_pq_precision(spark, emb):
+    """Two-stage search: exact rerank of the IVF-PQ top-20 must order its
+    survivors exactly like brute force does, and its top-5 agreement
+    with the exact baseline must be at least the raw compressed-domain
+    top-5's (same candidate pool, exact scores can only help)."""
+    from pyspark.sql import functions as F
+
+    cents = S.literal_centroids(8, 64)
+    books = S.pq_codebooks(4, 16, 64)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    coarse = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf_pq(emb, queries, cents, books, k=5, n_probe=3).collect()
+    }
+    rer = S.knn_rerank(emb, queries, cents, books, k=5, rerank=20, n_probe=3)
+    rer_rows = rer.collect()
+    reranked = {(r.query_id, r.neighbor_id) for r in rer_rows}
+
+    assert len(exact & reranked) >= len(exact & coarse), (
+        f"rerank hits {len(exact & reranked)} < coarse hits {len(exact & coarse)}"
+    )
+
+    # survivors are ordered by EXACT similarity: per query, sims are
+    # non-increasing with rank and match knn_bruteforce's rounding
+    by_q = {}
+    for r in rer_rows:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.sim))
+    for qid, pairs in by_q.items():
+        sims = [s for _, s in sorted(pairs)]
+        assert sims == sorted(sims, reverse=True), f"query {qid} not exact-ordered"
+
+
+def test_knn_rerank_stage2_is_jvm_side(spark, emb):
+    """Stage 2 (candidate join + exact cosine) must not add Python
+    evaluation beyond stage 1's pandas UDFs: the plan's only
+    ArrowEvalPython/BatchEvalPython nodes are the IVF-PQ coarse pass's."""
+    from pyspark.sql import functions as F
+
+    cents = S.literal_centroids(8, 64)
+    books = S.pq_codebooks(4, 16, 64)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+
+    coarse_plan = (
+        S.knn_ivf_pq(emb, queries, cents, books, k=20, n_probe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    rerank_plan = (
+        S.knn_rerank(emb, queries, cents, books, k=5, rerank=20, n_probe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    def n_python(plan):
+        return plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_python(rerank_plan) <= n_python(coarse_plan)
