@@ -11,6 +11,7 @@ engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
@@ -436,4 +437,190 @@ def value_histogram(spark, sf_dir):
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "rfm_segmentation",
+    sql="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY recency, o_custkey) AS r_seg,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_seg,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_seg
+      FROM rfm
+    )
+    SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_customers
+    FROM seg GROUP BY r_seg, f_seg, m_seg
+    ORDER BY r_seg, f_seg, m_seg
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per customer recency (latest order
+    date), frequency (order count), monetary (exact decimal spend),
+    each quartiled with ntile(4) under a TOTAL order (metric, custkey)
+    so bucket boundaries are deterministic; output is the 4x4x4 segment
+    census. Spark and DuckDB share the ntile definition (count-balanced
+    buckets over the window order), and the monetary sum is the exact
+    decimal pattern (FIXTURES.md rule).
+
+    Scale: one groupBy(custkey) over orders; the three ntiles are
+    global-order windows over the CUSTOMER aggregate (|customers| rows,
+    not |orders|) — at 100 TB replace with percentile_approx cutoffs
+    broadcast into row-local CASE, the curriculum_phases pattern."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    seg = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r_seg"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_seg"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_seg"),
+    )
+    return (
+        seg.groupBy("r_seg", "f_seg", "m_seg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )
+
+
+@register(
+    "dq_drift_psi",
+    sql="""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    bucketed AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 'before' ELSE 'after' END AS period,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(
+                    CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+             END AS bucket
+      FROM events, b
+    ),
+    cells AS (
+      SELECT event_type, period, bucket, count(*) AS n
+      FROM bucketed GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT event_type, period, CAST(sum(n) AS DOUBLE) AS tot
+      FROM cells GROUP BY 1, 2
+    ),
+    grid_seed AS (
+      SELECT tb.event_type, tb.bucket, pp.period
+      FROM (SELECT DISTINCT event_type, bucket FROM cells) tb
+      CROSS JOIN (SELECT unnest(['before', 'after']) AS period) pp
+    ),
+    grid AS (
+      SELECT g.event_type, g.bucket, g.period,
+             coalesce(c.n / tt.tot, 0.0) AS share
+      FROM grid_seed g
+      JOIN tot tt ON tt.event_type = g.event_type AND tt.period = g.period
+      LEFT JOIN cells c ON c.event_type = g.event_type
+                       AND c.bucket = g.bucket AND c.period = g.period
+    ),
+    shares AS (
+      SELECT event_type, bucket,
+             greatest(max(CASE WHEN period = 'before' THEN share END), 1e-6)
+               AS pb,
+             greatest(max(CASE WHEN period = 'after' THEN share END), 1e-6)
+               AS pa
+      FROM grid GROUP BY event_type, bucket
+    )
+    SELECT event_type,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM shares GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq_drift_psi(spark, sf_dir):
+    """Distribution-drift monitor: population stability index of the
+    per-type value distribution, first half of the stream vs second,
+    over the SAME 10 global equi-width buckets value_histogram uses
+    (shared edges are what makes the two periods comparable). Empty
+    cells clamp to 1e-6 before the log ratio (the standard PSI floor);
+    psi < 0.1 reads "stable", > 0.25 "shifted" — the alerting signal a
+    continuously-ingesting pipeline computes per micro-batch window
+    against its training-time reference.
+
+    Scale: two tiny broadcast aggregates (bounds, period totals), one
+    (type, period, bucket) cell count — at most types x 20 cells shuffle
+    regardless of stream size; the dense grid join runs on the CELLS,
+    never the events."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    midpoint = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    bucket = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+    )
+    cells = (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.when(F.col("ts") < midpoint, "before").otherwise("after").alias(
+                "period"
+            ),
+            bucket.alias("bucket"),
+        )
+        .groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("event_type", "period").agg(
+        F.sum("n").cast("double").alias("tot")
+    )
+    periods = spark.createDataFrame([("before",), ("after",)], "period string")
+    grid = (
+        cells.select("event_type", "bucket")
+        .distinct()
+        .crossJoin(periods)
+        .join(F.broadcast(tot), ["event_type", "period"])
+        .join(cells, ["event_type", "period", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            "period",
+            F.coalesce(F.col("n") / F.col("tot"), F.lit(0.0)).alias("share"),
+        )
+    )
+    shares = grid.groupBy("event_type", "bucket").agg(
+        F.greatest(
+            F.max(F.when(F.col("period") == "before", F.col("share"))),
+            F.lit(1e-6),
+        ).alias("pb"),
+        F.greatest(
+            F.max(F.when(F.col("period") == "after", F.col("share"))),
+            F.lit(1e-6),
+        ).alias("pa"),
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+                6,
+            ).alias("psi"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        .orderBy("event_type")
     )

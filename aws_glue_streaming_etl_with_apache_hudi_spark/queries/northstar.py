@@ -2250,3 +2250,111 @@ def heavy_hitters_cms(spark, sf_dir):
         "cms_estimate",
         (F.col("cms_estimate") >= F.col("exact_cnt")).alias("no_underestimate"),
     ).orderBy(F.desc("exact_cnt"), F.asc("w"))
+
+
+@register(
+    "text_token_entropy",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    c AS (SELECT doc_id, w, count(*) AS cnt FROM t2 GROUP BY doc_id, w),
+    n AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n FROM c GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((cnt / n) * ln(cnt / n)), 6) AS token_entropy
+    FROM c JOIN n ON n.doc_id = c.doc_id
+    GROUP BY c.doc_id, n ORDER BY c.doc_id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document — the
+    information-density quality signal (the expressible analogue of the
+    compression-ratio filter in Gopher-style pipelines): near-zero
+    entropy = a few tokens repeated (spam, boilerplate, keyword
+    stuffing), high entropy = diverse vocabulary. Complements
+    text_repetition (which sees adjacent repeats) by catching GLOBAL
+    token skew. Entropy terms round at 6 dp after an exact integer-
+    ratio division, so engine summation order cannot leak.
+
+    Scale: one (doc, token) aggregation with map-side combine, one
+    per-doc rollup — shuffles carry token counters, never text."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.words("text")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    c = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    n = c.groupBy("doc_id").agg(F.sum("cnt").cast("double").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        c.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            "token_entropy",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_dedup_store_once",
+    sql="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(text) AS digest_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(asset_id) AS keep_id,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
+             AS wasted_bytes
+    FROM assets
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY wasted_bytes DESC, digest_md5
+    """,
+)
+def multimodal_dedup_store_once(spark, sf_dir):
+    """Store-once dedup accounting over binary assets (operators/
+    multimodal.py binary_assets): payloads sharing a byte-exact md5
+    digest are one stored object + references; the report lists every
+    duplicated digest with its survivor, per-copy size, and bytes
+    reclaimed — the blob-store dedup ledger of a multimodal lake (the
+    digest is computed on the raw BYTES, so the same operator covers
+    image/audio/video payloads unchanged; fixture payloads are encoded
+    text). The fixture corpus has no byte-identical documents, so every
+    7th document is deterministically re-uploaded under a shifted asset
+    id — the operator itself is generic.
+
+    Scale: one aggregation on 16-byte digests — payload bytes never
+    shuffle (n_bytes/digest are map-side column expressions)."""
+    docs = t(spark, sf_dir, "documents")
+    reup = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pool = docs.select("doc_id", "text").unionByName(reup)
+    assets = binary_assets(pool, "doc_id", "text", "text")
+    return (
+        assets.groupBy("digest_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("asset_id").alias("keep_id"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+            ((F.count(F.lit(1)) - 1) * F.min("n_bytes"))
+            .cast("long")
+            .alias("wasted_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy(F.desc("wasted_bytes"), F.asc("digest_md5"))
+    )
