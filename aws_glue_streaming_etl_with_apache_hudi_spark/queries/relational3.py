@@ -471,3 +471,90 @@ def join_lateral_topk(spark, sf_dir):
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "applyinpandas_user_trend",
+    sql="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS HUGEINT)
+                      * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS HUGEINT)
+                      * CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                             AS HUGEINT)) AS HUGEINT) AS sx2
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sx2 - sx * sx AS DOUBLE), 8) AS slope_cents_per_s,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sx2 - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept_cents
+    FROM m ORDER BY user_id
+    """,
+)
+def applyinpandas_user_trend(spark, sf_dir):
+    """Grouped-map pandas operator doing REAL numeric work: per-user OLS
+    trend of event value over time, fit IN PYTHON per group — the
+    model-fitting shape (curve fits, per-entity scoring) that grouped
+    expressions can't express. Cross-engine exactness without a
+    tolerance: the kernel accumulates integer moments (seconds since a
+    fixed base, value in cents) in arbitrary-precision Python ints; the
+    oracle accumulates the same moments in HUGEINT; both convert the
+    identical exact integers to doubles once, so the closed-form slope/
+    intercept are bit-identical before rounding (the
+    regression_price_quantity discipline, applied to the UDF surface).
+
+    Scale: one shuffle on user_id; each group streams through one Arrow
+    batch; the moment loop is O(rows) per group with no materialized
+    design matrix."""
+    import numpy as np
+    import pandas as pd
+
+    base_s = 1704067200  # 2024-01-01 00:00:00 UTC, fixed epoch base
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x64 = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+            - base_s
+        ).to_numpy()
+        y64 = pdf["value"].mul(100).round().astype("int64").to_numpy()
+        # exact: numpy int64 partial sums fit (|x| < 4e6, |y| < 1e6,
+        # group rows < 1e5); the cross products n*sxy etc. can exceed
+        # int64, so they use Python ints (arbitrary precision)
+        n = int(len(x64))
+        sx = int(x64.sum())
+        sy = int(y64.sum())
+        sxy = int((x64 * y64).sum())
+        sx2 = int((x64 * x64).sum())
+        num, den = n * sxy - sx * sy, n * sx2 - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "slope_cents_per_s": [round(slope, 8)],
+                "intercept_cents": [round(intercept, 6)],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            fit,
+            schema="user_id bigint, n_events bigint, "
+            "slope_cents_per_s double, intercept_cents double",
+        )
+        .orderBy("user_id")
+    )

@@ -284,3 +284,50 @@ def test_funnel_stage_joins_are_slim_equi_joins(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_rerank_stage2_broadcasts_queries_no_cartesian(spark, sf_dir):
+    """The exact-rerank stage must join slim candidate pairs against the
+    corpus with the query vectors broadcast — never a cartesian of
+    corpus x queries (that would be brute force with extra steps)."""
+    plan = explain_str(QUERIES["knn_rerank"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_curriculum_phases_has_no_global_row_sort(spark, sf_dir):
+    """Phase assignment must come from broadcast percentile cuts + a
+    row-local CASE — a global ntile would sort every document on one
+    partition. The only sort allowed is the final 3-row presentation
+    order (and AQE's shuffle-local sorts inside the aggregate)."""
+    import re
+
+    plan = explain_str(QUERIES["curriculum_phases"].fn(spark, sf_dir))
+    # \b-anchored: bare "ntile" is a substring of the percentile
+    # aggregate this plan is SUPPOSED to contain
+    assert "Window" not in plan and not re.search(r"\bntile\(", plan)
+    assert "BroadcastExchange" in plan
+
+
+def test_dq_drift_psi_totals_are_broadcast(spark, sf_dir):
+    """PSI's bounds and period totals are tiny aggregates that must
+    broadcast back onto the cells — a shuffle join on the stats would
+    serialize the pipeline on 5-row frames."""
+    plan = explain_str(QUERIES["dq_drift_psi"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_cms_topk_is_take_ordered(spark, sf_dir):
+    """The exact top-20 verification side must plan as
+    TakeOrderedAndProject (per-partition heaps), not a full vocabulary
+    sort."""
+    plan = explain_str(QUERIES["heavy_hitters_cms"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_update_state_is_aggregate_only(spark, sf_dir):
+    """The partial merge must stay one aggregation — no join between
+    stored and batch state beyond the oracle-side full-outer shape."""
+    plan = explain_str(QUERIES["partial_update_state"].fn(spark, sf_dir))
+    assert "partial_max_by" in plan
