@@ -522,3 +522,64 @@ def bm25_scores(
         cond = F.col(f"_tf{i}") > 0
         any_match = cond if any_match is None else (any_match | cond)
     return joined.filter(any_match).select(F.col(id_col), score.alias("score"))
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Distinct lowercase character 3-grams — row-local array expression
+    (the pg_trgm primitive). Documents shorter than 3 chars yield no
+    trigrams."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    positions = F.sequence(F.lit(1), F.length(c) - 2)
+    return F.when(
+        F.length(c) >= 3,
+        F.array_distinct(
+            F.transform(positions, lambda i: F.substring(c, i, 3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def like_search_trigram(
+    df: DataFrame, id_col: str, text_col: str, needle: str
+) -> DataFrame:
+    """Substring (``LIKE '%needle%'``) search accelerated by a trigram
+    inverted index (the pg_trgm strategy): a document can contain the
+    needle only if it contains EVERY trigram of the needle, so candidate
+    generation is posting-list intersection (count-distinct == k over
+    the needle's trigram set) and only candidates pay the verification
+    ``contains`` — the index turns a full-corpus substring scan into a
+    lookup of k posting lists. Returns (id, n_hits) for verified
+    matches, n_hits = non-overlapping occurrence count.
+
+    Scale: built once, the (trigram, doc) posting table is the persisted
+    artifact (bytes ~ distinct trigrams per doc); a query touches only
+    the k needle trigrams' postings — shuffle carries 3-byte grams +
+    ids, never text. Inline here (fixture-sized), the same plan reads
+    the posting lists from their own parquet."""
+    nd = needle.lower()
+    needle_tris = sorted({nd[i : i + 3] for i in range(len(nd) - 2)})
+    if not needle_tris:
+        raise ValueError("needle must be at least 3 characters")
+    k = len(needle_tris)
+    tris = df.select(
+        F.col(id_col), F.explode(char_trigrams(text_col)).alias("_tri")
+    ).filter(F.col("_tri").isin(needle_tris))
+    cands = (
+        tris.groupBy(id_col)
+        .agg(F.count_distinct("_tri").alias("_ntri"))
+        .filter(F.col("_ntri") == k)
+        .select(id_col)
+    )
+    low = F.lower(F.col(text_col))
+    return (
+        df.join(cands, id_col)
+        .filter(F.contains(low, F.lit(nd)))
+        .select(
+            F.col(id_col),
+            (
+                (F.length(low) - F.length(F.replace(low, F.lit(nd), F.lit(""))))
+                / F.lit(len(nd))
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )

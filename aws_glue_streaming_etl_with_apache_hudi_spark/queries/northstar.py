@@ -2358,3 +2358,37 @@ def multimodal_dedup_store_once(spark, sf_dir):
         .filter(F.col("n_copies") >= 2)
         .orderBy(F.desc("wasted_bytes"), F.asc("digest_md5"))
     )
+
+
+_TRGM_NEEDLE = "table row"
+
+
+@register(
+    "like_search_trigram",
+    sql=f"""
+    SELECT doc_id,
+           CAST((length(lower(text))
+                 - length(replace(lower(text), '{_TRGM_NEEDLE}', '')))
+                / {len(_TRGM_NEEDLE)} AS BIGINT) AS n_hits
+    FROM documents
+    WHERE contains(lower(text), '{_TRGM_NEEDLE}')
+    ORDER BY doc_id
+    """,
+)
+def like_search_trigram(spark, sf_dir):
+    """Substring search through a trigram inverted index (operators/
+    text.py like_search_trigram — the pg_trgm strategy): documents are
+    candidates only if they contain EVERY character trigram of the
+    needle (posting-list intersection), and only candidates pay the
+    exact ``contains`` verification. The oracle is the plain full-scan
+    LIKE — the index must be a pure access-path optimization, invisible
+    in the result (same contract as the bloom/zorder pruning queries).
+
+    Scale: the posting table (trigram -> doc) is the persisted artifact;
+    a query reads k needle-trigram posting lists and verifies |cands|
+    documents — on a 100 TB corpus that is the difference between a
+    full-text scan per query and k index lookups."""
+    docs = t(spark, sf_dir, "documents")
+    return X.like_search_trigram(docs, "doc_id", "text", _TRGM_NEEDLE).orderBy(
+        "doc_id"
+    )

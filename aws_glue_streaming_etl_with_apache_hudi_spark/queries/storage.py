@@ -157,3 +157,53 @@ def zorder_morton_keys(spark, sf_dir):
         .orderBy("zval", "o_orderkey")
         .limit(500)
     )
+
+
+def _checksum_diff_sql() -> str:
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import row_fingerprint_sql
+
+    h = row_fingerprint_sql(["doc_id", "text"])
+    return f"""
+    WITH l AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_left,
+             CAST(bit_xor({h}) AS BIGINT) AS xl
+      FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_right,
+             CAST(bit_xor({h}) AS BIGINT) AS xr
+      FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang
+    )
+    SELECT coalesce(l.lang, r.lang) AS lang,
+           coalesce(n_left, 0) AS n_left,
+           coalesce(n_right, 0) AS n_right,
+           coalesce(n_left, 0) = coalesce(n_right, 0) AS rows_match,
+           coalesce(n_left, 0) = coalesce(n_right, 0)
+             AND coalesce(xl, 0) = coalesce(xr, 0) AS hash_match
+    FROM l FULL OUTER JOIN r ON l.lang = r.lang
+    ORDER BY lang
+    """
+
+
+@register("table_checksum_diff", sql=_checksum_diff_sql())
+def table_checksum_diff(spark, sf_dir):
+    """Cross-table reconciliation (operators/reconcile.py table_diff):
+    the documents table vs a replica missing every 97th row, compared
+    per language via order-independent (count, XOR-of-row-hash)
+    summaries — the validation pass a migration/bootstrap/replication
+    runs to prove two lakes agree WITHOUT moving either. Languages whose
+    row sets are identical report hash_match=true; the ones that lost
+    rows report exactly which verdicts flipped. The md5-derived row
+    hash means a DuckDB-resident copy can audit a Spark-resident one —
+    which is literally what the oracle does.
+
+    Scale: each side is ONE map-side-combinable aggregation whose
+    shuffle carries a (count, 60-bit xor) pair per (language, input
+    partition); two 100 TB tables compare by exchanging kilobytes."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import table_diff
+
+    docs = t(spark, sf_dir, "documents")
+    replica = docs.filter(F.col("doc_id") % 97 != 0)
+    return table_diff(
+        docs, replica, group_cols=["lang"], hash_cols=["doc_id", "text"]
+    ).orderBy("lang")
