@@ -99,3 +99,55 @@ def table_diff(
             & (F.coalesce(F.col("_xl"), F.lit(0)) == F.coalesce(F.col("_xr"), F.lit(0)))
         ).alias("hash_match"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+#
+# The other half of the reconciliation story: a downstream aggregate kept
+# CONSISTENT with its source without recomputation. For distributive /
+# algebraic aggregates (count, sum, min/max under insert-only deltas),
+# refreshing a materialized rollup with a new batch is a partial-aggregate
+# merge — the same algebra Spark runs map-side inside one job, lifted
+# across jobs: state ⊕ agg(delta) == agg(state_source ∪ delta).
+
+
+def incremental_mv_refresh(
+    mv: DataFrame | None,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Merge a pre-aggregated batch ``delta`` into materialized view
+    ``mv`` (None = first refresh). Both frames carry ``group_cols``,
+    ``count_col`` and the ``sum_cols`` values (mapping output-name ->
+    output-name here, since the delta is already aggregated to the MV
+    schema via ``aggregate_delta``). Insert-only deltas; retractions
+    need the count to go signed — same algebra, negative weights.
+
+    Scale: the refresh touches |changed groups| rows of the MV, never
+    the source table — the 100 TB property that makes nightly full
+    rebuilds unnecessary."""
+    sums = sum_cols or {}
+    if mv is None:
+        return delta
+    both = mv.unionByName(delta)
+    aggs = [F.sum(count_col).cast("long").alias(count_col)] + [
+        F.sum(c).alias(c) for c in sums
+    ]
+    return both.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def aggregate_delta(
+    batch: DataFrame,
+    group_cols: list[str],
+    sum_exprs: dict[str, "F.Column"] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Aggregate a raw batch to the MV schema (the map-side half)."""
+    sums = sum_exprs or {}
+    aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
+        F.sum(expr).alias(name) for name, expr in sums.items()
+    ]
+    return batch.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)

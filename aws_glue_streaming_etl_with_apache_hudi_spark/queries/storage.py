@@ -207,3 +207,55 @@ def table_checksum_diff(spark, sf_dir):
     return table_diff(
         docs, replica, group_cols=["lang"], hash_cols=["doc_id", "text"]
     ).orderBy("lang")
+
+
+@register(
+    "mv_incremental_refresh",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/reconcile.py):
+    a per-event-type (count, exact-decimal sum) rollup is built from the
+    stream's first half, then REFRESHED with the second half's
+    pre-aggregated delta — partial-aggregate merge, never a source
+    rescan. The oracle computes the rollup directly over the full
+    stream: incremental maintenance must be observationally identical
+    to recomputation (state ⊕ agg(delta) == agg(all)).
+
+    Scale: each refresh aggregates only the new batch and touches only
+    the changed groups of the view — the property that replaces nightly
+    full rebuilds of 100 TB rollups. Decimal sums make the merge exact:
+    adding two decimal partials is associative, so incremental and
+    direct results are bit-identical (doubles would drift by summation
+    order — the reason the MV stores decimals and casts at read)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import (
+        aggregate_delta,
+        incremental_mv_refresh,
+    )
+
+    e = t(spark, sf_dir, "events")
+    midpoint = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    mv = aggregate_delta(
+        e.filter(F.col("ts") < midpoint),
+        ["event_type"],
+        sum_exprs={"total_value": dec},
+    )
+    delta = aggregate_delta(
+        e.filter(F.col("ts") >= midpoint),
+        ["event_type"],
+        sum_exprs={"total_value": dec},
+    )
+    refreshed = incremental_mv_refresh(
+        mv, delta, ["event_type"], sum_cols={"total_value": "total_value"}
+    )
+    return refreshed.select(
+        "event_type",
+        "n_rows",
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("event_type")

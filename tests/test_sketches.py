@@ -69,3 +69,71 @@ def test_cms_estimate_is_partitioning_invariant(spark):
         if ref is None:
             ref = got
         assert got == ref
+
+
+# -- reconcile: checksums + incremental MV (same "agree without moving
+# data" family as the sketch; colocated to share the tiny fixtures) ----
+
+
+def test_table_diff_flags_only_changed_groups(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")], "id long, g string, v string"
+    )
+    right_same = left
+    d0 = {r.g: r for r in table_diff(left, right_same, ["g"], ["id", "v"]).collect()}
+    assert all(r.hash_match and r.rows_match for r in d0.values())
+
+    # value change in group a: same count, different hash
+    right_mut = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "MUT"), (3, "b", "z")], "id long, g string, v string"
+    )
+    d1 = {r.g: r for r in table_diff(left, right_mut, ["g"], ["id", "v"]).collect()}
+    assert d1["a"].rows_match and not d1["a"].hash_match
+    assert d1["b"].hash_match
+
+    # group only on one side: zero-filled, both verdicts false
+    right_missing = left.filter(F.col("g") != "b")
+    d2 = {r.g: r for r in table_diff(left, right_missing, ["g"], ["id", "v"]).collect()}
+    assert d2["b"].n_right == 0 and not d2["b"].rows_match and not d2["b"].hash_match
+
+
+def test_table_checksum_null_vs_empty_distinct(spark):
+    """NULL and '' must fingerprint differently (the coalesce-marker
+    guard), and column boundaries must not be ambiguous."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import table_diff
+
+    a = spark.createDataFrame([(1, "g", None)], "id long, g string, v string")
+    b = spark.createDataFrame([(1, "g", "")], "id long, g string, v string")
+    d = table_diff(a, b, ["g"], ["id", "v"]).collect()[0]
+    assert d.rows_match and not d.hash_match
+
+    c1 = spark.createDataFrame([(1, "g", "ab", "c")], "id long, g string, x string, y string")
+    c2 = spark.createDataFrame([(1, "g", "a", "bc")], "id long, g string, x string, y string")
+    d2 = table_diff(c1, c2, ["g"], ["x", "y"]).collect()[0]
+    assert not d2.hash_match, "column-boundary ambiguity in row fingerprint"
+
+
+def test_incremental_mv_equals_recompute(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import (
+        aggregate_delta,
+        incremental_mv_refresh,
+    )
+
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(30)]
+    src = spark.createDataFrame(rows, "id long, g string, v double")
+    dec = F.col("v").cast("decimal(18,2)")
+    mv = aggregate_delta(src.filter("id < 20"), ["g"], {"sv": dec})
+    # delta introduces a brand-new group too
+    delta_src = src.filter("id >= 20").unionByName(
+        spark.createDataFrame([(99, "gNEW", 1.5)], "id long, g string, v double")
+    )
+    delta = aggregate_delta(delta_src, ["g"], {"sv": dec})
+    refreshed = incremental_mv_refresh(mv, delta, ["g"], {"sv": "sv"})
+    direct = aggregate_delta(src.unionByName(
+        spark.createDataFrame([(99, "gNEW", 1.5)], "id long, g string, v double")
+    ), ["g"], {"sv": dec})
+    assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, direct.collect()))
+    # first refresh bootstraps from None
+    assert incremental_mv_refresh(None, delta, ["g"], {"sv": "sv"}) is delta
