@@ -558,3 +558,25 @@ def applyinpandas_user_trend(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("group_by_all_dialect", sql=_GROUP_BY_ALL_SQL)
+def group_by_all_dialect(spark, sf_dir):
+    """``GROUP BY ALL`` — the modern-dialect shorthand (every
+    non-aggregate select item becomes a grouping key), supported by both
+    Catalyst and DuckDB with identical resolution rules; the same string
+    runs on both engines (fourth member of the SQL-API parity family).
+    Exact decimal total per the money discipline."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)

@@ -137,3 +137,71 @@ def test_incremental_mv_equals_recompute(spark):
     assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, direct.collect()))
     # first refresh bootstraps from None
     assert incremental_mv_refresh(None, delta, ["g"], {"sv": "sv"}) is delta
+
+
+def test_streaming_post_commit_maintains_mv(spark, tmp_path):
+    """End-to-end: file stream -> upsert table, with the post_commit
+    hook maintaining an incremental (count, sum) rollup on disk — the
+    materialized view stays equal to a direct aggregate of the table
+    after every micro-batch, without ever rescanning the table."""
+    import os
+
+    from pyspark.sql import Row
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import (
+        aggregate_delta,
+        incremental_mv_refresh,
+    )
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    src = str(tmp_path / "src")
+    mv_dir = str(tmp_path / "mv")
+    os.makedirs(src)
+    table = UpsertTable(
+        spark, str(tmp_path / "tbl"), keys=["k"], precombine="ver",
+    )
+
+    def maintain_mv(batch_df):
+        delta = aggregate_delta(
+            batch_df, ["g"], {"sv": F.col("v").cast("decimal(18,2)")}
+        )
+        mv = (
+            spark.read.parquet(mv_dir)
+            if os.path.isdir(mv_dir)
+            else None
+        )
+        refreshed = incremental_mv_refresh(
+            mv, delta, ["g"], {"sv": "sv"}
+        ).localCheckpoint(eager=True)  # barrier: reads the dir it rewrites
+        refreshed.write.mode("overwrite").parquet(mv_dir)
+
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=None,
+        table=table,
+        checkpoint=str(tmp_path / "ckpt"),
+        post_commit=maintain_mv,
+    )
+
+    # two waves, one micro-batch each (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [Row(k=1, g="a", v=1.0, ver=1), Row(k=2, g="b", v=2.0, ver=1)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    pipe.run_available()
+    spark.createDataFrame(
+        [Row(k=3, g="a", v=3.5, ver=1)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    pipe.run_available()
+
+    mv = {r.g: (r.n_rows, float(r.sv)) for r in spark.read.parquet(mv_dir).collect()}
+    direct = {
+        r.g: (r.n, float(r.s))
+        for r in table.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    assert mv == direct == {"a": (2, 4.5), "b": (1, 2.0)}
