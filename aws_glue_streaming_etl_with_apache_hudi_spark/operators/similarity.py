@@ -1031,3 +1031,62 @@ def radius_search(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): vectors
+    cluster to their nearest centroid; within each cluster the vector
+    CLOSEST to the centroid survives as the representative and the rest
+    are semantic duplicates of it. Returns one row per cluster:
+    (cluster, n_members, rep_id, rep_dist) — the keep-list a corpus
+    builder anti-joins against (dropping all non-representatives is the
+    maximally aggressive setting; per-pair thresholds interpolate
+    toward dedup_embedding_cosine).
+
+    Distances round to 6 dp before the argmin with (distance, id) ties
+    (the knn_ivf convention), so the representative choice is
+    cross-engine deterministic.
+
+    Scale: assignment is one Arrow-batched matmul pass; the per-cluster
+    argmin is a max_by aggregation — one shuffle keyed on cluster id,
+    carrying (id, dist) pairs only. k-means-trained centroids
+    (kmeans_centroids) drop in for the literal ones unchanged."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cc = (cents * cents).sum(axis=1)
+
+    def _cd(vecs: pd.Series) -> np.ndarray:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        vv = (m * m).sum(axis=1, keepdims=True)
+        return np.round(vv - 2.0 * (m @ cents.T) + cc[None, :], 6)
+
+    @F.pandas_udf("struct<cluster:int,dist:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        d = _cd(vecs)
+        idx = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": idx.astype("int32"),
+                "dist": d[np.arange(len(idx)), idx],
+            }
+        )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("member_id"),
+        assign(_as_double(vec_col)).alias("a"),
+    ).select("member_id", F.col("a.cluster").alias("cluster"), F.col("a.dist").alias("dist"))
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min_by(
+                F.col("member_id"), F.struct(F.col("dist"), F.col("member_id"))
+            ).alias("rep_id"),
+            F.min("dist").alias("rep_dist"),
+        )
+        .orderBy("cluster")
+    )

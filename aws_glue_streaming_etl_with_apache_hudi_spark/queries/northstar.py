@@ -2392,3 +2392,113 @@ def like_search_trigram(spark, sf_dir):
     return X.like_search_trigram(docs, "doc_id", "text", _TRGM_NEEDLE).orderBy(
         "doc_id"
     )
+
+
+def _semantic_dedup_oracle_sql(k_cent: int = 8, dim: int = 64) -> str:
+    """DuckDB replica of semantic_dedup over the literal centroids: the
+    knn_ivf assignment CTEs + per-cluster (distance, id) argmin."""
+    import numpy as np
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import literal_centroids
+
+    cents = literal_centroids(k_cent, dim)
+    cc = (np.asarray(cents, dtype=np.float64) ** 2).sum(axis=1)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    cent_rows = ",\n      ".join(
+        f"({c}, {lit(cents[c])}::DOUBLE[], {float(cc[c])!r})" for c in range(k_cent)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent(c, w, cc) AS (VALUES
+      {cent_rows}),
+    dist AS (
+      SELECT vec_id, c,
+             round(list_dot_product(v, v) - 2 * list_dot_product(v, w) + cc, 6) AS d
+      FROM e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, c AS cluster, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    rep AS (
+      SELECT cluster, vec_id AS rep_id, d AS rep_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster
+                                     ORDER BY d, vec_id) AS rn
+        FROM assign) WHERE rn = 1
+    )
+    SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_members,
+           r.rep_id, r.rep_dist
+    FROM assign a JOIN rep r USING (cluster)
+    GROUP BY a.cluster, r.rep_id, r.rep_dist
+    ORDER BY cluster
+    """
+
+
+@register("semantic_dedup_clusters", sql=_semantic_dedup_oracle_sql())
+def semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (operators/similarity.py
+    semantic_dedup): embeddings cluster to their nearest literal
+    centroid; each cluster's closest-to-centroid vector survives as the
+    representative, the rest are semantic duplicates — the
+    embedding-space dedup pass modern corpus recipes run AFTER lexical
+    near-dup (minhash catches copies; this catches paraphrases and
+    re-renderings that share no shingles). Assignment, distances, and
+    both argmins are re-derived by the oracle.
+
+    Scale: one Arrow matmul pass for assignment + one cluster-keyed
+    aggregation carrying (id, dist) pairs; swap kmeans_centroids in for
+    the literals and nothing else changes."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.literal_centroids(8, 64)
+    return S.semantic_dedup(emb, cents)
+
+
+@register(
+    "bpe_first_merges",
+    sql=r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS wd
+      FROM documents
+    ),
+    p AS (
+      SELECT unnest([wd[i:i+1] FOR i IN range(1, greatest(len(wd), 1))]) AS pair
+      FROM w WHERE len(wd) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 10
+    """,
+)
+def bpe_first_merges(spark, sf_dir):
+    """Tokenizer-prep: the first BPE merge candidates — corpus-wide
+    counts of adjacent character pairs within words, top-10 under the
+    (count DESC, pair ASC) total order. One BPE training iteration IS
+    this aggregation (count pairs, merge the argmax, repeat); the query
+    pins the counting pass that dominates tokenizer fitting at corpus
+    scale.
+
+    Scale: pair building is a nested row-local array transform (no
+    per-char explode until the single flatten), the count is map-side
+    combinable on 2-char keys, and top-10 is TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    pairs_per_word = F.transform(
+        X.words("text"),
+        lambda w: F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(w) - 1, F.lit(1))),
+                lambda i: w.substr(i, F.lit(2)),
+            ),
+            lambda g: F.length(g) == 2,
+        ),
+    )
+    return (
+        docs.select(F.explode(F.flatten(pairs_per_word)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(10)
+    )
