@@ -890,11 +890,19 @@ def text_tfidf_top_term(spark, sf_dir):
     make ln() bit-identical across engines. N is a 1-row aggregate
     crossJoin-broadcast into the scoring — NOT a driver-side
     ``docs.count()``, which was an extra full corpus scan per run."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
     docs = t(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df branch and the scoring join; Catalyst does not
+    # share common subtrees, so without the slot the corpus explode +
+    # aggregation runs twice per execution
+    tf = _persist_slot(
+        w.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
+        "northstar.tfidf_tf",
+    )
     dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("dfreq"))
     n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     scored = (
@@ -908,13 +916,18 @@ def text_tfidf_top_term(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql.window import Window as W
-
-    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    # per-doc argmax as an aggregation (map-side combinable) instead of a
+    # row_number window — no per-partition full sort of the scored terms;
+    # min over (-tfidf, word) == (tfidf DESC, word ASC)
     return (
-        scored.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("word").alias("top_term"), "tfidf")
+        scored.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("word"), F.col("tfidf")),
+                F.struct(-F.col("tfidf"), F.col("word")),
+            ).alias("_top")
+        )
+        .select("doc_id", F.col("_top.word").alias("top_term"), F.col("_top.tfidf").alias("tfidf"))
         .orderBy("doc_id")
     )
 
