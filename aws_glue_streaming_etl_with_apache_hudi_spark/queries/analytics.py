@@ -624,3 +624,146 @@ def dq_drift_psi(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_outliers_mad",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
+           round((d.value - d.med) / (1.4826 * md.mad), 4) AS robust_z
+    FROM dev d JOIN mad md USING (event_type)
+    WHERE abs(d.value - d.med) > 3 * 1.4826 * md.mad
+    ORDER BY event_id
+    """,
+)
+def events_outliers_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: events
+    further than 3 scaled MADs from their type's median. Unlike the
+    z-score gate (events_outliers_zscore), the MAD breakdown point is
+    50% — the outliers themselves cannot drag the threshold, which is
+    why production DQ monitors prefer it on heavy-tailed streams. Both
+    medians are exact interpolated percentiles (the quantile_cont
+    parity), so both engines flag identical rows.
+
+    Scale: two grouped exact medians (per-group column sorts over 5
+    groups) + broadcast joins back; at 100 TB swap percentile_approx in
+    — the gate's shape is unchanged."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(
+                (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4
+            ).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "market_basket_lift",
+    sql="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM items),
+    brand AS (SELECT p_brand, count(*) AS n_brand FROM items GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(n_both AS BIGINT) AS n_both,
+           round((n_both / n_orders)
+                 / ((ba.n_brand / n_orders) * (bb.n_brand / n_orders)),
+                 4) AS lift
+    FROM pairs
+    JOIN brand ba ON ba.p_brand = brand_a
+    JOIN brand bb ON bb.p_brand = brand_b
+    CROSS JOIN n
+    WHERE n_both >= 10
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 25
+    """,
+)
+def market_basket_lift(spark, sf_dir):
+    """Market-basket association mining: brand co-occurrence within an
+    order with lift = P(a,b) / (P(a)P(b)), top-25 supported pairs — the
+    one-level Apriori join every recommendations pipeline starts from.
+    Distinct (order, brand) first, so multi-line orders don't inflate
+    support; the pair join is keyed on the order (baskets are small, so
+    the per-order pair expansion is bounded by basket² not corpus²).
+
+    Scale: the basket self-join shuffles on l_orderkey (co-partitioned
+    with the distinct), brand marginals and the order count broadcast;
+    a hot mega-basket is the cap_bucket_size case if baskets were
+    unbounded."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    brand = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ba = brand.select(F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("na"))
+    bb = brand.select(F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_both") >= 10)
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                (F.col("n_both") / F.col("n_orders"))
+                / ((F.col("na") / F.col("n_orders")) * (F.col("nb") / F.col("n_orders"))),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(25)
+    )
