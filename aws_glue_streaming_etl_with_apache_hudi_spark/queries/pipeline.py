@@ -552,3 +552,94 @@ def asof_join_forward_tolerance(spark, sf_dir):
         F.col("o_orderkey").alias("next_orderkey"),
         F.round("o_totalprice", 2).alias("next_total"),
     ).orderBy("event_id")
+
+
+@register(
+    "stateful_session_machine",
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_s
+    """,
+)
+def stateful_session_machine(spark, sf_dir):
+    """Custom stateful sessionization (streaming/stateful.py
+    session_state_machine — applyInPandasWithState + EventTimeTimeout)
+    run to completion: the fixture streams through a real checkpointed
+    query, a far-future sentinel event advances the watermark so every
+    open session times out and emits, and the CLOSED session set must
+    equal batch gap-sessionization — the strongest oracle a custom
+    eviction operator can have (same contract as
+    stateful_running_totals). Session identity is compared on
+    (user, start, size, exact value total); the machine's session_end is
+    last_event + gap by design and is not part of the batch shape.
+
+    Scale: state is 4 scalars per open session; event-time timeouts
+    evict exactly like watermarked session windows."""
+    import tempfile
+    from datetime import datetime
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import EVENTS_SCHEMA
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.stateful import session_state_machine
+
+    staging = tempfile.mkdtemp(prefix="sessmach_src_")
+    ckpt = tempfile.mkdtemp(prefix="sessmach_ckpt_")
+    e = t(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(staging)
+    # sentinel: far-future event for a reserved user id — advances the
+    # watermark past every real session's close time; its own (still
+    # open) session never emits
+    spark.createDataFrame(
+        [(10**9, datetime(2030, 1, 1), -1, "sentinel", 0.0, "{}")],
+        schema=EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .load(staging)
+        .withWatermark("ts", "0 seconds")
+    )
+    sink = "sessmach_sink"
+    q = (
+        session_state_machine(stream, gap_seconds=12 * 3600)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    return (
+        spark.sql(f"SELECT * FROM {sink}")
+        .filter(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start_s"
+            ),
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start_s")
+    )

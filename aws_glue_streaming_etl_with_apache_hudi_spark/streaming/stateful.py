@@ -72,3 +72,105 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Session state machine with event-time timeout — the custom-eviction shape
+# F.session_window cannot express: the session CLOSES (emits a final row)
+# only when the watermark passes gap seconds beyond its last event, and the
+# operator controls exactly what a closed session reports.
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def make_session_fn(gap_seconds: int):
+    """Build the per-key session state machine (closure over the gap)."""
+
+    def _sessions(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        gap_us = gap_seconds * 1_000_000
+
+        def close(start_us, last_us, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield close(start_us, last_us, n, total)
+            return
+
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+        order = ts_us.sort_values().index
+        start_us, last_us, n, total = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        for i in order:
+            t_us = int(ts_us[i])
+            v = float(rows["value"][i])
+            if start_us is None:
+                start_us, last_us, n, total = t_us, t_us, 1, v
+            elif t_us - last_us > gap_us:
+                # gap INSIDE the batch: close the old session immediately
+                yield close(start_us, last_us, n, total)
+                start_us, last_us, n, total = t_us, t_us, 1, v
+            else:
+                last_us, n, total = max(last_us, t_us), n + 1, total + v
+        state.update((start_us, last_us, n, total))
+        # the session closes when the WATERMARK passes last_event + gap —
+        # event-time timeout, the exact semantics session_window uses for
+        # state eviction, but with the close row under our control
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    return _sessions
+
+
+def session_state_machine(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Streaming sessionization as an explicit per-user state machine
+    (``applyInPandasWithState`` + EventTimeTimeout): events extend the
+    open session; a quiet gap inside a batch closes it inline; a quiet
+    gap ACROSS batches closes it when the watermark passes last_event +
+    gap (``state.hasTimedOut``). Emits only CLOSED sessions (append
+    semantics) — the operator shape for custom session payloads
+    (entry/exit pages, conversion flags) that ``F.session_window``'s
+    fixed aggregate surface cannot carry.
+
+    Scale: state is 4 scalars per open session per user; timeouts evict
+    exactly like watermarked session windows; shuffles only on user_id.
+    Requires ``withWatermark("ts", ...)`` upstream — the timeout clock
+    IS the watermark."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_session_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
