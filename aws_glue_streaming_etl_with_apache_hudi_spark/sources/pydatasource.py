@@ -1,0 +1,161 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic event generator, batch AND streaming.
+
+Why this exists: the reference's stream table is fed by an external
+generator script (Kinesis/Kafka producer). Spark 4's Python DataSource
+API lets the engine carry its own load generator as a first-class
+``spark.read.format(...)`` / ``spark.readStream.format(...)`` source —
+no broker, no files, usable for soak tests, throughput probes
+(BASELINE.md's 1k records/s/shard comparisons), and demoing the pipeline
+without fixture parquet.
+
+Determinism contract: every field derives from md5(seed, row-index) —
+the same (rows, seed) options produce byte-identical frames regardless
+of partition count, executor placement, or retries (a retried task
+regenerates exactly its partition's rows). This is what makes the
+generator usable in tests and makes speculative execution safe.
+
+Scale shape: ``numPartitions`` input splits generate independently from
+pure row-index ranges — no coordination, no state, linear scaling; the
+stream reader hands out offset ranges the same way (rows are the offset,
+so exactly-once replay after checkpoint recovery is the identity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+_EVENT_TYPES = ["view", "click", "purchase", "refund", "login"]
+_BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _h(seed: str, i: int, field: str) -> int:
+    """60-bit deterministic hash for row ``i``'s ``field`` (the same
+    md5-derived family as functions/hashing.py, driver/executor-safe)."""
+    d = hashlib.md5(f"{seed}|{i}|{field}".encode()).hexdigest()
+    return int(d[:15], 16)
+
+
+def _row(seed: str, i: int, n_users: int) -> tuple:
+    ts = _BASE_TS + timedelta(seconds=(_h(seed, i, "ts") % (30 * 24 * 3600)))
+    return (
+        i,
+        ts.replace(tzinfo=None),
+        _h(seed, i, "user") % n_users,
+        _EVENT_TYPES[_h(seed, i, "type") % len(_EVENT_TYPES)],
+        round((_h(seed, i, "value") % 100000) / 100.0, 2),
+        "{}",
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class GraftEventsDataSource(DataSource):
+    """``format("graft_events")`` — options:
+
+    - ``rows``          total rows (batch) / rows already emittable (stream
+                        advances by ``rowsPerBatch`` per trigger)
+    - ``numPartitions`` parallel generator splits (default 4)
+    - ``seed``          hash-family salt (default "graft")
+    - ``numUsers``      user-id cardinality (default 100)
+    - ``rowsPerBatch``  stream: rows released per micro-batch (default 100)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_events"
+
+    def schema(self):
+        return T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+
+    def reader(self, schema) -> "GraftEventsReader":
+        return GraftEventsReader(self.options)
+
+    def streamReader(self, schema) -> "GraftEventsStreamReader":
+        return GraftEventsStreamReader(self.options)
+
+
+class GraftEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("numPartitions", 4)))
+        self.seed = options.get("seed", "graft")
+        self.n_users = max(1, int(options.get("numUsers", 100)))
+
+    def partitions(self):
+        step = -(-self.rows // self.n_parts)  # ceil
+        return [
+            _RangePartition(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(self.seed, i, self.n_users)
+
+
+class GraftEventsStreamReader(DataSourceStreamReader):
+    """Offset = next row index to generate. Each trigger releases up to
+    ``rowsPerBatch`` more rows (capped at ``rows``); replaying a
+    committed range regenerates the identical rows — exactly-once by
+    construction."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.per_batch = max(1, int(options.get("rowsPerBatch", 100)))
+        self.n_parts = max(1, int(options.get("numPartitions", 4)))
+        self.seed = options.get("seed", "graft")
+        self.n_users = max(1, int(options.get("numUsers", 100)))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        # advance one batch per call, never past the configured cap
+        cur = getattr(self, "_cur", 0)
+        nxt = min(cur + self.per_batch, self.rows)
+        self._cur = nxt
+        return {"index": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["index"], end["index"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = -(-(hi - lo) // self.n_parts)
+        return [
+            _RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(self.seed, i, self.n_users)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — regeneration is the recovery story
+
+
+def register(spark) -> None:
+    """Register the source on a session: ``register(spark)`` then
+    ``spark.read.format("graft_events")...``."""
+    spark.dataSource.register(GraftEventsDataSource)
