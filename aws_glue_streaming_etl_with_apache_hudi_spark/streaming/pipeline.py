@@ -69,6 +69,8 @@ class StreamingUpsertPipeline:
     checkpoint: str
     trigger: str = "10 seconds"
     source_format: str = "parquet"
+    # options for non-file sources (e.g. the "graft_events" generator)
+    source_options: dict | None = None
     max_files_per_trigger: int | None = 1
     transform: Callable[[DataFrame], DataFrame] | None = None
     # Called with the (transformed) batch AFTER table.upsert has durably
@@ -162,13 +164,31 @@ class StreamingUpsertPipeline:
         return schema
 
     def start(self, once: bool = False) -> StreamingQuery:
-        stream = stream_from_directory(
-            self.spark,
-            self.source_dir,
-            self._stream_schema(),
-            fmt=self.source_format,
-            max_files_per_trigger=self.max_files_per_trigger,
-        )
+        if self.source_format == "graft_events":
+            # self-contained synthetic source (sources/pydatasource.py) —
+            # the reference's producer-script analogue, no files/broker;
+            # source_dir is ignored, source_options carry rows/seed/...
+            from aws_glue_streaming_etl_with_apache_hudi_spark.sources import pydatasource
+
+            pydatasource.register(self.spark)
+            opts = dict(self.source_options or {})
+            if once and "rows" in opts:
+                # availableNow takes ONE offset advance from a Python
+                # stream reader: a drain run must release the whole row
+                # budget in that single batch
+                opts["rowsPerBatch"] = opts["rows"]
+            reader = self.spark.readStream.format("graft_events")
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            stream = reader.load()
+        else:
+            stream = stream_from_directory(
+                self.spark,
+                self.source_dir,
+                self._stream_schema(),
+                fmt=self.source_format,
+                max_files_per_trigger=self.max_files_per_trigger,
+            )
         writer = (
             stream.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint)

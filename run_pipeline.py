@@ -151,6 +151,11 @@ def main(argv: list[str]) -> None:
         transform=transform,
         post_commit=post_commit,
         source_format=opts.get("source_format", "parquet"),
+        # generator-source passthrough (--gen_rows 5000 --gen_seed demo ...)
+        source_options={
+            k[4:]: v for k, v in opts.items() if k.startswith("gen_")
+        }
+        or None,
         quarantine_dir=cfg.quarantine_dir,
     )
 

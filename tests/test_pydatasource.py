@@ -118,3 +118,30 @@ def test_stream_rows_match_batch_rows(spark, tmp_path):
         )
     )
     assert streamed == batch
+
+
+def test_cli_pipeline_drains_generator_source(spark, tmp_path):
+    """run_pipeline --source_format graft_events: the reference demo
+    end-to-end with NO files and no broker — generator stream ->
+    foreachBatch -> upsert table; a once-run drains the full row
+    budget."""
+    import run_pipeline
+
+    run_pipeline.main(
+        [
+            "--source_dir", str(tmp_path / "unused"),
+            "--table_path", str(tmp_path / "tbl"),
+            "--checkpoint_path", str(tmp_path / "ckpt"),
+            "--record_key", "event_id",
+            "--precombine", "ts",
+            "--partition_fields", "",
+            "--table_name", "gen_cli_tbl",
+            "--once", "true",
+            "--source_format", "graft_events",
+            "--gen_rows", "300",
+            "--gen_seed", "cli",
+        ]
+    )
+    got = spark.table("gen_cli_tbl")
+    assert got.count() == 300
+    assert got.select(F.count_distinct("event_id")).collect()[0][0] == 300
