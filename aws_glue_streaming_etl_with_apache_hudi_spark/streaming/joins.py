@@ -47,11 +47,12 @@ def interval_join(
     grows state without bound, which Spark rejects for outer joins and
     quietly never evicts for inner — the hazard this wrapper closes).
 
-    ``how``: "inner" or "leftOuter" (outer emits unmatched left rows
-    once the watermark passes their interval, per Structured Streaming
-    semantics).
+    ``how``: "inner", "leftOuter", "rightOuter", or "fullOuter" — the
+    outer types emit unmatched rows (null-padded on the other side) once
+    the watermark passes their interval, per Structured Streaming
+    semantics.
     """
-    if how not in ("inner", "leftOuter"):
+    if how not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
         raise ValueError(f"unsupported stream-stream join type: {how}")
     lw = left.withWatermark(left_ts, watermark_delay).alias("l")
     rw = right.withWatermark(right_ts, watermark_delay).alias("r")
@@ -61,9 +62,16 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(upper))
     )
     joined = lw.join(rw, cond, how)
-    # surface one copy of the key; keep both event-time columns
+    # surface one copy of the key (coalesced — a right-only row under
+    # rightOuter/fullOuter carries it only on the right side); keep both
+    # event-time columns
+    key_out = (
+        F.col(f"l.{key}")
+        if how in ("inner", "leftOuter")
+        else F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}"))
+    )
     return joined.select(
-        F.col(f"l.{key}").alias(key),
+        key_out.alias(key),
         *[F.col(f"l.{c}") for c in left.columns if c != key],
         *[F.col(f"r.{c}") for c in right.columns if c != key],
     )
