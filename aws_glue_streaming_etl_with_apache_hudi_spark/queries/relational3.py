@@ -580,3 +580,66 @@ def group_by_all_dialect(spark, sf_dir):
     Exact decimal total per the money discipline."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_GEN_ROWS, _GEN_SEED = 5000, "oracle"
+
+
+def _gen_h_sql(field: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{_GEN_SEED}|', i, '|{field}')), 1, 15)) "
+        f"AS BIGINT)"
+    )
+
+
+@register(
+    "generator_source_rollup",
+    sql=f"""
+    WITH g AS (
+      SELECT i,
+             (['view', 'click', 'purchase', 'refund', 'login'])
+               [{_gen_h_sql('type')} % 5 + 1] AS event_type,
+             round(({_gen_h_sql('value')} % 100000) / 100.0, 2) AS value,
+             {_gen_h_sql('user')} % 100 AS user_id
+      FROM range(0, {_GEN_ROWS}) t(i)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def generator_source_rollup(spark, sf_dir):
+    """The custom Python DataSource (sources/pydatasource.py) under a
+    FULL oracle with no stored fixture at all: the generator's fields
+    are md5(seed, row-index) arithmetic, so DuckDB re-derives the entire
+    dataset from ``range(0, N)`` and the rollup must match cell for
+    cell — the strongest possible check that a source is deterministic
+    and engine-portable (the same property that makes its task retries
+    and checkpoint replays exactly-once). ``sf_dir`` is unused: the
+    source IS the data.
+
+    Scale: N rows generate across numPartitions independent splits with
+    zero coordination; the rollup is one map-side-combined aggregation."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    g = (
+        spark.read.format("graft_events")
+        .option("rows", _GEN_ROWS)
+        .option("seed", _GEN_SEED)
+        .option("numUsers", 100)
+        .load()
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("event_type")
+    )
