@@ -2159,7 +2159,7 @@ def radius_search_cosine(spark, sf_dir):
     )
 
 
-@register("knn_rerank", sql=_knn_rerank_oracle_sql())
+@register("knn_rerank", headline=True, sql=_knn_rerank_oracle_sql())
 def knn_rerank_query(spark, sf_dir):
     """Two-stage ANN (operators/similarity.py knn_rerank): IVF-PQ
     nominates 20 candidates per query in the compressed domain, the
