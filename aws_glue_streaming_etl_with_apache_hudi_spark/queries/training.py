@@ -324,3 +324,165 @@ def curriculum_phases(spark, sf_dir):
         )
         .orderBy("phase")
     )
+
+
+_M60_ = (1 << 60) - 1
+_H_SH1 = stable_hash64_sql("sh")
+_H_SH2 = stable_hash64_sql("sh", seed="b")
+_H_TEMP2 = stable_hash64_sql("CAST(doc_id AS VARCHAR)", "tsamp2")
+
+_V2_SQL = rf"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    ),
+    k1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    words1 AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM k1
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM words1)
+      ) WHERE sh <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, {_H_SH1} AS h1, {_H_SH2} AS h2 FROM shingles
+    ),
+    sigs AS (
+      SELECT doc_id, s.seed,
+             min((((s.seed * h2) & {_M60_}) + h1) & {_M60_}) AS mh
+      FROM hashed, (SELECT unnest(range(0, 8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    band2 AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sigs GROUP BY doc_id, seed // 2
+    ),
+    capped AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT band2.*, count(*) OVER (PARTITION BY band, bucket) AS bsz
+        FROM band2)
+      WHERE bsz <= 1000
+    ),
+    cands AS (
+      SELECT DISTINCT p.doc_id AS pid, q.doc_id AS cid
+      FROM capped p JOIN capped q
+        ON p.band = q.band AND p.bucket = q.bucket
+      WHERE q.doc_id < p.doc_id
+    ),
+    est AS (
+      SELECT pid, cid,
+             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS ej
+      FROM cands
+      JOIN sigs a ON a.doc_id = pid
+      JOIN sigs b ON b.doc_id = cid AND b.seed = a.seed
+      GROUP BY pid, cid
+    ),
+    dups AS (SELECT DISTINCT pid AS doc_id FROM est WHERE ej >= 0.5),
+    k2 AS (
+      SELECT k1.* FROM k1 LEFT JOIN dups USING (doc_id)
+      WHERE dups.doc_id IS NULL
+    ),
+    w2 AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ws
+           FROM k2),
+    s2 AS (SELECT doc_id, lang, len(ws) AS n_words,
+                  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+                    AS distinct_ratio,
+                  round(CAST(len(list_filter(ws, x -> list_contains(
+                        ['hash','order','table','row','batch'], x))) AS DOUBLE)
+                        / len(ws), 4) AS filler_ratio
+           FROM w2),
+    k3 AS (
+      SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+      FROM (SELECT *, round(0.4 * least(n_words / 100.0, 1.0)
+                            + 0.4 * distinct_ratio
+                            + 0.2 * (1 - filler_ratio), 4) AS quality
+            FROM s2)
+      WHERE quality >= 0.5
+    ),
+    agg3 AS (SELECT lang, CAST(sum(n_words) AS DOUBLE) AS tl FROM k3 GROUP BY lang),
+    tot3 AS (SELECT sum(tl) AS tt FROM agg3),
+    sh3 AS (SELECT lang, tl / tt AS s FROM agg3, tot3),
+    mn3 AS (SELECT min(s) AS smin FROM sh3),
+    rate3 AS (SELECT lang, pow(s / smin, -0.5) AS r FROM sh3, mn3),
+    k4 AS (
+      SELECT k3.* FROM k3 JOIN rate3 USING (lang)
+      WHERE CAST({_H_TEMP2} AS DOUBLE) / {float(1 << 60)!r} < r
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens
+    FROM k4 GROUP BY lang ORDER BY lang
+    """
+
+
+@register("corpus_build_pipeline_v2", sql=_V2_SQL)
+def corpus_build_pipeline_v2(spark, sf_dir):
+    """The COMPLETE training-corpus build as one dataflow — the four-
+    stage composition a modern data recipe actually runs, each stage an
+    operator proven in isolation, the whole chain pinned by ONE oracle:
+
+      1. exact dedup      (keep min doc_id per normalized-text digest)
+      2. near-dup gate    (MinHash banding over the survivors: a doc
+                           whose signature agrees >= 0.5 with any
+                           LOWER-id doc drops — first occurrence wins;
+                           hot buckets capped at 1000)
+      3. quality gate     (composite score >= 0.5, computed in the same
+                           projection as the token counts)
+      4. temperature rebalance (alpha=0.5 language keep-rates over the
+                           SURVIVING corpus — stage order matters: the
+                           rates see post-filter shares)
+
+    Output: per-language doc and token budgets of the final corpus.
+
+    Scale: stage 1 shuffles 16-byte digests; stage 2 shuffles bucket
+    digests and signature rows (never text) with the capped band join;
+    stage 3 is row-local; stage 4 is a 5-row broadcast — end to end the
+    full text never enters a shuffle."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import dedup as D
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import text as TX
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import incremental_flags
+
+    docs = t(spark, sf_dir, "documents")
+    keep = D.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    k1 = docs.join(keep, "doc_id")
+    flags = incremental_flags(
+        k1.select("doc_id", "text"), "doc_id", "text",
+        index_sigs=None, shingle_n=3, num_hashes=8, rows_per_band=2,
+        threshold=0.5, max_bucket_size=1000,
+    )
+    k2 = k1.join(
+        flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    k3 = (
+        TX.text_stats(k2, "doc_id", "text", keep=("lang",))
+        .select("doc_id", "lang", "n_words", TX.quality_expr().alias("quality"))
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "lang", "n_words")
+    )
+    shares = k3.groupBy("lang").agg(F.sum("n_words").cast("double").alias("tl"))
+    total = shares.agg(F.sum("tl").alias("tt"))
+    sh = shares.crossJoin(F.broadcast(total)).select(
+        "lang", (F.col("tl") / F.col("tt")).alias("s")
+    )
+    smin = sh.agg(F.min("s").alias("smin"))
+    rate = sh.crossJoin(F.broadcast(smin)).select(
+        "lang", F.pow(F.col("s") / F.col("smin"), F.lit(-0.5)).alias("r")
+    )
+    u = stable_hash64(F.col("doc_id").cast("string"), "tsamp2").cast("double") / float(
+        1 << 60
+    )
+    k4 = k3.join(F.broadcast(rate), "lang").filter(u < F.col("r"))
+    return (
+        k4.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
