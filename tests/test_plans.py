@@ -331,3 +331,14 @@ def test_partial_update_state_is_aggregate_only(spark, sf_dir):
     stored and batch state beyond the oracle-side full-outer shape."""
     plan = explain_str(QUERIES["partial_update_state"].fn(spark, sf_dir))
     assert "partial_max_by" in plan
+
+
+def test_corpus_pipeline_v2_never_shuffles_fulltext(spark, sf_dir):
+    """The 4-stage composed build (exact dedup -> near-dup gate ->
+    quality -> temperature rebalance) must keep the no-fulltext-shuffle
+    property end to end: every Exchange carries digests, signatures,
+    ids, or counters — never the text column."""
+    plan = explain_str(QUERIES["corpus_build_pipeline_v2"].fn(spark, sf_dir))
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text#" not in first_line, first_line
