@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.schema_evolution import evolve_schema
-from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import precombine_latest
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import partial_combine, partial_merge, precombine_latest
 
 _SEQ = "_commit_seq"
 
@@ -88,6 +88,16 @@ class MergeOnReadTable:
     partition_by: list[str] = field(default_factory=list)
     table_name: str | None = None
     policy: CompactionPolicy = field(default_factory=CompactionPolicy)
+    # "overwrite": the latest delta row replaces the stored row wholesale
+    # (Hudi's default payload). "partial": non-null delta columns
+    # override, nulls preserve — Hudi PartialUpdateAvroPayload; the
+    # natural MOR mode, since CDC/sparse-attribute feeds are exactly the
+    # streams a log-structured table ingests (see upsert.partial_merge).
+    merge_mode: str = "overwrite"
+
+    def __post_init__(self) -> None:
+        if self.merge_mode not in ("overwrite", "partial"):
+            raise ValueError(f"unknown merge_mode {self.merge_mode!r}")
 
     # -- layout ------------------------------------------------------------
     @property
@@ -170,7 +180,10 @@ class MergeOnReadTable:
         O(batch) IO: within-batch precombine, then a single Parquet append.
         Stored data is neither read nor rewritten here.
         """
-        batch = precombine_latest(batch, self._identity, self.precombine)
+        if self.merge_mode == "partial":
+            batch = partial_merge(None, batch, self._identity, self.precombine)
+        else:
+            batch = precombine_latest(batch, self._identity, self.precombine)
 
         if not self.exists():
             # Bootstrap = delta commit 1 + an immediate compaction of it:
@@ -375,6 +388,13 @@ class MergeOnReadTable:
             else:
                 merged, delta = evolve_schema(merged, delta)
                 merged = merged.unionByName(delta)
+        if self.merge_mode == "partial":
+            # column-wise latest non-null across base + every delta,
+            # ordered by (precombine, commit seq) — one aggregation
+            # folds the whole log, same cost shape as the overwrite path
+            return partial_combine(
+                merged, self._identity, self.precombine, tie_breakers=[_SEQ]
+            )
         return precombine_latest(
             merged, self._identity, self.precombine, tie_breakers=[_SEQ]
         ).drop(_SEQ)

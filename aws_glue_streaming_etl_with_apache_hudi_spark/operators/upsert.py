@@ -910,7 +910,28 @@ def partial_merge(
         tagged = stored.withColumn("_src", F.lit(0)).unionByName(
             tagged, allowMissingColumns=True
         )
-    value_cols = [c for c in tagged.columns if c not in keys and c != "_src"]
+    out_cols = [c for c in tagged.columns if c != "_src"]
+    return partial_combine(tagged, keys, precombine, tie_breakers=["_src"]).select(
+        *out_cols
+    )
+
+
+def partial_combine(
+    df: DataFrame,
+    keys: list[str],
+    precombine: str,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """The n-way core of ``partial_merge``: per key, each non-key column
+    independently takes its most recent non-null value under the
+    ordering (precombine, *tie_breakers, value). ``tie_breakers``
+    columns (e.g. a commit-sequence column) are consumed by the ordering
+    and dropped from the output — which lets a log-structured table
+    (MergeOnReadTable) fold ANY number of delta commits in one
+    aggregation, exactly like precombine_latest does for the overwrite
+    payload."""
+    tbs = tie_breakers or []
+    value_cols = [c for c in df.columns if c not in keys and c not in tbs]
     aggs = []
     for c in value_cols:
         if c == precombine:
@@ -925,12 +946,15 @@ def partial_merge(
                 F.col(c),
                 F.when(
                     F.col(c).isNotNull(),
-                    F.struct(F.col(precombine), F.col("_src"), F.col(c)),
+                    F.struct(
+                        F.col(precombine),
+                        *[F.col(tb) for tb in tbs],
+                        F.col(c),
+                    ),
                 ),
             ).alias(c)
         )
-    out_cols = [c for c in tagged.columns if c != "_src"]
-    return tagged.groupBy(*[F.col(k) for k in keys]).agg(*aggs).select(*out_cols)
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
 
 def upsert_dataframe(
