@@ -317,3 +317,96 @@ def bootstrap_adopted_state(spark, sf_dir):
         "event_id",
         F.round("value", 2).alias("value"),
     ).orderBy("event_type", "user_id")
+
+
+@register(
+    "mor_partial_state",
+    sql="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    b0 AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    b AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END AS value
+      FROM b0
+    )
+    SELECT coalesce(b.user_id, s.user_id) AS user_id,
+           strftime(coalesce(b.ts, s.ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           coalesce(b.event_id, s.event_id) AS event_id,
+           coalesce(b.event_type, s.event_type) AS event_type,
+           round(coalesce(b.value, s.value), 2) AS value
+    FROM s FULL OUTER JOIN b ON s.user_id = b.user_id
+    ORDER BY user_id
+    """,
+)
+def mor_partial_state(spark, sf_dir):
+    """Partial-update payload on the REAL on-disk MergeOnReadTable
+    (operators/mor.py merge_mode="partial"): commit 1 = full first-half
+    state, compacted into the base; commit 2 = the second half as SPARSE
+    payloads (event_type omitted for every third event, value for every
+    second). The snapshot read folds base + sparse delta column-wise
+    from disk — same algebra partial_update_state pins in-memory, here
+    exercised through the log-structured physical layout (append-only
+    deltas, compaction, read-side merge). Oracle: the precombined halves
+    coalesced via full outer join.
+
+    Scale: the sparse commit appended O(batch) bytes; the merge is one
+    aggregation over base + pending deltas."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    midpoint = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    stored = precombine_latest(
+        e.filter(F.col("ts") < midpoint), ["user_id"], "ts", tie_breakers=["event_id"]
+    )
+    latest2 = precombine_latest(
+        e.filter(F.col("ts") >= midpoint), ["user_id"], "ts", tie_breakers=["event_id"]
+    )
+    sparse = latest2.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0, F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 2 != 0, F.col("value")).alias("value"),
+    )
+    build_sig = "|".join(
+        [sf_dir, ",".join(_EVENT_COLS), "2024-01-15", "morpartial:user_id:ts:v1"]
+    )
+    path = Path(tempfile.gettempdir()) / (
+        "spark_graft_mor_part_" + hashlib.md5(build_sig.encode()).hexdigest()[:12]
+    )
+    tbl = MergeOnReadTable(
+        spark, str(path), keys=["user_id"], precombine="ts",
+        merge_mode="partial",
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    expected = {"next_seq": 3, "compacted_through": 1}
+    meta = tbl._meta() if tbl.exists() else {}
+    if not all(meta.get(k) == v for k, v in expected.items()):
+        shutil.rmtree(path, ignore_errors=True)
+        tbl.upsert(stored)   # commit 1 (bootstrap -> base)
+        tbl.upsert(sparse)   # commit 2: sparse delta, pending
+    return tbl.read().select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
