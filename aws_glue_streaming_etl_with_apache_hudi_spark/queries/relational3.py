@@ -643,3 +643,73 @@ def generator_source_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_grouping_id",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """GROUPING SETS with the grouping-id discriminator: GROUPING()
+    bits distinguish a real NULL group value from a rollup superset row
+    — the standard way BI layers consume multi-level aggregates. The
+    IDENTICAL SQL string runs on Catalyst and DuckDB (grouping sets are
+    a SQL-level construct in Spark — no DataFrame builder), making this
+    both the discriminator-column oracle and another SQL-API parity
+    member."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "window_rank_distributions",
+    sql="""
+    SELECT o_orderstatus, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_orderkey
+    """,
+)
+def window_rank_distributions(spark, sf_dir):
+    """Rank-distribution window functions: percent_rank (rank-1)/(n-1)
+    and cume_dist (#rows <= current)/n per status partition — the
+    normalized-position primitives percentile dashboards sit on. The
+    window order is total (price, orderkey), so both engines assign
+    identical ranks; ratios of identical integers round identically.
+
+    Scale: one shuffle on the partition key serves both functions."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
