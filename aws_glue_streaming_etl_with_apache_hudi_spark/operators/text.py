@@ -583,3 +583,31 @@ def like_search_trigram(
             .alias("n_hits"),
         )
     )
+
+
+def chunk_words(
+    col: Column | str, size: int = 80, overlap: int = 20
+) -> Column:
+    """Overlapping word-window chunks for retrieval/RAG indexing: windows
+    of ``size`` words at stride ``size - overlap``, as an array of
+    (start_word, chunk_text) structs — row-local array expressions, no
+    explode until the caller chooses to. The final window may be shorter
+    than ``size``; every word is covered; overlap preserves cross-
+    boundary context for embedding."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    w = words(col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride)
+    )
+    return F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("start_word"),
+                F.concat_ws(" ", F.slice(w, s, size)).alias("chunk_text"),
+            ),
+        ),
+        lambda c: c["chunk_text"] != "",
+    )

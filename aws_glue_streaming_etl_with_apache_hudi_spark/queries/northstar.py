@@ -2515,3 +2515,54 @@ def bpe_first_merges(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(10)
     )
+
+
+@register(
+    "chunk_documents_rag",
+    sql=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+               FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(ws) - 20, 1) + 1, 60)) AS start_word,
+             ws
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(start_word AS BIGINT) AS start_word,
+             array_to_string(ws[start_word:start_word+79], ' ') AS chunk_text
+      FROM c
+    )
+    SELECT doc_id, start_word,
+           CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT)
+             AS n_words,
+           md5(chunk_text) AS chunk_md5
+    FROM chunks WHERE chunk_text <> ''
+    ORDER BY doc_id, start_word
+    """,
+)
+def chunk_documents_rag(spark, sf_dir):
+    """Retrieval/RAG chunking (operators/text.py chunk_words): 80-word
+    windows at stride 60 (20-word overlap keeps cross-boundary context
+    embeddable); every chunk verified byte-exact via md5 against the
+    oracle's slice arithmetic. The chunk table is what feeds
+    text_hash_embedding / knn_* to build a passage-level retrieval
+    index — the document->passage explosion every RAG pipeline starts
+    with.
+
+    Scale: chunks are built row-locally (one transform over a position
+    sequence) and only then exploded — the shuffle-free map shape; at
+    100 TB the explode feeds a partitioned write, never a shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(X.chunk_words("text", size=80, overlap=20)).alias("c")
+        )
+        .select(
+            "doc_id",
+            F.col("c.start_word").cast("long").alias("start_word"),
+            F.size(F.split(F.col("c.chunk_text"), r"\s+")).cast("long").alias("n_words"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "start_word")
+    )
