@@ -2566,3 +2566,133 @@ def chunk_documents_rag(spark, sf_dir):
         )
         .orderBy("doc_id", "start_word")
     )
+
+
+@register(
+    "passage_retrieval_rag",
+    sql=rf"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+               FROM documents),
+    cpos AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(ws) - 20, 1) + 1, 60)) AS start_word,
+             ws
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(start_word AS BIGINT) AS start_word,
+             array_to_string(ws[start_word:start_word+79], ' ') AS chunk_text
+      FROM cpos
+    ),
+    ctoks AS (
+      SELECT doc_id, start_word, t FROM (
+        SELECT doc_id, start_word,
+               unnest(string_split_regex(chunk_text, '\s+')) AS t
+        FROM chunks WHERE chunk_text <> '')
+      WHERE t <> ''
+    ),
+    ce AS (
+      SELECT doc_id, start_word, ({_h('t')} // 2) % 64 AS idx,
+             CAST(sum(CASE WHEN {_h('t')} % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)
+               AS wt
+      FROM ctoks GROUP BY doc_id, start_word, ({_h('t')} // 2) % 64
+    ),
+    ce2 AS (SELECT * FROM ce WHERE wt <> 0),
+    cn AS (SELECT doc_id, start_word, sqrt(sum(wt * wt)) AS nrm
+           FROM ce2 GROUP BY doc_id, start_word),
+    qtoks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        FROM documents WHERE doc_id % 50 = 0)
+      WHERE t <> ''
+    ),
+    qe AS (
+      SELECT doc_id, ({_h('t')} // 2) % 64 AS idx,
+             CAST(sum(CASE WHEN {_h('t')} % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)
+               AS wt
+      FROM qtoks GROUP BY doc_id, ({_h('t')} // 2) % 64
+    ),
+    qe2 AS (SELECT * FROM qe WHERE wt <> 0),
+    qn AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM qe2 GROUP BY doc_id),
+    dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS passage_doc, c.start_word,
+             sum(q.wt * c.wt) AS dot
+      FROM qe2 q JOIN ce2 c ON q.idx = c.idx AND c.doc_id <> q.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    allpairs AS (
+      SELECT qn.doc_id AS query_id, cn.doc_id AS passage_doc, cn.start_word,
+             round(coalesce(d.dot, 0) / (qn.nrm * cn.nrm), 4) AS sim
+      FROM qn JOIN cn ON cn.doc_id <> qn.doc_id
+      LEFT JOIN dots d ON d.query_id = qn.doc_id
+                      AND d.passage_doc = cn.doc_id
+                      AND d.start_word = cn.start_word
+    )
+    SELECT query_id, passage_doc, start_word, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, passage_doc, start_word)
+                AS rn
+      FROM allpairs)
+    WHERE rn <= 3 ORDER BY query_id, rnk
+    """,
+)
+def passage_retrieval_rag(spark, sf_dir):
+    """RAG retrieval end to end: documents chunk into overlapping
+    80-word passages (chunk_words), every passage embeds via feature
+    hashing (hashed_embedding — no vocabulary, no fit), and each query
+    document's full-text embedding retrieves its top-3 most similar
+    passages from OTHER documents by exact cosine. The oracle replays
+    chunk arithmetic, the signed-hash embedding of every passage and
+    query, and the complete similarity ranking — zero-overlap pairs
+    included (their cosine is 0, which still outranks negative sims).
+    Composes three already-proven operators into the
+    document->passage->embedding->retrieve dataflow a RAG index build
+    actually runs.
+
+    Scale: chunking is row-local; embeddings shuffle (id, idx) partial
+    sums; the small query set broadcasts against the passage corpus —
+    swap knn_lsh/IVF in for the brute-force stage at 100 TB."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    chunk_rows = (
+        docs.select(
+            "doc_id", F.explode(X.chunk_words("text", 80, 20)).alias("c")
+        )
+        .filter(F.col("c.chunk_text") != "")
+        .select(
+            (F.col("doc_id") * 1000000 + F.col("c.start_word")).alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+    cemb = X.hashed_embedding(chunk_rows, "chunk_id", "chunk_text", dim=64).select(
+        (F.col("chunk_id") / 1000000).cast("long").alias("passage_doc"),
+        (F.col("chunk_id") % 1000000).cast("long").alias("start_word"),
+        F.col("embedding").alias("cv"),
+    )
+    qemb = X.hashed_embedding(
+        docs.filter(F.col("doc_id") % 50 == 0), "doc_id", "text", dim=64
+    ).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv"))
+    pairs = (
+        cemb.crossJoin(F.broadcast(qemb))
+        .filter(F.col("passage_doc") != F.col("query_id"))
+        .select(
+            "query_id",
+            "passage_doc",
+            "start_word",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("passage_doc"), F.asc("start_word")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
