@@ -713,3 +713,40 @@ def window_rank_distributions(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "o_orderkey")
     )
+
+
+@register(
+    "variant_json_shred",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(CASE WHEN CAST(props::JSON ->> 'k' AS BIGINT) IS NULL
+                           THEN 1 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def variant_json_shred(spark, sf_dir):
+    """Semi-structured shredding through Spark 4's VARIANT type: the
+    event payload parses once (parse_json) into the binary variant
+    encoding and typed paths extract with variant_get — the open-schema
+    column pattern that replaces per-query string re-parsing (DuckDB's
+    JSON type plays the oracle role). Missing keys surface as typed
+    NULLs, counted explicitly.
+
+    Scale: variant parse + path extraction are row-local; at rest the
+    column stores the parsed binary once, so N queries pay one parse —
+    the reason lakehouses are converging on variant for event props."""
+    e = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.max(k).cast("long").alias("max_k"),
+            F.count(F.when(k.isNull(), 1)).cast("long").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

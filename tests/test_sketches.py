@@ -205,3 +205,27 @@ def test_streaming_post_commit_maintains_mv(spark, tmp_path):
         .collect()
     }
     assert mv == direct == {"a": (2, 4.5), "b": (1, 2.0)}
+
+
+def test_observation_metrics_ride_the_action(spark, sf_dir):
+    """df.observe: pipeline instrumentation metrics (row counts, null
+    counts, value bounds) collected DURING the action — no second scan,
+    the single-pass observability hook a DQ monitor attaches to every
+    production write."""
+    from pyspark.sql import Observation
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    n = observed.count()  # ONE action drives both the job and the metrics
+    got = obs.get
+    assert got["n_rows"] == n and got["n_null_value"] == 0
+    assert got["min_value"] <= got["max_value"]
