@@ -767,3 +767,105 @@ def market_basket_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(25)
     )
+
+
+@register(
+    "session_funnel",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    s1 AS (
+      SELECT user_id, session_id, min(ts) AS ts1 FROM sess
+      WHERE event_type = 'view' GROUP BY user_id, session_id
+    ),
+    s2 AS (
+      SELECT e.user_id, e.session_id, min(e.ts) AS ts2
+      FROM sess e JOIN s1 USING (user_id, session_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.ts1
+      GROUP BY e.user_id, e.session_id
+    ),
+    s3 AS (
+      SELECT e.user_id, e.session_id, min(e.ts) AS ts3
+      FROM sess e JOIN s2 USING (user_id, session_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+      GROUP BY e.user_id, e.session_id
+    )
+    SELECT stage, n_sessions FROM (
+      SELECT 1 AS stage_no, 'view' AS stage, count(*) AS n_sessions FROM s1
+      UNION ALL SELECT 2, 'view>click', count(*) FROM s2
+      UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM s3
+    ) ORDER BY stage_no
+    """,
+)
+def session_funnel(spark, sf_dir):
+    """The funnel scoped to SESSIONS: a conversion only counts when
+    view -> click -> purchase happen in order WITHIN one 12-hour-gap
+    session — the composition of gap sessionization (sessionize_events)
+    with the order-sensitive funnel (funnel_conversion), which is how
+    product analytics actually defines conversion (a purchase next week
+    is a new journey, not this funnel's). Stage joins carry one
+    timestamp per (user, session).
+
+    Scale: one shuffle on user_id serves the session windows; the three
+    stage aggregations are slim (user, session, ts) frames
+    co-partitioned on the same key."""
+    from pyspark.sql import Window as SW
+
+    e = t(spark, sf_dir, "events")
+    w = SW.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: casting to whole seconds would truncate and
+    # diverge from the oracle's INTERVAL comparison on sub-second edges
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 12 * 3600 * 1_000_000), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(
+            SW.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(SW.unboundedPreceding, SW.currentRow)
+        ),
+    )
+    keys = ["user_id", "session_id"]
+    s1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*keys).agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        sess.filter(F.col("event_type") == "click")
+        .join(s1, keys)
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy(*keys).agg(F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s2, keys)
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy(*keys).agg(F.min("ts").alias("ts3"))
+    )
+    stages = [
+        s1.agg(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
+               F.count(F.lit(1)).alias("n_sessions")),
+        s2.agg(F.lit(2).alias("stage_no"), F.lit("view>click").alias("stage"),
+               F.count(F.lit(1)).alias("n_sessions")),
+        s3.agg(F.lit(3).alias("stage_no"),
+               F.lit("view>click>purchase").alias("stage"),
+               F.count(F.lit(1)).alias("n_sessions")),
+    ]
+    out = stages[0].unionByName(stages[1]).unionByName(stages[2])
+    return out.orderBy("stage_no").select("stage", "n_sessions")
