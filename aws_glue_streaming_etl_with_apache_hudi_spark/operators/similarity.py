@@ -889,13 +889,23 @@ def knn_ivf_pq(
         d = _sub_dist_micro(r, books)
         return pd.Series(list(d.reshape(len(mat), m * ksub)))
 
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("_v"),
         nearest(_as_double(vec_col)).alias("cluster"),
     )
-    lists = assigned.select(
-        "neighbor_id", "cluster", res_codes("_v", "cluster").alias("codes")
+    # the encoded inverted lists are the index ARTIFACT (IVFIndex stores
+    # them on disk); inline searches slot-persist them so the two Arrow
+    # stages (assignment + residual encode) run once per corpus, not once
+    # per query batch / repeated run — knn_rerank's stage 1 and the
+    # standalone knn_ivf_pq share the same cached frame
+    lists = _persist_slot(
+        assigned.select(
+            "neighbor_id", "cluster", res_codes("_v", "cluster").alias("codes")
+        ),
+        "similarity.ivfpq_lists",
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
