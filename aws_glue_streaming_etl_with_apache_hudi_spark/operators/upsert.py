@@ -40,7 +40,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -394,6 +394,59 @@ class UpsertTable:
                 self._rli_delete(keys_batch)
         finally:
             remaining.unpersist()
+
+    def delete_where(self, predicate) -> int:
+        """Predicate delete (``DELETE FROM t WHERE ...``): remove every
+        live row matching ``predicate`` (a Column). Only partitions that
+        actually CONTAIN matching rows are read or rewritten — the
+        touched set comes from one slim distinct over the matching rows,
+        and with ``stats_columns`` covering the predicate's columns the
+        matching scan itself is file-pruned (read_skipping's index).
+        Partitions drained entirely are removed. Returns #rows deleted.
+
+        This is the primitive retention/TTL/GDPR sweeps build on — see
+        ``apply_retention``."""
+        if not self.exists():
+            return 0
+        stored = self.read()
+        matching = stored.filter(predicate)
+        touched: list[tuple] = []
+        if self.partition_by:
+            touched = [
+                tuple(r)
+                for r in matching.select(*self.partition_by).distinct().collect()
+            ]
+            if not touched:
+                return 0
+            cond = self._partition_values_filter(touched)
+            if cond is not None:
+                stored = stored.filter(cond)
+        n_deleted = matching.count()
+        if n_deleted == 0:
+            return 0
+        remaining = stored.filter(~predicate).persist()
+        try:
+            remaining.count()
+            self._write(
+                remaining, overwrite_all=not self.partition_by, touched=touched
+            )
+            if self.partition_by:
+                self._remove_emptied_partitions(touched, remaining)
+        finally:
+            remaining.unpersist()
+        return n_deleted
+
+    def apply_retention(self, ts_col: str, cutoff) -> int:
+        """TTL/retention sweep: delete rows whose ``ts_col`` is strictly
+        below ``cutoff`` (a literal or Column) — the scheduled job that
+        keeps a regulated table inside its retention window. Time-
+        partitioned tables (the reference's y/m/d layout,
+        glue_job_script.py:57-61) get the partition-prune fast path for
+        free: expired partitions are identified by the slim distinct and
+        dropped wholesale; only the partition straddling the cutoff is
+        rewritten row-level. Returns #rows removed."""
+        cutoff_col = cutoff if isinstance(cutoff, Column) else F.lit(cutoff)
+        return self.delete_where(F.col(ts_col) < cutoff_col)
 
     # -- record-level index (RLI) --------------------------------------------
     #

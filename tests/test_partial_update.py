@@ -217,3 +217,70 @@ def test_partial_merge_matches_reference_model(spark, case):
     }
     want = _model_partial_merge(list(stored_rows) + list(batch_rows))
     assert got == want
+
+
+# -- delete_where / retention (colocated: same UpsertTable service area) --
+
+
+def test_delete_where_touches_only_matching_partitions(spark, tmp_path):
+    import os
+
+    t = UpsertTable(
+        spark, str(tmp_path / "dw"), keys=["k"], precombine="ver",
+        partition_by=["d"],
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "d1", 5.0), (2, 1, "d1", 50.0),
+             (3, 1, "d2", 5.0), (4, 1, "d3", 99.0)],
+            "k bigint, ver bigint, d string, v double",
+        )
+    )
+    # fingerprint the untouched partition's files before the delete
+    d3_files = {
+        f: os.path.getmtime(os.path.join(t.path, "d=d3", f))
+        for f in os.listdir(os.path.join(t.path, "d=d3"))
+        if f.endswith(".parquet")
+    }
+    assert t.delete_where(F.col("v") < 10.0) == 2
+    state = {r.k for r in t.read().collect()}
+    assert state == {2, 4}
+    # d2 drained entirely -> removed; d3 untouched byte-for-byte
+    assert not os.path.isdir(os.path.join(t.path, "d=d2"))
+    after = {
+        f: os.path.getmtime(os.path.join(t.path, "d=d3", f))
+        for f in os.listdir(os.path.join(t.path, "d=d3"))
+        if f.endswith(".parquet")
+    }
+    assert after == d3_files, "untouched partition was rewritten"
+    # no matches -> no-op
+    assert t.delete_where(F.col("v") > 1000.0) == 0
+
+
+def test_apply_retention_drops_expired_rows(spark, tmp_path):
+    from datetime import datetime
+
+    t = UpsertTable(
+        spark, str(tmp_path / "ttl"), keys=["k"], precombine="ts",
+        partition_by=["day"],
+    )
+    rows = [
+        (1, datetime(2024, 1, 1, 5), "2024-01-01", 1.0),
+        (2, datetime(2024, 1, 2, 5), "2024-01-02", 2.0),
+        (3, datetime(2024, 1, 3, 5), "2024-01-03", 3.0),
+        (4, datetime(2024, 1, 3, 23), "2024-01-03", 4.0),
+    ]
+    t.upsert(
+        spark.createDataFrame(
+            rows, "k bigint, ts timestamp, day string, v double"
+        )
+    )
+    n = t.apply_retention("ts", datetime(2024, 1, 3, 12))
+    assert n == 3
+    assert {r.k for r in t.read().collect()} == {4}
+    # expired whole-day partitions are gone from disk
+    import os
+
+    assert not os.path.isdir(os.path.join(t.path, "day=2024-01-01"))
+    assert not os.path.isdir(os.path.join(t.path, "day=2024-01-02"))
+    assert os.path.isdir(os.path.join(t.path, "day=2024-01-03"))
