@@ -60,6 +60,21 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import analytics  # n
 # All four (and every r2/r3/r4-green query) remain continuously verified
 # by the local DuckDB suite, which runs the WHOLE registry
 # (tests/test_queries_oracle.py).
+#
+# r6 rotation backlog (registered this round AFTER the window froze —
+# never driver-sampled, all green on the local gate at sf0.01 and spot-
+# checked at sf0.1): partial_update_state, mor_partial_state, knn_rerank,
+# radius_search_cosine, heavy_hitters_cms, text_bigram_logprob,
+# text_token_entropy, curriculum_phases, join_lateral_topk,
+# group_by_all_dialect, agg_grouping_id, window_rank_distributions,
+# variant_json_shred, applyinpandas_user_trend, multimodal_dedup_store_once,
+# rfm_segmentation, dq_drift_psi, events_outliers_mad, market_basket_lift,
+# session_funnel, table_checksum_diff, mv_incremental_refresh,
+# like_search_trigram, semantic_dedup_clusters, bpe_first_merges,
+# corpus_build_pipeline_v2, chunk_documents_rag, passage_retrieval_rag,
+# generator_source_rollup, stateful_session_machine — plus the four
+# r5-deferred stale names (agg_salted_skew, sort_nulls_ordering,
+# explode_wordcount, fuzzy_match_levenshtein).
 
 PRIORITY_WINDOW: list[str] = [
     # category sentinels (non-target families: freshest available member;
