@@ -869,3 +869,66 @@ def session_funnel(spark, sf_dir):
     ]
     out = stages[0].unionByName(stages[1]).unionByName(stages[2])
     return out.orderBy("stage_no").select("stage", "n_sessions")
+
+
+@register(
+    "pareto_frontier_orders",
+    sql="""
+    WITH pts AS (
+      SELECT round(o_totalprice, 2) AS price, o_orderdate AS odate,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, max(odate) OVER (ORDER BY price, odate DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS best_prev
+      FROM pts
+    )
+    SELECT price, strftime(odate, '%Y-%m-%d') AS odate, n_orders
+    FROM ranked
+    WHERE best_prev IS NULL OR odate > best_prev
+    ORDER BY price, odate
+    """,
+)
+def pareto_frontier_orders(spark, sf_dir):
+    """Skyline (Pareto-frontier) query: the (price, date) points no
+    other order dominates — cheaper-and-at-least-as-recent or
+    equally-cheap-and-strictly-more-recent. The naive skyline is an
+    O(n²) dominance self-join; over distinct points sorted by
+    (price ASC, date DESC), a point survives iff its date beats the
+    running max of every preceding point — ONE window pass, the classic
+    sort-filter-skyline algorithm as a declarative plan (both engines
+    share the frame semantics, so the frontier is identical).
+
+    Scale: dedup to distinct points first (one aggregation; the window
+    then runs on |distinct| rows, not |orders|), single global window
+    over a 2-column frame — for partitioned skylines, partition the
+    window and the sort comes co-located."""
+    from pyspark.sql import Window as SW
+
+    o = t(spark, sf_dir, "orders")
+    pts = (
+        o.select(
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_orderdate").alias("odate"),
+        )
+        .groupBy("price", "odate")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    w = (
+        SW.orderBy(F.asc("price"), F.desc("odate"))
+        .rowsBetween(SW.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("best_prev", F.max("odate").over(w))
+    return (
+        ranked.filter(
+            F.col("best_prev").isNull() | (F.col("odate") > F.col("best_prev"))
+        )
+        .select(
+            "price",
+            F.date_format("odate", "yyyy-MM-dd").alias("odate"),
+            "n_orders",
+        )
+        .orderBy("price", "odate")
+    )
