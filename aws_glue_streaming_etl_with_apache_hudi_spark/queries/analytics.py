@@ -932,3 +932,59 @@ def pareto_frontier_orders(spark, sf_dir):
         )
         .orderBy("price", "odate")
     )
+
+
+@register(
+    "histogram_equidepth",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    ),
+    bucketed AS (
+      SELECT e.event_type,
+             CASE WHEN e.value <= b.q1 THEN 0
+                  WHEN e.value <= b.q2 THEN 1
+                  WHEN e.value <= b.q3 THEN 2
+                  ELSE 3 END AS bucket
+      FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM bucketed GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def histogram_equidepth(spark, sf_dir):
+    """Equi-depth (equi-height) histogram per event type: quartile
+    boundaries from exact interpolated percentiles, rows bucketed by
+    broadcast comparison — the ANALYZE-style histogram optimizers use
+    for selectivity (the equi-WIDTH complement is value_histogram;
+    equal-depth adapts bin edges to the data so every bin carries
+    signal). Spark percentile == DuckDB quantile_cont on identical
+    doubles, so boundaries and every bucket decision match exactly.
+
+    Scale: one percentile aggregate per type broadcast into a row-local
+    CASE; swap percentile_approx in at 100 TB unchanged (the
+    curriculum_phases pattern)."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.50)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
