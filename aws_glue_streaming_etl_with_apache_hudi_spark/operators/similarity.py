@@ -371,6 +371,59 @@ class IVFIndex:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
 
+    def add(self, new_vectors: DataFrame) -> int:
+        """Incrementally index new vectors against the EXISTING trained
+        quantizers: assign each to its stored nearest centroid (and PQ-
+        encode its residual with the stored codebooks, if the index is
+        IVF-PQ) and APPEND to the touched cluster partitions — no
+        retrain, no rewrite of existing lists. This is how production
+        ANN indexes absorb a continuously-growing corpus: quantizers
+        refresh on a slow cadence (full ``build``), arrivals land
+        incrementally between refreshes. Returns #vectors added.
+
+        Drift caveat: vectors from a distribution the centroids never
+        saw degrade recall until the next build — the monitor for that
+        is a per-batch mean assignment distance (cheap: it is computed
+        here anyway)."""
+        import json
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import l2_norm
+
+        cents = np.asarray(self.centroids(), dtype=np.float64)
+
+        @F.pandas_udf("int")
+        def nearest(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        assigned = new_vectors.select(
+            F.col(self.id_col),
+            _as_double(self.vec_col).alias("v"),
+            l2_norm(_as_double(self.vec_col)).alias("_cn"),
+            nearest(_as_double(self.vec_col)).alias("cluster"),
+        )
+        pq = self._pq_meta()
+        if pq is not None:
+            books = pq["codebooks"]
+
+            @F.pandas_udf("array<double>")
+            def residual(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+                m = np.asarray(vecs.tolist(), dtype=np.float64)
+                return pd.Series(list(m - cents[clusters.to_numpy()]))
+
+            res = assigned.select(
+                self.id_col, "cluster", residual("v", "cluster").alias("_res")
+            )
+            codes = pq_encode(res, books, id_col=self.id_col, vec_col="_res")
+            out = res.select(self.id_col, "cluster").join(codes, self.id_col)
+        else:
+            out = assigned
+        n = out.count()
+        if n:
+            out.write.mode("append").partitionBy("cluster").parquet(self.path)
+        return n
+
     def centroids(self) -> list[list[float]]:
         import json
 

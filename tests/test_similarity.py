@@ -329,3 +329,70 @@ def test_knn_rerank_stage2_is_jvm_side(spark, emb):
     def n_python(plan):
         return plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
     assert n_python(rerank_plan) <= n_python(coarse_plan)
+
+
+def test_ivf_index_incremental_add(spark, emb, tmp_path):
+    """IVFIndex.add: new vectors index against the EXISTING quantizers
+    (no retrain, append-only to touched cluster partitions); search
+    finds them, partition pruning still holds, old lists unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") < 400)
+    late = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    idx = S.IVFIndex(spark, str(tmp_path / "ivf_add"))
+    idx.build(base, k=8, iterations=3)
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(str(tmp_path / "ivf_add"))
+        for f in fn if f.endswith(".parquet")
+    }
+
+    assert idx.add(late) == late.count()
+    # existing files untouched (append-only)
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(str(tmp_path / "ivf_add"))
+        for f in fn if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(files_before)
+
+    # added vectors are retrievable: probing every cluster with a large k
+    # from a base query must surface late ids among the neighbors (search
+    # excludes only the query itself)
+    hits = idx.search(base.limit(1), k=449, n_probe=8)
+    neighbors = {r.neighbor_id for r in hits.collect()}
+    late_ids = {r.vec_id for r in late.select("vec_id").collect()}
+    assert late_ids <= neighbors, "added vectors missing from the lists"
+
+    # pruning still holds after the append: a low-probe search opens a
+    # strict subset of cluster partitions
+    pruned = idx.search(late.limit(3), k=1, n_probe=2)
+    opened = {
+        f.split("cluster=")[1].split("/")[0]
+        for f in pruned.inputFiles()
+        if "cluster=" in f
+    }
+    assert 0 < len(opened) < 8
+    assert pruned.count() >= 1
+
+
+def test_ivf_pq_index_incremental_add(spark, emb, tmp_path):
+    """add() on an IVF-PQ index PQ-encodes new residuals with the STORED
+    codebooks — the compressed lists stay homogeneous."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") < 400)
+    late = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 430))
+    idx = S.IVFIndex(spark, str(tmp_path / "ivfpq_add"))
+    idx.build(base, k=8, iterations=3, pq_m=4)
+    assert idx.add(late) == late.count()
+    rows = spark.read.option("basePath", str(tmp_path / "ivfpq_add")).parquet(
+        str(tmp_path / "ivfpq_add")
+    )
+    # every row (old and new) carries codes, not raw vectors
+    assert "codes" in rows.columns and rows.filter(F.col("codes").isNull()).count() == 0
+    assert rows.count() == 430
+    got = idx.search(late.limit(2), k=1, n_probe=8)
+    assert got.count() >= 1
