@@ -336,7 +336,25 @@ class IVFIndex:
             l2_norm(_as_double(self.vec_col)).alias("_cn"),
             nearest(_as_double(self.vec_col)).alias("cluster"),
         )
-        meta: dict = {"centroids": centroids, "dim": dim}
+        # Build-time mean squared assignment distance: the drift baseline
+        # (see assignment_drift) — one tiny aggregate over the frame the
+        # build computes anyway.
+        @F.pandas_udf("double")
+        def _mind(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.min(axis=1))
+
+        base_mean = (
+            corpus.select(_mind(_as_double(self.vec_col)).alias("_d"))
+            .agg(F.avg("_d"))
+            .collect()[0][0]
+        )
+        meta: dict = {
+            "centroids": centroids,
+            "dim": dim,
+            "mean_assign_dist": float(base_mean),
+        }
         if pq_m is not None:
 
             @F.pandas_udf("array<double>")
@@ -423,6 +441,42 @@ class IVFIndex:
         if n:
             out.write.mode("append").partitionBy("cluster").parquet(self.path)
         return n
+
+    def assignment_drift(self, new_vectors: DataFrame) -> dict:
+        """Quantizer-drift probe for a batch of arrivals: mean squared
+        nearest-centroid distance vs the build-time baseline. A ratio
+        well above 1 means the batch comes from a distribution the
+        centroids never saw — recall of incrementally added vectors
+        degrades and a quantizer refresh (full ``build``) is due. The
+        standard operating signal for an IVF index under continuous
+        ingestion; returns {batch_mean, build_mean, ratio, n}."""
+        import json
+
+        with open(self._meta_path) as f:
+            meta = json.load(f)
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+
+        @F.pandas_udf("double")
+        def _mind(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.min(axis=1))
+
+        row = (
+            new_vectors.select(_mind(_as_double(self.vec_col)).alias("_d"))
+            .agg(F.avg("_d").alias("m"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        build_mean = meta.get("mean_assign_dist")
+        ratio = (
+            float(row.m) / build_mean if build_mean else float("nan")
+        )
+        return {
+            "batch_mean": float(row.m),
+            "build_mean": build_mean,
+            "ratio": ratio,
+            "n": int(row.n),
+        }
 
     def centroids(self) -> list[list[float]]:
         import json

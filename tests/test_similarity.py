@@ -396,3 +396,24 @@ def test_ivf_pq_index_incremental_add(spark, emb, tmp_path):
     assert rows.count() == 430
     got = idx.search(late.limit(2), k=1, n_probe=8)
     assert got.count() >= 1
+
+
+def test_assignment_drift_flags_out_of_distribution_batches(spark, emb, tmp_path):
+    """In-distribution arrivals score ratio ~1; a shifted batch (vectors
+    scaled far outside the trained cloud) scores well above — the
+    refresh-the-quantizer signal."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = S.IVFIndex(spark, str(tmp_path / "ivf_drift"))
+    idx.build(base, k=8, iterations=3)
+
+    ind = idx.assignment_drift(emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)))
+    assert ind["n"] == 50 and 0.5 < ind["ratio"] < 2.0, ind
+
+    shifted = emb.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 10.0 + 5.0).alias("embedding"),
+    )
+    ood = idx.assignment_drift(shifted)
+    assert ood["ratio"] > 5.0, ood
