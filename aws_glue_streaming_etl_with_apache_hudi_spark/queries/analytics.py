@@ -988,3 +988,56 @@ def histogram_equidepth(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "ewma_user_value",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN rn = 1 THEN pow(0.9, n - 1) * value
+                          ELSE 0.1 * pow(0.9, n - rn) * value END), 6)
+             AS ewma
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ewma_user_value(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's value stream
+    (alpha = 0.1 smoothing): the recursive filter
+    EWMA_n = 0.1*x_n + 0.9*EWMA_{n-1} unrolled to its closed-form
+    weighted sum, so the sequential recursion becomes ONE window pass +
+    ONE aggregation — the trick that makes an inherently serial
+    time-series smoother embarrassingly parallel per key. Weights are
+    identical pow() doubles in both engines; the 6-dp round absorbs
+    summation-order ulps.
+
+    Scale: one shuffle on user_id serves the ordering window and the
+    weighted sum; no recursion, no per-row state."""
+    from pyspark.sql import Window as SW
+
+    e = t(spark, sf_dir, "events")
+    w = SW.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = SW.partitionBy("user_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.9), F.col("n") - 1)
+    ).otherwise(0.1 * F.pow(F.lit(0.9), F.col("n") - F.col("rn")))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(F.sum(weight * F.col("value")), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
