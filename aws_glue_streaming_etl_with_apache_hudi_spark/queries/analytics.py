@@ -1041,3 +1041,57 @@ def ewma_user_value(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "activity_islands",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d') AS island_start,
+           strftime(max(d), '%Y-%m-%d') AS island_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM tagged GROUP BY user_id, grp
+    ORDER BY user_id, island_start
+    """,
+)
+def activity_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    calendar days (the streak metric — "active 5 days in a row"). The
+    classic date-minus-row_number trick: within a user, consecutive days
+    share (day - rank), so one window plus one aggregation finds every
+    island — no self-join, no recursion. Calendar-day islands complement
+    sessionize_events' timestamp-gap sessions.
+
+    Scale: distinct (user, day) first (events collapse to at most
+    users x days rows), then one shuffle on user_id serves the window
+    and the island rollup."""
+    from pyspark.sql import Window as SW
+
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = SW.partitionBy("user_id").orderBy("d")
+    tagged = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        tagged.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "island_start")
+    )

@@ -2696,3 +2696,81 @@ def passage_retrieval_rag(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "dedup_keep_best",
+    sql=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+             round(0.4 * least(len(string_split_regex(lower(text), '\s+')) / 100.0, 1.0)
+                   + 0.4 * round(CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE)
+                                 / len(string_split_regex(lower(text), '\s+')), 4)
+                   + 0.2 * (1 - round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                                           x -> list_contains(['hash','order','table','row','batch'], x)))
+                                           AS DOUBLE)
+                                      / len(string_split_regex(lower(text), '\s+')), 4)),
+                   4) AS quality
+      FROM documents
+    ),
+    reup AS (
+      SELECT doc_id + 1000000 AS doc_id, digest, quality
+      FROM scored WHERE doc_id % 7 = 0
+    ),
+    pool AS (SELECT * FROM scored UNION ALL SELECT * FROM reup)
+    SELECT pool.digest, CAST(count(*) AS BIGINT) AS n_copies,
+           k.keep_id, k.quality
+    FROM pool
+    JOIN (
+      SELECT digest AS d2, doc_id AS keep_id, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY digest
+                                     ORDER BY quality DESC, doc_id) AS rn
+        FROM pool) WHERE rn = 1
+    ) k ON k.d2 = pool.digest
+    GROUP BY pool.digest, k.keep_id, k.quality
+    HAVING count(*) >= 2
+    ORDER BY digest
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Exact dedup with a KEEP-BEST survivor policy: within each
+    normalized-text digest group the copy with the highest quality
+    score survives (ties to the smallest id) — the policy real corpus
+    builds use when duplicates differ in provenance (keep the cleanest
+    capture, not the first-crawled). min-id (dedup_exact) and keep-best
+    are the same max_by aggregation with a different ordering struct.
+    Fixture has no byte dupes, so every 7th doc re-enters under a
+    shifted id (the multimodal_dedup_store_once convention); identical
+    text means identical quality, so the tie rule picks the ORIGINAL
+    (smaller) id — which the oracle verifies per group.
+
+    Scale: one digest aggregation; the shuffle carries 16-byte digests
+    + (quality, id) pairs, never text."""
+    docs = t(spark, sf_dir, "documents")
+    reup = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pool = docs.select("doc_id", "text").unionByName(reup)
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import normalized_text
+
+    sc = X.text_stats(pool, "doc_id", "text", keep=()).select(
+        "doc_id", X.quality_expr().alias("quality")
+    )
+    dg = pool.select(
+        "doc_id", F.md5(normalized_text("text")).alias("digest")
+    )
+    j = dg.join(sc, "doc_id")
+    best = j.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min_by(
+            F.struct(F.col("doc_id").alias("keep_id"), F.col("quality")),
+            F.struct(-F.col("quality"), F.col("doc_id")),
+        ).alias("_b"),
+    )
+    return (
+        best.filter(F.col("n_copies") >= 2)
+        .select("digest", "n_copies", F.col("_b.keep_id").alias("keep_id"),
+                F.col("_b.quality").alias("quality"))
+        .orderBy("digest")
+    )
