@@ -750,3 +750,50 @@ def variant_json_shred(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_FILTER_CLAUSE_SQL = """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (WHERE o_totalprice > 50000) AS n_large,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+             AS urgent_total
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("agg_filter_clause", sql=_FILTER_CLAUSE_SQL)
+def agg_filter_clause(spark, sf_dir):
+    """The SQL-standard FILTER clause on aggregates — conditional
+    aggregation without CASE-wrapping every argument; the same string
+    runs on Catalyst and DuckDB (SQL-API parity family). Exact decimal
+    for the filtered money sum."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+_NOT_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    AND c_acctbal > 9000
+    ORDER BY c_custkey
+"""
+
+
+@register("subquery_not_exists", sql=_NOT_EXISTS_SQL)
+def subquery_not_exists(spark, sf_dir):
+    """Correlated NOT EXISTS — the anti-join written the SQL-standard
+    way (customers with no finished orders); Catalyst plans it as a
+    left-anti join on the correlation key. Same string on both engines;
+    completes the subquery family (IN, scalar, correlated, EXISTS
+    forms)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NOT_EXISTS_SQL)
