@@ -1095,3 +1095,65 @@ def activity_islands(spark, sf_dir):
         .drop("grp")
         .orderBy("user_id", "island_start")
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    sql="""
+    WITH activity AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM activity),
+    dau AS (SELECT d, count(*) AS dau FROM activity GROUP BY d),
+    wau AS (
+      SELECT s.d, count(DISTINCT a.user_id) AS wau
+      FROM spine s JOIN activity a
+        ON a.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+      GROUP BY s.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+)
+def dau_wau_stickiness(spark, sf_dir):
+    """DAU / WAU / stickiness: daily active users, 7-day rolling
+    distinct actives, and their ratio — THE product engagement triple.
+    Rolling DISTINCT cannot ride an ordinary window frame (distinct
+    isn't decomposable over overlapping frames), so WAU is a day-spine
+    range join over the deduped (day, user) activity — the standard
+    exact formulation; swap an HLL sketch union in at extreme scale.
+
+    Scale: events collapse to distinct (day, user) first; the range
+    join fans each activity row to <= 7 spine days (bounded window, not
+    a cross join); both aggregations are map-side combinable."""
+    e = t(spark, sf_dir, "events")
+    activity = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).distinct()
+    spine = activity.select("d").distinct().withColumnRenamed("d", "sd")
+    dau = activity.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = (
+        spine.join(
+            activity,
+            (F.col("d") <= F.col("sd"))
+            & (F.col("d") >= F.date_sub(F.col("sd"), 6)),
+        )
+        .groupBy("sd")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.sd)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
