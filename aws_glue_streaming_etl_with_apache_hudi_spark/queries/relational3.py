@@ -797,3 +797,73 @@ def subquery_not_exists(spark, sf_dir):
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_NOT_EXISTS_SQL)
+
+
+@register(
+    "topk_with_ties",
+    sql="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             rank() OVER (ORDER BY o_totalprice DESC) AS r
+      FROM orders)
+    WHERE r <= 10
+    ORDER BY price DESC, o_orderkey
+    """,
+)
+def topk_with_ties(spark, sf_dir):
+    """Top-k WITH TIES (ANSI FETCH FIRST ... WITH TIES semantics):
+    rank() instead of row_number(), so every order sharing the boundary
+    price is included — the difference between "10 rows" and "the top
+    10 price points' rows", which matters whenever k cuts a tie group.
+
+    Scale: rank over a global order — at 100 TB pre-filter with a
+    TakeOrdered pass (top k' >= k rows by row_number) and re-rank the
+    survivors; the fixture query pins the tie semantics."""
+    from pyspark.sql import Window as SW
+
+    o = t(spark, sf_dir, "orders")
+    r = F.rank().over(SW.orderBy(F.desc("o_totalprice")))
+    return (
+        o.select("o_orderkey", "o_totalprice", r.alias("r"))
+        .filter(F.col("r") <= 10)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+    )
+
+
+@register(
+    "tumbling_window_offset",
+    sql="""
+    SELECT strftime(
+             to_timestamp(
+               (CAST(floor((epoch(ts) - 1800) / 3600) AS BIGINT) * 3600) + 1800),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1 ORDER BY window_start
+    """,
+)
+def tumbling_window_offset(spark, sf_dir):
+    """Tumbling windows with a NON-ZERO origin (F.window's startTime):
+    1-hour windows anchored at :30 — the alignment control billing and
+    SLA windows need when the contractual day does not start at
+    midnight. The oracle replays the anchored bucketing as epoch
+    arithmetic (floor((t - offset)/width)*width + offset).
+
+    Scale: same pre-aggregated map-side shape as the aligned tumbling
+    window; the offset is plan-constant arithmetic."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+        .orderBy("window_start")
+    )
