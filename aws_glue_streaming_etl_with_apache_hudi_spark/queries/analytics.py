@@ -1157,3 +1157,64 @@ def dau_wau_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "conversion_latency_quartiles",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(date_diff('second', v.first_view, p.first_purchase)
+                  AS BIGINT) AS latency_s
+      FROM v JOIN p USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           round(quantile_cont(latency_s, 0.25) / 3600.0, 4) AS p25_hours,
+           round(quantile_cont(latency_s, 0.50) / 3600.0, 4) AS p50_hours,
+           round(quantile_cont(latency_s, 0.75) / 3600.0, 4) AS p75_hours
+    FROM lat
+    """,
+)
+def conversion_latency_quartiles(spark, sf_dir):
+    """Time-to-convert distribution: for every user whose first purchase
+    follows their first view, the view->purchase latency quartiles — the
+    "how long does the funnel take" companion to funnel_conversion's
+    "how many make it". Latencies are integer seconds (identical in both
+    engines), so the interpolated quartiles are bit-identical before the
+    hour conversion and round.
+
+    Scale: two slim per-user aggregations co-partitioned on user_id; the
+    quartiles run over |converters| rows."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = v.join(p, "user_id").select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.round(F.percentile("latency_s", F.lit(0.25)) / 3600.0, 4).alias("p25_hours"),
+        F.round(F.percentile("latency_s", F.lit(0.50)) / 3600.0, 4).alias("p50_hours"),
+        F.round(F.percentile("latency_s", F.lit(0.75)) / 3600.0, 4).alias("p75_hours"),
+    )
