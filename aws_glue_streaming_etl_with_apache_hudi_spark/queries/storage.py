@@ -259,3 +259,53 @@ def mv_incremental_refresh(spark, sf_dir):
         "n_rows",
         F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "retention_sweep_state",
+    sql="""
+    SELECT event_type, user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value
+    FROM (
+      SELECT event_type, user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x
+    WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ORDER BY event_type, user_id
+    """,
+)
+def retention_sweep_state(spark, sf_dir):
+    """TTL retention on the REAL on-disk table (operators/upsert.py
+    apply_retention): the event stream upserts into an event_type-
+    partitioned table (one live row per key per partition), then the
+    sweep deletes every live row older than the cutoff — partitions
+    whose rows are all expired drop wholesale, the rest rewrite
+    row-level. The surviving state must equal latest-state-per-key
+    restricted to ts >= cutoff, which the oracle computes directly.
+
+    Scale: the sweep's touched set comes from one slim distinct over
+    matching rows; at 100 TB with time-derived partition paths the
+    expired partitions are pure metadata drops."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="retention_tbl_")
+    tbl = UpsertTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    tbl.upsert(e)
+    tbl.apply_retention("ts", F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return tbl.read().select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_type", "user_id")
