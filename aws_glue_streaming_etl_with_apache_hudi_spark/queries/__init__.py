@@ -41,99 +41,81 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import analytics  # n
 #      the first 50 (a category can never silently lose external coverage);
 #   2. queries whose implementation changed since the last verified round
 #      are rotated IN.
-# Round-5 rotation (VERDICT r4 task 1): close the staleness backlog.
-# Priority: (1) queries whose implementation or oracle CHANGED this round
-# (dedup_incremental_index — probe now excludes index-side self-pairs,
-# operator + oracle; value_histogram — degenerate-range guard, both
-# engines), (2) the 11 queries never externally sampled (the analytics
-# family, hybrid_search_rrf, knn_ivf_pq, text_shared_passages,
-# asof_join_forward_tolerance), (3) the r1-stale relational/scalar core —
-# 27 of 31 rotate in (approx_aggregates stays rows-only by design; its
-# hard signal rides approx_error_bound, r4-green). Category sentinels
-# rotate onto the stalest member of their family so sentinel slots double
-# as refresh slots (tests/test_registry_order.py names the new set).
-# Deferred to r6, each with an in-window same-family sibling:
-#   agg_salted_skew        -> agg_pivot/agg_stats (agg family)
-#   sort_nulls_ordering    -> window_rank_ntile (ordering family)
-#   explode_wordcount      -> posexplode_with_position (explode family)
-#   fuzzy_match_levenshtein-> scalar_string_funcs2 (string-fn family)
-# All four (and every r2/r3/r4-green query) remain continuously verified
-# by the local DuckDB suite, which runs the WHOLE registry
-# (tests/test_queries_oracle.py).
+# Round-6 rotation (VERDICT r5 task 1): finish the external-coverage
+# rotation. The 42 queries never driver-sampled (every late-r5
+# registration) plus the four r5-deferred stale names (agg_salted_skew,
+# sort_nulls_ordering, explode_wordcount, fuzzy_match_levenshtein) total
+# 46 -- they ALL rotate in. The remaining four slots are the sole-member
+# categories whose representative must stay inside the window regardless
+# (schema_evolution_union, partition_path_derivation,
+# asof_join_forward_tolerance, cdc_change_feed -- each r5-green, so the
+# slot doubles as a freshness re-check). Category sentinels again point
+# at their family's never-sampled member so sentinel slots double as
+# refresh slots (tests/test_registry_order.py names the new set).
+# After this round, EVERY pre-r6 registered query has at least one
+# driver CORRECTNESS row.
 #
-# r6 rotation backlog (registered this round AFTER the window froze —
-# never driver-sampled, all green on the local gate at sf0.01 and spot-
-# checked at sf0.1): partial_update_state, mor_partial_state, knn_rerank,
-# radius_search_cosine, heavy_hitters_cms, text_bigram_logprob,
-# text_token_entropy, curriculum_phases, join_lateral_topk,
-# group_by_all_dialect, agg_grouping_id, window_rank_distributions,
-# variant_json_shred, applyinpandas_user_trend, multimodal_dedup_store_once,
-# rfm_segmentation, dq_drift_psi, events_outliers_mad, market_basket_lift,
-# session_funnel, table_checksum_diff, mv_incremental_refresh,
-# like_search_trigram, semantic_dedup_clusters, bpe_first_merges,
-# corpus_build_pipeline_v2, chunk_documents_rag, passage_retrieval_rag,
-# generator_source_rollup, stateful_session_machine — plus the four
-# r5-deferred stale names (agg_salted_skew, sort_nulls_ordering,
-# explode_wordcount, fuzzy_match_levenshtein).
+# r7 rotation backlog: queries registered in round 6 AFTER this window
+# froze -- rotate them in next round with the same sentinel-doubling
+# scheme, plus re-verify anything whose implementation changed in r6.
+# Every rotated-out query remains continuously verified by the local
+# DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 
 PRIORITY_WINDOW: list[str] = [
-    # category sentinels (non-target families: freshest available member;
-    # single-member families keep their r4-green representative)
-    "upsert_partitioned_state",   # upsert (r3; rotates off r4-green upsert_latest_state)
-    "schema_evolution_union",     # schema evolution (sole member)
-    "partition_path_derivation",  # partitioning (sole member)
-    "sliding_window_agg",         # streaming windows (r2)
-    "stateful_running_totals",    # stateful streaming (sole member)
-    "mor_merge_chain",            # MOR storage (r3)
-    "incremental_pull",           # incremental storage (r4)
-    "cdc_change_feed",            # CDC (sole member)
-    "multimodal_binary_meta",     # multimodal (sole oracled member)
-    "token_shard_packing",        # training corpus (r2)
-    "applyinpandas_group_rank",   # pandas-UDF surface (sole member)
-    # changed this round — must re-verify (also the dedup sentinel)
-    "dedup_incremental_index",
-    "value_histogram",
-    # never externally sampled (4 double as category sentinels: asof,
-    # text, similarity + the analytics family's first driver rows)
-    "asof_join_forward_tolerance",
-    "text_shared_passages",
-    "hybrid_search_rrf",
-    "knn_ivf_pq",
-    "funnel_conversion",
-    "retention_cohorts",
-    "events_outliers_zscore",
-    "path_transitions",
-    "time_weighted_avg",
-    "resample_locf_daily",
-    # the r1-stale relational/scalar core (agg_pivot, join_semi,
-    # window_rank_ntile double as their categories' sentinels)
-    "agg_distinct_having",
-    "agg_collect_sorted",
-    "agg_stats",
-    "agg_pivot",
-    "agg_bool_bit",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_broadcast_dim",
-    "window_lag_lead",
-    "window_rank_ntile",
-    "window_range_frame",
-    "set_intersect",
-    "set_except",
-    "scalar_date_funcs",
-    "scalar_math_cond",
-    "scalar_string_funcs2",
-    "date_parts",
-    "json_extract_props",
-    "regression_price_quantity",
-    "calendar_gap_fill",
-    "percentiles_exact",
-    "subquery_scalar",
-    "unpivot_measures",
-    "posexplode_with_position",
-    "sql_api_shared_dialect",
+    # --- category sentinels (each points at its family's never-sampled
+    # member where one exists; sole-member families keep their rep) ---
+    "partial_update_state",        # upsert (never-sampled; Hudi partial-payload parity)
+    "schema_evolution_union",      # schema evolution (sole member, r5-green)
+    "partition_path_derivation",   # partitioning (sole member, r5-green)
+    "asof_join_forward_tolerance", # as-of join (sole member, r5-green)
+    "tumbling_window_offset",      # streaming windows (never-sampled)
+    "stateful_session_machine",    # stateful streaming (never-sampled; full oracle)
+    "mor_partial_state",           # MOR storage (never-sampled)
+    "mv_incremental_refresh",      # incremental storage (never-sampled)
+    "cdc_change_feed",             # CDC (sole member, r5-green)
+    "semantic_dedup_clusters",     # dedup (never-sampled)
+    "knn_rerank",                  # similarity (never-sampled)
+    "text_bigram_logprob",         # text (never-sampled)
+    "multimodal_dedup_store_once", # multimodal (never-sampled)
+    "corpus_build_pipeline_v2",    # training corpus (never-sampled)
+    "applyinpandas_user_trend",    # pandas-UDF surface (never-sampled)
+    "agg_grouping_id",             # relational agg (never-sampled)
+    "join_lateral_topk",           # relational join (never-sampled)
+    "window_rank_distributions",   # relational window (never-sampled)
+    # --- remaining never-sampled late-r5 registrations ---
+    "group_by_all_dialect",
+    "generator_source_rollup",
+    "variant_json_shred",
+    "agg_filter_clause",
+    "subquery_not_exists",
+    "topk_with_ties",
+    "table_checksum_diff",
+    "retention_sweep_state",
+    "radius_search_cosine",
+    "heavy_hitters_cms",
+    "text_token_entropy",
+    "like_search_trigram",
+    "bpe_first_merges",
+    "chunk_documents_rag",
+    "passage_retrieval_rag",
+    "dedup_keep_best",
+    "curriculum_phases",
+    "rfm_segmentation",
+    "dq_drift_psi",
+    "events_outliers_mad",
+    "market_basket_lift",
+    "session_funnel",
+    "pareto_frontier_orders",
+    "histogram_equidepth",
+    "ewma_user_value",
+    "activity_islands",
+    "dau_wau_stickiness",
+    "conversion_latency_quartiles",
+    # --- the four r5-deferred stale names (r1-only coverage until now) ---
+    "agg_salted_skew",
+    "sort_nulls_ordering",
+    "explode_wordcount",
+    "fuzzy_match_levenshtein",
 ]
 
 

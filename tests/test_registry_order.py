@@ -18,27 +18,28 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-5 rotation: each sentinel points at its family's STALEST
-    # member (never-sampled or r1-only), so the sentinel slot doubles as
-    # a refresh slot; single-member families keep their representative.
-    "upsert": "upsert_partitioned_state",
+    # round-6 rotation: each sentinel points at its family's never-
+    # driver-sampled member (the whole late-r5 backlog rotates in), so
+    # the sentinel slot doubles as a refresh slot; sole-member families
+    # keep their r5-green representative.
+    "upsert": "partial_update_state",
     "schema_evolution": "schema_evolution_union",
     "partitioning": "partition_path_derivation",
     "asof": "asof_join_forward_tolerance",
-    "streaming": "sliding_window_agg",
-    "stateful": "stateful_running_totals",
-    "storage_mor": "mor_merge_chain",
-    "storage_incremental": "incremental_pull",
+    "streaming": "tumbling_window_offset",
+    "stateful": "stateful_session_machine",
+    "storage_mor": "mor_partial_state",
+    "storage_incremental": "mv_incremental_refresh",
     "storage_cdc": "cdc_change_feed",
-    "dedup": "dedup_incremental_index",
-    "similarity": "knn_ivf_pq",
-    "text": "text_shared_passages",
-    "multimodal": "multimodal_binary_meta",
-    "training": "token_shard_packing",
-    "udf": "applyinpandas_group_rank",
-    "relational_agg": "agg_pivot",
-    "relational_join": "join_semi",
-    "relational_window": "window_rank_ntile",
+    "dedup": "semantic_dedup_clusters",
+    "similarity": "knn_rerank",
+    "text": "text_bigram_logprob",
+    "multimodal": "multimodal_dedup_store_once",
+    "training": "corpus_build_pipeline_v2",
+    "udf": "applyinpandas_user_trend",
+    "relational_agg": "agg_grouping_id",
+    "relational_join": "join_lateral_topk",
+    "relational_window": "window_rank_distributions",
 }
 
 
