@@ -97,8 +97,18 @@ def main(argv: list[str]) -> None:
             transform = lambda df: df.withColumn(  # noqa: E731
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-    except Exception:
-        pass
+    except (ImportError, KeyError, OSError, ValueError) as exc:
+        # ImportError: no pyarrow; KeyError: source has no `ts` field;
+        # OSError/ArrowInvalid(ValueError): unreadable/non-parquet sample.
+        # All three mean "not the nanos fixture layout" — fall back to the
+        # declared schema, but say so instead of silently swallowing
+        # (VERDICT r5 "what's wrong" #2): a malformed source should be
+        # diagnosable from the log, not a mystery downstream type error.
+        print(
+            f"run_pipeline: ts-nanos probe skipped ({type(exc).__name__}: {exc}); "
+            "using declared EVENTS_SCHEMA as-is",
+            file=sys.stderr,
+        )
 
     # Schema-inference bootstrap (the reference's inferSchema=true): for
     # non-events sources, let the pipeline probe the first files.
@@ -123,10 +133,28 @@ def main(argv: list[str]) -> None:
 
         from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
 
+        gate_id = opts.get("dedup_id_field", cfg.record_key)
+        # Replay-safety invariant (VERDICT r5 task 3): the gate's replay
+        # correctness rests on probe-pass -> keyed-upsert-absorb -> accept
+        # being a no-op on replay, which holds only when the gate's id
+        # column IS the table's record key (the upsert dedupes replayed
+        # rows by that key). A mismatched id column would let a crash
+        # replay insert duplicate table rows that the gate then vouches
+        # for forever. Fail before the stream starts, not after.
+        if gate_id != cfg.record_key and opts.get(
+            "dedup_allow_key_mismatch", "false"
+        ).lower() != "true":
+            raise ValueError(
+                f"--dedup_id_field {gate_id!r} != --record_key "
+                f"{cfg.record_key!r}: the near-dup gate's replay safety "
+                "requires the gate id to be the upsert record key. Pass "
+                "--dedup_allow_key_mismatch true only if the id column is "
+                "independently unique per record."
+            )
         idx = LSHDedupIndex(
             spark,
             opts["dedup_index_dir"],
-            id_col=opts.get("dedup_id_field", cfg.record_key),
+            id_col=gate_id,
             text_col=opts.get("dedup_text_field", "text"),
         )
         base_transform = transform
