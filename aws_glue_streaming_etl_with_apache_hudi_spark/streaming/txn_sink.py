@@ -18,23 +18,84 @@ Crash-window analysis (the order is the point):
   effect and the marker to the same transactional store;
 - crash after the ledger write: replay is skipped — exactly-once.
 
-The ledger is one empty O_EXCL-created file per batch id — atomic on
-POSIX, safe against the concurrent-replay race (two attempts of the same
-batch can both pass the exists-check; only one wins the create)."""
+The marker write is PLUGGABLE (VERDICT r5 task 2) because "create this
+file if and only if it does not exist" has a different atomic primitive
+per store:
+
+- ``ExclMarkerWriter`` — POSIX ``O_CREAT|O_EXCL``; local disk and any
+  filesystem with POSIX open semantics.
+- ``StagedRenameMarkerWriter`` — write the marker body to a uniquely
+  named staging file, fsync it, then ``os.link`` it onto the final
+  marker name. Link-onto-target is the rename-family primitive that
+  FAILS when the target exists (HDFS ``rename``/``createNewFile``, NFS
+  lock files, ABFS rename-no-overwrite all behave this way), so it
+  keeps the exactly-one-winner property WITHOUT ``O_EXCL``. A crash
+  between stage and link leaves only an orphaned staging file that
+  ``fsck()`` sweeps; the live marker is never half-written because it
+  only ever appears via the atomic link.
+- an S3-style store would implement ``MarkerWriter`` with a conditional
+  PUT (``If-None-Match: *``) — same contract, same ledger semantics.
+"""
 
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Callable
+from typing import Protocol
 
 from pyspark.sql import DataFrame
+
+_STAGING_INFIX = ".staging-"
+
+
+class MarkerWriter(Protocol):
+    """Atomically create ``path``; True iff THIS attempt created it."""
+
+    def write(self, path: str) -> bool: ...
+
+
+class ExclMarkerWriter:
+    """POSIX ``O_CREAT|O_EXCL`` — first creator wins, losers see
+    ``FileExistsError``."""
+
+    def write(self, path: str) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
+
+
+class StagedRenameMarkerWriter:
+    """Stage-and-rename: durable staging file, then an atomic
+    no-overwrite move onto the marker name. ``os.link`` is that move on
+    POSIX (it fails with ``FileExistsError`` when the target exists,
+    exactly like HDFS ``rename`` returning false) — no ``O_EXCL`` on
+    the final path is ever used."""
+
+    def write(self, path: str) -> bool:
+        staged = f"{path}{_STAGING_INFIX}{uuid.uuid4().hex}"
+        with open(staged, "w") as f:
+            f.write(os.path.basename(path))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(staged, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(staged)
 
 
 class BatchIdLedger:
     """Durable has-this-batch-run set for foreachBatch side effects."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, marker_writer: MarkerWriter | None = None):
         self.path = path
+        self.writer: MarkerWriter = marker_writer or ExclMarkerWriter()
         os.makedirs(path, exist_ok=True)
 
     def _marker(self, batch_id: int) -> str:
@@ -45,13 +106,20 @@ class BatchIdLedger:
 
     def commit(self, batch_id: int) -> bool:
         """Record ``batch_id``; returns False if another attempt already
-        did (O_EXCL — exactly one winner per id)."""
-        try:
-            fd = os.open(self._marker(batch_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        os.close(fd)
-        return True
+        did (exactly one winner per id, whichever writer backs it)."""
+        return self.writer.write(self._marker(batch_id))
+
+    def fsck(self) -> list[str]:
+        """Remove orphaned staging files (crash between stage and move).
+        Safe at any time: a staging file is never the live marker, and
+        the writer holds no staging file across calls. Returns the
+        removed names."""
+        removed = []
+        for name in os.listdir(self.path):
+            if _STAGING_INFIX in name:
+                os.unlink(os.path.join(self.path, name))
+                removed.append(name)
+        return removed
 
     def run_once(
         self,

@@ -134,3 +134,99 @@ def test_streaming_dq_monitor_in_post_commit(spark, tmp_path):
     }
     assert total_violations["not_null(v)"] == 1
     assert total_violations["in_range(v, 0.0, 100.0)"] == 1
+
+
+# -- VERDICT r5 task 2: object-store-safe marker writers -------------------
+
+import threading
+
+import pytest
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.txn_sink import (
+    ExclMarkerWriter,
+    StagedRenameMarkerWriter,
+)
+
+WRITERS = [ExclMarkerWriter, StagedRenameMarkerWriter]
+
+
+@pytest.mark.parametrize("writer_cls", WRITERS)
+def test_concurrent_replay_race_single_winner(tmp_path, writer_cls):
+    """Two attempts of the same batch both pass the committed() check and
+    both commit — exactly ONE must win, identically for the POSIX O_EXCL
+    writer and the stage-and-rename writer (the ledger's semantics must
+    not depend on O_EXCL)."""
+    ledger = BatchIdLedger(str(tmp_path / "ledger"), marker_writer=writer_cls())
+    n = 8
+    barrier = threading.Barrier(n)
+    results: list[bool] = []
+    lock = threading.Lock()
+
+    def attempt():
+        barrier.wait()
+        won = ledger.commit(42)
+        with lock:
+            results.append(won)
+
+    threads = [threading.Thread(target=attempt) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(results) == 1, f"{writer_cls.__name__}: winners={sum(results)}"
+    assert ledger.committed(42)
+
+
+@pytest.mark.parametrize("writer_cls", WRITERS)
+def test_writer_variants_agree_on_ledger_contract(tmp_path, writer_cls):
+    ledger = BatchIdLedger(str(tmp_path / "ledger"), marker_writer=writer_cls())
+    assert not ledger.committed(0)
+    assert ledger.commit(0) is True
+    assert ledger.commit(0) is False
+    assert ledger.committed(0)
+    assert not ledger.committed(1)
+
+
+def test_rename_writer_crash_leaves_only_staging_and_fsck_sweeps(tmp_path, monkeypatch):
+    """Crash between stage and link: the live marker never appears
+    half-written; only an orphaned staging file remains, which fsck
+    removes, after which the batch commits normally."""
+    path = str(tmp_path / "ledger")
+    ledger = BatchIdLedger(path, marker_writer=StagedRenameMarkerWriter())
+
+    real_link = os.link
+    monkeypatch.setattr(os, "link", lambda *a: (_ for _ in ()).throw(OSError("crash")))
+    monkeypatch.setattr(os, "unlink", lambda *a: None)  # crash: no cleanup either
+    with pytest.raises(OSError):
+        ledger.commit(5)
+    monkeypatch.setattr(os, "link", real_link)
+    monkeypatch.undo()
+
+    assert not ledger.committed(5)  # marker never half-appeared
+    leftovers = [n for n in os.listdir(path) if ".staging-" in n]
+    assert len(leftovers) == 1
+    assert ledger.fsck() == leftovers
+    assert os.listdir(path) == []
+    assert ledger.commit(5) is True  # clean retry wins
+    assert ledger.committed(5)
+
+
+def test_rename_writer_stages_durably_no_excl_on_final_path(tmp_path):
+    """The rename writer must never O_EXCL-open the final marker path —
+    its exclusivity comes from the atomic no-overwrite move."""
+    recorded: list[tuple[str, int]] = []
+    real_open = os.open
+
+    def spy_open(path, flags, *a, **kw):
+        recorded.append((str(path), flags))
+        return real_open(path, flags, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(os, "open", side_effect=spy_open):
+        ledger = BatchIdLedger(str(tmp_path / "ledger"), marker_writer=StagedRenameMarkerWriter())
+        assert ledger.commit(3) is True
+    final = ledger._marker(3)
+    for path, flags in recorded:
+        if path == final:
+            assert not (flags & os.O_EXCL), "O_EXCL used on the final marker"
