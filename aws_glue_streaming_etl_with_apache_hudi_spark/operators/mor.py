@@ -141,10 +141,31 @@ class MergeOnReadTable:
         )
 
     def _log_commits(self) -> list[int]:
-        """PENDING delta commits: on disk and newer than the last
-        compaction — the set a snapshot read must merge over the base."""
+        """PENDING delta commits: on disk, newer than the last
+        compaction, and BELOW ``next_seq`` — the set a snapshot read must
+        merge over the base. The upper bound is the atomicity line: a
+        crash between the delta write and the meta save leaves a
+        commit-numbered dir at/above ``next_seq`` that no reader may see
+        (it was never committed; fsck sweeps it)."""
         through = self._compacted_through()
-        return [c for c in self._log_commits_on_disk() if c > through]
+        next_seq = self._meta().get("next_seq") if self.exists() else 1
+        return [
+            c
+            for c in self._log_commits_on_disk()
+            if c > through and (next_seq is None or c < next_seq)
+        ]
+
+    def _committed_on_disk(self) -> list[int]:
+        """On-disk delta commits below the ``next_seq`` atomicity line —
+        the full COMMITTED history (read_incremental / time travel scan
+        these; a crashed, never-committed dir at/above next_seq is
+        invisible here exactly as in ``_log_commits``)."""
+        next_seq = self._meta().get("next_seq") if self.exists() else 1
+        return [
+            c
+            for c in self._log_commits_on_disk()
+            if next_seq is None or c < next_seq
+        ]
 
     def _compacted_through(self) -> int:
         return self._meta().get("compacted_through", 0) if self.exists() else 0
@@ -327,8 +348,20 @@ class MergeOnReadTable:
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(tmp_base)
-            shutil.rmtree(self._base, ignore_errors=True)
+            # Swap via aside-rename, never a delete-then-rename: a crash
+            # between rmtree(base) and rename(tmp, base) would leave the
+            # table with NO base while meta still claims
+            # compacted_through > 0 — rows live only in the base would be
+            # gone for good (r6 crash-injection finding). With the aside
+            # rename every crash point leaves a full copy on disk and
+            # fsck() can roll back (old base present) or roll forward
+            # (restored base present) to a consistent read.
+            old_base = self._base + ".restore_old"
+            shutil.rmtree(old_base, ignore_errors=True)
+            if os.path.isdir(self._base):
+                os.rename(self._base, old_base)
             os.rename(tmp_base, self._base)
+            shutil.rmtree(old_base, ignore_errors=True)
         for seq in dropped:
             shutil.rmtree(
                 os.path.join(self._log, f"commit={seq}"), ignore_errors=True
@@ -443,7 +476,7 @@ class MergeOnReadTable:
                 f"({self._cleaned_through()}): replaying it requires commits "
                 "1.. which the cleaner removed"
             )
-        seqs = [s for s in self._log_commits_on_disk() if s <= as_of]
+        seqs = [s for s in self._committed_on_disk() if s <= as_of]
         if not seqs:
             raise ValueError(f"no commits at or before as_of={as_of}")
         return self._merge_logs(None, seqs)
@@ -476,13 +509,13 @@ class MergeOnReadTable:
             )
         commits = [
             c
-            for c in self._log_commits_on_disk()
+            for c in self._committed_on_disk()
             if c > begin and (end is None or c <= end)
         ]
         if not commits:
             raise ValueError(
                 f"no delta commits in ({begin}, {end if end is not None else '∞'}] "
-                f"(on disk: {self._log_commits_on_disk()})"
+                f"(on disk: {self._committed_on_disk()})"
             )
         merged = None
         for seq in commits:
@@ -614,10 +647,11 @@ class MergeOnReadTable:
     def fsck(self) -> dict:
         """Remove partial-write leftovers: log commit dirs at/above
         ``next_seq`` (a crash between the delta write and the meta save
-        — unreadable, but accreting storage), the restore staging dir,
-        and stale meta tmp files. Run offline, like compaction/clean.
-        Returns the removed paths."""
-        removed: dict = {"dirs": [], "tmp_files": []}
+        — unreadable, but accreting storage), restore staging/aside dirs
+        (rolling an interrupted restore swap back or forward to a
+        consistent read), and stale meta tmp files. Run offline, like
+        compaction/clean. Returns the removed paths."""
+        removed: dict = {"dirs": [], "tmp_files": [], "restored": []}
         next_seq = self._meta()["next_seq"] if self.exists() else 1
         # a crash during bootstrap leaves a base with no meta — unreadable
         if not self.exists() and os.path.isdir(self._base):
@@ -628,10 +662,29 @@ class MergeOnReadTable:
                 full = os.path.join(self._log, f"commit={seq}")
                 shutil.rmtree(full, ignore_errors=True)
                 removed["dirs"].append(full)
+        # Interrupted restore swap (restore() uses aside-rename; meta is
+        # saved only after the swap, so EITHER full copy yields the
+        # consistent pre-restore read):
+        # - base present: swap completed or never started — aside/staging
+        #   dirs are stale copies, drop them;
+        # - base missing + aside present: crashed between the two renames
+        #   — roll BACK (the aside dir IS the pre-restore base);
+        # - base missing + only staging present: legacy delete-then-rename
+        #   crash — roll FORWARD (restored base + still-present newer logs
+        #   merge back to the pre-restore state).
         staging = self._base + ".restore_tmp"
-        if os.path.isdir(staging):
-            shutil.rmtree(staging, ignore_errors=True)
-            removed["dirs"].append(staging)
+        aside = self._base + ".restore_old"
+        if not os.path.isdir(self._base) and self.exists():
+            if os.path.isdir(aside):
+                os.rename(aside, self._base)
+                removed["restored"].append(aside)
+            elif os.path.isdir(staging):
+                os.rename(staging, self._base)
+                removed["restored"].append(staging)
+        for leftover in (aside, staging):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
+                removed["dirs"].append(leftover)
         tmp = self._meta_path + ".tmp"
         if os.path.exists(tmp):
             try:

@@ -653,26 +653,96 @@ class UpsertTable:
 
         if not self.exists():
             raise ValueError(f"no table at {self.path}")
+        self.fsck()  # finish/clear any interrupted prior rewrite first
         df = self.read()
         tmp = self.path.rstrip("/") + ".clustering"
         shutil.rmtree(tmp, ignore_errors=True)
         cluster_write(df, tmp, cols, n_files, bits=bits, partition_by=self.partition_by)
 
-        # swap data in; metadata (_engine_meta.json, _rli) stays put
+        # Declare the swap before destroying anything: the manifest names
+        # the staged data entries, so a crash anywhere in the
+        # delete-then-move below is recoverable by fsck() ROLLING FORWARD
+        # (the staged copy is complete — redo-log semantics). Without it,
+        # a crash mid-delete leaves a data-less table whose only full
+        # copy sits in an undiscoverable sibling dir.
+        staged_entries = sorted(
+            n for n in os.listdir(tmp) if not n.startswith(("_", "."))
+        )
+        mtmp = self._cluster_manifest_path + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"entries": staged_entries}, f)
+        os.replace(mtmp, self._cluster_manifest_path)
+
+        self._finish_cluster_swap(tmp, staged_entries)
+        # partitions unchanged — refresh file listings only
+        self._sync_catalog(touched=[])
+
+    @property
+    def _cluster_manifest_path(self) -> str:
+        return os.path.join(self.path, "_clustering_manifest.json")
+
+    def _finish_cluster_swap(self, tmp: str, staged_entries: list[str]) -> None:
+        """Complete (or resume) the clustering swap: old data entries go,
+        staged entries move in, staging dir and manifest go. Resumable at
+        any crash point: an entry already moved out of staging is kept
+        (its old version was deleted before any move began); an entry
+        still in staging replaces its old version."""
+        import shutil
+
+        still_staged = (
+            {n for n in os.listdir(tmp) if not n.startswith(("_", "."))}
+            if os.path.isdir(tmp)
+            else set()
+        )
+        moved = set(staged_entries) - still_staged
         for name in os.listdir(self.path):
-            if not name.startswith(("_", ".")):
+            # keep metadata and already-moved new entries; delete old data
+            if not name.startswith(("_", ".")) and name not in moved:
                 p = os.path.join(self.path, name)
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
                 else:
                     os.remove(p)
-        for name in os.listdir(tmp):
-            if name.startswith(("_", ".")) and name != "_SUCCESS":
-                continue
-            os.replace(os.path.join(tmp, name), os.path.join(self.path, name))
-        shutil.rmtree(tmp, ignore_errors=True)
-        # partitions unchanged — refresh file listings only
-        self._sync_catalog(touched=[])
+        if os.path.isdir(tmp):
+            for name in sorted(os.listdir(tmp)):
+                if name.startswith(("_", ".")) and name != "_SUCCESS":
+                    continue
+                os.replace(os.path.join(tmp, name), os.path.join(self.path, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            os.remove(self._cluster_manifest_path)
+        except FileNotFoundError:
+            pass
+
+    def fsck(self) -> dict:
+        """Crash-recovery sweep for the COW table services (mirrors the
+        MOR/timeline fsck contract). Handles the clustering rewrite's
+        crash windows: with a manifest present the staged copy was
+        complete, so the swap ROLLS FORWARD; without one the rewrite
+        itself died, so the staging dir is swept and the table (still
+        untouched) stands. Also clears stale meta tmp files. Returns what
+        it did."""
+        import shutil
+
+        report: dict = {"promoted": False, "removed": [], "tmp_files": []}
+        tmp = self.path.rstrip("/") + ".clustering"
+        manifest = self._cluster_manifest_path
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                staged_entries = json.load(f)["entries"]
+            self._finish_cluster_swap(tmp, staged_entries)
+            report["promoted"] = True
+        elif os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+            report["removed"].append(tmp)
+        for t in (self._meta_path + ".tmp", manifest + ".tmp"):
+            if os.path.exists(t):
+                try:
+                    os.remove(t)
+                    report["tmp_files"].append(t)
+                except OSError:
+                    pass
+        return report
 
     def delete_partition(self, values: tuple | list) -> None:
         """Hudi DELETE_PARTITION: drop one partition path wholesale —

@@ -1,0 +1,360 @@
+"""Systematic crash-injection sweep across the storage services
+(VERDICT r5 task 5).
+
+Every durable-write boundary of UpsertTable / TimelineTable /
+MergeOnReadTable / LSHDedupIndex gets a fault injected (monkeypatch
+raises at the boundary), and the suite asserts the documented recovery
+contract:
+
+  1. CONSISTENT AFTER CRASH — the table reads as if the crashed
+     operation never happened (or, for the COW upsert, the streaming
+     replay of the same batch converges);
+  2. FSCK-RECOVERABLE — the service's fsck() sweeps/promotes the
+     partial-write leftovers;
+  3. RETRY CONVERGES — re-running the operation cleanly lands the
+     intended final state.
+
+The round-4/5 crash-window defects (lock clobber, index overwrite,
+replay loss) were each found ad hoc; this suite is the generalization
+the r5 verdict asked for. Writing it surfaced a NEW one: MOR restore's
+delete-then-rename base swap could lose the base entirely (now an
+aside-rename, case ``mor_restore_mid_swap``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import unittest.mock as mock
+
+import pytest
+from pyspark.sql import Row
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+
+class InjectedCrash(RuntimeError):
+    pass
+
+
+SCHEMA = "k long, p string, ver long, v double"
+B1 = [(1, "a", 1, 10.0), (2, "b", 1, 20.0)]
+B2 = [(2, "b", 2, 21.0), (3, "a", 1, 30.0)]
+AFTER_B2 = sorted([(1, "a", 1, 10.0), (2, "b", 2, 21.0), (3, "a", 1, 30.0)])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _snap(table):
+    return sorted((r.k, r.p, r.ver, r.v) for r in table.read().collect())
+
+
+def _never():
+    return CompactionPolicy(max_delta_commits=None, max_log_bytes=None)
+
+
+# --------------------------------------------------------------------------
+# fault-point runners: build -> crash -> consistent -> fsck -> retry
+# --------------------------------------------------------------------------
+
+
+def tl_upsert_before_instant(spark, path):
+    t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    before = _snap(t)
+    with mock.patch.object(TimelineTable, "_save_instant", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    assert _snap(t) == before  # no instant -> crashed data invisible
+    rep = t.fsck()
+    assert any("commit=2" in d for d in rep["dirs"])
+    t.upsert(_df(spark, B2))
+    assert _snap(t) == AFTER_B2
+    assert [c["commit"] for c in t.commits()] == [1, 2]
+
+
+def tl_compact_before_instant(spark, path):
+    t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    t.upsert(_df(spark, B2))
+    with mock.patch.object(TimelineTable, "_save_instant", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.compact()
+    assert _snap(t) == AFTER_B2
+    rep = t.fsck()
+    assert any("commit=3" in d for d in rep["dirs"])
+    t.compact()
+    assert _snap(t) == AFTER_B2
+    assert t.commits()[-1]["operation"] == "replacecommit"
+
+
+def tl_savepoint_before_rename(spark, path):
+    t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    with mock.patch("os.replace", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.savepoint()
+    assert t.savepoints() == []  # half-written savepoint invisible
+    rep = t.fsck()
+    assert rep["tmp_files"]
+    t.savepoint()
+    assert [s["commit"] for s in t.savepoints()] == [1]
+
+
+def tl_clean_after_horizon_before_deletes(spark, path):
+    t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    t.upsert(_df(spark, B2))
+    t.upsert(_df(spark, [(1, "a", 2, 11.0), (2, "b", 3, 22.0)]))
+    latest = _snap(t)
+    with mock.patch("shutil.rmtree", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.clean(keep_last=1)
+    # horizon persisted FIRST: reads below it conservatively refuse,
+    # the latest snapshot still serves
+    assert _snap(t) == latest
+    assert t.clean_horizon() == 3
+    with pytest.raises(ValueError):
+        t.read(as_of=1)
+    removed = t.clean(keep_last=1)  # retry finishes the deletions
+    assert removed["deltas"]
+    assert _snap(t) == latest
+
+
+def mor_bootstrap_before_meta(spark, path):
+    t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
+                         partition_by=["p"], policy=_never())
+    with mock.patch.object(MergeOnReadTable, "_save_meta", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B1))
+    assert not t.exists()
+    rep = t.fsck()
+    assert rep["dirs"]  # orphan base + commit=1 swept
+    t.upsert(_df(spark, B1))
+    assert _snap(t) == sorted(B1)
+
+
+def mor_upsert_before_meta(spark, path):
+    t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
+                         partition_by=["p"], policy=_never())
+    t.upsert(_df(spark, B1))
+    with mock.patch.object(MergeOnReadTable, "_save_meta", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    assert _snap(t) == sorted(B1)  # unreferenced delta invisible
+    rep = t.fsck()
+    assert any("commit=2" in d for d in rep["dirs"])
+    t.upsert(_df(spark, B2))
+    assert _snap(t) == AFTER_B2
+
+
+def mor_compact_before_meta(spark, path):
+    t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
+                         partition_by=["p"], policy=_never())
+    t.upsert(_df(spark, B1))
+    t.upsert(_df(spark, B2))
+    with mock.patch.object(MergeOnReadTable, "_save_meta", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.compact()
+    # base rewritten but compacted_through not advanced: replaying the
+    # log onto the already-merged base is idempotent (same max_by winner)
+    assert _snap(t) == AFTER_B2
+    t.fsck()
+    assert _snap(t) == AFTER_B2
+    assert t.compact() == 1  # one pending delta (bootstrap self-compacted)
+    assert t._compacted_through() == 2
+    assert sorted((r.k, r.p, r.ver, r.v) for r in t.read_optimized().collect()) == AFTER_B2
+
+
+def mor_restore_mid_swap(spark, path):
+    """THE r6 finding: crash between base->aside and staged->base
+    renames. Either full copy must survive; fsck rolls back."""
+    t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
+                         partition_by=["p"], policy=_never())
+    t.upsert(_df(spark, B1))
+    sp = t.savepoint()
+    t.upsert(_df(spark, B2))
+    t.compact()  # restore target now below compacted_through -> rebuild path
+    pre_restore = _snap(t)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after base->aside, before staged->base
+            raise InjectedCrash()
+        return real_rename(src, dst)
+
+    with mock.patch("os.rename", side_effect=flaky):
+        with pytest.raises(InjectedCrash):
+            t.restore(sp)
+    assert calls["n"] == 2
+    assert not os.path.isdir(os.path.join(path, "base"))
+    rep = t.fsck()
+    assert rep["restored"]  # rolled back from the aside copy
+    assert _snap(t) == pre_restore  # pre-restore read intact
+    t.restore(sp)  # clean retry
+    assert _snap(t) == sorted(B1)
+
+
+def mor_restore_forward_from_staging(spark, path):
+    """Legacy delete-then-rename crash shape (base gone, only the staged
+    restore copy on disk): fsck rolls FORWARD — the restored base plus
+    the still-present newer logs merge back to the pre-restore state."""
+    t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
+                         partition_by=["p"], policy=_never())
+    t.upsert(_df(spark, B1))
+    t.upsert(_df(spark, B2))
+    pre = _snap(t)
+    base = os.path.join(path, "base")
+    os.rename(base, base + ".restore_tmp")  # simulate the legacy crash
+    rep = t.fsck()
+    assert rep["restored"] == [base + ".restore_tmp"]
+    assert _snap(t) == pre
+
+
+def cow_upsert_replay_converges(spark, path):
+    """COW upsert's recovery is the streaming replay contract, not fsck:
+    data merged but meta stale -> re-delivering the same batch converges."""
+    t = UpsertTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    with mock.patch.object(UpsertTable, "_save_meta", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    t.upsert(_df(spark, B2))  # checkpoint replay of the same batch
+    assert _snap(t) == AFTER_B2
+
+
+def cow_cluster_crash_before_manifest(spark, path):
+    """Rewrite itself dies: no manifest -> table untouched, staging swept."""
+    t = UpsertTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+
+    def fake_cluster_write(df, tmp, *a, **kw):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "part-00000.parquet"), "wb") as f:
+            f.write(b"partial garbage")
+        raise InjectedCrash()
+
+    import aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering as clustering_mod
+
+    with mock.patch.object(clustering_mod, "cluster_write", side_effect=fake_cluster_write):
+        with pytest.raises(InjectedCrash):
+            t.cluster(["v"])
+    rep = t.fsck()
+    assert not rep["promoted"] and rep["removed"]
+    assert _snap(t) == sorted(B1)
+    t.cluster(["v"])  # clean retry
+    assert _snap(t) == sorted(B1)
+
+
+def cow_cluster_crash_mid_delete(spark, path):
+    """Manifest written, crash at the start of the swap (all old data
+    deleted, nothing moved): fsck rolls FORWARD from the staged copy."""
+    t = UpsertTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    t.upsert(_df(spark, B2))
+    before = _snap(t)
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # 1st = manifest tmp->final; 2nd = first data move
+            raise InjectedCrash()
+        return real_replace(src, dst)
+
+    with mock.patch("os.replace", side_effect=flaky):
+        with pytest.raises(InjectedCrash):
+            t.cluster(["v"])
+    assert os.path.exists(os.path.join(path, "_clustering_manifest.json"))
+    rep = t.fsck()
+    assert rep["promoted"]
+    assert not os.path.exists(os.path.join(path, "_clustering_manifest.json"))
+    assert not os.path.isdir(path.rstrip("/") + ".clustering")
+    assert _snap(t) == before
+
+
+def cow_cluster_crash_mid_move(spark, path):
+    """Crash halfway through the move phase: moved entries kept, the rest
+    promoted from staging — no duplicates, no losses."""
+    t = UpsertTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    t.upsert(_df(spark, B2))
+    before = _snap(t)
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 3:  # manifest + one partition moved, then crash
+            raise InjectedCrash()
+        return real_replace(src, dst)
+
+    with mock.patch("os.replace", side_effect=flaky):
+        with pytest.raises(InjectedCrash):
+            t.cluster(["v"])
+    rep = t.fsck()
+    assert rep["promoted"]
+    assert _snap(t) == before
+
+
+def dedup_accept_crash_then_replay(spark, path):
+    """Crash between the sink commit and accept(): the replay must pass
+    every row through the probe (self-pair exclusion) and accept exactly
+    once (idempotent by id)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
+    from pyspark.sql import functions as F
+
+    idx = LSHDedupIndex(spark, path)
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=2, text="an entirely different sentence about compaction services"),
+        ]
+    )
+    kept = batch.join(
+        idx.probe(batch).filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    assert kept.count() == 2
+    with mock.patch.object(LSHDedupIndex, "accept", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            idx.accept(kept)
+    # replay: probe again (index has no signatures yet), accept for real
+    kept2 = batch.join(
+        idx.probe(batch).filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    assert kept2.count() == 2
+    assert idx.accept(kept2) == 2
+    assert idx.accept(kept2) == 0  # second replay: no double-append
+    assert idx.size() == 2
+
+
+FAULT_POINTS = [
+    tl_upsert_before_instant,
+    tl_compact_before_instant,
+    tl_savepoint_before_rename,
+    tl_clean_after_horizon_before_deletes,
+    mor_bootstrap_before_meta,
+    mor_upsert_before_meta,
+    mor_compact_before_meta,
+    mor_restore_mid_swap,
+    mor_restore_forward_from_staging,
+    cow_upsert_replay_converges,
+    cow_cluster_crash_before_manifest,
+    cow_cluster_crash_mid_delete,
+    cow_cluster_crash_mid_move,
+    dedup_accept_crash_then_replay,
+]
+
+
+@pytest.mark.parametrize("fault", FAULT_POINTS, ids=lambda f: f.__name__)
+def test_crash_recovery(spark, tmp_path, fault):
+    fault(spark, str(tmp_path / "tbl"))
