@@ -40,6 +40,83 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES  # noq
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# -- sf1 spot-bench (VERDICT r5 task 4) ------------------------------------
+# The TPC-H set is IO-saturated at sf0.1; the queries whose cost actually
+# moves with data volume are the dedup/ANN family. No sf1 fixture ships,
+# so the bench synthesizes one (once, cached): documents and embeddings
+# replicated 10x with key remapping and a deterministic per-replica text
+# perturbation (replicas stay near-dups of their original — the hard case
+# for the LSH band join and the hot-bucket cap), other tables symlinked.
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SF1_QUERIES = ["dedup_minhash_lsh", "knn_lsh", "knn_rerank", "corpus_build_pipeline_v2"]
+SF1_REPLICAS = 10
+
+
+def ensure_sf1(spark) -> str:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SF1_DIR, "_READY")
+    if os.path.exists(marker):
+        return SF1_DIR
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    os.makedirs(SF1_DIR)
+    reps = spark.range(SF1_REPLICAS).withColumnRenamed("id", "_rep")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    doc_off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(doc_off))
+        .withColumn(
+            "text",
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" replica "), F.col("_rep"))
+            ),
+        )
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vec_off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(vec_off))
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/embeddings.parquet")
+    )
+
+    for tname in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events"]:
+        src = f"{SF_DIR}/{tname}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{SF1_DIR}/{tname}.parquet")
+    with open(marker, "w") as f:
+        f.write(f"from {SF_DIR} x{SF1_REPLICAS}")
+    return SF1_DIR
+
+
+def sf1_spot(spark) -> dict:
+    """Min-of-2 wall time per dedup/ANN query at the synthesized sf1."""
+    sf1 = ensure_sf1(spark)
+    out: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        fn = QUERIES[name].fn
+        fn(spark, sf1).count()  # warmup
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf1).count()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    return {"sf": 1.0, "replicas_of": SF_DIR, "queries": out}
+
 
 def run_one(spark, fn) -> float:
     t0 = time.perf_counter()
@@ -101,6 +178,17 @@ def main() -> None:
         "calibration_seconds": round(statistics.median(cal_samples), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # sf1 spot section: only when benching the sf0.1 fixture (the driver
+    # run), so the synthesized sf1 always means "10x sf0.1". Opt out with
+    # SPARK_GRAFT_SF1=0.
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") == "1"
+        and SF_DIR.rstrip("/").endswith("sf0.1")
+    ):
+        try:
+            out["sf1_spot"] = sf1_spot(spark)
+        except Exception as exc:  # never let the spot section kill the bench line
+            out["sf1_spot"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(out))
 
 
