@@ -54,24 +54,103 @@ def binary_assets(df: DataFrame, id_col: str, payload_col: str, modality: str) -
     )
 
 
-def _decode_kernel(payload: bytes, modality: str) -> tuple[str, list[float]]:
-    """Per-asset decode -> feature vector.
+_KNOWN_MODALITIES = {"image", "audio", "video", "text"}
 
-    STUB: real image/audio/video decoding needs libraries absent from
-    this environment. The deterministic fake below derives an 8-dim
-    feature from the payload bytes so the pipeline shape (schema, batch
-    flow, determinism) is fully exercised. To productionize, replace the
-    body with e.g. PIL/libav decode + model inference; everything outside
-    this function stays identical.
-    """
-    if modality not in {"image", "audio", "video", "text"}:
-        raise NotImplementedError(f"no decoder registered for modality {modality!r}")
+# -- decoder registry (VERDICT r5 task 8) ----------------------------------
+# Real decoders self-register when their library exists in the
+# environment; otherwise the deterministic stub serves the modality.
+# ``extract_features`` snapshots the registry into the Arrow closure, so
+# a decoder registered at plan time reaches the executors by value — no
+# reliance on worker-side module state.
+_DECODERS: dict[str, object] = {}
+
+
+def register_decoder(modality: str, fn) -> None:
+    """Register ``fn(payload: bytes) -> list[float]`` as the real decoder
+    for ``modality``. Raising inside ``fn`` marks the row
+    ``decode_error`` and falls back to the stub feature — one bad asset
+    never kills a 100 TB batch."""
+    if modality not in _KNOWN_MODALITIES:
+        raise ValueError(f"unknown modality {modality!r}")
+    _DECODERS[modality] = fn
+
+
+def unregister_decoder(modality: str) -> None:
+    _DECODERS.pop(modality, None)
+
+
+def decoder_capabilities() -> dict[str, str]:
+    """Per-modality decode path currently in effect."""
+    return {
+        m: ("registered" if m in _DECODERS else "stubbed")
+        for m in sorted(_KNOWN_MODALITIES)
+    }
+
+
+def _probe_optional_decoders() -> None:
+    """Auto-register real decoders for whichever optional libraries the
+    environment actually has; absent libraries leave the stub in place
+    (probed once at import — cheap, import-error-safe)."""
+    try:
+        import io
+
+        from PIL import Image
+
+        def _pil_image(payload: bytes) -> list[float]:
+            im = Image.open(io.BytesIO(payload)).convert("L").resize((8, 1))
+            return [round(p / 255.0, 6) for p in im.getdata()]
+
+        register_decoder("image", _pil_image)
+    except ImportError:
+        pass
+    try:
+        import io
+
+        import numpy as _np
+        import soundfile as _sf
+
+        def _sf_audio(payload: bytes) -> list[float]:
+            data, _rate = _sf.read(io.BytesIO(payload))
+            mono = _np.asarray(data, dtype="float64").reshape(len(data), -1).mean(axis=1)
+            chunks = _np.array_split(mono, 8) if len(mono) else []
+            return [round(float(_np.abs(c).mean()) if len(c) else 0.0, 6) for c in chunks]
+
+        register_decoder("audio", _sf_audio)
+    except ImportError:
+        pass
+
+
+_probe_optional_decoders()
+
+
+def _stub_feature(payload: bytes) -> list[float]:
     # deterministic fake: byte-histogram moments, length-normalized
     n = max(len(payload), 1)
     buckets = [0.0] * 8
-    for i, b in enumerate(payload[:4096]):
+    for b in payload[:4096]:
         buckets[b & 7] += 1.0
-    return "stubbed", [round(x / min(n, 4096), 6) for x in buckets]
+    return [round(x / min(n, 4096), 6) for x in buckets]
+
+
+def _decode_kernel(
+    payload: bytes, modality: str, decoders: dict | None = None
+) -> tuple[str, list[float]]:
+    """Per-asset decode -> feature vector.
+
+    Dispatches to the registered real decoder when one exists; the
+    deterministic stub otherwise exercises the full pipeline shape
+    (schema, batch flow, determinism) so swapping in a real decoder
+    changes no Spark plumbing. Unknown modalities fail loudly."""
+    if modality not in _KNOWN_MODALITIES:
+        raise NotImplementedError(f"no decoder registered for modality {modality!r}")
+    decoders = _DECODERS if decoders is None else decoders
+    fn = decoders.get(modality)
+    if fn is not None:
+        try:
+            return "decoded", fn(payload)
+        except Exception:
+            return "decode_error", _stub_feature(payload)
+    return "stubbed", _stub_feature(payload)
 
 
 def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -84,10 +163,12 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame
     large."""
     import pandas as pd  # noqa: F401 (Arrow batch interface)
 
+    decoders = dict(_DECODERS)  # snapshot: ships to executors by value
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             status_feats = [
-                _decode_kernel(bytes(p) if p is not None else b"", m)
+                _decode_kernel(bytes(p) if p is not None else b"", m, decoders)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             out = pdf[["asset_id", "modality", "n_bytes", "digest_md5"]].copy()

@@ -95,3 +95,81 @@ def test_resize_images_transforms_only_images(spark, sf_dir):
         else:
             assert r.decode_status == "passthrough"
             assert bytes(r.payload) == bytes(orig[aid].payload)
+
+
+# -- VERDICT r5 task 8: decoder registry + capability probe ----------------
+
+
+def test_decoder_capabilities_reflect_environment():
+    """In this environment no media libraries exist, so every modality
+    serves the stub; with PIL/soundfile present the probe auto-registers
+    real decoders (the skipping test below exercises that path)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import multimodal as mm
+
+    caps = mm.decoder_capabilities()
+    assert set(caps) == {"image", "audio", "video", "text"}
+    try:
+        import PIL  # noqa: F401
+
+        assert caps["image"] == "registered"
+    except ImportError:
+        assert caps["image"] == "stubbed"
+
+
+def test_registered_decoder_reaches_executors_by_value(spark):
+    """A decoder registered at plan time must apply inside mapInPandas
+    (snapshot-by-value, not worker-side module state)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import multimodal as mm
+
+    mm.register_decoder("image", lambda payload: [float(len(payload))])
+    try:
+        assets = mm.binary_assets(
+            spark.createDataFrame([(1, bytearray(b"abcd"))], "id long, data binary"),
+            "id", "data", "image",
+        )
+        row = mm.extract_features(assets).collect()[0]
+        assert row.decode_status == "decoded"
+        assert row.feature == [4.0]
+    finally:
+        mm.unregister_decoder("image")
+        mm._probe_optional_decoders()  # restore whatever the env provides
+
+
+def test_failing_decoder_degrades_to_stub_not_crash(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import multimodal as mm
+
+    def bad(payload):
+        raise ValueError("corrupt asset")
+
+    mm.register_decoder("image", bad)
+    try:
+        assets = mm.binary_assets(
+            spark.createDataFrame([(1, bytearray(b"abcd"))], "id long, data binary"),
+            "id", "data", "image",
+        )
+        row = mm.extract_features(assets).collect()[0]
+        assert row.decode_status == "decode_error"
+        assert len(row.feature) == 8  # stub feature stands in
+    finally:
+        mm.unregister_decoder("image")
+        mm._probe_optional_decoders()
+
+
+def test_real_pil_decoder_when_library_present(spark):
+    """Capability test: runs only where PIL exists (skips cleanly here)."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    assets = mm.binary_assets(
+        spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, data binary"),
+        "id", "data", "image",
+    )
+    row = mm.extract_features(assets).collect()[0]
+    assert row.decode_status == "decoded"
+    assert row.feature == [round(128 / 255.0, 6)] * 8
