@@ -28,6 +28,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import timelineq  # n
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import analytics  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering.
@@ -58,6 +59,14 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import analytics  # n
 # r7 rotation backlog: queries registered in round 6 AFTER this window
 # froze -- rotate them in next round with the same sentinel-doubling
 # scheme, plus re-verify anything whose implementation changed in r6.
+# Registered this round (all green on the local sf0.001+sf0.01 gate):
+#   graph family (NEW category -- point its first sentinel here in r7):
+#     graph_degree_histogram, graph_triangle_count,
+#     graph_pagerank_3rounds, graph_components_4rounds
+#   statistics family (NEW category): ab_test_welch,
+#     chi_square_independence, linreg_normal_equations, woe_decile_bins
+#   training additions: epoch_shuffle_shards, quality_quantile_gate
+#   storage addition: secondary_index_lookup
 # Every rotated-out query remains continuously verified by the local
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 

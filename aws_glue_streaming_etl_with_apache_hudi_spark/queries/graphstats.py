@@ -1,0 +1,463 @@
+"""Graph analytics + distributed statistics queries (round-6 surface).
+
+Graph family: the part co-purchase graph (operators/graph.py) — pairs of
+parts bought together in >= 2 orders. Degree profile, triangle census,
+bounded-round PageRank, bounded-round connected components; each oracle
+unrolls the identical rounds as DuckDB CTEs.
+
+Statistics family: closed-form inference computed in ONE aggregation
+pass — Welch's t, chi-square independence, multivariate OLS via normal
+equations, weight-of-evidence decile bins. The discipline throughout:
+every moment is an exact DECIMAL sum of fixed-point inputs (queries/
+base.py), so the double arithmetic that follows starts from bit-identical
+values in both engines and the final rounding is safe.
+
+Determinism: fixed iteration counts, total output orders, identical
+expression shapes Spark-side and SQL-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import graph as G
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
+
+# shared oracle CTE: the co-purchase edge list (u < v, support >= 2)
+_EDGES_CTE = """
+    li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1)
+"""
+
+
+@register(
+    "graph_degree_histogram",
+    sql=f"""
+    WITH {_EDGES_CTE}
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree distribution of the co-purchase graph: how many parts have
+    k affinity partners. Two shuffles to build the edges (orderkey
+    co-group, pair distinct), two cheap aggregations after — the edge
+    build dominates and scales with the fact table, the histogram with
+    the (much smaller) node count."""
+    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"))
+    return (
+        G.degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    sql=f"""
+    WITH {_EDGES_CTE}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle census. Edges oriented low->high id, so each triangle is
+    one wedge closure — no double counting, no back-edge join fan-out
+    (operators/graph.py documents the degree-orientation refinement for
+    skewed graphs)."""
+    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"))
+    return G.triangle_count(edges)
+
+
+def _pagerank_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT d.node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * coalesce(s.contrib, 0.0) AS pr
+      FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / dd.degree) AS contrib
+        FROM sym e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg dd ON dd.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = d.node
+    )"""
+
+
+@register(
+    "graph_pagerank_3rounds",
+    headline=True,  # the iterative-join compute shape, new to the bench
+    sql=f"""
+    WITH {_EDGES_CTE},
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    {_pagerank_round_sql('pr0', 'pr1')},
+    {_pagerank_round_sql('pr1', 'pr2')},
+    {_pagerank_round_sql('pr2', 'pr3')}
+    SELECT node, round(pr, 6) AS pr FROM pr3 ORDER BY node
+    """,
+)
+def graph_pagerank_3rounds(spark, sf_dir):
+    """Three PageRank rounds on the co-purchase graph, every node's rank
+    rounded to 6dp, ordered by node id (a total, value-independent order
+    — ranking by the float would make tie order engine-dependent). The
+    oracle unrolls the identical three rounds as CTEs."""
+    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"))
+    return (
+        G.pagerank(edges, iters=3, damping=0.85)
+        .select("node", F.round("pr", 6).alias("pr"))
+        .orderBy("node")
+    )
+
+
+def _lp_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT l.node,
+             least(l.lbl, coalesce(m.nmin, l.lbl)) AS lbl
+      FROM {prev} l LEFT JOIN (
+        SELECT e.src AS node, min(p.lbl) AS nmin
+        FROM sym e JOIN {prev} p ON e.dst = p.node
+        GROUP BY e.src
+      ) m ON m.node = l.node
+    )"""
+
+
+@register(
+    "graph_components_4rounds",
+    sql=f"""
+    WITH {_EDGES_CTE},
+    lbl0 AS (SELECT node, node AS lbl FROM deg),
+    {_lp_round_sql('lbl0', 'lbl1')},
+    {_lp_round_sql('lbl1', 'lbl2')},
+    {_lp_round_sql('lbl2', 'lbl3')},
+    {_lp_round_sql('lbl3', 'lbl4')}
+    SELECT lbl AS component, CAST(count(*) AS BIGINT) AS size
+    FROM lbl4 GROUP BY lbl ORDER BY size DESC, component
+    """,
+)
+def graph_components_4rounds(spark, sf_dir):
+    """Connected components after four min-label rounds (labels propagate
+    four hops — bounded rounds keep the result deterministic and
+    oracle-checkable; production convergence loops until a round is a
+    no-op, same per-round plan)."""
+    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"))
+    return (
+        G.min_label_components(edges, iters=4)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "component")
+    )
+
+
+# -- statistics ------------------------------------------------------------
+
+
+@register(
+    "ab_test_welch",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT cohort,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx
+      FROM per_user GROUP BY cohort
+    ),
+    s AS (
+      SELECT cohort, n, sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1.0) AS var FROM m
+    )
+    SELECT round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+           round(pow(a.var / a.n + b.var / b.n, 2)
+                 / (pow(a.var / a.n, 2) / (a.n - 1.0)
+                    + pow(b.var / b.n, 2) / (b.n - 1.0)), 6) AS welch_df
+    FROM s a JOIN s b ON a.cohort = 0 AND b.cohort = 1
+    """,
+)
+def ab_test_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test between two user cohorts (split by
+    user_id parity) on per-user spend. One pass builds per-user sums (2dp
+    exact), one pass the cohort moments as exact decimal sums — mean/
+    variance/t/df are then identical double arithmetic in both engines.
+    At scale: two shuffles total (user, then cohort), the second over two
+    rows."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    ).withColumn("cohort", F.col("user_id") % 2)
+    m = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(18,2)") * F.col("x").cast("decimal(18,2)")
+        ).cast("double").alias("sxx"),
+    )
+    s = m.select(
+        "cohort",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1.0)).alias("var"),
+    )
+    a = s.filter(F.col("cohort") == 0).alias("a")
+    b = s.filter(F.col("cohort") == 1).alias("b")
+    se2 = F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.round(F.col("a.mean"), 6).alias("mean_a"),
+        F.round(F.col("b.mean"), 6).alias("mean_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("a.var") / F.col("a.n"), 2) / (F.col("a.n") - 1.0)
+                + F.pow(F.col("b.var") / F.col("b.n"), 2) / (F.col("b.n") - 1.0)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "chi_square_independence",
+    sql="""
+    WITH obs AS (
+      SELECT event_type, user_id % 2 AS cohort,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
+    rows_ AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+    cols_ AS (SELECT cohort, sum(o) AS c FROM obs GROUP BY 1)
+    SELECT round(sum(pow(o.o - (r.r * c.c / (SELECT n FROM tot)), 2)
+                     / (r.r * c.c / (SELECT n FROM tot))), 6) AS chi2,
+           CAST((SELECT count(*) FROM rows_) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM cols_) - 1 AS BIGINT) AS dof
+    FROM obs o
+    JOIN rows_ r ON r.event_type = o.event_type
+    JOIN cols_ c ON c.cohort = o.cohort
+    """,
+)
+def chi_square_independence(spark, sf_dir):
+    """Chi-square test of independence between event type and user
+    cohort. Observed counts are exact; expected counts and the statistic
+    are the same expression tree both sides. One shuffle on the
+    contingency key; the cell table is tiny thereafter."""
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o")).persist()
+    n = obs.agg(F.sum("o")).collect()[0][0]
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("cohort").agg(F.sum("o").alias("c"))
+    n_rows = rows_.count()
+    n_cols = cols_.count()
+    e = F.col("r") * F.col("c") / F.lit(n)
+    out = (
+        obs.join(rows_, "event_type")
+        .join(cols_, "cohort")
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+            F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+        )
+    )
+    obs.unpersist()
+    return out
+
+
+@register(
+    "linreg_normal_equations",
+    sql="""
+    WITH feat AS (
+      SELECT l_orderkey AS k,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x1,
+             CAST(count(*) AS DOUBLE) AS x2
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    d AS (
+      SELECT f.x1, f.x2,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS y
+      FROM feat f JOIN orders o ON o.o_orderkey = f.k
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x1 AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x2 AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 AS DECIMAL(18,2)) * CAST(x1 AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x1 AS DECIMAL(18,2)) * CAST(x2 AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x2 AS DECIMAL(18,2)) * CAST(x2 AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+      FROM d
+    ),
+    det_ AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS _one,
+        (n * (s11 * s22 - s12 * s12)
+         - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)) AS det,
+        (sy * (s11 * s22 - s12 * s12)
+         - s1 * (s1y * s22 - s12 * s2y)
+         + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+        (n * (s1y * s22 - s12 * s2y)
+         - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2)) AS det1,
+        (n * (s11 * s2y - s1y * s12)
+         - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2)) AS det2
+      FROM m GROUP BY ALL
+    )
+    SELECT round(det0 / det, 6) AS beta0,
+           round(det1 / det, 6) AS beta1,
+           round(det2 / det, 6) AS beta2
+    FROM det_
+    """,
+)
+def linreg_normal_equations(spark, sf_dir):
+    """Multivariate OLS (o_totalprice ~ total quantity + line count) by
+    the closed-form normal equations: ONE aggregation pass collects the
+    nine moments as exact decimal sums, Cramer's rule solves the 3x3
+    system in scalar arithmetic — no iteration, no driver-side matrix
+    library, and the whole regression costs two shuffles (per-order
+    features, then a single global agg). The identical determinant
+    expressions run both engines, so rounding to 6dp is safe."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    feat = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("x1"),
+        F.count(F.lit(1)).cast("double").alias("x2"),
+    )
+    d = feat.join(orders, feat.k == orders.o_orderkey).select(
+        "x1", "x2", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("y")
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(18,2)")
+
+    m = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x1")).cast("double").alias("s1"),
+        F.sum(dec("x2")).cast("double").alias("s2"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x1") * dec("x1")).cast("double").alias("s11"),
+        F.sum(dec("x1") * dec("x2")).cast("double").alias("s12"),
+        F.sum(dec("x2") * dec("x2")).cast("double").alias("s22"),
+        F.sum(dec("x1") * dec("y")).cast("double").alias("s1y"),
+        F.sum(dec("x2") * dec("y")).cast("double").alias("s2y"),
+    )
+    c = F.col
+    det = (
+        c("n") * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - c("s1") * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + c("s2") * (c("s1") * c("s12") - c("s11") * c("s2"))
+    )
+    det0 = (
+        c("sy") * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - c("s1") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        + c("s2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    )
+    det1 = (
+        c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        - c("sy") * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+    )
+    det2 = (
+        c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+        - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+        + c("sy") * (c("s1") * c("s12") - c("s11") * c("s2"))
+    )
+    return m.select(
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"),
+    )
+
+
+@register(
+    "woe_decile_bins",
+    sql="""
+    WITH binned AS (
+      SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bad)::BIGINT AS BIGINT) AS n_bad
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_bad) AS DOUBLE) AS tot_bad,
+             CAST(sum(n - n_bad) AS DOUBLE) AS tot_good
+      FROM per_bin
+    )
+    SELECT bin, n, n_bad,
+           round(ln((CAST(n - n_bad AS DOUBLE) / tot_good)
+                    / (CAST(n_bad AS DOUBLE) / tot_bad)), 6) AS woe
+    FROM per_bin, tot ORDER BY bin
+    """,
+)
+def woe_decile_bins(spark, sf_dir):
+    """Weight-of-evidence per price decile against the 'F' order-status
+    outcome — the credit-scoring binning primitive. ntile over a TOTAL
+    order (price, key) is engine-portable; rates are ratios of exact
+    counts, so ln() sees identical doubles. At scale the single global
+    ntile sort is the cost — a production binning would use
+    approx-quantile cut points instead of a full sort (same downstream
+    algebra), which is why the bin assignment is isolated in one window."""
+    orders = t(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_bad").cast("double").alias("tot_bad"),
+        F.sum(F.col("n") - F.col("n_bad")).cast("double").alias("tot_good"),
+    )
+    return (
+        per_bin.crossJoin(tot)
+        .select(
+            "bin",
+            "n",
+            "n_bad",
+            F.round(
+                F.log(
+                    ((F.col("n") - F.col("n_bad")).cast("double") / F.col("tot_good"))
+                    / (F.col("n_bad").cast("double") / F.col("tot_bad"))
+                ),
+                6,
+            ).alias("woe"),
+        )
+        .orderBy("bin")
+    )

@@ -486,3 +486,104 @@ def corpus_build_pipeline_v2(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# -- round 6: epoch shuffling + quantile quality gating --------------------
+
+
+@register(
+    "epoch_shuffle_shards",
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             {stable_hash64_sql("CAST(doc_id AS VARCHAR)", "epoch1")} AS hk
+      FROM documents
+    ),
+    sharded AS (SELECT doc_id, n_chars, hk % 8 AS shard FROM h)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+)
+def epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch shuffle: hash every doc with an epoch seed and
+    shard on the hash — the standard way to give each training epoch an
+    independent, REPRODUCIBLE permutation without a global sort (the
+    hash IS the shuffle; changing the seed string reshuffles). One
+    shuffle on the shard key; per-shard stats verify balance. At 100 TB
+    this is how you materialize epoch shards: write partitioned by
+    `shard`, readers stream shards in order."""
+    docs = t(spark, sf_dir, "documents")
+    sharded = docs.select(
+        "doc_id",
+        "n_chars",
+        (stable_hash64(F.col("doc_id").cast("string"), "epoch1") % 8).alias("shard"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "quality_quantile_gate",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             least(1.0, CAST(length(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 200.0) AS score
+      FROM documents
+    ),
+    thr AS (
+      SELECT lang, quantile_cont(score, 0.25) AS threshold
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN s.score > t.threshold THEN 1 ELSE 0 END)::BIGINT
+                AS BIGINT) AS kept,
+           round(t.threshold, 6) AS threshold
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    GROUP BY s.lang, t.threshold ORDER BY s.lang
+    """,
+)
+def quality_quantile_gate(spark, sf_dir):
+    """Per-language adaptive quality gate: keep documents above their
+    language's 25th-percentile length score — per-group quantile
+    thresholds are how corpus recipes avoid one language's distribution
+    starving another's. Spark `percentile` and DuckDB `quantile_cont`
+    share linear interpolation, so the threshold is engine-identical.
+    Two shuffles (score+quantile per lang, then the gated count); the
+    quantile is exact here — at 100 TB swap in approx_percentile with
+    the same downstream algebra."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double") / 200.0,
+        ).alias("score"),
+    )
+    thr = scored.groupBy("lang").agg(
+        F.percentile(F.col("score"), F.lit(0.25)).alias("threshold")
+    )
+    return (
+        scored.join(thr, "lang")
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                F.when(F.col("score") > F.col("threshold"), 1).otherwise(0)
+            ).cast("long").alias("kept"),
+        )
+        .select("lang", "total", "kept", F.round("threshold", 6).alias("threshold"))
+        .orderBy("lang")
+    )

@@ -1,0 +1,96 @@
+"""Graph operators (operators/graph.py): degrees, triangles, PageRank,
+min-label components — verified on hand-built graphs with known answers."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_degrees_and_symmetrize(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    deg = {r.node: r.degree for r in G.degrees(e).collect()}
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert G.symmetrize(e).count() == 8
+
+
+def test_triangle_count_k4(spark):
+    # K4 has C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    row = G.triangle_count(_edges(spark, k4)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_count_no_triangle(spark):
+    row = G.triangle_count(_edges(spark, [(1, 2), (2, 3), (3, 4)])).collect()[0]
+    assert row.n_triangles == 0
+
+
+def test_pagerank_mass_conserved_and_symmetric(spark):
+    """Undirected graph: total rank mass stays 1; symmetric nodes get
+    identical ranks; higher-degree hub outranks leaves."""
+    star_plus = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    pr = {r.node: r.pr for r in G.pagerank(_edges(spark, star_plus), iters=5).collect()}
+    assert math.isclose(sum(pr.values()), 1.0, rel_tol=1e-9)
+    assert math.isclose(pr[2], pr[3], rel_tol=1e-12)  # symmetric pair
+    assert pr[1] > pr[4]  # hub beats leaf
+
+
+def test_pagerank_two_cliques_uniform_within(spark):
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(4, 5), (4, 6), (5, 6)]
+    pr = {r.node: r.pr for r in G.pagerank(_edges(spark, tri1 + tri2), iters=3).collect()}
+    vals = set(round(v, 12) for v in pr.values())
+    assert vals == {round(1.0 / 6, 12)}  # regular graph -> uniform rank
+
+
+def test_min_label_components_two_islands(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)])
+    comp = {r.node: r.component for r in G.min_label_components(e, iters=4).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_min_label_components_bounded_rounds_propagate_k_hops(spark):
+    # a path graph 1-2-3-4-5-6: after 2 rounds node 6 has seen label from
+    # 2 hops away (label 4 at best via min chain), after 5 rounds label 1
+    chain = [(i, i + 1) for i in range(1, 6)]
+    one_round = {
+        r.node: r.component
+        for r in G.min_label_components(_edges(spark, chain), iters=1).collect()
+    }
+    assert one_round[6] == 5  # only the direct neighbor's label
+    full = {
+        r.node: r.component
+        for r in G.min_label_components(_edges(spark, chain), iters=5).collect()
+    }
+    assert set(full.values()) == {1}
+
+
+def test_copurchase_edges_support_threshold(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 20),          # order 1: pair (10,20)
+            (2, 10), (2, 20),          # order 2: pair (10,20) again
+            (3, 10), (3, 30),          # order 3: pair (10,30) only once
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.u, r.v) for r in G.copurchase_edges(li, min_support=2).collect()}
+    assert got == {(10, 20)}
+
+
+def test_graph_plans_have_no_cartesian(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20)], "l_orderkey long, l_partkey long"
+    )
+    edges = G.copurchase_edges(li)
+    for df in (G.triangle_count(edges), G.pagerank(edges, iters=1)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
