@@ -118,6 +118,12 @@ class UpsertTable:
     stats_columns: list[str] = field(default_factory=list)
     record_index: bool = False
     rli_buckets: int = 64
+    # Hudi 1.0 secondary index analogue: per indexed NON-KEY column, a
+    # value -> partition-path map maintained with every commit, so an
+    # equality predicate on that column prunes the scan to the
+    # partitions actually containing the value — point lookups on
+    # high-cardinality non-key columns without a partition redesign.
+    secondary_index_columns: list[str] = field(default_factory=list)
     # "overwrite": the incoming row replaces the stored row wholesale
     # (Hudi's default OverwriteWithLatestAvroPayload — the reference's
     # behavior, glue_job_script.py:50-62). "partial": non-null incoming
@@ -130,6 +136,11 @@ class UpsertTable:
             raise ValueError("record_index requires global_index + partition_by")
         if self.merge_mode not in ("overwrite", "partial"):
             raise ValueError(f"unknown merge_mode {self.merge_mode!r}")
+        if self.secondary_index_columns and not self.partition_by:
+            raise ValueError(
+                "secondary_index_columns requires partition_by (the index "
+                "maps values to partition paths)"
+            )
 
     @property
     def _meta_path(self) -> str:
@@ -231,6 +242,10 @@ class UpsertTable:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_path)
         if emptied:
+            self._sidx_remove_partitions(sorted(
+                emptied,
+                key=lambda t: tuple((v is None, str(v)) for v in t),
+            ))
             # _write registered them moments ago; de-register so a
             # partition-aware catalog scan never lists a vanished dir
             self._sync_catalog(dropped=list(emptied))
@@ -576,6 +591,8 @@ class UpsertTable:
 
         1. equality on every record key  -> record-index point lookup
            (one RLI bucket + one partition read, no scan);
+        1b. else equality on a secondary-indexed column -> partitions the
+           index maps that value to (exact containment, not a bound);
         2. else a condition on a stats-indexed column -> column-stats
            partition skipping (the most selective choice available
            without cardinality estimates: point conditions before
@@ -616,6 +633,22 @@ class UpsertTable:
             and all(k in conditions and is_eq(conditions[k]) for k in self.keys)
         ):
             return residual(self.read_key(tuple(conditions[k] for k in self.keys)))
+
+        # 1b. secondary-index partition pruning: an equality on an
+        # indexed non-key column reads exactly the partitions known to
+        # contain the value (more precise than column stats, which only
+        # bound ranges per partition)
+        if self.partition_by and self.exists():
+            for c in self.secondary_index_columns:
+                if c in conditions and is_eq(conditions[c]):
+                    parts = self._sidx_lookup(c, conditions[c])
+                    if parts is None:
+                        continue  # index not built yet — fall through
+                    if not parts:
+                        return residual(
+                            self.spark.createDataFrame([], self._load_schema())
+                        )
+                    return residual(self._read_partition_dirs(parts))
 
         # 2. column-stats data skipping (point conditions first)
         indexed = [c for c in self.stats_columns if c in conditions]
@@ -766,6 +799,7 @@ class UpsertTable:
                     raw = raw.withColumn(c, F.lit(v).cast(schema[c]))
             self._rli_delete(raw.select(*self.keys).distinct())
         shutil.rmtree(target, ignore_errors=True)
+        self._sidx_remove_partitions([values])
         if self.stats_columns and self.exists():
             with open(self._meta_path) as f:
                 meta = json.load(f)
@@ -802,7 +836,97 @@ class UpsertTable:
                 pass
         writer.parquet(self.path)
         self._save_meta(df, self._updated_stats(df, overwrite_all, touched))
+        self._sidx_update(touched=None if overwrite_all else touched)
         self._sync_catalog(touched=None if overwrite_all else touched)
+
+    # -- secondary index (Hudi 1.0 parity) -----------------------------------
+    #
+    # Layout: `<path>/_sidx/<col>/` — distinct (value, partition path)
+    # pairs stored as Parquet Hive-partitioned BY THE TABLE'S PARTITION
+    # COLUMNS. Maintenance rides the commit's own dynamic partition
+    # overwrite: `_write` rewrites exactly the touched partitions of the
+    # index from the same merged frame it writes to the table, so index
+    # and data can never desynchronize within a commit, and index write
+    # cost is O(touched partitions), not O(table). Emptied/dropped
+    # partitions remove their index dirs alongside the data dirs.
+
+    def _sidx_dir(self, col: str) -> str:
+        return os.path.join(self.path, "_sidx", col)
+
+    def _sidx_update(self, touched: list[tuple] | None = None) -> None:
+        """Refresh index entries from the FRESHLY WRITTEN table files
+        (re-read, not the merged frame's lineage — that lineage still
+        references the pre-overwrite files the commit just replaced).
+        Columnar re-scan of the touched partitions only, projecting the
+        indexed column + partition path."""
+        if not self.secondary_index_columns:
+            return
+        src = self.read()
+        if touched:
+            cond = self._partition_values_filter(touched)
+            if cond is not None:
+                src = src.filter(cond)
+        for col in self.secondary_index_columns:
+            if col not in src.columns:
+                continue
+            (
+                src.select(col, *self.partition_by)
+                .distinct()
+                .write.mode("overwrite")
+                .partitionBy(*self.partition_by)
+                .parquet(self._sidx_dir(col))
+            )
+
+    def _sidx_remove_partitions(self, parts: list[tuple]) -> None:
+        import shutil
+
+        for col in self.secondary_index_columns:
+            root = self._sidx_dir(col)
+            if not os.path.isdir(root):
+                continue
+            for values in parts:
+                sub = [
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                    for c, v in zip(self.partition_by, values)
+                ]
+                shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
+
+    def build_secondary_index(self, col: str) -> None:
+        """(Re)build the secondary index for ``col`` from current state —
+        the backfill path for tables created before the index was
+        declared. Subsequent commits maintain it incrementally."""
+        if col not in self.secondary_index_columns:
+            self.secondary_index_columns.append(col)
+        self._sidx_update()
+
+    def _sidx_lookup(self, col: str, value) -> list[tuple] | None:
+        """Partitions whose data contains ``value`` in ``col``; None when
+        the index does not exist on disk (caller falls back)."""
+        root = self._sidx_dir(col)
+        if not os.path.isdir(root):
+            return None
+        schema = {f.name: f.dataType for f in self._load_schema().fields}
+        idx = self.spark.read.parquet(root)
+        for p in self.partition_by:
+            if p in schema:
+                idx = idx.withColumn(p, F.col(p).cast(schema[p]))
+        parts = [
+            tuple(r)
+            for r in idx.filter(F.col(col).eqNullSafe(F.lit(value)))
+            .select(*self.partition_by)
+            .distinct()
+            .collect()
+        ]
+        # stale-entry guard: only partitions whose data dirs still exist
+        live = []
+        for values in parts:
+            sub = [
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in zip(self.partition_by, values)
+            ]
+            if os.path.isdir(os.path.join(self.path, *sub)):
+                live.append(values)
+        return live
 
     # -- column statistics / data skipping -----------------------------------
     #

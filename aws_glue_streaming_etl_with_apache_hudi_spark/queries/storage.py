@@ -309,3 +309,43 @@ def retention_sweep_state(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         F.round("value", 2).alias("value"),
     ).orderBy("event_type", "user_id")
+
+
+@register(
+    "secondary_index_lookup",
+    sql="""
+    SELECT doc_id, source, lang, n_chars
+    FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source, doc_id
+                                ORDER BY n_chars DESC, doc_id DESC) AS rn
+      FROM documents) x
+    WHERE rn = 1 AND lang = 'zh'
+    ORDER BY doc_id
+    """,
+)
+def secondary_index_lookup(spark, sf_dir):
+    """Point lookup on a NON-key column through the secondary index
+    (operators/upsert.py, Hudi 1.0 parity): documents upsert into a
+    source-partitioned table with `lang` secondary-indexed; read_for on
+    lang equality reads ONLY the partitions whose index entries contain
+    the value — at 100 TB with thousands of source partitions, a lang
+    lookup touches the handful that actually hold that language,
+    without lang being a partition key. The oracle is latest-per-key
+    state restricted to the looked-up value."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="sidx_tbl_")
+    tbl = UpsertTable(
+        spark, path, keys=["doc_id"], precombine="n_chars",
+        partition_by=["source"], secondary_index_columns=["lang"],
+    )
+    tbl.upsert(docs)
+    return (
+        tbl.read_for({"lang": "zh"})
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
