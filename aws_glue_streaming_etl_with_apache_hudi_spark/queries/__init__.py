@@ -62,9 +62,11 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 # Registered this round (all green on the local sf0.001+sf0.01 gate):
 #   graph family (NEW category -- point its first sentinel here in r7):
 #     graph_degree_histogram, graph_triangle_count,
-#     graph_pagerank_3rounds, graph_components_4rounds
+#     graph_pagerank_3rounds, graph_components_4rounds,
+#     graph_jaccard_neighbors
 #   statistics family (NEW category): ab_test_welch,
-#     chi_square_independence, linreg_normal_equations, woe_decile_bins
+#     chi_square_independence, linreg_normal_equations, woe_decile_bins,
+#     mann_whitney_u, ks_two_sample, weekday_seasonality_index
 #   training additions: epoch_shuffle_shards, quality_quantile_gate
 #   storage addition: secondary_index_lookup
 # Every rotated-out query remains continuously verified by the local

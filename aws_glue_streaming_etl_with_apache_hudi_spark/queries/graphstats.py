@@ -461,3 +461,253 @@ def woe_decile_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    sql=f"""
+    WITH {_EDGES_CTE},
+    common AS (
+      SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS c
+      FROM sym e1 JOIN sym e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.u, c.v,
+             round(CAST(c.c AS DOUBLE)
+                   / CAST(du.degree + dv.degree - c.c AS DOUBLE), 6) AS jaccard
+      FROM common c
+      JOIN deg du ON du.node = c.u
+      JOIN deg dv ON dv.node = c.v
+    )
+    SELECT u, v, jaccard FROM (
+      SELECT *, row_number() OVER (ORDER BY jaccard DESC, u, v) AS rn FROM j)
+    WHERE rn <= 20 ORDER BY jaccard DESC, u, v
+    """,
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Top-20 part pairs by neighbor-set Jaccard similarity — the
+    structural-equivalence primitive behind item-item collaborative
+    filtering. Common-neighbor counts come from one wedge self-join on
+    the shared endpoint (same shape as the triangle census, so the same
+    degree-orientation bound applies at scale); the union size is
+    deg(u)+deg(v)-common, so no second join over neighbor sets is ever
+    materialized. Jaccard is a ratio of exact counts — identical doubles
+    both engines."""
+    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"))
+    sym = G.symmetrize(edges)
+    deg = G.degrees(edges)
+    e1 = sym.alias("e1")
+    e2 = sym.alias("e2")
+    common = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv")
+    j = (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("jaccard"), "u", "v"))
+    return (
+        j.withColumn("rn", rn)
+        .filter(F.col("rn") <= 20)
+        .select("u", "v", "jaccard")
+        .orderBy(F.desc("jaccard"), "u", "v")
+    )
+
+
+@register(
+    "mann_whitney_u",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id % 2 AS cohort,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cohort,
+             CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+             + (CAST(count(*) OVER (PARTITION BY x) AS DOUBLE) - 1.0) / 2.0
+               AS avg_rank
+      FROM per_user
+    ),
+    agg AS (
+      SELECT cohort, CAST(count(*) AS DOUBLE) AS n,
+             sum(avg_rank) AS rank_sum
+      FROM ranked GROUP BY cohort
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.rank_sum - a.n * (a.n + 1.0) / 2.0, 2) AS u_a,
+           round(b.rank_sum - b.n * (b.n + 1.0) / 2.0, 2) AS u_b
+    FROM agg a JOIN agg b ON a.cohort = 0 AND b.cohort = 1
+    """,
+)
+def mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) between the two user cohorts — the
+    nonparametric sibling of ab_test_welch. Tied values take the average
+    rank (rank() + (ties-1)/2, identical in both engines and exact in
+    halves, so the statistic is exact to 2dp by construction). One global
+    rank over per-user aggregates: the sort is over users, not events —
+    at 100 TB the rank would come from a distributed sort of the (much
+    smaller) per-user table, which Spark executes as a range-partitioned
+    sort without a single-node bottleneck."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    ).select((F.col("user_id") % 2).alias("cohort"), "x")
+    ranked = per_user.select(
+        "cohort",
+        (
+            F.rank().over(W.orderBy("x")).cast("double")
+            + (F.count(F.lit(1)).over(W.partitionBy("x")).cast("double") - 1.0) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = ranked.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("avg_rank").alias("rank_sum"),
+    )
+    a = agg.filter(F.col("cohort") == 0).alias("a")
+    b = agg.filter(F.col("cohort") == 1).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(F.col("a.rank_sum") - F.col("a.n") * (F.col("a.n") + 1.0) / 2.0, 2).alias("u_a"),
+        F.round(F.col("b.rank_sum") - F.col("b.n") * (F.col("b.n") + 1.0) / 2.0, 2).alias("u_b"),
+    )
+
+
+@register(
+    "ks_two_sample",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id % 2 AS cohort,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    ),
+    n AS (
+      SELECT CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS DOUBLE) AS n0,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS DOUBLE) AS n1
+      FROM per_user
+    ),
+    steps AS (
+      SELECT x,
+             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS DOUBLE) AS c1
+      FROM per_user GROUP BY x
+    ),
+    ecdf AS (
+      SELECT x,
+             sum(c0) OVER (ORDER BY x) / (SELECT n0 FROM n) AS f0,
+             sum(c1) OVER (ORDER BY x) / (SELECT n1 FROM n) AS f1
+      FROM steps
+    )
+    SELECT round(max(abs(f0 - f1)), 6) AS ks_d,
+           CAST((SELECT n0 FROM n) AS BIGINT) AS n_a,
+           CAST((SELECT n1 FROM n) AS BIGINT) AS n_b
+    FROM ecdf
+    """,
+)
+def ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D: the max ECDF gap between the two
+    cohorts' per-user spend. Both ECDFs are cumulative counts over the
+    SAME ordered distinct values divided by exact cohort sizes — step
+    heights are exact rationals, so max|F0-F1| is engine-identical. The
+    window sum over distinct values is the only ordered pass, over the
+    per-user table, not raw events."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    ).select((F.col("user_id") % 2).alias("cohort"), "x").persist()
+    sizes = per_user.groupBy().agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+    ).collect()[0]
+    n0, n1 = sizes.n0, sizes.n1
+    steps = per_user.groupBy("x").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("double").alias("c0"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("double").alias("c1"),
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = steps.select(
+        (F.sum("c0").over(w) / F.lit(n0)).alias("f0"),
+        (F.sum("c1").over(w) / F.lit(n1)).alias("f1"),
+    )
+    out = ecdf.agg(
+        F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 6).alias("ks_d"),
+        F.lit(int(n0)).cast("long").alias("n_a"),
+        F.lit(int(n1)).cast("long").alias("n_b"),
+    )
+    per_user.unpersist()
+    return out
+
+
+@register(
+    "weekday_seasonality_index",
+    sql="""
+    WITH e AS (
+      SELECT isodow(ts) AS dow,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    per_dow AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) AS s
+      FROM e GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS tn,
+             CAST(sum(CAST(s AS DECIMAL(18,2))) AS DOUBLE) AS ts_
+      FROM per_dow
+    )
+    SELECT dow, n,
+           round((s / CAST(n AS DOUBLE)) / (ts_ / tn), 6) AS seasonality_index
+    FROM per_dow, tot ORDER BY dow
+    """,
+)
+def weekday_seasonality_index(spark, sf_dir):
+    """Day-of-week seasonality: each weekday's mean event value relative
+    to the overall mean — the baseline a seasonal anomaly detector
+    divides out. ISO weekday numbering aligns the engines (Spark
+    weekday()+1 == DuckDB isodow). One shuffle to 7 groups; the index is
+    a ratio of exact-decimal-derived means."""
+    ev = t(spark, sf_dir, "events")
+    per_dow = ev.select(
+        (F.weekday("ts") + F.lit(1)).alias("dow"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+    )
+    tot = per_dow.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.sum(F.col("s").cast("decimal(18,2)")).cast("double").alias("ts_"),
+    )
+    return (
+        per_dow.crossJoin(tot)
+        .select(
+            "dow",
+            "n",
+            F.round(
+                (F.col("s") / F.col("n").cast("double")) / (F.col("ts_") / F.col("tn")),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("dow")
+    )
