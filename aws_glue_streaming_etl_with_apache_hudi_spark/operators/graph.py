@@ -82,7 +82,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Wedge join (u,v)x(v,w) then close with (u,w): with every edge
     oriented low->high each triangle {a<b<c} is found exactly once, as
     the wedge a->b->c closed by a->c."""
-    e = edges.persist()
+    already_cached = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    e = edges if already_cached else edges.persist()
     try:
         n_nodes = degrees(e).count()
         n_edges = e.count()
@@ -99,7 +100,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .count()
         )
     finally:
-        e.unpersist()
+        if not already_cached:  # a caller-owned cache is not ours to evict
+            e.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(n_nodes, n_edges, tri)], "n_nodes long, n_edges long, n_triangles long"

@@ -94,3 +94,14 @@ def test_graph_plans_have_no_cartesian(spark):
     for df in (G.triangle_count(edges), G.pagerank(edges, iters=1)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_graph_query_edges_served_from_persist_slot(spark, sf_dir):
+    """The shared edge list must serve repeat consumers from the session
+    persist slot (InMemoryTableScan), not re-run the orderkey self-join
+    per branch (plan audit: 4 FileScan executions without the slot)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    df = QUERIES["graph_degree_histogram"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
