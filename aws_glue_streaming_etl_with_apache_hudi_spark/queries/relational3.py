@@ -867,3 +867,41 @@ def tumbling_window_offset(spark, sf_dir):
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    sql="""
+    WITH RECURSIVE anc(node, anc) AS (
+      SELECT s_suppkey, s_suppkey FROM supplier
+      UNION ALL
+      SELECT a.node, a.anc // 2 FROM anc a WHERE a.anc > 1
+    )
+    SELECT a.anc AS node,
+           CAST(count(*) AS BIGINT) AS n_subtree,
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal
+    FROM anc a JOIN supplier s ON s.s_suppkey = a.node
+    GROUP BY a.anc ORDER BY a.anc
+    """,
+)
+def recursive_cte_hierarchy(spark, sf_dir):
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE): suppliers arranged in
+    the implicit binary tree parent(s) = s DIV 2, rolled up so every
+    ancestor aggregates its whole subtree (the BOM-explosion / org-chart
+    shape). The recursion walks each node's ancestor PATH — O(N log N)
+    rows total, no combinatorial blowup — and Spark executes each
+    recursive step as a distributed self-join, checkpointing the frontier
+    between steps. Balance sums are exact decimals."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("_rc_supplier")
+    return spark.sql("""
+      WITH RECURSIVE anc(node, anc) AS (
+        SELECT s_suppkey, s_suppkey FROM _rc_supplier
+        UNION ALL
+        SELECT a.node, a.anc DIV 2 FROM anc a WHERE a.anc > 1
+      )
+      SELECT a.anc AS node,
+             CAST(count(*) AS BIGINT) AS n_subtree,
+             CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal
+      FROM anc a JOIN _rc_supplier s ON s.s_suppkey = a.node
+      GROUP BY a.anc ORDER BY a.anc
+    """)
