@@ -69,6 +69,9 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     mann_whitney_u, ks_two_sample, weekday_seasonality_index
 #   training additions: epoch_shuffle_shards, quality_quantile_gate
 #   storage addition: secondary_index_lookup
+#   Spark-4 SQL surface: recursive_cte_hierarchy (WITH RECURSIVE),
+#     sql_udf_revenue (CREATE FUNCTION ... RETURN),
+#     collation_group_caseinsensitive (COLLATE UTF8_LCASE)
 # Every rotated-out query remains continuously verified by the local
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 

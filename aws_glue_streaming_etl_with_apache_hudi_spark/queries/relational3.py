@@ -905,3 +905,63 @@ def recursive_cte_hierarchy(spark, sf_dir):
       FROM anc a JOIN _rc_supplier s ON s.s_suppkey = a.node
       GROUP BY a.anc ORDER BY a.anc
     """)
+
+
+@register(
+    "sql_udf_revenue",
+    sql="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS net_revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_udf_revenue(spark, sf_dir):
+    """SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN): the
+    net-revenue expression lives as a named catalog function, not a
+    Python UDF — Catalyst inlines its body into the plan, so it runs
+    JVM-side inside codegen with zero serialization cost (the whole
+    point vs F.udf). The function RETURNS DECIMAL so the engine-parity
+    exact-sum discipline survives the indirection; the oracle inlines
+    the identical expression."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_udf_lineitem")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DOUBLE, d DOUBLE)
+      RETURNS DECIMAL(18,4)
+      RETURN CAST(p AS DECIMAL(18,2)) * CAST(1 - d AS DECIMAL(18,2))
+    """)
+    return spark.sql("""
+      SELECT l_returnflag,
+             CAST(sum(net_rev(l_extendedprice, l_discount)) AS DOUBLE)
+               AS net_revenue
+      FROM _udf_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@register(
+    "collation_group_caseinsensitive",
+    sql="""
+    SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+             AS lang_ci,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1 ORDER BY lang_ci
+    """,
+)
+def collation_group_caseinsensitive(spark, sf_dir):
+    """Case-insensitive grouping via Spark 4 COLLATE UTF8_LCASE: the
+    mixed-case language tags (half the rows upper-cased) collapse into
+    one group per language UNDER THE COLLATION — no lower() rewrite of
+    the data, the comparison semantics live in the type. This is the
+    engine-level feature; the oracle expresses the same semantics with
+    an explicit lower() normalization (DuckDB collations exist but
+    differ in name). Output is lower-normalized so the representative
+    value is engine-independent."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_coll_docs")
+    return spark.sql("""
+      SELECT lower(lang_ci) AS lang_ci, count(*) AS n FROM (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                 COLLATE UTF8_LCASE AS lang_ci
+        FROM _coll_docs)
+      GROUP BY lang_ci ORDER BY lang_ci
+    """)
