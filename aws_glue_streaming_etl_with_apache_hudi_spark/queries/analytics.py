@@ -1218,3 +1218,333 @@ def conversion_latency_quartiles(spark, sf_dir):
         F.round(F.percentile("latency_s", F.lit(0.50)) / 3600.0, 4).alias("p50_hours"),
         F.round(F.percentile("latency_s", F.lit(0.75)) / 3600.0, 4).alias("p75_hours"),
     )
+
+
+@register(
+    "attribution_multi_touch",
+    sql="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts, value AS conv_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    j AS (
+      SELECT c.conv_id, c.conv_value, c.conv_ts, t.touch_id, t.touch_ts,
+             t.channel
+      FROM conv c JOIN tch t USING (user_id)
+      WHERE t.touch_ts < c.conv_ts
+        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    s AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY conv_id
+                           ORDER BY touch_ts, touch_id) AS rn_first,
+        row_number() OVER (PARTITION BY conv_id
+                           ORDER BY touch_ts DESC, touch_id DESC) AS rn_last,
+        count(*) OVER (PARTITION BY conv_id) AS n_touches,
+        power(2.0, -CAST((epoch_us(conv_ts) - epoch_us(touch_ts))
+                         // 86400000000 AS DOUBLE)) AS w
+      FROM j
+    ),
+    s2 AS (SELECT *, sum(w) OVER (PARTITION BY conv_id) AS wsum FROM s)
+    SELECT channel,
+      CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS first_conv,
+      CAST(sum(CAST(CASE WHEN rn_first = 1 THEN conv_value ELSE 0 END
+                    AS DECIMAL(18,2))) AS DOUBLE) AS first_val,
+      CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS last_conv,
+      CAST(sum(CAST(CASE WHEN rn_last = 1 THEN conv_value ELSE 0 END
+                    AS DECIMAL(18,2))) AS DOUBLE) AS last_val,
+      round(sum(1.0 / n_touches), 4) AS linear_conv,
+      round(sum(conv_value / n_touches), 4) AS linear_val,
+      round(sum(w / wsum), 4) AS decay_conv,
+      round(sum(conv_value * w / wsum), 4) AS decay_val
+    FROM s2 GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_multi_touch(spark, sf_dir):
+    """Multi-touch marketing attribution, four credit models in one
+    pass: each purchase distributes credit over the user's touches
+    (view/click/signup) in the prior 7 days — first-touch and last-touch
+    (all credit to one touch, tie-broken by event id), linear (1/n
+    each), and time-decay (weight 2^-age_days, normalized per
+    conversion). Output is per-channel credited conversions and credited
+    revenue under every model, so the models can be compared in one
+    scan.
+
+    Determinism: decay weights are dyadic rationals (exact doubles, so
+    the per-conversion weight sum is exact in any order); first/last
+    revenue uses exact decimal sums; fractional-credit sums round at
+    4 dp.
+
+    Scale: the touch<->conversion pairing is an equi-join on user_id
+    with a range predicate — one shuffle, bounded per-user fan-out (a
+    7-day lookback); windows partition by conversion id, never a global
+    sort. Reference tie-in: the clickstream this engine ingests (A1) is
+    exactly this query's input."""
+    e = t(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("value").alias("conv_value"),
+    )
+    tch = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = conv.join(tch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    by_conv = W.partitionBy("conv_id")
+    s = (
+        j.withColumn(
+            "rn_first",
+            F.row_number().over(by_conv.orderBy("touch_ts", "touch_id")),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(
+                by_conv.orderBy(F.desc("touch_ts"), F.desc("touch_id"))
+            ),
+        )
+        .withColumn("n_touches", F.count(F.lit(1)).over(by_conv))
+        .withColumn(
+            "age_days",
+            F.expr("(unix_micros(conv_ts) - unix_micros(touch_ts)) div 86400000000"),
+        )
+        .withColumn("w", F.pow(F.lit(2.0), -F.col("age_days").cast("double")))
+        .withColumn("wsum", F.sum("w").over(by_conv))
+    )
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    return (
+        s.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("first_conv"),
+            F.sum(dec(F.when(F.col("rn_first") == 1, F.col("conv_value")).otherwise(0.0)))
+            .cast("double")
+            .alias("first_val"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_conv"),
+            F.sum(dec(F.when(F.col("rn_last") == 1, F.col("conv_value")).otherwise(0.0)))
+            .cast("double")
+            .alias("last_val"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 4).alias("linear_conv"),
+            F.round(F.sum(F.col("conv_value") / F.col("n_touches")), 4).alias(
+                "linear_val"
+            ),
+            F.round(F.sum(F.col("w") / F.col("wsum")), 4).alias("decay_conv"),
+            F.round(
+                F.sum(F.col("conv_value") * F.col("w") / F.col("wsum")), 4
+            ).alias("decay_val"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "forecast_backtest_daily",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, rev,
+             lag(rev, 1) OVER w AS f_naive,
+             lag(rev, 7) OVER w AS f_snaive,
+             lag(rev, 1) OVER w
+               + (lag(rev, 1) OVER w - lag(rev, 8) OVER w) / 7.0 AS f_drift
+      FROM daily WINDOW w AS (ORDER BY d)
+    ),
+    b AS (
+      SELECT * FROM lagged WHERE f_snaive IS NOT NULL AND f_drift IS NOT NULL
+    )
+    SELECT model, n_days, mae, mape FROM (
+      SELECT 'naive' AS model, CAST(count(*) AS BIGINT) AS n_days,
+             round(avg(abs(rev - f_naive)), 4) AS mae,
+             round(avg(abs(rev - f_naive) / rev), 6) AS mape, 1 AS ord
+      FROM b
+      UNION ALL
+      SELECT 'seasonal_naive', CAST(count(*) AS BIGINT),
+             round(avg(abs(rev - f_snaive)), 4),
+             round(avg(abs(rev - f_snaive) / rev), 6), 2
+      FROM b
+      UNION ALL
+      SELECT 'drift', CAST(count(*) AS BIGINT),
+             round(avg(abs(rev - f_drift)), 4),
+             round(avg(abs(rev - f_drift) / rev), 6), 3
+      FROM b
+    ) ORDER BY ord
+    """,
+)
+def forecast_backtest_daily(spark, sf_dir):
+    """Rolling-origin forecast backtest over the daily revenue series:
+    three closed-form one-step forecasters — naive (yesterday),
+    seasonal-naive (same weekday last week), drift (yesterday + mean
+    daily change over the trailing week) — each scored on every day
+    with enough history, reporting MAE and MAPE. The standard
+    model-selection harness for a production forecast job, expressed
+    entirely as lag windows (no recursion, no driver loop).
+
+    Determinism: daily revenue is an exact decimal sum cast once to
+    double, so both engines difference identical IEEE values; the final
+    error averages round at 4/6 dp.
+
+    Scale: the raw-orders aggregation is the distributed step; the
+    ordered lag window then runs over ONE ROW PER DAY (bounded by the
+    calendar, ~36k rows/century), so the unpartitioned window is safe
+    by construction."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = W.orderBy("d")
+    lagged = (
+        daily.withColumn("f_naive", F.lag("rev", 1).over(w))
+        .withColumn("f_snaive", F.lag("rev", 7).over(w))
+        .withColumn(
+            "f_drift",
+            F.lag("rev", 1).over(w)
+            + (F.lag("rev", 1).over(w) - F.lag("rev", 8).over(w)) / 7.0,
+        )
+        .filter(F.col("f_snaive").isNotNull() & F.col("f_drift").isNotNull())
+    )
+    # the three scorers share one tiny per-day frame; session-keyed slot
+    # (operators/dedup.py) bounds cache accumulation across registry runs
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    lagged = _persist_slot(lagged, "analytics.forecast_backtest")
+
+    def score(name: str, fcol: str, ord_: int):
+        err = F.abs(F.col("rev") - F.col(fcol))
+        return lagged.agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(F.avg(err / F.col("rev")), 6).alias("mape"),
+            F.lit(ord_).alias("ord"),
+        )
+
+    out = (
+        score("naive", "f_naive", 1)
+        .unionAll(score("seasonal_naive", "f_snaive", 2))
+        .unionAll(score("drift", "f_drift", 3))
+        .orderBy("ord")
+        .drop("ord")
+    )
+    return out
+
+
+@register(
+    "changepoint_mean_shift",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(value AS DECIMAL(18,2))) AS dv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT d,
+             sum(dv) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_v,
+             sum(n)  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_n,
+             sum(dv) OVER () AS tot_v,
+             sum(n)  OVER () AS tot_n,
+             row_number() OVER (ORDER BY d) AS rn,
+             count(*) OVER () AS n_days
+      FROM daily
+    ),
+    cand AS (
+      SELECT d,
+             CAST(rn AS BIGINT) AS days_before,
+             CAST(n_days - rn AS BIGINT) AS days_after,
+             CAST(cum_v AS DOUBLE) / cum_n AS mean_before,
+             CAST(tot_v - cum_v AS DOUBLE) / (tot_n - cum_n) AS mean_after
+      FROM pre WHERE rn >= 7 AND n_days - rn >= 7
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS split_day,
+           days_before, days_after,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after,
+           round(abs(mean_after - mean_before), 6) AS delta
+    FROM cand
+    ORDER BY abs(mean_after - mean_before) DESC, d
+    LIMIT 1
+    """,
+)
+def changepoint_mean_shift(spark, sf_dir):
+    """Single changepoint detection by exhaustive mean-shift scan: for
+    every candidate split day (>=7 days of history on each side), the
+    difference between the mean event value before and after the split;
+    the split with the largest shift wins. The closed-form (CUSUM-free)
+    changepoint primitive of a drift monitor — the same cumulative-sum
+    trick as the equi-depth histogram, so one window pass does all
+    splits at once.
+
+    Determinism: cumulative and total sums stay DECIMAL end-to-end
+    (exact in both engines regardless of accumulation order), so the
+    candidate deltas are bit-identical doubles and the argmax ordering
+    cannot flip; ties on delta break by day.
+
+    Scale: raw events aggregate once (distributed); the scan window
+    runs over one row per day. Prefix sums make each candidate O(1) —
+    no per-split re-aggregation, no self-join."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("dv"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wc = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    pre = daily.select(
+        "d",
+        F.sum("dv").over(wc).alias("cum_v"),
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("dv").over(wall).alias("tot_v"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.row_number().over(W.orderBy("d")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    )
+    cand = pre.filter(
+        (F.col("rn") >= 7) & (F.col("n_days") - F.col("rn") >= 7)
+    ).select(
+        "d",
+        F.col("rn").cast("long").alias("days_before"),
+        (F.col("n_days") - F.col("rn")).cast("long").alias("days_after"),
+        (F.col("cum_v").cast("double") / F.col("cum_n")).alias("mean_before"),
+        (
+            (F.col("tot_v") - F.col("cum_v")).cast("double")
+            / (F.col("tot_n") - F.col("cum_n"))
+        ).alias("mean_after"),
+    )
+    return (
+        cand.select(
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            "days_before",
+            "days_after",
+            F.round("mean_before", 6).alias("mean_before"),
+            F.round("mean_after", 6).alias("mean_after"),
+            F.round(F.abs(F.col("mean_after") - F.col("mean_before")), 6).alias(
+                "delta"
+            ),
+        )
+        .orderBy(
+            F.abs(F.col("mean_after") - F.col("mean_before")).desc(), "split_day"
+        )
+        .limit(1)
+    )
