@@ -72,6 +72,9 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #   Spark-4 SQL surface: recursive_cte_hierarchy (WITH RECURSIVE),
 #     sql_udf_revenue (CREATE FUNCTION ... RETURN),
 #     collation_group_caseinsensitive (COLLATE UTF8_LCASE)
+#   analytics additions: attribution_multi_touch (4 credit models),
+#     forecast_backtest_daily (rolling-origin model selection),
+#     changepoint_mean_shift (prefix-sum split scan)
 # Every rotated-out query remains continuously verified by the local
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 
