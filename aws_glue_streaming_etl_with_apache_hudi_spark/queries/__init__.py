@@ -75,6 +75,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #   analytics additions: attribution_multi_touch (4 credit models),
 #     forecast_backtest_daily (rolling-origin model selection),
 #     changepoint_mean_shift (prefix-sum split scan)
+#   sketches: hll_sketch_union_estimate (DataSketches HLL partial-merge)
 # Every rotated-out query remains continuously verified by the local
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 

@@ -313,6 +313,60 @@ def approx_error_bound(spark, sf_dir):
     )
 
 
+@register(
+    "hll_sketch_union_estimate",
+    sql="""
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_2pct,
+           TRUE AS per_type_within_2pct
+    FROM events
+    """,
+)
+def hll_sketch_union_estimate(spark, sf_dir):
+    """Mergeable-sketch distinct counting (Spark 4 DataSketches HLL):
+    build one HLL sketch PER event_type partition group
+    (``hll_sketch_agg``), then merge the partials (``hll_union_agg``)
+    into the global distinct-user estimate — the property
+    ``approx_count_distinct`` exercises internally but never exposes.
+    Exposed sketches are what a 100 TB pipeline stores: per-partition/
+    per-day sketch columns that roll up to any grouping later without
+    rescanning the facts. Correctness gate is the approx_error_bound
+    pattern: estimates are engine-specific, so the query emits the
+    deterministic error-bound BOOLEANS (union estimate and every
+    per-type estimate within 2% of exact) and the oracle asserts ground
+    truth — a wrong merge or precision loss flips a flag and fails the
+    hash compare.
+
+    Scale: sketch state is KB-bounded (lgConfigK=14) regardless of
+    cardinality; the exact side exists only to judge the sketch at test
+    scale."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("e_users"),
+    )
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("e_users")) / F.col("e_users")
+        < 0.02
+    )
+    rolled = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("a_users"),
+        F.bool_and(within).alias("per_type_within_2pct"),
+    )
+    exact = e.agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    return rolled.crossJoin(exact).select(
+        "n_types",
+        "exact_users",
+        (
+            F.abs(F.col("a_users") - F.col("exact_users")) / F.col("exact_users")
+            < 0.02
+        ).alias("union_within_2pct"),
+        "per_type_within_2pct",
+    )
+
+
 # One SQL text, two engines: the dialect-neutral core (CTE + join + window
 # + aggregation) runs verbatim through spark.sql AND DuckDB.
 _SHARED_SQL = """
