@@ -194,6 +194,31 @@ class TimelineTable:
         tomb = precombine_latest(tomb, self._identity, self.precombine)
         return self._commit_delta(tomb, operation="delete")
 
+    def insert_overwrite(self, batch: DataFrame) -> int:
+        """Partition-level overwrite — Hudi's ``insert_overwrite``
+        operation / *replacecommit* instant: every partition the batch
+        touches is REPLACED by the batch's rows (precombined within the
+        batch only; stored rows in those partitions are discarded, not
+        merged), while untouched partitions keep their current owner.
+        The backfill/restatement write path: recompute one day's
+        partition upstream and swap it in atomically without replaying
+        per-key deletes.
+
+        Timeline semantics match the merge path: the instant owns its
+        touched partitions (snapshot stitching picks it up like any
+        commit), time travel below it still sees the replaced rows, and
+        rollback removes the replacement wholesale. Incremental readers
+        see the NEW rows as the commit's delta; rows that vanished by
+        replacement are not tombstoned row-by-row (same contract as
+        Hudi's replacecommit, where ``changes()`` over a replace needs a
+        snapshot diff instead of the delta log).
+
+        Scale: IO is O(batch + written partitions) — no read-merge of
+        stored state at all, which is what makes partition restatement
+        of a 100 TB table cheap."""
+        batch = precombine_latest(batch, self._identity, self.precombine)
+        return self._commit_delta(batch, operation="replace")
+
     def bootstrap(self, location: str) -> int:
         """Metadata-only adoption of an existing parquet dataset (Hudi's
         bootstrap operation): registers ``location`` as the table's first
@@ -291,7 +316,10 @@ class TimelineTable:
         # compact written file, not the batch's upstream lineage.
         delta = self.spark.read.parquet(self._delta_dir(commit))
 
-        if commit == 1:
+        if commit == 1 or operation == "replace":
+            # first commit owns its partitions outright; a replacecommit
+            # does too BY DEFINITION (insert_overwrite discards stored
+            # rows of touched partitions instead of merging them)
             merged = delta
         else:
             stored = self.read()

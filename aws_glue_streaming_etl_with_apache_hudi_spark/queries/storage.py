@@ -349,3 +349,79 @@ def secondary_index_lookup(spark, sf_dir):
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "insert_overwrite_state",
+    sql="""
+    WITH full_latest AS (
+      SELECT event_type, user_id, event_id, ts, value FROM (
+        SELECT event_type, user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1
+    ),
+    click_restated AS (
+      SELECT event_type, user_id, event_id, ts, round(value * 2, 2) AS value
+      FROM (
+        SELECT event_type, user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'click'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    )
+    SELECT event_type, user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value
+    FROM (SELECT * FROM full_latest WHERE event_type <> 'click'
+          UNION ALL SELECT * FROM click_restated)
+    ORDER BY event_type, user_id
+    """,
+)
+def insert_overwrite_state(spark, sf_dir):
+    """Partition restatement on the REAL on-disk timeline table
+    (operators/timeline.py insert_overwrite — Hudi's insert_overwrite /
+    replacecommit): the full stream upserts into an event_type-
+    partitioned table, then the 'click' partition is REPLACED wholesale
+    by a restated batch (first-half clicks, values corrected 2x) — the
+    backfill write path, where upstream recomputes a partition and swaps
+    it in without per-key deletes. Final state must equal: untouched
+    partitions keep latest-per-key of the full stream; the replaced
+    partition holds exactly the restated batch (stored click rows
+    discarded, NOT merged — the half-stream restatement would lose a
+    precombine fight it must not have to win). The oracle computes both
+    legs directly.
+
+    Scale: the replacecommit's IO is O(batch + one partition); no
+    read-merge of stored state."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="replace_tbl_")
+    tbl = TimelineTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    tbl.upsert(e)
+    restated = (
+        e.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        .withColumn("value", F.round(F.col("value") * 2, 2))
+    )
+    tbl.insert_overwrite(restated)
+    return tbl.read().select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_type", "user_id")

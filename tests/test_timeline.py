@@ -143,3 +143,38 @@ def test_catalog_sync(spark, tmp_path):
     )
     t.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
     assert spark.sql("SELECT v FROM tl_cat").collect()[0].v == "a"
+
+
+def test_insert_overwrite_replaces_touched_partition_only(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 5), (2, "b", "y", 5)]))
+    # replacecommit on partition a: stored row k=1 (ver=5) is DISCARDED,
+    # not merged — the stale ver=1 replacement row wins because replace
+    # never consults stored state; partition b keeps its owner
+    c2 = table.insert_overwrite(_rows(spark, [(3, "a", "new", 1)]))
+    assert c2 == 2
+    assert _state(table.read()) == {3: ("a", "new", 1), 2: ("b", "y", 5)}
+    # time travel below the replace still sees the replaced rows
+    assert _state(table.read(as_of=1)) == {1: ("a", "x", 5), 2: ("b", "y", 5)}
+    assert table.commits()[-1]["operation"] == "replace"
+
+
+def test_insert_overwrite_precombines_within_batch(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.insert_overwrite(
+        _rows(spark, [(1, "a", "v1", 1), (1, "a", "v2", 2)])
+    )
+    assert _state(table.read()) == {1: ("a", "v2", 2)}
+
+
+def test_insert_overwrite_rollback_restores_replaced_rows(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.insert_overwrite(_rows(spark, [(9, "a", "swap", 1)]))
+    table.rollback(to_commit=1)
+    assert _state(table.read()) == {1: ("a", "x", 1), 2: ("b", "y", 1)}
+
+
+def test_insert_overwrite_incremental_shows_new_rows(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    c2 = table.insert_overwrite(_rows(spark, [(7, "a", "r", 1)]))
+    inc = table.incremental(begin=c2 - 1, end=c2)
+    assert {r.k for r in inc.collect()} == {7}
