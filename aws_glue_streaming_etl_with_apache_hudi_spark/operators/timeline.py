@@ -219,6 +219,73 @@ class TimelineTable:
         batch = precombine_latest(batch, self._identity, self.precombine)
         return self._commit_delta(batch, operation="replace")
 
+    def delete_partition(self, partitions: list[dict]) -> int:
+        """Hudi's ``delete_partition`` operation (a *replacecommit* with
+        zero rows): drop whole partitions without reading, tombstoning,
+        or rewriting any of their rows. Retention/GDPR-erasure write
+        path: `delete()` costs a per-key merge of the touched
+        partitions; this costs one metadata write regardless of how many
+        billions of rows the partitions hold.
+
+        Mechanics: the new instant takes OWNERSHIP of the listed
+        partitions but materializes no snapshot files for them, so the
+        per-partition owner map resolves them to an empty scan.
+        Timeline semantics match every other instant: time travel below
+        the commit still reads the dropped rows, rollback() restores
+        them wholesale, and incremental readers see no new records
+        (same contract as Hudi, where a replacecommit's removals are
+        not row-level change records).
+
+        ``partitions`` is a list of dicts, each mapping EVERY partition
+        column to a value, e.g. ``[{"year": 2023, "month": 1}]``.
+        """
+        if not self.partition_by:
+            raise ValueError("delete_partition requires a partitioned table")
+        instants = self.commits()
+        if not instants:
+            raise ValueError("delete_partition on an empty timeline")
+        touched = []
+        for p in partitions:
+            missing = [c for c in self.partition_by if c not in p]
+            if missing:
+                raise ValueError(
+                    f"partition spec {p!r} missing partition columns {missing}"
+                )
+            touched.append([_part_token(p[c]) for c in self.partition_by])
+        if not touched:
+            raise ValueError("delete_partition needs at least one partition")
+
+        if self.lock_commits:
+            from aws_glue_streaming_etl_with_apache_hudi_spark.operators.locking import CommitLock
+
+            with CommitLock(self.path):
+                return self._delete_partition_unlocked(instants, touched)
+        return self._delete_partition_unlocked(instants, touched)
+
+    def _delete_partition_unlocked(
+        self, instants: list[dict], touched: list[list[str]]
+    ) -> int:
+        commit = self.last_commit() + 1
+        schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
+        # Empty delta: incremental readers correctly see no new records
+        # (compact() establishes the same empty-delta replace pattern).
+        self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            self._delta_dir(commit)
+        )
+        # Deliberately NO snapshot write: read() skips parquet-less data
+        # dirs, so owning a partition with no files IS the deletion.
+        self._save_instant(
+            {
+                "commit": commit,
+                "operation": "delete_partition",
+                "ts": time.time(),
+                "touched_partitions": touched,
+                "schema": schema.json(),
+            }
+        )
+        self._sync_catalog()
+        return commit
+
     def bootstrap(self, location: str) -> int:
         """Metadata-only adoption of an existing parquet dataset (Hudi's
         bootstrap operation): registers ``location`` as the table's first

@@ -76,7 +76,8 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     forecast_backtest_daily (rolling-origin model selection),
 #     changepoint_mean_shift (prefix-sum split scan)
 #   sketches: hll_sketch_union_estimate (DataSketches HLL partial-merge)
-#   storage: insert_overwrite_state (replacecommit partition restatement)
+#   storage: insert_overwrite_state (replacecommit partition restatement),
+#     delete_partition_state (zero-row replacecommit partition erasure)
 # Every rotated-out query remains continuously verified by the local
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 

@@ -425,3 +425,77 @@ def insert_overwrite_state(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         F.round("value", 2).alias("value"),
     ).orderBy("event_type", "user_id")
+
+
+@register(
+    "delete_partition_state",
+    sql="""
+    WITH full_latest AS (
+      SELECT event_type, user_id, event_id, ts, value FROM (
+        SELECT event_type, user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1
+    ),
+    click_reinserted AS (
+      SELECT event_type, user_id, event_id, ts, value
+      FROM (
+        SELECT event_type, user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    )
+    SELECT event_type, user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value
+    FROM (SELECT * FROM full_latest WHERE event_type <> 'click'
+          UNION ALL SELECT * FROM click_reinserted)
+    ORDER BY event_type, user_id
+    """,
+)
+def delete_partition_state(spark, sf_dir):
+    """Whole-partition erasure on the REAL on-disk timeline table
+    (operators/timeline.py delete_partition — Hudi's delete_partition
+    operation, a replacecommit with zero rows): the full stream upserts
+    into an event_type-partitioned table, the 'click' partition is
+    DROPPED (one metadata write — no read, no tombstones, no rewrite of
+    the partition's rows), then a second-half-clicks batch re-inserts
+    into the now-empty partition. Final state: untouched partitions keep
+    latest-per-key of the full stream; the click partition holds exactly
+    latest-per-key of the re-inserted batch — pre-delete click rows must
+    NOT resurface through the merge (the re-inserted rows would lose a
+    precombine fight against dropped later-ts rows if deletion leaked).
+
+    Scale: retention/GDPR sweeps drop partitions in O(metadata) per
+    partition regardless of row count; the follow-up upsert merges
+    against the empty owner, not the dropped data."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="delpart_tbl_")
+    tbl = TimelineTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    tbl.upsert(e)
+    tbl.delete_partition([{"event_type": "click"}])
+    reinserted = e.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    tbl.upsert(reinserted)
+    return tbl.read().select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_type", "user_id")

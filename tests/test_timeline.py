@@ -178,3 +178,58 @@ def test_insert_overwrite_incremental_shows_new_rows(table, spark):
     c2 = table.insert_overwrite(_rows(spark, [(7, "a", "r", 1)]))
     inc = table.incremental(begin=c2 - 1, end=c2)
     assert {r.k for r in inc.collect()} == {7}
+
+
+def test_delete_partition_drops_whole_partition(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1), (3, "a", "z", 1)]))
+    c2 = table.delete_partition([{"part": "a"}])
+    assert c2 == 2
+    assert _state(table.read()) == {2: ("b", "y", 1)}
+    # time travel below the delete still sees the dropped rows
+    assert _state(table.read(as_of=1)) == {
+        1: ("a", "x", 1),
+        2: ("b", "y", 1),
+        3: ("a", "z", 1),
+    }
+    assert table.commits()[-1]["operation"] == "delete_partition"
+
+
+def test_delete_partition_rollback_restores(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.delete_partition([{"part": "a"}])
+    table.rollback(to_commit=1)
+    assert _state(table.read()) == {1: ("a", "x", 1), 2: ("b", "y", 1)}
+
+
+def test_delete_partition_incremental_sees_no_records(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    c2 = table.delete_partition([{"part": "a"}])
+    inc = table.incremental(begin=c2 - 1, end=c2)
+    assert inc.count() == 0
+
+
+def test_delete_partition_then_reinsert(table, spark):
+    # the partition comes back when a later commit writes into it
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.delete_partition([{"part": "a"}])
+    table.upsert(_rows(spark, [(9, "a", "back", 1)]))
+    assert _state(table.read()) == {9: ("a", "back", 1), 2: ("b", "y", 1)}
+
+
+def test_delete_partition_multi_and_validation(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1), (3, "c", "z", 1)]))
+    table.delete_partition([{"part": "a"}, {"part": "c"}])
+    assert _state(table.read()) == {2: ("b", "y", 1)}
+    with pytest.raises(ValueError):
+        table.delete_partition([{"wrong_col": "a"}])
+    with pytest.raises(ValueError):
+        table.delete_partition([])
+
+
+def test_delete_partition_requires_partitioned_table(spark, tmp_path):
+    t = TimelineTable(
+        spark=spark, path=str(tmp_path / "flat"), keys=["k"], precombine="ver"
+    )
+    t.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
+    with pytest.raises(ValueError):
+        t.delete_partition([{"part": "a"}])
