@@ -74,7 +74,10 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     collation_group_caseinsensitive (COLLATE UTF8_LCASE)
 #   analytics additions: attribution_multi_touch (4 credit models),
 #     forecast_backtest_daily (rolling-origin model selection),
-#     changepoint_mean_shift (prefix-sum split scan)
+#     changepoint_mean_shift (prefix-sum split scan),
+#     autocorrelation_daily (ACF at lags 1/7 — exact-decimal moments),
+#     revenue_concentration_gini (rank-formula Gini + top-decile share)
+#   statistics addition: benford_first_digit (forensic DQ digit screen)
 #   sketches: hll_sketch_union_estimate (DataSketches HLL partial-merge)
 #   storage: insert_overwrite_state (replacecommit partition restatement),
 #     delete_partition_state (zero-row replacecommit partition erasure)

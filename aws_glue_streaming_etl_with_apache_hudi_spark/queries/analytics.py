@@ -1548,3 +1548,179 @@ def changepoint_mean_shift(spark, sf_dir):
         )
         .limit(1)
     )
+
+
+@register(
+    "autocorrelation_daily",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dv
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, dv,
+             lag(dv, 1) OVER (ORDER BY d) AS l1,
+             lag(dv, 7) OVER (ORDER BY d) AS l7
+      FROM daily
+    ),
+    pairs AS (
+      SELECT 1 AS lag_days, dv AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT 7 AS lag_days, dv AS x, l7 AS y FROM lagged WHERE l7 IS NOT NULL
+    ),
+    m AS (
+      SELECT lag_days,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag_days
+    )
+    SELECT lag_days, n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS acf
+    FROM m ORDER BY lag_days
+    """,
+)
+def autocorrelation_daily(spark, sf_dir):
+    """Autocorrelation of the daily event-value series at lags 1 and 7 —
+    the seasonality probe behind the forecast-backtest family (an ACF
+    spike at 7 is what justifies the seasonal-naive model there). Pearson
+    correlation of the series against its own lag, computed from exact
+    decimal moments (daily sums and their pairwise products stay DECIMAL
+    through aggregation, so both engines feed IEEE-identical doubles into
+    one closed-form expression — the linreg_normal_equations discipline).
+
+    Scale: raw events aggregate once (distributed, map-side partial);
+    lags and moments run over one row per day — the window's single-
+    partition sort is over a bounded calendar, never over events."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("dv")
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        "dv",
+        F.lag("dv", 1).over(w).alias("l1"),
+        F.lag("dv", 7).over(w).alias("l7"),
+    )
+    pairs = (
+        lagged.filter(F.col("l1").isNotNull()).select(
+            F.lit(1).alias("lag_days"), F.col("dv").alias("x"), F.col("l1").alias("y")
+        )
+    ).unionByName(
+        lagged.filter(F.col("l7").isNotNull()).select(
+            F.lit(7).alias("lag_days"), F.col("dv").alias("x"), F.col("l7").alias("y")
+        )
+    )
+    m = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    c = F.col
+    acf = (c("n") * c("sxy") - c("sx") * c("sy")) / (
+        F.sqrt(c("n") * c("sxx") - c("sx") * c("sx"))
+        * F.sqrt(c("n") * c("syy") - c("sy") * c("sy"))
+    )
+    return m.select(
+        "lag_days", "n_pairs", F.round(acf, 6).alias("acf")
+    ).orderBy("lag_days")
+
+
+@register(
+    "revenue_concentration_gini",
+    sql="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r,
+             CAST(row_number() OVER (ORDER BY r, o_custkey) AS DECIMAL(10,0)) AS i,
+             row_number() OVER (ORDER BY r DESC, o_custkey DESC) AS rn_desc,
+             count(*) OVER () AS n
+      FROM cust
+    ),
+    m AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_customers,
+             CAST(max(n) AS DOUBLE) AS n,
+             CAST(sum(r) AS DOUBLE) AS tot,
+             CAST(sum(i * r) AS DOUBLE) AS weighted,
+             CAST(sum(CASE WHEN rn_desc <= n / 10 THEN r
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS top_r
+      FROM ranked
+    )
+    SELECT n_customers,
+           round(tot, 2) AS total_revenue,
+           round((2.0 * weighted - (n + 1.0) * tot) / (n * tot), 6) AS gini,
+           round(top_r / tot, 6) AS top_decile_share
+    FROM m
+    """,
+)
+def revenue_concentration_gini(spark, sf_dir):
+    """Revenue-concentration summary over customers: the Gini
+    coefficient by the closed-form rank formula
+    ``(2*sum(i*r_i) - (n+1)*sum(r)) / (n*sum(r))`` over revenues sorted
+    ascending, plus the top-decile revenue share — the whale-dependence
+    numbers a marketplace health dashboard leads with. Ranks break ties
+    by custkey so both engines index identically; revenue, rank*revenue
+    products, and the decile sum stay exact DECIMAL until the final
+    double division.
+
+    Scale: one distributed aggregation to per-customer revenue, then
+    rank windows over one row per customer. The single-partition sort is
+    the known cost of an exact global rank; at 100 TB the same formula
+    runs on quantile-bucketed partial ranks, which this plan degrades to
+    without changing the algebra."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("r")
+    )
+    ranked = cust.select(
+        "r",
+        F.row_number()
+        .over(W.orderBy("r", "o_custkey"))
+        .cast("decimal(10,0)")
+        .alias("i"),
+        F.row_number()
+        .over(W.orderBy(F.col("r").desc(), F.col("o_custkey").desc()))
+        .alias("rn_desc"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    m = ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("n").cast("double").alias("n"),
+        F.sum("r").cast("double").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).cast("double").alias("weighted"),
+        F.sum(
+            F.when(
+                F.col("rn_desc") <= F.col("n") / F.lit(10), F.col("r")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("top_r"),
+    )
+    c = F.col
+    return m.select(
+        "n_customers",
+        F.round("tot", 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * c("weighted") - (c("n") + F.lit(1.0)) * c("tot"))
+            / (c("n") * c("tot")),
+            6,
+        ).alias("gini"),
+        F.round(c("top_r") / c("tot"), 6).alias("top_decile_share"),
+    )

@@ -725,3 +725,65 @@ def weekday_seasonality_index(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "benford_first_digit",
+    sql="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS first_digit
+      FROM orders
+    ),
+    counted AS (
+      SELECT first_digit,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(count(*)) OVER () AS total
+      FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / first_digit), 6) AS benford_p,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                 - log10(1.0 + 1.0 / first_digit), 6) AS deviation
+    FROM counted ORDER BY first_digit
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law conformance of order totals: the distribution of
+    first significant digits against the log10(1 + 1/d) expectation —
+    the classic forensic data-quality screen for fabricated or
+    truncated monetary columns (a generator or an ingest bug shows up
+    as a flat or spiked digit histogram). The leading digit is taken
+    from the integer part's decimal string — identical in both engines
+    for the positive, >= 1 domain of o_totalprice — never via
+    floor(x/10^floor(log10 x)), whose log10 rounds differently at exact
+    powers of ten.
+
+    Scale: one map-side projection to a 9-value key, one partial-
+    aggregating groupBy — the cheapest shape a full-table screen can
+    have; the window total runs over nine rows."""
+    o = t(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    counted = counted.withColumn(
+        "total", F.sum("n").over(W.partitionBy())
+    )
+    c = F.col
+    obs = c("n").cast("double") / c("total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / c("first_digit"))
+    return counted.select(
+        "first_digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(obs - benford, 6).alias("deviation"),
+    ).orderBy("first_digit")
