@@ -79,6 +79,8 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     revenue_concentration_gini (rank-formula Gini + top-decile share)
 #   statistics addition: benford_first_digit (forensic DQ digit screen)
 #   sketches: hll_sketch_union_estimate (DataSketches HLL partial-merge)
+#   similarity: knn_recall_eval (recall@5 of LSH vs brute force; oracle
+#     composes the two legs' registered oracle SQLs so it cannot drift)
 #   storage: insert_overwrite_state (replacecommit partition restatement),
 #     delete_partition_state (zero-row replacecommit partition erasure)
 # Every rotated-out query remains continuously verified by the local

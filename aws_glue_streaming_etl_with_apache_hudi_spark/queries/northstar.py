@@ -2774,3 +2774,64 @@ def dedup_keep_best(spark, sf_dir):
                 F.col("_b.quality").alias("quality"))
         .orderBy("digest")
     )
+
+
+def _knn_recall_oracle_sql() -> str:
+    """Composes the ALREADY-REGISTERED knn_lsh and knn_bruteforce oracle
+    SQLs as CTEs, so the recall harness's oracle can never drift from
+    the oracles of the two legs it compares."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES
+
+    approx = QUERIES["knn_lsh"].sql
+    exact = QUERIES["knn_bruteforce"].sql
+    return f"""
+    WITH approx AS ({approx}),
+    exact AS ({exact}),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS hit
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.hit, 0) AS BIGINT) AS hits,
+           round(coalesce(h.hit, 0) / 5.0, 4) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    ORDER BY q.query_id
+    """
+
+
+@register("knn_recall_eval", sql=_knn_recall_oracle_sql())
+def knn_recall_eval(spark, sf_dir):
+    """Recall@5 of the LSH index against exact brute force, per query —
+    the quality gauge every approximate-ANN deployment ships next to
+    its index (an index you can't measure is an index you can't tune:
+    recall is THE dial traded against the candidate-set size that
+    num_tables/num_planes control). Reuses the registered knn_lsh and
+    knn_bruteforce plans as its two legs and joins their top-k sets, so
+    the harness measures exactly what the production queries run; the
+    oracle composes those queries' own oracle SQLs the same way.
+
+    Scale: both legs are the already-audited broadcast/bucket-join
+    shapes; the recall join itself touches only Q*k candidate rows —
+    evaluation cost is dominated by the searches, as it should be."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hit"))
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce(F.col("hit"), F.lit(0)) / F.lit(5.0), 4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
