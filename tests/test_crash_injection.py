@@ -92,6 +92,21 @@ def tl_compact_before_instant(spark, path):
     assert t.commits()[-1]["operation"] == "replacecommit"
 
 
+def tl_delete_partition_before_instant(spark, path):
+    t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    t.upsert(_df(spark, B2))
+    with mock.patch.object(TimelineTable, "_save_instant", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.delete_partition([{"p": "a"}])
+    assert _snap(t) == AFTER_B2  # no instant -> partition still owned/visible
+    rep = t.fsck()
+    assert any("commit=3" in d for d in rep["dirs"])  # orphaned empty delta
+    t.delete_partition([{"p": "a"}])
+    assert _snap(t) == [(2, "b", 2, 21.0)]
+    assert [c["commit"] for c in t.commits()] == [1, 2, 3]
+
+
 def tl_savepoint_before_rename(spark, path):
     t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
     t.upsert(_df(spark, B1))
@@ -340,6 +355,7 @@ def dedup_accept_crash_then_replay(spark, path):
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
+    tl_delete_partition_before_instant,
     tl_savepoint_before_rename,
     tl_clean_after_horizon_before_deletes,
     mor_bootstrap_before_meta,
