@@ -223,3 +223,37 @@ def min_label_components(edges: DataFrame, iters: int = 4) -> DataFrame:
         return out
     finally:
         sym.unpersist()
+
+
+def khop_hops(edges: DataFrame, seeds: DataFrame, iters: int = 3) -> DataFrame:
+    """Minimum-hop distance from a seed set, bounded to ``iters`` hops:
+    (node, hop) for every node reachable in at most ``iters`` hops over
+    the undirected graph (seeds are hop 0). Bounded BFS as label
+    propagation — each round one join + one aggregation, the same
+    partitioning-reuse shape as pagerank/min_label_components, and the
+    frontier table only ever holds REACHED nodes, so round cost tracks
+    the expanding neighborhood, not the graph. Rounds unroll lazily
+    (bounded iters keep the result deterministic and the oracle an
+    unrolled CTE chain; a convergence loop would reuse the same round
+    plan)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    sentinel = iters + 1
+    sym = symmetrize(edges)
+    labels = seeds.select("node").distinct().withColumn("hop", F.lit(0))
+    for _ in range(iters):
+        nmin = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("hop") + F.lit(1)).alias("nhop"))
+        )
+        labels = labels.join(nmin, "node", "full").select(
+            "node",
+            F.least(
+                F.coalesce(F.col("hop"), F.lit(sentinel)),
+                F.coalesce(F.col("nhop"), F.lit(sentinel)),
+            ).alias("hop"),
+        )
+    out = _persist_slot(labels.select("node", "hop"), "graph.khop")
+    out.count()
+    return out

@@ -78,7 +78,11 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     autocorrelation_daily (ACF at lags 1/7 — exact-decimal moments),
 #     revenue_concentration_gini (rank-formula Gini + top-decile share)
 #   statistics addition: benford_first_digit (forensic DQ digit screen)
-#   sketches: hll_sketch_union_estimate (DataSketches HLL partial-merge)
+#   sketches: hll_sketch_union_estimate (DataSketches HLL partial-merge),
+#     approx_quantile_rank_bound (GK sketch re-ranked against raw data)
+#   graph addition: graph_khop_reachability (bounded BFS from seed set)
+#   training addition: weighted_sample_ares (Efraimidis-Spirtsov
+#     hash-keyed weighted sample without replacement, per stratum)
 #   similarity: knn_recall_eval (recall@5 of LSH vs brute force; oracle
 #     composes the two legs' registered oracle SQLs so it cannot drift)
 #   storage: insert_overwrite_state (replacecommit partition restatement),

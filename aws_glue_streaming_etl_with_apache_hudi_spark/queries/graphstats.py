@@ -787,3 +787,45 @@ def benford_first_digit(spark, sf_dir):
         F.round(benford, 6).alias("benford_p"),
         F.round(obs - benford, 6).alias("deviation"),
     ).orderBy("first_digit")
+
+
+def _khop_round_sql(prev: str, cur: str, sentinel: int) -> str:
+    return f"""
+    {cur} AS (
+      SELECT coalesce(l.node, m.node) AS node,
+             least(coalesce(l.hop, {sentinel}), coalesce(m.nhop, {sentinel})) AS hop
+      FROM {prev} l FULL JOIN (
+        SELECT e.dst AS node, min(p.hop) + 1 AS nhop
+        FROM sym e JOIN {prev} p ON e.src = p.node
+        GROUP BY e.dst
+      ) m ON m.node = l.node
+    )"""
+
+
+@register(
+    "graph_khop_reachability",
+    sql=f"""
+    WITH {_EDGES_CTE},
+    hop0 AS (SELECT node, 0 AS hop FROM deg WHERE node % 97 = 0),
+    {_khop_round_sql('hop0', 'hop1', 4)},
+    {_khop_round_sql('hop1', 'hop2', 4)},
+    {_khop_round_sql('hop2', 'hop3', 4)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(hop AS BIGINT) AS hop
+    FROM hop3 ORDER BY node
+    """,
+)
+def graph_khop_reachability(spark, sf_dir):
+    """Bounded BFS: minimum hop distance (0-3) from the deterministic
+    seed set (node % 97 = 0) over the co-purchase graph — the
+    reachability/blast-radius shape (recall sweep from affected parts,
+    fraud ring expansion from flagged accounts). The frontier table
+    holds only reached nodes, so each of the three join+agg rounds
+    costs the expanding neighborhood, not the graph; the oracle unrolls
+    the identical three rounds as full-join CTEs."""
+    edges = _edges(spark, sf_dir)
+    seeds = G.degrees(edges).filter(F.col("node") % 97 == 0).select("node")
+    return (
+        G.khop_hops(edges, seeds, iters=3)
+        .select(F.col("node").cast("long").alias("node"), F.col("hop").cast("long").alias("hop"))
+        .orderBy("node")
+    )

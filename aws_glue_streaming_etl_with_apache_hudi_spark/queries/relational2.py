@@ -390,3 +390,60 @@ def sql_api_shared_dialect(spark, sf_dir):
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SHARED_SQL)
+
+
+@register(
+    "approx_quantile_rank_bound",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p95_within_rank_eps
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_quantile_rank_bound(spark, sf_dir):
+    """Quantile-sketch accuracy gate (the approx_error_bound /
+    hll_sketch pattern for ORDER statistics): per event_type,
+    ``approx_percentile`` (Greenwald-Khanna, accuracy 10000) returns
+    candidate p50/p95 values, and the query re-ranks each candidate
+    against the raw data — the fraction of rows <= candidate must sit
+    within 0.01 of the target quantile (GK guarantees rank error
+    <= 1/accuracy = 1e-4; the slack absorbs duplicate-value mass at the
+    cut). Estimates are engine- and merge-order-specific, so the
+    emitted columns are the deterministic BOUND BOOLEANS; the oracle
+    asserts ground truth, and a sketch regression flips a flag into a
+    hash mismatch.
+
+    Scale: the sketch is the point — constant memory per group vs the
+    full sort an exact percentile needs; the re-rank pass exists to
+    JUDGE the sketch and broadcasts 3 values per group."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    appr = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("ap")
+    )
+    cand = appr.select(
+        "event_type",
+        F.col("ap")[0].alias("a50"),
+        F.col("ap")[1].alias("a95"),
+    )
+    j = e.join(F.broadcast(cand), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.when(F.col("value") <= F.col("a50"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("r50"),
+        (
+            F.sum(F.when(F.col("value") <= F.col("a95"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("r95"),
+    )
+    return ranks.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("r50") - 0.5) <= 0.01).alias("p50_within_rank_eps"),
+        (F.abs(F.col("r95") - 0.95) <= 0.01).alias("p95_within_rank_eps"),
+    ).orderBy("event_type")

@@ -587,3 +587,50 @@ def quality_quantile_gate(spark, sf_dir):
         .select("lang", "total", "kept", F.round("threshold", 6).alias("threshold"))
         .orderBy("lang")
     )
+
+
+_H_ARES = stable_hash64_sql("CAST(doc_id AS VARCHAR)", "ares")
+
+
+@register(
+    "weighted_sample_ares",
+    sql=f"""
+    SELECT lang, doc_id, n_chars, rk FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln((CAST({_H_ARES} AS DOUBLE) + 1) / {float(1 << 60)!r})
+                        / n_chars DESC,
+                        doc_id) AS rk
+      FROM documents) x
+    WHERE rk <= 10 ORDER BY lang, rk
+    """,
+)
+def weighted_sample_ares(spark, sf_dir):
+    """Weighted sampling without replacement by the A-Res reservoir key
+    (Efraimidis-Spirtsov): per language, the 10 documents with the
+    largest ln(u)/w where u is a hash-derived uniform and w = n_chars —
+    equivalent to ranking by u^(1/w), so inclusion probability is
+    proportional to weight. THE distributed weighted-subsample
+    primitive for corpus building (sample long documents preferentially
+    without a pass to normalize weights): keys are a pure per-row
+    function of doc_id + salt (no RNG state, reproducible across runs,
+    engines, and retries), and top-k per stratum is rank-and-filter.
+
+    Scale: one projection computes every key map-side; the only shuffle
+    is the per-lang top-k window — no global sort, no weight-sum
+    broadcast, no rejection loop."""
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        stable_hash64(F.col("doc_id").cast("string"), "ares").cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(key.desc(), "doc_id")
+    return (
+        docs.select(
+            "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+        .orderBy("lang", "rk")
+    )
