@@ -105,3 +105,19 @@ def test_graph_query_edges_served_from_persist_slot(spark, sf_dir):
     df = QUERIES["graph_degree_histogram"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_khop_hops_path_graph(spark):
+    # path 1-2-3-4-5-6, seed {1}: hops are positional, bounded at 3
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in G.khop_hops(_edges(spark, path), seeds, iters=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 and 6 unreachable in 3 hops
+
+
+def test_khop_hops_multi_seed_min(spark):
+    # seeds at both ends of a path: middle node takes the nearer seed
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r.node: r.hop for r in G.khop_hops(_edges(spark, path), seeds, iters=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
