@@ -226,6 +226,36 @@ def test_delete_partition_multi_and_validation(table, spark):
         table.delete_partition([])
 
 
+def test_delete_partition_then_compact_keeps_it_empty(table, spark):
+    # compaction rewrites live state only; the deleted partition stays
+    # owned-with-no-files and must not resurface
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.delete_partition([{"part": "a"}])
+    table.compact()
+    assert _state(table.read()) == {2: ("b", "y", 1)}
+
+
+def test_delete_partition_survives_clean(table, spark):
+    # cleaning history must not resurrect the dropped partition: the
+    # pre-delete snapshot that still holds its rows is vacuumed or
+    # orphaned, and ownership stays with the (file-less) delete commit
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.delete_partition([{"part": "a"}])
+    table.upsert(_rows(spark, [(2, "b", "y2", 2)]))
+    table.clean(keep_last=1)
+    assert _state(table.read()) == {2: ("b", "y2", 2)}
+
+
+def test_incremental_spanning_delete_partition_commit(table, spark):
+    # an incremental pull whose range INCLUDES the delete commit sees
+    # only real record changes (the empty delta contributes nothing)
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.delete_partition([{"part": "a"}])
+    table.upsert(_rows(spark, [(3, "b", "z", 1)]))
+    inc = table.incremental(begin=1, end=3)
+    assert {r.k for r in inc.collect()} == {3}
+
+
 def test_delete_partition_requires_partitioned_table(spark, tmp_path):
     t = TimelineTable(
         spark=spark, path=str(tmp_path / "flat"), keys=["k"], precombine="ver"
