@@ -1,0 +1,97 @@
+"""Incremental join-MV maintenance (operators/mvjoin.py): the view must
+be observationally identical to recomputing fact ⋈ dim from the latest
+snapshots after every refresh, while each refresh touches only deltas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mvjoin import JoinMV
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+
+def _facts(spark, rows):  # (id, fk, amt, ver)
+    return spark.createDataFrame(
+        [Row(id=i, fk=k, amt=a, ver=v) for (i, k, a, v) in rows]
+    )
+
+
+def _dims(spark, rows):  # (dk, seg, dver)
+    return spark.createDataFrame(
+        [Row(dk=k, seg=s, dver=v) for (k, s, v) in rows]
+    )
+
+
+@pytest.fixture
+def mv(spark, tmp_path):
+    fact = TimelineTable(spark, str(tmp_path / "fact"), keys=["id"], precombine="ver")
+    dim = TimelineTable(spark, str(tmp_path / "dim"), keys=["dk"], precombine="dver")
+    return JoinMV(
+        spark, str(tmp_path / "mv"), fact, dim, fk="fk", dk="dk", dim_cols=["seg"]
+    )
+
+
+def _recomputed(mv):
+    f_ = mv.fact.read().alias("f")
+    d_ = mv.dim.read().alias("d")
+    return sorted(
+        (r.id, r.fk, r.amt, r.ver, r.seg)
+        for r in f_.join(d_, F.col("f.fk") == F.col("d.dk"))
+        .select("f.id", "f.fk", "f.amt", "f.ver", "d.seg")
+        .collect()
+    )
+
+
+def _view(mv):
+    return sorted((r.id, r.fk, r.amt, r.ver, r.seg) for r in mv.read().collect())
+
+
+def test_join_mv_tracks_recomputation(mv, spark):
+    mv.fact.upsert(_facts(spark, [(1, 10, 5.0, 1), (2, 20, 7.0, 1)]))
+    mv.dim.upsert(_dims(spark, [(10, "a", 1), (20, "b", 1)]))
+    mv.refresh()
+    assert _view(mv) == _recomputed(mv)
+
+    # cycle 2: fact append + update, dim update — both legs exercised
+    mv.fact.upsert(_facts(spark, [(3, 10, 9.0, 1), (2, 20, 7.5, 2)]))
+    mv.dim.upsert(_dims(spark, [(10, "a2", 2)]))
+    mv.refresh()
+    assert _view(mv) == _recomputed(mv)
+    # the dim update propagated to BOTH fact rows on fk=10
+    segs = {r.id: r.seg for r in mv.read().collect()}
+    assert segs[1] == "a2" and segs[3] == "a2" and segs[2] == "b"
+
+
+def test_join_mv_fact_fk_move(mv, spark):
+    mv.fact.upsert(_facts(spark, [(1, 10, 5.0, 1)]))
+    mv.dim.upsert(_dims(spark, [(10, "a", 1), (20, "b", 1)]))
+    mv.refresh()
+    # the fact row moves to another dim partner: its view row is REPLACED
+    mv.fact.upsert(_facts(spark, [(1, 20, 5.0, 2)]))
+    mv.refresh()
+    assert _view(mv) == _recomputed(mv) == [(1, 20, 5.0, 2, "b")]
+
+
+def test_join_mv_new_dim_key_matches_waiting_fact(mv, spark):
+    # inner join: a fact without a dim partner is absent until the dim
+    # key arrives; the dim-delta leg then back-fills it
+    mv.fact.upsert(_facts(spark, [(1, 99, 5.0, 1)]))
+    mv.dim.upsert(_dims(spark, [(10, "a", 1)]))
+    mv.refresh()
+    assert _view(mv) == []
+    mv.dim.upsert(_dims(spark, [(99, "late", 1)]))
+    mv.refresh()
+    assert _view(mv) == _recomputed(mv) == [(1, 99, 5.0, 1, "late")]
+
+
+def test_join_mv_noop_refresh_and_cursor(mv, spark):
+    mv.fact.upsert(_facts(spark, [(1, 10, 5.0, 1)]))
+    mv.dim.upsert(_dims(spark, [(10, "a", 1)]))
+    r1 = mv.refresh()
+    assert r1["upserted"]
+    r2 = mv.refresh()
+    assert not r2["upserted"]  # no new commits -> metadata-only no-op
+    assert r2["fact_range"] == (1, 1) and r2["dim_range"] == (1, 1)
+    assert _view(mv) == _recomputed(mv)
