@@ -18,10 +18,12 @@ updated fact or dim row REPLACES its V row through the normal
 key/precombine merge. A fact row caught by both legs produces the same
 joined row twice; the upsert's within-batch precombine collapses it.
 
-Contract: INNER equi-join under insert/update workloads (the reference
-pipeline's write operations). Deletes would ride the CDC tombstone feed
-(``TimelineTable.changes``) with a ``delete_where`` on the view — the
-same algebra, one more leg — and are intentionally out of scope here.
+Contract: INNER equi-join under insert/update/DELETE workloads.
+Deletes ride the incremental feed's tombstones (``_deleted=true`` rows,
+timeline.py delete): a deleted fact leaves the view by its own key; a
+deleted dim row takes every view row whose fact still references it
+(the affected fact slice found with a semi join, never a driver-side
+key collection).
 
 Scale: leg 1 joins only the fact DELTA against the dim (broadcast when
 the dim is small, shuffle otherwise). Leg 2 narrows the stored fact to
@@ -42,7 +44,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import COMMIT_COL, TimelineTable
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import COMMIT_COL, DELETED_COL, TimelineTable
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
 
 
@@ -107,30 +109,74 @@ class JoinMV:
             d_, F.col(f"_f.{self.fk}") == F.col(f"_d.{self.dk}")
         ).select(*cols)
 
+    @staticmethod
+    def _split_tombstones(delta: DataFrame) -> tuple[DataFrame, DataFrame | None]:
+        """(live rows, tombstoned rows or None) — incremental feeds carry
+        delete commits as ``_deleted=true`` rows (timeline.py delete)."""
+        if DELETED_COL not in delta.columns:
+            return delta, None
+        flag = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        return (
+            delta.filter(~flag).drop(DELETED_COL),
+            delta.filter(flag).drop(DELETED_COL),
+        )
+
     def refresh(self) -> dict:
         """Fold source commits since the last refresh into the view.
 
+        Upsert legs land first, then delete legs (a key cannot be both
+        live and tombstoned in one incremental range — the feed is
+        latest-per-key — so the order only affects no-op deletes).
         Returns ``{"fact_range": (cf0, cf1], "dim_range": (cd0, cd1],
         "upserted": bool}``; a refresh with no new source commits is a
         metadata-only no-op (idempotent — re-running a crashed refresh
-        replays the same delta through the idempotent upsert)."""
+        replays the same delta through the idempotent upsert and the
+        key-anti-join delete)."""
         cf0, cd0 = self._cursor()
         cf1, cd1 = self.fact.last_commit(), self.dim.last_commit()
         legs: list[DataFrame] = []
+        deletes: list[DataFrame] = []  # view-key rows to remove
         if cf1 > cf0:
-            d_fact = self.fact.incremental(begin=cf0, end=cf1).drop(COMMIT_COL)
-            legs.append(self._joined(d_fact, self.dim.read()))
-        if cd1 > cd0:
-            d_dim = self.dim.incremental(begin=cd0, end=cd1).drop(COMMIT_COL)
-            changed_keys = d_dim.select(self.dk).distinct()
-            affected = self.fact.read().join(
-                F.broadcast(changed_keys),
-                F.col(self.fk) == F.col(self.dk),
-                "leftsemi",
+            live, dead = self._split_tombstones(
+                self.fact.incremental(begin=cf0, end=cf1).drop(COMMIT_COL)
             )
-            legs.append(self._joined(affected, d_dim))
+            # a delete-ONLY range has no live rows — and its deltas carry
+            # only identity+precombine columns, so the join leg could not
+            # even resolve; skip it (the guard job scans one tiny delta)
+            if dead is None or not live.isEmpty():
+                legs.append(self._joined(live, self.dim.read()))
+            if dead is not None:
+                # deleted facts leave the view by their own keys
+                deletes.append(dead.select(*self.view.keys))
+        if cd1 > cd0:
+            live, dead = self._split_tombstones(
+                self.dim.incremental(begin=cd0, end=cd1).drop(COMMIT_COL)
+            )
+            if dead is None or not live.isEmpty():
+                changed_keys = live.select(self.dk).distinct()
+                affected = self.fact.read().join(
+                    F.broadcast(changed_keys),
+                    F.col(self.fk) == F.col(self.dk),
+                    "leftsemi",
+                )
+                legs.append(self._joined(affected, live))
+            if dead is not None:
+                # inner join: facts that LOST their dim partner leave the
+                # view; computed fact-side with a semi join (no driver
+                # key collection). Facts that simultaneously moved to a
+                # live fk are already re-read as their latest state, so
+                # they don't match the deleted keys.
+                lost = self.fact.read().join(
+                    F.broadcast(dead.select(self.dk).distinct()),
+                    F.col(self.fk) == F.col(self.dk),
+                    "leftsemi",
+                )
+                deletes.append(lost.select(*self.view.keys))
         if legs:
             self.view.upsert(reduce(lambda a, b: a.unionByName(b), legs))
+        for batch in deletes:
+            if not batch.isEmpty():  # skip the rewrite for no-op deletes
+                self.view.delete(batch)
         self._save_cursor(cf1, cd1)
         return {
             "fact_range": (cf0, cf1),

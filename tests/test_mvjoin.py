@@ -95,3 +95,34 @@ def test_join_mv_noop_refresh_and_cursor(mv, spark):
     assert not r2["upserted"]  # no new commits -> metadata-only no-op
     assert r2["fact_range"] == (1, 1) and r2["dim_range"] == (1, 1)
     assert _view(mv) == _recomputed(mv)
+
+
+def test_join_mv_fact_delete_leaves_view(mv, spark):
+    mv.fact.upsert(_facts(spark, [(1, 10, 5.0, 1), (2, 10, 6.0, 1)]))
+    mv.dim.upsert(_dims(spark, [(10, "a", 1)]))
+    mv.refresh()
+    mv.fact.delete(_facts(spark, [(1, 10, 5.0, 2)]))
+    mv.refresh()
+    assert _view(mv) == _recomputed(mv) == [(2, 10, 6.0, 1, "a")]
+
+
+def test_join_mv_dim_delete_removes_dependents(mv, spark):
+    mv.fact.upsert(_facts(spark, [(1, 10, 5.0, 1), (2, 20, 6.0, 1)]))
+    mv.dim.upsert(_dims(spark, [(10, "a", 1), (20, "b", 1)]))
+    mv.refresh()
+    mv.dim.delete(_dims(spark, [(10, "a", 2)]))
+    mv.refresh()
+    assert _view(mv) == _recomputed(mv) == [(2, 20, 6.0, 1, "b")]
+
+
+def test_join_mv_dim_delete_spares_moved_fact(mv, spark):
+    # the fact moves off the dying dim key in the SAME refresh window:
+    # its latest state references fk=20, so the delete leg must not
+    # remove its (fresh) view row
+    mv.fact.upsert(_facts(spark, [(1, 10, 5.0, 1)]))
+    mv.dim.upsert(_dims(spark, [(10, "a", 1), (20, "b", 1)]))
+    mv.refresh()
+    mv.fact.upsert(_facts(spark, [(1, 20, 5.0, 2)]))
+    mv.dim.delete(_dims(spark, [(10, "a", 2)]))
+    mv.refresh()
+    assert _view(mv) == _recomputed(mv) == [(1, 20, 5.0, 2, "b")]
