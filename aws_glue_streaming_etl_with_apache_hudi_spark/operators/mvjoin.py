@@ -109,6 +109,18 @@ class JoinMV:
             d_, F.col(f"_f.{self.fk}") == F.col(f"_d.{self.dk}")
         ).select(*cols)
 
+    def _facts_for(self, dim_keys: DataFrame) -> DataFrame:
+        """The stored-fact slice referencing any of ``dim_keys`` (a
+        one-column ``dk`` frame): broadcast SEMI join, aliased so the
+        operator works even when ``fk`` and ``dk`` share a name."""
+        f_ = self.fact.read().alias("_fa")
+        k_ = dim_keys.distinct().alias("_ka")
+        return f_.join(
+            F.broadcast(k_),
+            F.col(f"_fa.{self.fk}") == F.col(f"_ka.{self.dk}"),
+            "leftsemi",
+        )
+
     @staticmethod
     def _split_tombstones(delta: DataFrame) -> tuple[DataFrame, DataFrame | None]:
         """(live rows, tombstoned rows or None) — incremental feeds carry
@@ -153,24 +165,16 @@ class JoinMV:
                 self.dim.incremental(begin=cd0, end=cd1).drop(COMMIT_COL)
             )
             if dead is None or not live.isEmpty():
-                changed_keys = live.select(self.dk).distinct()
-                affected = self.fact.read().join(
-                    F.broadcast(changed_keys),
-                    F.col(self.fk) == F.col(self.dk),
-                    "leftsemi",
+                legs.append(
+                    self._joined(self._facts_for(live.select(self.dk)), live)
                 )
-                legs.append(self._joined(affected, live))
             if dead is not None:
                 # inner join: facts that LOST their dim partner leave the
                 # view; computed fact-side with a semi join (no driver
                 # key collection). Facts that simultaneously moved to a
                 # live fk are already re-read as their latest state, so
                 # they don't match the deleted keys.
-                lost = self.fact.read().join(
-                    F.broadcast(dead.select(self.dk).distinct()),
-                    F.col(self.fk) == F.col(self.dk),
-                    "leftsemi",
-                )
+                lost = self._facts_for(dead.select(self.dk))
                 deletes.append(lost.select(*self.view.keys))
         if legs:
             self.view.upsert(reduce(lambda a, b: a.unionByName(b), legs))

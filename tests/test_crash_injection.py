@@ -352,6 +352,27 @@ def dedup_accept_crash_then_replay(spark, path):
     assert idx.size() == 2
 
 
+def mv_refresh_before_cursor(spark, path):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mvjoin import JoinMV
+
+    fact = TimelineTable(spark, path + "_f", keys=["k"], precombine="ver")
+    dim = TimelineTable(spark, path + "_d", keys=["p"], precombine="ver")
+    mv = JoinMV(spark, path, fact, dim, fk="p", dk="p", dim_cols=["v"])
+    fact.upsert(_df(spark, B1).drop("v"))
+    dim.upsert(spark.createDataFrame([("a", "A", 1), ("b", "B", 1)], "p string, v string, ver long"))
+    mv.refresh()
+    fact.upsert(_df(spark, B2).drop("v"))
+    with mock.patch.object(JoinMV, "_save_cursor", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            mv.refresh()
+    # crashed refresh left the upsert committed but the cursor behind;
+    # replaying the refresh refolds the same delta idempotently
+    mv.refresh()
+    got = sorted((r.k, r.p, r.ver, r.v) for r in mv.read().collect())
+    assert got == [(1, "a", 1, "A"), (2, "b", 2, "B"), (3, "a", 1, "A")]
+    assert mv._cursor() == (2, 1)
+
+
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
@@ -368,6 +389,7 @@ FAULT_POINTS = [
     cow_cluster_crash_mid_delete,
     cow_cluster_crash_mid_move,
     dedup_accept_crash_then_replay,
+    mv_refresh_before_cursor,
 ]
 
 
