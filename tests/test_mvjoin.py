@@ -126,3 +126,39 @@ def test_join_mv_dim_delete_spares_moved_fact(mv, spark):
     mv.dim.delete(_dims(spark, [(10, "a", 2)]))
     mv.refresh()
     assert _view(mv) == _recomputed(mv) == [(1, 20, 5.0, 2, "b")]
+
+
+def test_join_mv_randomized_sequence_tracks_recompute(mv, spark):
+    """Seeded random op soup: per cycle, a mix of fact upserts/deletes and
+    dim upserts/deletes lands on the sources, then one refresh; after
+    every refresh the view must equal the from-scratch join (the MV
+    law). Seeded so failures replay exactly."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    fact_ver = {}
+    dim_ver = {}
+    dim_live = set()
+    for cycle in range(3):
+        # dim ops first so the fact leg can reference new keys this cycle
+        for _ in range(rng.randint(1, 3)):
+            dk = rng.randint(10, 14)
+            if dim_live and rng.random() < 0.25:
+                dk = rng.choice(sorted(dim_live))
+                dim_ver[dk] = dim_ver.get(dk, 0) + 1
+                mv.dim.delete(_dims(spark, [(dk, "x", dim_ver[dk])]))
+                dim_live.discard(dk)
+            else:
+                dim_ver[dk] = dim_ver.get(dk, 0) + 1
+                mv.dim.upsert(_dims(spark, [(dk, f"s{cycle}_{dk}", dim_ver[dk])]))
+                dim_live.add(dk)
+        for _ in range(rng.randint(1, 4)):
+            fid = rng.randint(1, 8)
+            fact_ver[fid] = fact_ver.get(fid, 0) + 1
+            if rng.random() < 0.2:
+                mv.fact.delete(_facts(spark, [(fid, 0, 0.0, fact_ver[fid])]))
+            else:
+                fk = rng.randint(10, 15)  # 15 never exists in dim
+                mv.fact.upsert(_facts(spark, [(fid, fk, float(fid), fact_ver[fid])]))
+        mv.refresh()
+        assert _view(mv) == _recomputed(mv), f"diverged at cycle {cycle}"
