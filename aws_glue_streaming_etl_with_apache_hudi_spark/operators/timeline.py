@@ -441,6 +441,15 @@ class TimelineTable:
             return
         schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
         try:
+            if any(inst.get("renames") for inst in instants):
+                # external parquet DDL reads files by PHYSICAL column
+                # name: a renamed column would silently read null from
+                # pre-rename files. Route to the temp-view fallback,
+                # which reads through the column mapping.
+                raise ValueError(
+                    "column-mapping renames present: external-table sync "
+                    "would read old files by physical name"
+                )
             if not self.partition_by:
                 loc = os.path.abspath(
                     self._data_dir(instants[-1]["commit"], instants)
@@ -519,6 +528,73 @@ class TimelineTable:
             cond = clause if cond is None else (cond | clause)
         return cond if cond is not None else F.lit(True)
 
+    # -- column-mapping schema evolution --------------------------------------
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Iceberg-style column mapping,
+        beyond the reference's additive-only evolution at
+        glue_job_script.py:82-94): no data file is touched — the rename
+        is an instant carrying a name mapping, and every read stitches
+        older files THROUGH the mapping (a snapshot dir written at
+        commit K gets every rename recorded after K applied, in order).
+        Time travel below the rename still shows the old name; rollback
+        across it restores the old name; incremental deltas map the same
+        way. At 100 TB this is the difference between a catalog update
+        and a full-table rewrite.
+
+        Key, precombine, and partition columns cannot be renamed this
+        way — partition names are directory layout and the other two are
+        the table's identity; those renames are an offline rewrite."""
+        instants = self.commits()
+        if not instants:
+            raise ValueError("rename_column on an empty timeline")
+        schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        protected = set(self.keys) | set(self.partition_by) | {self.precombine}
+        if old in protected:
+            raise ValueError(
+                f"cannot rename {old!r}: key/precombine/partition columns "
+                "are table identity and physical layout (offline rewrite)"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        commit = self.last_commit() + 1
+        # empty delta under the NEW schema: incremental readers see no
+        # records (the compact()/delete_partition empty-delta pattern)
+        self.spark.createDataFrame([], new_schema).write.mode("overwrite").parquet(
+            self._delta_dir(commit)
+        )
+        self._save_instant(
+            {
+                "commit": commit,
+                "operation": "rename_column",
+                "renames": [[old, new]],
+                "ts": time.time(),
+                "touched_partitions": [],
+                "schema": new_schema.json(),
+            }
+        )
+        self._sync_catalog()
+        return commit
+
+    @staticmethod
+    def _apply_renames(df: DataFrame, piece_commit: int, instants: list[dict]) -> DataFrame:
+        """Map a data piece written at ``piece_commit`` forward through
+        every rename recorded by later instants, oldest first."""
+        for inst in instants:
+            if inst["commit"] > piece_commit:
+                for old, new in inst.get("renames") or []:
+                    if old in df.columns:
+                        df = df.withColumnRenamed(old, new)
+        return df
+
     # -- snapshot / time-travel read path ------------------------------------
     def read(self, as_of: int | None = None) -> DataFrame:
         """Snapshot query; ``as_of`` pins an instant (time travel).
@@ -544,10 +620,18 @@ class TimelineTable:
         latest_schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
 
         if not self.partition_by:
-            d = self._data_dir(instants[-1]["commit"], instants)
+            # the owner is the newest DATA instant (a metadata-only
+            # rename owns nothing and must not shadow the table)
+            data_instants = [
+                c for c in instants if c.get("operation") != "rename_column"
+            ]
+            if not data_instants:
+                return self.spark.createDataFrame([], latest_schema)
+            owning = data_instants[-1]["commit"]
+            d = self._data_dir(owning, instants)
             if not _has_parquet(d):  # delete commit can empty the table
                 return self.spark.createDataFrame([], latest_schema)
-            df = self.spark.read.parquet(d)
+            df = self._apply_renames(self.spark.read.parquet(d), owning, instants)
             return df.select(*[f.name for f in latest_schema.fields if f.name in df.columns])
 
         owner: dict[tuple, int] = {}
@@ -564,7 +648,8 @@ class TimelineTable:
             if not _has_parquet(d):  # all of this commit's partitions emptied
                 continue
             df = self.spark.read.parquet(d)
-            pieces.append(df.filter(self._partition_filter(df, by_commit[commit])))
+            df = df.filter(self._partition_filter(df, by_commit[commit]))
+            pieces.append(self._apply_renames(df, commit, instants))
         if not pieces:
             return self.spark.createDataFrame([], latest_schema)
         out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces)
@@ -607,11 +692,20 @@ class TimelineTable:
         # a metadata-only bootstrap instant's "delta" IS its adopted
         # location: those are the records the instant introduced, and an
         # incremental replica built from begin=0 must converge to read()
+        # renames recorded at or before the range end map older deltas
+        # forward (the view is as-of ``end``)
+        rename_instants = [
+            c for c in self.commits() if end is None or c["commit"] <= end
+        ]
         deltas = [
-            self.spark.read.parquet(
-                c["location"]
-                if c.get("operation") == "bootstrap" and c.get("location")
-                else self._delta_dir(c["commit"])
+            self._apply_renames(
+                self.spark.read.parquet(
+                    c["location"]
+                    if c.get("operation") == "bootstrap" and c.get("location")
+                    else self._delta_dir(c["commit"])
+                ),
+                c["commit"],
+                rename_instants,
             ).withColumn(COMMIT_COL, F.lit(c["commit"]))
             for c in metas
         ]

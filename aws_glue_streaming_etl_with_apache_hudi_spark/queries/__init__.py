@@ -87,7 +87,8 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     composes the two legs' registered oracle SQLs so it cannot drift)
 #   storage: insert_overwrite_state (replacecommit partition restatement),
 #     delete_partition_state (zero-row replacecommit partition erasure),
-#     mv_join_incremental (delta-join decomposition JOIN-view refresh)
+#     mv_join_incremental (delta-join decomposition JOIN-view refresh),
+#     rename_evolution_state (metadata-only column rename via mapping)
 # Every rotated-out query remains continuously verified by the local
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 

@@ -566,3 +566,58 @@ def mv_join_incremental(spark, sf_dir):
         F.round("o_totalprice", 2).alias("total"),
         F.col("c_mktsegment").alias("seg"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "rename_evolution_state",
+    sql="""
+    SELECT event_type, user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value_usd
+    FROM (
+      SELECT event_type, user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x
+    WHERE rn = 1 ORDER BY event_type, user_id
+    """,
+)
+def rename_evolution_state(spark, sf_dir):
+    """Column-mapping rename on the REAL on-disk timeline table
+    (operators/timeline.py rename_column — Iceberg-style mapping, the
+    evolution class BEYOND the reference's additive-only union at
+    glue_job_script.py:82-94): the first half of the stream lands under
+    column 'value', the column is renamed to 'value_usd' WITHOUT
+    touching a data file, and the second half lands under the new name.
+    The final snapshot must merge both generations under 'value_usd' —
+    pre-rename files read through the mapping — equal to latest-per-key
+    over the whole stream, which the oracle computes with the rename
+    applied directly.
+
+    Scale: the rename is one metadata instant; the alternative at
+    100 TB is a full-table rewrite."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="rename_tbl_")
+    tbl = TimelineTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    tbl.upsert(e.filter(F.col("ts") < mid))
+    tbl.rename_column("value", "value_usd")
+    tbl.upsert(
+        e.filter(F.col("ts") >= mid).withColumnRenamed("value", "value_usd")
+    )
+    return tbl.read().select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.round("value_usd", 2).alias("value_usd"),
+    ).orderBy("event_type", "user_id")

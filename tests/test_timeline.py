@@ -263,3 +263,65 @@ def test_delete_partition_requires_partitioned_table(spark, tmp_path):
     t.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
     with pytest.raises(ValueError):
         t.delete_partition([{"part": "a"}])
+
+
+def test_rename_column_maps_old_files_forward(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    c2 = table.rename_column("v", "payload")
+    assert c2 == 2
+    got = {r.k: r.payload for r in table.read().collect()}
+    assert got == {1: "x", 2: "y"}  # old files read THROUGH the mapping
+    # new writes use the new name and merge with mapped old rows
+    table.upsert(
+        spark.createDataFrame([Row(k=1, part="a", payload="x2", ver=2)])
+    )
+    got = {r.k: r.payload for r in table.read().collect()}
+    assert got == {1: "x2", 2: "y"}
+    # time travel below the rename still shows the OLD name
+    old = table.read(as_of=1)
+    assert "v" in old.columns and "payload" not in old.columns
+
+
+def test_rename_column_incremental_and_rollback(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.rename_column("v", "payload")
+    table.upsert(spark.createDataFrame([Row(k=2, part="a", payload="z", ver=1)]))
+    inc = table.incremental(begin=0, end=3)
+    assert {r.k: r.payload for r in inc.collect()} == {1: "x", 2: "z"}
+    # rollback across the rename restores the old name
+    table.rollback(to_commit=1)
+    assert "v" in table.read().columns
+
+
+def test_rename_column_validation(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    with pytest.raises(ValueError):
+        table.rename_column("k", "key2")  # record key
+    with pytest.raises(ValueError):
+        table.rename_column("part", "p2")  # partition column
+    with pytest.raises(ValueError):
+        table.rename_column("ver", "version")  # precombine
+    with pytest.raises(ValueError):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        table.rename_column("v", "ver")  # collision
+
+
+def test_rename_column_unpartitioned_owner(spark, tmp_path):
+    # a rename as the LAST instant must not shadow the unpartitioned
+    # table's data (metadata-only instants own nothing)
+    t_ = TimelineTable(
+        spark=spark, path=str(tmp_path / "flat"), keys=["k"], precombine="ver"
+    )
+    t_.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))
+    t_.rename_column("v", "val")
+    assert [(r.k, r.val) for r in t_.read().collect()] == [(1, "a")]
+
+
+def test_rename_column_chained_renames(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.rename_column("v", "v2")
+    table.upsert(spark.createDataFrame([Row(k=2, part="b", v2="y", ver=1)]))
+    table.rename_column("v2", "v3")
+    got = {r.k: r.v3 for r in table.read().collect()}
+    assert got == {1: "x", 2: "y"}  # both generations map to the latest name
