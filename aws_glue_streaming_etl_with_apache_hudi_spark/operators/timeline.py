@@ -584,6 +584,47 @@ class TimelineTable:
         self._sync_catalog()
         return commit
 
+    def drop_column(self, col: str) -> int:
+        """Metadata-only column drop (the mapping sibling of
+        ``rename_column``): no data file is rewritten — the new instant
+        records a schema WITHOUT the column, and snapshot reads project
+        to the as-of schema, so the column vanishes from the current
+        view while time travel below the drop still shows it and
+        rollback restores it. Incremental/CDC feeds keep each commit's
+        historical shape (consumers replicating history want the
+        columns that existed when the records were written — the
+        Hudi/Iceberg CDC contract). Key, precombine, and partition
+        columns cannot be dropped."""
+        instants = self.commits()
+        if not instants:
+            raise ValueError("drop_column on an empty timeline")
+        schema = T.StructType.fromJson(json.loads(instants[-1]["schema"]))
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"no column {col!r} in {names}")
+        protected = set(self.keys) | set(self.partition_by) | {self.precombine}
+        if col in protected:
+            raise ValueError(
+                f"cannot drop {col!r}: key/precombine/partition columns "
+                "are table identity and physical layout"
+            )
+        new_schema = T.StructType([f for f in schema.fields if f.name != col])
+        commit = self.last_commit() + 1
+        self.spark.createDataFrame([], new_schema).write.mode("overwrite").parquet(
+            self._delta_dir(commit)
+        )
+        self._save_instant(
+            {
+                "commit": commit,
+                "operation": "drop_column",
+                "ts": time.time(),
+                "touched_partitions": [],
+                "schema": new_schema.json(),
+            }
+        )
+        self._sync_catalog()
+        return commit
+
     @staticmethod
     def _apply_renames(df: DataFrame, piece_commit: int, instants: list[dict]) -> DataFrame:
         """Map a data piece written at ``piece_commit`` forward through
@@ -621,9 +662,11 @@ class TimelineTable:
 
         if not self.partition_by:
             # the owner is the newest DATA instant (a metadata-only
-            # rename owns nothing and must not shadow the table)
+            # rename/drop owns nothing and must not shadow the table)
             data_instants = [
-                c for c in instants if c.get("operation") != "rename_column"
+                c
+                for c in instants
+                if c.get("operation") not in ("rename_column", "drop_column")
             ]
             if not data_instants:
                 return self.spark.createDataFrame([], latest_schema)
@@ -654,13 +697,18 @@ class TimelineTable:
             return self.spark.createDataFrame([], latest_schema)
         out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces)
 
+        # project to the as-of schema: additive evolution makes it a
+        # superset of every piece, and a metadata-only drop_column makes
+        # it the authority on which historical columns stay visible
+        keep = {f.name for f in latest_schema.fields}
         types = {f.name: f.dataType for f in latest_schema.fields}
         return out.select(
             *[
                 F.col(c).cast(types[c]).alias(c)
-                if c in self.partition_by and c in types
+                if c in self.partition_by
                 else F.col(c)
                 for c in out.columns
+                if c in keep
             ]
         )
 

@@ -352,6 +352,20 @@ def dedup_accept_crash_then_replay(spark, path):
     assert idx.size() == 2
 
 
+def tl_rename_before_instant(spark, path):
+    t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    with mock.patch.object(TimelineTable, "_save_instant", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.rename_column("v", "payload")
+    # no instant -> old name still live, orphan empty delta swept by fsck
+    assert "v" in t.read().columns
+    rep = t.fsck()
+    assert any("commit=2" in d for d in rep["dirs"])
+    t.rename_column("v", "payload")
+    assert {r.k: r.payload for r in t.read().collect()} == {1: 10.0, 2: 20.0}
+
+
 def mv_refresh_before_cursor(spark, path):
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mvjoin import JoinMV
 
@@ -390,6 +404,7 @@ FAULT_POINTS = [
     cow_cluster_crash_mid_move,
     dedup_accept_crash_then_replay,
     mv_refresh_before_cursor,
+    tl_rename_before_instant,
 ]
 
 

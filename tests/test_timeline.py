@@ -325,3 +325,44 @@ def test_rename_column_chained_renames(table, spark):
     table.rename_column("v2", "v3")
     got = {r.k: r.v3 for r in table.read().collect()}
     assert got == {1: "x", 2: "y"}  # both generations map to the latest name
+
+
+def test_drop_column_metadata_only(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    c2 = table.drop_column("v")
+    assert c2 == 2
+    cur = table.read()
+    assert "v" not in cur.columns
+    assert {r.k: r.ver for r in cur.collect()} == {1: 1, 2: 1}
+    # time travel below the drop still shows the column
+    assert "v" in table.read(as_of=1).columns
+    # rollback restores it
+    table.rollback(to_commit=1)
+    assert "v" in table.read().columns
+
+
+def test_drop_column_unpartitioned_and_validation(spark, tmp_path):
+    t_ = TimelineTable(
+        spark=spark, path=str(tmp_path / "flat"), keys=["k"], precombine="ver"
+    )
+    t_.upsert(spark.createDataFrame([Row(k=1, v="a", extra=7, ver=1)]))
+    t_.drop_column("extra")
+    got = t_.read()
+    assert "extra" not in got.columns
+    assert [(r.k, r.v) for r in got.collect()] == [(1, "a")]
+    with pytest.raises(ValueError):
+        t_.drop_column("k")
+    with pytest.raises(ValueError):
+        t_.drop_column("ver")
+    with pytest.raises(ValueError):
+        t_.drop_column("missing")
+
+
+def test_drop_then_rename_chain(table, spark):
+    # mapping ops compose: rename v -> payload, then drop payload
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.rename_column("v", "payload")
+    table.drop_column("payload")
+    cur = table.read()
+    assert "v" not in cur.columns and "payload" not in cur.columns
+    assert {r.k for r in cur.collect()} == {1}
