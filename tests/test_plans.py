@@ -342,3 +342,32 @@ def test_corpus_pipeline_v2_never_shuffles_fulltext(spark, sf_dir):
     for chunk in plan.split("Exchange")[1:]:
         first_line = chunk.splitlines()[0]
         assert "text#" not in first_line, first_line
+
+
+def test_khop_joins_are_equi_no_cartesian(spark, sf_dir):
+    # bounded BFS: every round is an equi join on the node id; a plan
+    # regression to nested-loop would explode at graph scale
+    plan = explain_str(QUERIES["graph_khop_reachability"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_recall_join_is_equi_no_cartesian(spark, sf_dir):
+    # the recall join touches only Q*k candidate rows as a hash join
+    plan = explain_str(QUERIES["knn_recall_eval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_window_is_per_stratum(spark, sf_dir):
+    # the A-Res top-k runs under a lang-partitioned window — a global
+    # (empty-partitioning) sort of the corpus would be the scale bug
+    df = QUERIES["weighted_sample_ares"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(lang" in plan
+
+
+def test_benford_is_single_partial_aggregation(spark, sf_dir):
+    # full-table screen: one map-side-combined groupBy on a 9-value key
+    plan = explain_str(QUERIES["benford_first_digit"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
