@@ -77,7 +77,9 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     changepoint_mean_shift (prefix-sum split scan),
 #     autocorrelation_daily (ACF at lags 1/7 — exact-decimal moments),
 #     revenue_concentration_gini (rank-formula Gini + top-decile share)
-#   statistics addition: benford_first_digit (forensic DQ digit screen)
+#   statistics additions: benford_first_digit (forensic DQ digit screen),
+#     survival_kaplan_meier (product-limit time-to-convert under
+#     right censoring at a 72h horizon)
 #   sketches: hll_sketch_union_estimate (DataSketches HLL partial-merge),
 #     approx_quantile_rank_bound (GK sketch re-ranked against raw data)
 #   graph addition: graph_khop_reachability (bounded BFS from seed set)

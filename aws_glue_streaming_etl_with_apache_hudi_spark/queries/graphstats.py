@@ -829,3 +829,104 @@ def graph_khop_reachability(spark, sf_dir):
         .select(F.col("node").cast("long").alias("node"), F.col("hop").cast("long").alias("hop"))
         .orderBy("node")
     )
+
+
+@register(
+    "survival_kaplan_meier",
+    sql="""
+    WITH u0 AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+    conv AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    users AS (
+      SELECT u0.user_id,
+             CAST(CASE WHEN conv.tp IS NULL THEN 72
+                  ELSE least(CAST(floor(epoch_us(conv.tp - u0.t0) / 3600000000)
+                             AS BIGINT), 72) END AS BIGINT) AS dur,
+             CAST(conv.tp IS NULL
+                  OR floor(epoch_us(conv.tp - u0.t0) / 3600000000) > 72
+                  AS BOOLEAN) AS censored
+      FROM u0 LEFT JOIN conv ON conv.user_id = u0.user_id
+    ),
+    at_t AS (
+      SELECT dur AS t,
+             CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM users GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST((SELECT count(*) FROM users) AS BIGINT)
+               - CAST(coalesce(sum(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+      FROM at_t
+    )
+    SELECT t, n_risk, d AS n_events,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+    FROM risk WHERE d > 0 ORDER BY t
+    """,
+)
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-purchase: per user,
+    duration = whole hours from their first event to their first
+    purchase, right-CENSORED at a 72-hour observation horizon (users
+    converting later — or never — are known only to have survived past
+    72h; dropping them would bias conversion up, counting them as
+    converted-at-72 would bias it down; KM's at-risk denominators are
+    exactly the fix). S(t) is the product-limit over event times,
+    computed as exp of a windowed sum of logs — one closed-form pass.
+    The time-to-convert curve behind activation dashboards, as the
+    estimator statisticians actually use under censoring.
+
+    Determinism: durations are exact integer hours (microsecond integer
+    arithmetic) and at-risk counts exact integers, so both engines feed
+    identical rationals d/n into ln/exp; 6dp rounding absorbs libm ULP.
+
+    Scale: two distributed per-user aggregations; everything after runs
+    over one row per distinct hour (<= 73 rows)."""
+    e = t(spark, sf_dir, "events")
+    u0 = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    hours = F.floor(
+        (F.unix_micros("tp") - F.unix_micros("t0")) / F.lit(3600000000)
+    )
+    users = u0.join(conv, "user_id", "left").select(
+        F.when(F.col("tp").isNull(), F.lit(72))
+        .otherwise(F.least(hours, F.lit(72)))
+        .cast("long")
+        .alias("dur"),
+        (F.col("tp").isNull() | (hours > 72)).alias("censored"),
+    )
+    at_t = users.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    total = users.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = at_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    surv = F.exp(
+        F.sum(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+        ).over(w_cum)
+    )
+    return (
+        risk.withColumn("survival", F.round(surv, 6))
+        .filter(F.col("d") > 0)
+        .select("t", "n_risk", F.col("d").alias("n_events"), "survival")
+        .orderBy("t")
+    )
