@@ -219,6 +219,43 @@ class TimelineTable:
         batch = precombine_latest(batch, self._identity, self.precombine)
         return self._commit_delta(batch, operation="replace")
 
+    def insert_overwrite_table(self, batch: DataFrame) -> int:
+        """Hudi's ``insert_overwrite_table``: one replacecommit that
+        restates the ENTIRE table as the batch (CTAS-refresh semantics).
+        Unlike ``insert_overwrite`` — which only replaces the partitions
+        the batch touches — this instant takes ownership of every
+        currently-live partition too, so partitions absent from the
+        batch are emptied (ownership with no files, the delete_partition
+        mechanism). Still time-travelable and rollback-able like any
+        instant, and incremental readers see the batch as the delta.
+
+        Scale: IO is O(batch); prior state is disowned via metadata,
+        never read or rewritten."""
+        batch = precombine_latest(batch, self._identity, self.precombine)
+        if not self.partition_by:
+            return self._commit_delta(batch, operation="replace")
+        live: set[tuple] = set()
+        for inst in self.commits():
+            for p in inst["touched_partitions"]:
+                live.add(tuple(p))
+        new_parts = {
+            tuple(_part_token(v) for v in row)
+            for row in batch.select(*self.partition_by).distinct().collect()
+        }
+        extra = [list(p) for p in sorted(live - new_parts)]
+        # extras ride the SAME instant write (single atomic _save_instant):
+        # a crash can only ever show all-or-nothing of the restatement
+        if self.lock_commits:
+            from aws_glue_streaming_etl_with_apache_hudi_spark.operators.locking import CommitLock
+
+            with CommitLock(self.path):
+                return self._commit_delta_unlocked(
+                    batch, operation="replace", extra_touched=extra
+                )
+        return self._commit_delta_unlocked(
+            batch, operation="replace", extra_touched=extra
+        )
+
     def delete_partition(self, partitions: list[dict]) -> int:
         """Hudi's ``delete_partition`` operation (a *replacecommit* with
         zero rows): drop whole partitions without reading, tombstoning,
@@ -366,7 +403,12 @@ class TimelineTable:
                 return self._commit_delta_unlocked(delta_batch, operation)
         return self._commit_delta_unlocked(delta_batch, operation)
 
-    def _commit_delta_unlocked(self, delta_batch: DataFrame, operation: str = "upsert") -> int:
+    def _commit_delta_unlocked(
+        self,
+        delta_batch: DataFrame,
+        operation: str = "upsert",
+        extra_touched: list[list[str]] | None = None,
+    ) -> int:
         commit = self.last_commit() + 1
 
         touched = (
@@ -377,6 +419,10 @@ class TimelineTable:
             if self.partition_by
             else [[]]
         )
+        if extra_touched:
+            # ownership WITHOUT files (insert_overwrite_table disowning
+            # stale partitions): listed in the instant, no snapshot data
+            touched = touched + [p for p in extra_touched if p not in touched]
 
         delta_batch.write.mode("overwrite").parquet(self._delta_dir(commit))
         # Re-read the delta so snapshot merge + downstream plans scan the

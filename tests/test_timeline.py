@@ -366,3 +366,27 @@ def test_drop_then_rename_chain(table, spark):
     cur = table.read()
     assert "v" not in cur.columns and "payload" not in cur.columns
     assert {r.k for r in cur.collect()} == {1}
+
+
+def test_insert_overwrite_table_restates_everything(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 5), (2, "b", "y", 5), (3, "c", "z", 5)]))
+    # full-table restatement: only partition a survives, b and c are
+    # disowned by the same instant (ownership with no files)
+    c2 = table.insert_overwrite_table(_rows(spark, [(9, "a", "only", 1)]))
+    assert c2 == 2
+    assert _state(table.read()) == {9: ("a", "only", 1)}
+    # time travel below the restatement sees the old world
+    assert _state(table.read(as_of=1)) == {
+        1: ("a", "x", 5), 2: ("b", "y", 5), 3: ("c", "z", 5),
+    }
+    table.rollback(to_commit=1)
+    assert len(_state(table.read())) == 3
+
+
+def test_insert_overwrite_table_unpartitioned(spark, tmp_path):
+    t_ = TimelineTable(
+        spark=spark, path=str(tmp_path / "flat"), keys=["k"], precombine="ver"
+    )
+    t_.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1), Row(k=2, v="b", ver=1)]))
+    t_.insert_overwrite_table(spark.createDataFrame([Row(k=7, v="new", ver=1)]))
+    assert {r.k: r.v for r in t_.read().collect()} == {7: "new"}
