@@ -30,7 +30,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -95,6 +97,9 @@ class GraftEventsDataSource(DataSource):
     def streamReader(self, schema) -> "GraftEventsStreamReader":
         return GraftEventsStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "GraftLedgerWriter":
+        return GraftLedgerWriter(self.options, overwrite)
+
 
 class GraftEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -153,6 +158,88 @@ class GraftEventsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — regeneration is the recovery story
+
+
+class _StagedFile(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced."""
+
+    def __init__(self, staged: str, rows: int):
+        self.staged, self.rows = staged, rows
+
+
+class GraftLedgerWriter(DataSourceWriter):
+    """Write side of the DataSource API (``df.write.format("graft_events")
+    .option("path", ...)``): a JSONL ledger sink with the standard
+    two-phase task-commit protocol, exercised end to end in Python.
+
+    - ``write`` (executor, per task): rows stream to a STAGING file named
+      by (partition, taskAttempt) — flushed and fsynced — and the task's
+      commit message carries that path. A speculative or retried attempt
+      stages its own file; losers are simply never promoted.
+    - ``commit`` (driver, once, only if every task succeeded): each staged
+      file is renamed into the final directory and a ``_SUCCESS`` manifest
+      lists the promoted files — readers that honor the manifest never see
+      a torn write.
+    - ``abort``: staged files of the failed job are removed.
+
+    This is the same protocol a production sink uses against an object
+    store (staging keys + manifest swap); here it is local-FS rename,
+    like every other storage service in the repo. Scale: tasks write
+    independently (no coordination until the O(#tasks) driver commit)."""
+
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("graft_events writer requires option 'path'")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        staging = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging, exist_ok=True)
+        staged = _os.path.join(staging, name)
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+            f.flush()
+            _os.fsync(f.fileno())
+        return _StagedFile(staged, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        _os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for old in _os.listdir(self.path):
+                if old.endswith(".jsonl"):
+                    _os.remove(_os.path.join(self.path, old))
+        final_names, rows = [], 0
+        for m in messages:
+            dest = _os.path.join(self.path, _os.path.basename(m.staged))
+            _os.replace(m.staged, dest)
+            final_names.append(_os.path.basename(dest))
+            rows += m.rows
+        tmp = _os.path.join(self.path, "_SUCCESS.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"files": sorted(final_names), "rows": rows}, f)
+        _os.replace(tmp, _os.path.join(self.path, "_SUCCESS"))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged):
+                _os.remove(m.staged)
 
 
 def register(spark) -> None:

@@ -145,3 +145,82 @@ def test_cli_pipeline_drains_generator_source(spark, tmp_path):
     got = spark.table("gen_cli_tbl")
     assert got.count() == 300
     assert got.select(F.count_distinct("event_id")).collect()[0][0] == 300
+
+
+def test_writer_two_phase_commit(spark, tmp_path):
+    """df.write.format("graft_events"): staged files promote on commit,
+    a _SUCCESS manifest lists exactly the promoted files, and orphaned
+    staging files (lost speculative attempts) are never promoted."""
+    import json
+    import os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "ledger")
+    df = spark.range(0, 100, numPartitions=4).selectExpr(
+        "id AS event_id", "timestamp'2024-01-01' AS ts", "id % 7 AS user_id",
+        "'view' AS event_type", "1.5 AS value", "'{}' AS props"
+    )
+    # plant an orphan staging file BEFORE the write: a lost speculative
+    # attempt's leftovers must not be promoted
+    os.makedirs(os.path.join(out, "_staging"), exist_ok=True)
+    orphan = os.path.join(out, "_staging", "part-99999-0.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"event_id": -1}\n')
+
+    df.write.format("graft_events").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 100
+    promoted = [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    assert sorted(promoted) == manifest["files"]
+    assert "part-99999-0.jsonl" not in manifest["files"]
+    assert os.path.exists(orphan)  # untouched, never promoted
+    total = 0
+    for name in promoted:
+        with open(os.path.join(out, name)) as f:
+            total += sum(1 for _ in f)
+    assert total == 100
+
+
+def test_writer_overwrite_replaces_committed_files(spark, tmp_path):
+    import json
+    import os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "ledger2")
+    base = spark.range(0, 50, numPartitions=2).selectExpr(
+        "id AS event_id", "timestamp'2024-01-01' AS ts", "id AS user_id",
+        "'view' AS event_type", "1.0 AS value", "'{}' AS props"
+    )
+    base.write.format("graft_events").option("path", out).mode("append").save()
+    base.limit(10).repartition(1).write.format("graft_events").option(
+        "path", out
+    ).mode("overwrite").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 10
+    total = 0
+    for name in os.listdir(out):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(out, name)) as f:
+                total += sum(1 for _ in f)
+    assert total == 10
+
+
+def test_writer_requires_path(spark):
+    import pytest as _pytest
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.range(3).selectExpr(
+        "id AS event_id", "timestamp'2024-01-01' AS ts", "id AS user_id",
+        "'view' AS event_type", "1.0 AS value", "'{}' AS props"
+    )
+    with _pytest.raises(Exception):
+        df.write.format("graft_events").mode("append").save()
