@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -99,6 +100,9 @@ class GraftEventsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "GraftLedgerWriter":
         return GraftLedgerWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "GraftLedgerStreamWriter":
+        return GraftLedgerStreamWriter(self.options)
 
 
 class GraftEventsReader(DataSourceReader):
@@ -235,6 +239,76 @@ class GraftLedgerWriter(DataSourceWriter):
         _os.replace(tmp, _os.path.join(self.path, "_SUCCESS"))
 
     def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged):
+                _os.remove(m.staged)
+
+
+class GraftLedgerStreamWriter(DataSourceStreamWriter):
+    """Streaming write side (``df.writeStream.format("graft_events")``):
+    the same staged-file protocol as the batch writer, with the commit
+    keyed by MICRO-BATCH id — each batch's files promote under a
+    ``_batch_N`` manifest written atomically, so a restart that replays
+    batch N (offsets checkpointed, effects not yet manifest) simply
+    re-stages and re-promotes the SAME manifest name: exactly-once by
+    idempotent rename, the BatchIdLedger contract expressed inside the
+    DataSource API instead of foreachBatch."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("graft_events stream writer requires option 'path'")
+        self.path = path
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"stage-{ctx.partitionId():05d}-{ctx.taskAttemptId()}-{_uuid.uuid4().hex[:8]}.jsonl"
+        staging = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging, exist_ok=True)
+        staged = _os.path.join(staging, name)
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+            f.flush()
+            _os.fsync(f.fileno())
+        return _StagedFile(staged, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os as _os
+
+        manifest_path = _os.path.join(self.path, f"_batch_{batchId}")
+        if _os.path.exists(manifest_path):
+            # replayed batch already committed: drop the re-staged files
+            self.abort(messages, batchId)
+            return
+        _os.makedirs(self.path, exist_ok=True)
+        final_names, rows = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            dest = _os.path.join(
+                self.path, f"batch-{batchId}-{_os.path.basename(m.staged)}"
+            )
+            _os.replace(m.staged, dest)
+            final_names.append(_os.path.basename(dest))
+            rows += m.rows
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"batch": batchId, "files": sorted(final_names), "rows": rows}, f)
+        _os.replace(tmp, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:
         import os as _os
 
         for m in messages:

@@ -224,3 +224,71 @@ def test_writer_requires_path(spark):
     )
     with _pytest.raises(Exception):
         df.write.format("graft_events").mode("append").save()
+
+
+def test_stream_writer_per_batch_manifests(spark, tmp_path):
+    """writeStream.format("graft_events"): each micro-batch promotes its
+    files under an atomic _batch_N manifest; a replayed batch id is a
+    no-op (exactly-once by idempotent manifest rename)."""
+    import json
+    import os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import register
+
+    register(spark)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "ledger_stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def _feed(name, lo, hi):
+        rows = spark.range(lo, hi).selectExpr(
+            "id AS event_id", "timestamp'2024-01-01' AS ts", "id AS user_id",
+            "'view' AS event_type", "1.0 AS value", "'{}' AS props"
+        )
+        rows.coalesce(1).write.mode("overwrite").json(os.path.join(src, name))
+
+    _feed("b0", 0, 40)
+    q = (
+        spark.readStream.schema(schema).json(src + "/*")
+        .writeStream.format("graft_events")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _feed("b1", 40, 70)
+    q = (
+        spark.readStream.schema(schema).json(src + "/*")
+        .writeStream.format("graft_events")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    manifests = sorted(n for n in os.listdir(out) if n.startswith("_batch_"))
+    assert len(manifests) == 2
+    total = 0
+    for mname in manifests:
+        with open(os.path.join(out, mname)) as f:
+            m = json.load(f)
+        for fname in m["files"]:
+            with open(os.path.join(out, fname)) as f:
+                assert sum(1 for _ in f) > 0
+        total += m["rows"]
+    assert total == 70
+    # replay protection: re-promoting an existing batch id is a no-op
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import GraftLedgerStreamWriter, _StagedFile
+    w = GraftLedgerStreamWriter({"path": out})
+    ghost = os.path.join(out, "_staging", "ghost.jsonl")
+    os.makedirs(os.path.dirname(ghost), exist_ok=True)
+    with open(ghost, "w") as f:
+        f.write('{"event_id": -1}\n')
+    w.commit([_StagedFile(ghost, 1)], batchId=0)
+    with open(os.path.join(out, "_batch_0")) as f:
+        assert json.load(f)["rows"] != 1  # original manifest untouched
+    assert not os.path.exists(ghost)  # re-staged files cleaned, not promoted
