@@ -390,3 +390,57 @@ def test_insert_overwrite_table_unpartitioned(spark, tmp_path):
     t_.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1), Row(k=2, v="b", ver=1)]))
     t_.insert_overwrite_table(spark.createDataFrame([Row(k=7, v="new", ver=1)]))
     assert {r.k: r.v for r in t_.read().collect()} == {7: "new"}
+
+
+def test_upsert_occ_sequential_equals_upsert(table, spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import CommitConflict  # noqa: F401
+
+    table.upsert_occ(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    table.upsert_occ(_rows(spark, [(1, "a", "x2", 2), (3, "c", "z", 1)]))
+    assert _state(table.read()) == {
+        1: ("a", "x2", 2), 2: ("b", "y", 1), 3: ("c", "z", 1),
+    }
+    assert [c["commit"] for c in table.commits()] == [1, 2]
+
+
+def test_upsert_occ_disjoint_writers_both_commit(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    base = table.last_commit()
+    # two writers that both started at base=1 touch DISJOINT partitions:
+    # X publishes first; Y's validation still passes
+    table.upsert_occ(_rows(spark, [(1, "a", "xx", 2)]), base=base)
+    table.upsert_occ(_rows(spark, [(2, "b", "yy", 2)]), base=base)
+    assert _state(table.read()) == {1: ("a", "xx", 2), 2: ("b", "yy", 2)}
+
+
+def test_upsert_occ_overlap_conflicts_and_retry_succeeds(table, spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import CommitConflict
+
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    base = table.last_commit()
+    table.upsert_occ(_rows(spark, [(1, "a", "won", 2)]), base=base)
+    # the slower writer on the SAME partition must NOT silently clobber
+    with pytest.raises(CommitConflict):
+        table.upsert_occ(_rows(spark, [(9, "a", "lost", 1)]), base=base)
+    assert _state(table.read()) == {1: ("a", "won", 2)}
+    # retry from a fresh read merges both writers' intents
+    table.upsert_occ(_rows(spark, [(9, "a", "retry", 1)]))
+    assert _state(table.read()) == {1: ("a", "won", 2), 9: ("a", "retry", 1)}
+
+
+def test_upsert_occ_conflict_cleans_staging_and_fsck_sweeps_crashes(table, spark):
+    import os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import CommitConflict
+
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    base = table.last_commit()
+    table.upsert_occ(_rows(spark, [(1, "a", "w", 2)]), base=base)
+    with pytest.raises(CommitConflict):
+        table.upsert_occ(_rows(spark, [(8, "a", "l", 1)]), base=base)
+    occ_root = os.path.join(table.path, "_occ_staging")
+    assert not os.path.isdir(occ_root) or os.listdir(occ_root) == []
+    # a crashed writer's staging (no publish) is swept by fsck
+    os.makedirs(os.path.join(occ_root, "deadbeef"), exist_ok=True)
+    rep = table.fsck()
+    assert any("deadbeef" in d for d in rep["dirs"])
