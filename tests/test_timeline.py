@@ -444,3 +444,28 @@ def test_upsert_occ_conflict_cleans_staging_and_fsck_sweeps_crashes(table, spark
     os.makedirs(os.path.join(occ_root, "deadbeef"), exist_ok=True)
     rep = table.fsck()
     assert any("deadbeef" in d for d in rep["dirs"])
+
+
+def test_upsert_occ_threaded_disjoint_race(table, spark):
+    """Two real threads race the full OCC path on disjoint partitions:
+    both must publish (distinct instants), final state merges both."""
+    import threading
+
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    base = table.last_commit()
+    errs = []
+
+    def w(part, key, val):
+        try:
+            table.upsert_occ(
+                _rows(spark, [(key, part, val, 2)]), base=base
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=w, args=("a", 1, "xa"))
+    t2 = threading.Thread(target=w, args=("b", 2, "yb"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    assert [c["commit"] for c in table.commits()] == [1, 2, 3]
+    assert _state(table.read()) == {1: ("a", "xa", 2), 2: ("b", "yb", 2)}
