@@ -87,6 +87,10 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     hash-keyed weighted sample without replacement, per stratum)
 #   similarity: knn_recall_eval (recall@5 of LSH vs brute force; oracle
 #     composes the two legs' registered oracle SQLs so it cannot drift)
+#   dedup/training: split_leakage_minhash (near-dup pairs straddling the
+#     train/test hash split — the post-split leakage audit; composed
+#     oracle from the LSH and split rules)
+#   statistics: spearman_rank_corr (midrank doubling keeps ranks exact)
 #   storage: insert_overwrite_state (replacecommit partition restatement),
 #     delete_partition_state (zero-row replacecommit partition erasure),
 #     mv_join_incremental (delta-join decomposition JOIN-view refresh),

@@ -930,3 +930,81 @@ def survival_kaplan_meier(spark, sf_dir):
         .select("t", "n_risk", F.col("d").alias("n_events"), "survival")
         .orderBy("t")
     )
+
+
+@register(
+    "spearman_rank_corr",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT CAST(2 * rank() OVER (ORDER BY x)
+                  + count(*) OVER (PARTITION BY x) - 1 AS DECIMAL(12,0)) AS rx,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS DECIMAL(12,0)) AS ry
+      FROM per_user
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(rx) AS DOUBLE) AS sx,
+             CAST(sum(ry) AS DOUBLE) AS sy,
+             CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+             CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+             CAST(sum(ry * ry) AS DOUBLE) AS syy
+      FROM ranked
+    )
+    SELECT n_users,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between per-user total spend and event
+    count — the robust (monotone, outlier-immune) association measure
+    next to the Pearson regressions already in this family. Ties take
+    textbook MIDRANKS, kept in exact integer arithmetic by the doubling
+    trick (2*rank + tie_count - 1 = twice the midrank — scaling both
+    rank vectors by 2 leaves the correlation unchanged), so both engines
+    rank identically with no float rank in sight; the Pearson formula
+    then runs on exact decimal moments (the linreg discipline).
+
+    Scale: one distributed per-user aggregation; the two global rank
+    windows run over one row per user — the known exact-rank sort,
+    degradable to quantile-bucketed partial ranks without changing the
+    algebra (the gini query documents the same path)."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    def m2(col):
+        return (
+            F.lit(2) * F.rank().over(W.orderBy(col))
+            + F.count(F.lit(1)).over(W.partitionBy(col))
+            - F.lit(1)
+        ).cast("decimal(12,0)")
+    ranked = per_user.select(m2("x").alias("rx"), m2("y").alias("ry"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+    )
+    c = F.col
+    rho = (c("n") * c("sxy") - c("sx") * c("sy")) / (
+        F.sqrt(c("n") * c("sxx") - c("sx") * c("sx"))
+        * F.sqrt(c("n") * c("syy") - c("sy") * c("sy"))
+    )
+    return m.select("n_users", F.round(rho, 6).alias("spearman_rho"))

@@ -2835,3 +2835,72 @@ def knn_recall_eval(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+def _split_leakage_oracle_sql() -> str:
+    """Composes the registered dedup_minhash_lsh oracle (the full
+    shingle/hash-family/band/verify replay) with the train_test_split
+    hash rule, so the leakage audit's oracle can never drift from
+    either primitive it combines."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES
+
+    lsh = QUERIES["dedup_minhash_lsh"].sql
+    h_split = stable_hash64_sql("CAST(doc_id AS VARCHAR)", "split")
+    return f"""
+    WITH pairs AS ({lsh}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {h_split} % 100 < 95 THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END AS train_id,
+           CASE WHEN sa.split = 'train' THEN p.id_b ELSE p.id_a END AS test_id,
+           p.jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    ORDER BY train_id, test_id
+    """
+
+
+@register("split_leakage_minhash", sql=_split_leakage_oracle_sql())
+def split_leakage_minhash(spark, sf_dir):
+    """Train/test SPLIT-LEAKAGE audit: near-duplicate pairs that straddle
+    the hash split — a test document with a >=0.5-Jaccard twin in train
+    silently inflates every evaluation run on the corpus, and the hash
+    split alone cannot prevent it (near-dups hash independently). Reuses
+    the production MinHash+LSH pipeline for the pairs and the production
+    split rule for the labels; the oracle composes those two queries'
+    own registered SQL. The audit a training-data pipeline runs after
+    every split, expressed in the engine's own primitives.
+
+    Scale: identical to dedup_minhash_lsh (banded candidates only) plus
+    two slim split joins on doc ids."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    split_col = F.when(
+        stable_hash64(F.col("doc_id").cast("string"), "split") % 100 < 95,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    sp = docs.select("doc_id", split_col.alias("split"))
+    sa = sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa")
+    sb = sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.when(F.col("sa") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(F.col("sa") == "train", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("test_id"),
+            "jaccard",
+        )
+        .orderBy("train_id", "test_id")
+    )
