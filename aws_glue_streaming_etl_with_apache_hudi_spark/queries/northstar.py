@@ -2904,3 +2904,84 @@ def split_leakage_minhash(spark, sf_dir):
         )
         .orderBy("train_id", "test_id")
     )
+
+
+def _langid_eval_oracle_sql() -> str:
+    """Composes the registered text_langid oracle with the corpus's true
+    labels — the classifier-eval harness can never drift from the
+    classifier it scores."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES
+
+    pred = QUERIES["text_langid"].sql
+    return f"""
+    WITH pred AS ({pred}),
+    joined AS (
+      SELECT d.lang AS true_lang, p.predicted_lang
+      FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    per_class AS (
+      SELECT true_lang AS lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN predicted_lang = true_lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM joined GROUP BY true_lang
+    ),
+    pred_counts AS (
+      SELECT predicted_lang AS lang, CAST(count(*) AS BIGINT) AS n_predicted
+      FROM joined GROUP BY predicted_lang
+    )
+    SELECT c.lang, c.n_docs, c.n_correct,
+           round(CAST(c.n_correct AS DOUBLE) / c.n_docs, 6) AS recall,
+           round(CAST(c.n_correct AS DOUBLE)
+                 / coalesce(p.n_predicted, CAST(1 AS BIGINT)), 6) AS precision
+    FROM per_class c LEFT JOIN pred_counts p ON p.lang = c.lang
+    ORDER BY c.lang
+    """
+
+
+@register("langid_eval_confusion", sql=_langid_eval_oracle_sql())
+def langid_eval_confusion(spark, sf_dir):
+    """Per-class precision/recall of the engine's own language-ID
+    heuristic against the corpus's true labels — the second member of
+    the operator-eval family (knn_recall_eval gauges the ANN index;
+    this gauges the classifier). An unmeasured heuristic gate silently
+    skews the corpus mix it feeds; this harness reuses the registered
+    text_langid plan as its prediction leg and the oracle composes that
+    query's own SQL.
+
+    Scale: the classifier pass is the existing map-side text_langid
+    plan; the eval adds one slim doc_id join and two tiny aggregations
+    over a 5-class key."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = pred.join(docs, "doc_id").select(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    )
+    per_class = joined.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("true_lang"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    pred_counts = joined.groupBy(
+        F.col("predicted_lang").alias("lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_predicted"))
+    return (
+        per_class.join(pred_counts, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_correct",
+            F.round(F.col("n_correct").cast("double") / F.col("n_docs"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.coalesce(F.col("n_predicted"), F.lit(1).cast("long")),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("lang")
+    )
