@@ -162,3 +162,61 @@ def test_join_mv_randomized_sequence_tracks_recompute(mv, spark):
                 mv.fact.upsert(_facts(spark, [(fid, fk, float(fid), fact_ver[fid])]))
         mv.refresh()
         assert _view(mv) == _recomputed(mv), f"diverged at cycle {cycle}"
+
+
+def test_join_mv_streaming_ingest_keeps_view_fresh(spark, tmp_path):
+    """End-to-end operational story: a file-source STREAM feeds the fact
+    timeline table via foreachBatch, and the join view refreshes after
+    every micro-batch commit — after the stream drains, the view equals
+    the from-scratch join of the latest snapshots."""
+    import json
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _feed(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    _feed("b0.json", [
+        {"id": 1, "fk": 10, "amt": 5.0, "ver": 1},
+        {"id": 2, "fk": 20, "amt": 7.0, "ver": 1},
+    ])
+    _feed("b1.json", [
+        {"id": 2, "fk": 20, "amt": 7.5, "ver": 2},
+        {"id": 3, "fk": 10, "amt": 9.0, "ver": 1},
+    ])
+
+    fact = TimelineTable(spark, str(tmp_path / "fact"), keys=["id"], precombine="ver")
+    dim = TimelineTable(spark, str(tmp_path / "dim"), keys=["dk"], precombine="dver")
+    dim.upsert(_dims(spark, [(10, "a", 1), (20, "b", 1)]))
+    mv = JoinMV(
+        spark, str(tmp_path / "mv"), fact, dim, fk="fk", dk="dk", dim_cols=["seg"]
+    )
+
+    stream = spark.readStream.schema(
+        "id long, fk long, amt double, ver long"
+    ).option("maxFilesPerTrigger", 1).json(src)
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        fact.upsert(batch_df)
+        mv.refresh()  # the post-commit hook keeping the join view fresh
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert fact.last_commit() >= 2  # one commit per micro-batch
+    assert _view(mv) == _recomputed(mv) == [
+        (1, 10, 5.0, 1, "a"),
+        (2, 20, 7.5, 2, "b"),
+        (3, 10, 9.0, 1, "a"),
+    ]
