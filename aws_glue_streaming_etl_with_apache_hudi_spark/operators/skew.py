@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -101,3 +101,52 @@ def salted_join(
     salts = F.array(*[F.lit(i) for i in range(num_salts)])
     replicated = small.withColumn("_salt", F.explode(salts))
     return salted_big.join(replicated, [*on, "_salt"], how).drop("_salt")
+
+
+def distributed_rank(
+    df: DataFrame, col: str, out: str = "rnk", buckets: int = 32
+) -> DataFrame:
+    """EXACT global ``rank()`` over ``col`` without a single-partition
+    sort — the scale path the exact-rank queries (Gini, Spearman)
+    document as their 100 TB degradation.
+
+    A global ``Window.orderBy(col)`` funnels the whole table through ONE
+    task. Instead: (1) approx-quantile boundaries split the value domain
+    into ~equal buckets; (2) rows bucket by STRICT value comparison, so
+    equal values can never straddle a boundary (ties stay rank-exact no
+    matter how sloppy the sketch is — the sketch only balances load, it
+    never decides correctness); (3) each bucket ranks locally under a
+    bucket-partitioned window; (4) the global rank is the local rank
+    plus the broadcast cumulative count of earlier buckets. The only
+    driver-side data is ``buckets-1`` boundary doubles and one count per
+    bucket — O(buckets) metadata, like every other bounded collect in
+    the package.
+
+    Returns ``df`` with an ``out`` column holding the standard
+    competition rank (ties share the minimum rank)."""
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.select(
+        F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias(
+            "b"
+        )
+    ).collect()[0]["b"]
+    bounds = sorted(set(bounds or []))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col).cast("double") > b, 1).otherwise(0),
+    )
+    bucketed = df.withColumn("_drk_bucket", bucket)
+    counts = bucketed.groupBy("_drk_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    w_prev = Window.orderBy("_drk_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_drk_bucket",
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_drk_offset"),
+    )
+    local = F.rank().over(Window.partitionBy("_drk_bucket").orderBy(col))
+    return (
+        bucketed.join(F.broadcast(offsets), "_drk_bucket")
+        .withColumn(out, (F.col("_drk_offset") + local).cast("long"))
+        .drop("_drk_bucket", "_drk_offset")
+    )

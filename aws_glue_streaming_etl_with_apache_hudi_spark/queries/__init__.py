@@ -91,6 +91,9 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     train/test hash split — the post-split leakage audit; composed
 #     oracle from the LSH and split rules)
 #   statistics: spearman_rank_corr (midrank doubling keeps ranks exact)
+#   relational: distributed_global_rank (exact global rank WITHOUT a
+#     single-partition sort — quantile-bucketed, tie-safe by strict
+#     comparison; the documented Gini/Spearman 100TB degradation path)
 #   text: langid_eval_confusion (per-class precision/recall of the
 #     engine's own language-ID heuristic; composed oracle)
 #   storage: insert_overwrite_state (replacecommit partition restatement),

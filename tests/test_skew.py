@@ -178,3 +178,35 @@ def test_salted_join_spreads_hot_key_from_one_partition(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_distributed_rank_exact_with_heavy_ties(spark):
+    """Half the rows share ONE value: the tie block must not straddle a
+    bucket boundary (strict-comparison bucketing) and the global rank
+    must match a plain rank() exactly, including the post-tie skip."""
+    from pyspark.sql import Window
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_rank
+
+    vals = [(i, 500.0) for i in range(100)] + [(100 + i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(vals, "id long, x double")
+    got = {
+        r.id: r.rnk for r in distributed_rank(df, "x", buckets=8).collect()
+    }
+    want = {
+        r.id: r.rnk
+        for r in df.withColumn(
+            "rnk", F.rank().over(Window.orderBy("x")).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_rank_window_is_bucket_partitioned(spark, sf_dir):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.plans import explain_str
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    plan = explain_str(QUERIES["distributed_global_rank"].fn(spark, sf_dir))
+    # the data-sized ranking window shuffles on the bucket key, never
+    # through one partition
+    assert "hashpartitioning(_drk_bucket" in plan
