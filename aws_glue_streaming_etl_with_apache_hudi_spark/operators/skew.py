@@ -104,7 +104,12 @@ def salted_join(
 
 
 def distributed_rank(
-    df: DataFrame, col: str, out: str = "rnk", buckets: int = 32
+    df: DataFrame,
+    col: str,
+    out: str = "rnk",
+    buckets: int = 32,
+    method: str = "rank",
+    tie_breakers: list[str] | None = None,
 ) -> DataFrame:
     """EXACT global ``rank()`` over ``col`` without a single-partition
     sort — the scale path the exact-rank queries (Gini, Spearman)
@@ -122,8 +127,12 @@ def distributed_rank(
     bucket — O(buckets) metadata, like every other bounded collect in
     the package.
 
-    Returns ``df`` with an ``out`` column holding the standard
-    competition rank (ties share the minimum rank)."""
+    ``method``: ``"rank"`` (competition rank — ties share the minimum)
+    or ``"row_number"`` (unique index; pass ``tie_breakers`` to make the
+    within-tie order deterministic — bucketing stays on ``col`` alone,
+    which is safe because tie blocks never split across buckets).
+
+    Returns ``df`` with an ``out`` column holding the chosen rank."""
     qs = [i / buckets for i in range(1, buckets)]
     bounds = df.select(
         F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias(
@@ -144,7 +153,16 @@ def distributed_rank(
         "_drk_bucket",
         F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_drk_offset"),
     )
-    local = F.rank().over(Window.partitionBy("_drk_bucket").orderBy(col))
+    if method == "rank" and tie_breakers:
+        raise ValueError("tie_breakers change competition-rank semantics")
+    order_cols = [col] + list(tie_breakers or [])
+    w_local = Window.partitionBy("_drk_bucket").orderBy(*order_cols)
+    if method == "rank":
+        local = F.rank().over(w_local)
+    elif method == "row_number":
+        local = F.row_number().over(w_local)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return (
         bucketed.join(F.broadcast(offsets), "_drk_bucket")
         .withColumn(out, (F.col("_drk_offset") + local).cast("long"))

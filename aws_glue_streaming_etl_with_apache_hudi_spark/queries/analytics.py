@@ -1679,26 +1679,36 @@ def revenue_concentration_gini(spark, sf_dir):
     double division.
 
     Scale: one distributed aggregation to per-customer revenue, then
-    rank windows over one row per customer. The single-partition sort is
-    the known cost of an exact global rank; at 100 TB the same formula
-    runs on quantile-bucketed partial ranks, which this plan degrades to
-    without changing the algebra."""
+    the exact global index from operators/skew.py distributed_rank —
+    quantile-bucketed per-bucket windows plus broadcast offsets, NO
+    single-partition sort anywhere in the plan; the descending index is
+    derived as the exact permutation complement n+1-i instead of a
+    second sort."""
     o = t(spark, sf_dir, "orders")
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_rank
+
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("r")
     )
-    ranked = cust.select(
-        "r",
-        F.row_number()
-        .over(W.orderBy("r", "o_custkey"))
-        .cast("decimal(10,0)")
-        .alias("i"),
-        F.row_number()
-        .over(W.orderBy(F.col("r").desc(), F.col("o_custkey").desc()))
-        .alias("rn_desc"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    # exact global index WITHOUT a single-partition sort (distributed_rank
+    # — quantile-bucketed, tie-safe); the descending index is the exact
+    # complement n+1-i because row_number is a permutation and the
+    # descending order reverses keys AND tie-breaks
+    total = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        distributed_rank(
+            cust, "r", out="i_raw", buckets=32,
+            method="row_number", tie_breakers=["o_custkey"],
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            F.col("i_raw").cast("decimal(10,0)").alias("i"),
+            (F.col("n") - F.col("i_raw") + 1).alias("rn_desc"),
+            "n",
+        )
     )
     m = ranked.agg(
         F.max("n").cast("long").alias("n_customers"),

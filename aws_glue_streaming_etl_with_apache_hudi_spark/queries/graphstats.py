@@ -975,10 +975,10 @@ def spearman_rank_corr(spark, sf_dir):
     rank identically with no float rank in sight; the Pearson formula
     then runs on exact decimal moments (the linreg discipline).
 
-    Scale: one distributed per-user aggregation; the two global rank
-    windows run over one row per user — the known exact-rank sort,
-    degradable to quantile-bucketed partial ranks without changing the
-    algebra (the gini query documents the same path)."""
+    Scale: one distributed per-user aggregation; both global ranks come
+    from operators/skew.py distributed_rank (quantile-bucketed per-bucket
+    windows + broadcast offsets) and the tie counts from value-hash
+    partitioned windows — no single-partition sort in the plan."""
     e = t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)"))
@@ -986,13 +986,26 @@ def spearman_rank_corr(spark, sf_dir):
         .alias("x"),
         F.count(F.lit(1)).cast("long").alias("y"),
     )
-    def m2(col):
-        return (
-            F.lit(2) * F.rank().over(W.orderBy(col))
-            + F.count(F.lit(1)).over(W.partitionBy(col))
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_rank
+
+    # exact global competition ranks WITHOUT single-partition sorts
+    # (operators/skew.py distributed_rank); tie counts are value-hash
+    # partitioned windows — nothing in the plan funnels all users
+    # through one task
+    ru = distributed_rank(per_user, "x", out="rkx", buckets=32)
+    ru = distributed_rank(ru, "y", out="rky", buckets=32)
+    ranked = ru.select(
+        (
+            F.lit(2) * F.col("rkx")
+            + F.count(F.lit(1)).over(W.partitionBy("x"))
             - F.lit(1)
-        ).cast("decimal(12,0)")
-    ranked = per_user.select(m2("x").alias("rx"), m2("y").alias("ry"))
+        ).cast("decimal(12,0)").alias("rx"),
+        (
+            F.lit(2) * F.col("rky")
+            + F.count(F.lit(1)).over(W.partitionBy("y"))
+            - F.lit(1)
+        ).cast("decimal(12,0)").alias("ry"),
+    )
     m = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_users"),

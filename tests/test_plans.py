@@ -371,3 +371,12 @@ def test_benford_is_single_partial_aggregation(spark, sf_dir):
     plan = explain_str(QUERIES["benford_first_digit"].fn(spark, sf_dir))
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gini_and_spearman_rank_via_bucketed_windows(spark, sf_dir):
+    # the exact-rank queries route through distributed_rank: the
+    # data-sized windows shuffle on the bucket key (the only
+    # single-partition window left is the <= 32-row offsets cumsum)
+    for name in ("revenue_concentration_gini", "spearman_rank_corr"):
+        plan = explain_str(QUERIES[name].fn(spark, sf_dir))
+        assert "hashpartitioning(_drk_bucket" in plan, name
