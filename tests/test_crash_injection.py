@@ -352,6 +352,24 @@ def dedup_accept_crash_then_replay(spark, path):
     assert idx.size() == 2
 
 
+def tl_overwrite_table_before_instant(spark, path):
+    # the full-table restatement claims all-or-nothing: a crash before
+    # the (single) instant write must leave the OLD world fully intact —
+    # never the torn middle state where batch partitions replaced but
+    # stale partitions kept
+    t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    before = _snap(t)
+    with mock.patch.object(TimelineTable, "_save_instant", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.insert_overwrite_table(_df(spark, [(9, "a", 1, 90.0)]))
+    assert _snap(t) == before
+    rep = t.fsck()
+    assert any("commit=2" in d for d in rep["dirs"])
+    t.insert_overwrite_table(_df(spark, [(9, "a", 1, 90.0)]))
+    assert _snap(t) == [(9, "a", 1, 90.0)]
+
+
 def tl_rename_before_instant(spark, path):
     t = TimelineTable(spark, path, keys=["k"], precombine="ver", partition_by=["p"])
     t.upsert(_df(spark, B1))
@@ -405,6 +423,7 @@ FAULT_POINTS = [
     dedup_accept_crash_then_replay,
     mv_refresh_before_cursor,
     tl_rename_before_instant,
+    tl_overwrite_table_before_instant,
 ]
 
 
