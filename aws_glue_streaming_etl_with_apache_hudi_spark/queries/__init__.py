@@ -91,6 +91,8 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 #     train/test hash split — the post-split leakage audit; composed
 #     oracle from the LSH and split rules)
 #   statistics: spearman_rank_corr (midrank doubling keeps ranks exact)
+#   analytics: impute_group_median (robust feature-prep fill; imputed
+#     mean reconstructed in closed form, one pass)
 #   relational: distributed_global_rank (exact global rank WITHOUT a
 #     single-partition sort — quantile-bucketed, tie-safe by strict
 #     comparison; the documented Gini/Spearman 100TB degradation path)

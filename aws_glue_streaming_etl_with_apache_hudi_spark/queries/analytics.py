@@ -1734,3 +1734,74 @@ def revenue_concentration_gini(spark, sf_dir):
         ).alias("gini"),
         F.round(c("top_r") / c("tot"), 6).alias("top_decile_share"),
     )
+
+
+@register(
+    "impute_group_median",
+    sql=f"""
+    WITH masked AS (
+      SELECT event_type,
+             CASE WHEN {{h}} % 20 = 0 THEN NULL
+                  ELSE CAST(value AS DECIMAL(18,2)) END AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             quantile_cont(CAST(v AS DOUBLE), 0.5) AS med,
+             CAST(sum(v) AS DOUBLE) AS sum_present
+      FROM masked GROUP BY event_type
+    )
+    SELECT event_type, n, n_missing,
+           round(med, 4) AS median_fill,
+           round((sum_present + n_missing * med) / n, 4) AS imputed_mean
+    FROM stats ORDER BY event_type
+    """.format(h="CAST(concat('0x', substring(md5(concat('mask|', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)"),
+)
+def impute_group_median(spark, sf_dir):
+    """Group-median imputation — the standard feature-prep fill for
+    missing numerics (median, not mean: robust to the same outliers the
+    MAD family guards against). Missingness is synthesized
+    deterministically (hash of event_id, ~5%) so the fill logic is
+    exercised under an external oracle on a fixture with no natural
+    nulls; the imputed mean is reconstructed in closed form from exact
+    components (present-value decimal sum, missing count, median fill)
+    rather than re-aggregating filled rows — one pass, no second
+    shuffle.
+
+    Scale: one map-side mask projection and one grouped aggregation;
+    the exact median is the only sort-based piece and runs per group
+    (approx_quantile_rank_bound documents the sketch path when groups
+    outgrow it)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+    e = t(spark, sf_dir, "events")
+    masked = e.select(
+        "event_type",
+        F.when(
+            stable_hash64(F.col("event_id").cast("string"), "mask") % 20 == 0,
+            F.lit(None),
+        )
+        .otherwise(F.col("value").cast("decimal(18,2)"))
+        .alias("v"),
+    )
+    stats = masked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("med"),
+        F.sum("v").cast("double").alias("sum_present"),
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        "n_missing",
+        F.round("med", 4).alias("median_fill"),
+        F.round(
+            (F.col("sum_present") + F.col("n_missing") * F.col("med")) / F.col("n"),
+            4,
+        ).alias("imputed_mean"),
+    ).orderBy("event_type")
