@@ -42,8 +42,15 @@ def copurchase_edges(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
 
     Columns: u long, v long. The support threshold is what keeps the
     graph sparse as the fact table grows — raw co-occurrence densifies
-    with volume; repeated co-occurrence measures actual affinity."""
-    li = lineitem.select("l_orderkey", "l_partkey")
+    with volume; repeated co-occurrence measures actual affinity.
+
+    Support counts DISTINCT co-occurring orders: the (orderkey, partkey)
+    projection is deduplicated before the self-join, so an order listing
+    the same part on k lines contributes one pair occurrence, not k*m —
+    "co-occurs in >= min_support orders" means orders, not line-item
+    pair products. The distinct is a map-side-combining shuffle on a key
+    the join needs anyway, so it also shrinks the self-join input."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
     a = li.alias("a")
     b = li.alias("b")
     return (

@@ -112,6 +112,28 @@ class MergeOnReadTable:
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_mor_meta.json")
 
+    @property
+    def _restore_intent_path(self) -> str:
+        return os.path.join(self.path, "_restore_intent.json")
+
+    def _write_restore_intent(self, intent: dict) -> None:
+        tmp = self._restore_intent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(intent, f)
+        os.replace(tmp, self._restore_intent_path)
+
+    def _restore_intent(self) -> dict | None:
+        if not os.path.exists(self._restore_intent_path):
+            return None
+        with open(self._restore_intent_path) as f:
+            return json.load(f)
+
+    def _clear_restore_intent(self) -> None:
+        try:
+            os.remove(self._restore_intent_path)
+        except FileNotFoundError:
+            pass
+
     def exists(self) -> bool:
         return os.path.exists(self._meta_path)
 
@@ -335,6 +357,22 @@ class MergeOnReadTable:
             )
         dropped = [c for c in self._log_commits_on_disk() if c > commit]
         rebuild = commit < self._compacted_through()
+        # Durable intent marker (same pattern as upsert.py's clustering
+        # manifest): fsck can only repair an interrupted restore if it
+        # knows a restore was RUNNING and which side of the base swap the
+        # crash hit. phase="begin" means the pre-restore base is still
+        # authoritative (fsck rolls BACK); phase="swapped" means the
+        # restored base is authoritative (fsck rolls FORWARD by finishing
+        # the log drops and the meta update below). The phase flip happens
+        # between the two base renames, so every crash point maps to
+        # exactly one of the two repairs.
+        self._write_restore_intent(
+            {
+                "commit": commit,
+                "rebuild": rebuild,
+                "phase": "begin" if rebuild else "swapped",
+            }
+        )
         if rebuild:
             # write the replayed state to a sibling dir and swap: a full
             # overwrite under dynamic-partition-overwrite mode would leave
@@ -360,28 +398,47 @@ class MergeOnReadTable:
             shutil.rmtree(old_base, ignore_errors=True)
             if os.path.isdir(self._base):
                 os.rename(self._base, old_base)
+            # point of no return: after this flip fsck completes the
+            # restore instead of undoing it
+            self._write_restore_intent(
+                {"commit": commit, "rebuild": True, "phase": "swapped"}
+            )
             os.rename(tmp_base, self._base)
             shutil.rmtree(old_base, ignore_errors=True)
-        for seq in dropped:
-            shutil.rmtree(
-                os.path.join(self._log, f"commit={seq}"), ignore_errors=True
-            )
+        self._finish_restore(commit, rebuild)
+        self._clear_restore_intent()
+        self._sync_catalog(base_changed=True)
+        return len(dropped)
+
+    def _finish_restore(self, commit: int, rebuild: bool) -> None:
+        """The restore steps AFTER the base swap — log-dir drops and the
+        meta update. Shared verbatim with fsck's roll-forward repair so
+        an interrupted restore converges to the identical on-disk state
+        the uninterrupted operator would have produced."""
+        for seq in self._log_commits_on_disk():
+            if seq > commit:
+                shutil.rmtree(
+                    os.path.join(self._log, f"commit={seq}"), ignore_errors=True
+                )
         meta = self._meta()
         meta["next_seq"] = commit + 1
         if rebuild or meta.get("compacted_through", 0) > commit:
             meta["compacted_through"] = commit
         # drop the rolled-back instants' timeline entries: their seq
         # numbers are reused by future commits, and ghost entries would
-        # make history() report dropped commits (and later, duplicates)
+        # make history() report dropped commits (and later, duplicates).
+        # A prior restore entry at the same seq is also dropped so a
+        # crash between _save_meta and intent-clear replays idempotently.
         meta["timeline"] = [
-            e for e in meta.get("timeline", []) if e["seq"] <= commit
+            e
+            for e in meta.get("timeline", [])
+            if e["seq"] <= commit
+            and not (e["seq"] == commit and e.get("action") == "restore")
         ]
         meta["timeline"].append(
             {"seq": commit, "action": "restore", "through": commit}
         )
         self._save_meta(meta)
-        self._sync_catalog(base_changed=True)
-        return len(dropped)
 
     def _evolved_schema_json(self, batch: DataFrame) -> str:
         stored = T.StructType.fromJson(json.loads(self._meta()["schema"]))
@@ -662,25 +719,49 @@ class MergeOnReadTable:
                 full = os.path.join(self._log, f"commit={seq}")
                 shutil.rmtree(full, ignore_errors=True)
                 removed["dirs"].append(full)
-        # Interrupted restore swap (restore() uses aside-rename; meta is
-        # saved only after the swap, so EITHER full copy yields the
-        # consistent pre-restore read):
-        # - base present: swap completed or never started — aside/staging
-        #   dirs are stale copies, drop them;
-        # - base missing + aside present: crashed between the two renames
-        #   — roll BACK (the aside dir IS the pre-restore base);
-        # - base missing + only staging present: legacy delete-then-rename
-        #   crash — roll FORWARD (restored base + still-present newer logs
-        #   merge back to the pre-restore state).
+        # Interrupted restore. The intent marker written by restore() is
+        # the authority on which repair is correct (a base-present check
+        # alone cannot distinguish "swap never started" from "swap done,
+        # meta update lost" — and for a rebuild restore the latter needs
+        # the META finished, not just the directories tidied, or reads
+        # merge post-compaction logs onto the rolled-back base):
+        # - intent phase="begin": the pre-restore base is authoritative —
+        #   roll BACK (restore aside if the base is missing, drop the
+        #   staging copy, clear the intent; the operator re-runs restore);
+        # - intent phase="swapped": the restored state is authoritative —
+        #   roll FORWARD (promote staging if the base rename itself was
+        #   lost, then finish the log drops and meta update via the same
+        #   _finish_restore the operator runs, clear the intent);
+        # - no intent (legacy crash): EITHER full copy is consistent but
+        #   the meta was certainly not updated — prefer rolling back to
+        #   the aside copy, the guaranteed pre-restore state.
         staging = self._base + ".restore_tmp"
         aside = self._base + ".restore_old"
-        if not os.path.isdir(self._base) and self.exists():
-            if os.path.isdir(aside):
-                os.rename(aside, self._base)
-                removed["restored"].append(aside)
-            elif os.path.isdir(staging):
+        intent = self._restore_intent() if self.exists() else None
+        if intent is not None and intent.get("phase") == "swapped":
+            if not os.path.isdir(self._base) and os.path.isdir(staging):
                 os.rename(staging, self._base)
                 removed["restored"].append(staging)
+            self._finish_restore(int(intent["commit"]), bool(intent["rebuild"]))
+            removed["restored"].append(self._restore_intent_path)
+            self._clear_restore_intent()
+        elif self.exists():
+            # phase="begin" or legacy no-intent: pre-restore state wins
+            if os.path.isdir(aside):
+                if os.path.isdir(self._base):
+                    shutil.rmtree(self._base, ignore_errors=True)
+                os.rename(aside, self._base)
+                removed["restored"].append(aside)
+            elif not os.path.isdir(self._base) and os.path.isdir(staging):
+                # legacy delete-then-rename crash with no aside copy: the
+                # staging dir is the only base on disk — promote it; meta
+                # was never updated, so the still-present newer logs merge
+                # back to the pre-restore read
+                os.rename(staging, self._base)
+                removed["restored"].append(staging)
+            if intent is not None:
+                removed["restored"].append(self._restore_intent_path)
+                self._clear_restore_intent()
         for leftover in (aside, staging):
             if os.path.isdir(leftover):
                 shutil.rmtree(leftover, ignore_errors=True)

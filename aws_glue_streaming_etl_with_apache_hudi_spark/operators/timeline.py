@@ -292,17 +292,46 @@ class TimelineTable:
 
         with CommitLock(self.path):
             mine = {tuple(p) for p in touched}
-            conflicts = [
-                c["commit"]
-                for c in self.commits()
-                if c["commit"] > base
-                and mine & {tuple(p) for p in c["touched_partitions"]}
-            ]
-            if conflicts:
+            # Two conflict classes (ADVICE r6): (1) data overlap — a
+            # later instant touched one of this writer's partitions; (2)
+            # schema mapping — a later rename/drop instant. The second
+            # conflicts REGARDLESS of partitions: this writer's staged
+            # snapshot was written under pre-mapping names, and because
+            # the snapshot publishes at a commit NEWER than the mapping
+            # instant, _apply_renames would never map it — the table
+            # would end up with the old and new column both live (or a
+            # dropped column resurrected via the schema union below).
+            # Remapping inside the lock would mean rewriting the staged
+            # parquet under the lock, which is exactly what OCC exists
+            # to avoid — so mappings conflict and the caller retries
+            # from a post-mapping base.
+            conflicts, mapping_conflicts = [], []
+            for c in self.commits():
+                if c["commit"] <= base:
+                    continue
+                if c.get("renames") or c.get("operation") in (
+                    "rename_column",
+                    "drop_column",
+                ):
+                    mapping_conflicts.append(c["commit"])
+                elif mine & {tuple(p) for p in c["touched_partitions"]}:
+                    conflicts.append(c["commit"])
+            if conflicts or mapping_conflicts:
                 shutil.rmtree(staging, ignore_errors=True)
+                parts = []
+                if conflicts:
+                    parts.append(
+                        f"instants {conflicts} touched this writer's "
+                        "partitions"
+                    )
+                if mapping_conflicts:
+                    parts.append(
+                        f"schema-mapping instants {mapping_conflicts} "
+                        "(rename/drop) changed column identity"
+                    )
                 raise CommitConflict(
-                    f"instants {conflicts} touched this writer's partitions "
-                    f"after base {base}; re-read and retry"
+                    f"{' and '.join(parts)} after base {base}; re-read "
+                    "and retry"
                 )
             commit = self.last_commit() + 1
             # a concurrent non-conflicting commit may have evolved the

@@ -56,10 +56,19 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 # After this round, EVERY pre-r6 registered query has at least one
 # driver CORRECTNESS row.
 #
-# r7 rotation backlog: queries registered in round 6 AFTER this window
-# froze -- rotate them in next round with the same sentinel-doubling
-# scheme, plus re-verify anything whose implementation changed in r6.
-# Registered this round (all green on the local sf0.001+sf0.01 gate):
+# Round-7 rotation (VERDICT r5 task 1, final leg): ALL 39 queries that
+# had no driver CORRECTNESS row entering r7 -- the whole late-r6
+# registration backlog below -- rotate in, which closes the external
+# coverage debt: after r7, EVERY query registered before this window
+# froze has at least one driver row. Changed-in-r7 queries are covered:
+# the graph family (copurchase distinct-orders fix, ADVICE r7) is
+# entirely inside the 39, and rename_evolution_state re-verifies the
+# schema-mapping path around the OCC conflict fix. The remaining slots
+# are category sentinels whose family has no never-sampled member
+# (each r6-green, so the slot doubles as a freshness re-check) plus
+# new r7 registrations.
+#
+# r6 backlog (for the record), registered after the r6 window froze:
 #   graph family (NEW category -- point its first sentinel here in r7):
 #     graph_degree_histogram, graph_triangle_count,
 #     graph_pagerank_3rounds, graph_components_4rounds,
@@ -106,60 +115,68 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # 
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 
 PRIORITY_WINDOW: list[str] = [
-    # --- category sentinels (each points at its family's never-sampled
-    # member where one exists; sole-member families keep their rep) ---
-    "partial_update_state",        # upsert (never-sampled; Hudi partial-payload parity)
-    "schema_evolution_union",      # schema evolution (sole member, r5-green)
-    "partition_path_derivation",   # partitioning (sole member, r5-green)
-    "asof_join_forward_tolerance", # as-of join (sole member, r5-green)
-    "tumbling_window_offset",      # streaming windows (never-sampled)
-    "stateful_session_machine",    # stateful streaming (never-sampled; full oracle)
-    "mor_partial_state",           # MOR storage (never-sampled)
-    "mv_incremental_refresh",      # incremental storage (never-sampled)
-    "cdc_change_feed",             # CDC (sole member, r5-green)
-    "semantic_dedup_clusters",     # dedup (never-sampled)
-    "knn_rerank",                  # similarity (never-sampled)
-    "text_bigram_logprob",         # text (never-sampled)
-    "multimodal_dedup_store_once", # multimodal (never-sampled)
-    "corpus_build_pipeline_v2",    # training corpus (never-sampled)
-    "applyinpandas_user_trend",    # pandas-UDF surface (never-sampled)
-    "agg_grouping_id",             # relational agg (never-sampled)
-    "join_lateral_topk",           # relational join (never-sampled)
-    "window_rank_distributions",   # relational window (never-sampled)
-    # --- remaining never-sampled late-r5 registrations ---
-    "group_by_all_dialect",
-    "generator_source_rollup",
-    "variant_json_shred",
-    "agg_filter_clause",
-    "subquery_not_exists",
-    "topk_with_ties",
-    "table_checksum_diff",
-    "retention_sweep_state",
-    "radius_search_cosine",
-    "heavy_hitters_cms",
-    "text_token_entropy",
-    "like_search_trigram",
-    "bpe_first_merges",
-    "chunk_documents_rag",
-    "passage_retrieval_rag",
-    "dedup_keep_best",
-    "curriculum_phases",
-    "rfm_segmentation",
-    "dq_drift_psi",
-    "events_outliers_mad",
-    "market_basket_lift",
-    "session_funnel",
-    "pareto_frontier_orders",
-    "histogram_equidepth",
-    "ewma_user_value",
-    "activity_islands",
-    "dau_wau_stickiness",
-    "conversion_latency_quartiles",
-    # --- the four r5-deferred stale names (r1-only coverage until now) ---
-    "agg_salted_skew",
-    "sort_nulls_ordering",
-    "explode_wordcount",
-    "fuzzy_match_levenshtein",
+    # --- the 39 never-driver-sampled late-r6 registrations ---
+    # storage / SQL surface
+    "insert_overwrite_state",      # also the upsert-family sentinel (replacecommit)
+    "delete_partition_state",      # also the partitioning sentinel
+    "rename_evolution_state",      # also the schema-evolution sentinel; re-checks
+                                   # the column-mapping path the OCC fix touches
+    "mv_join_incremental",         # also the incremental-storage sentinel
+    "secondary_index_lookup",
+    "recursive_cte_hierarchy",
+    "sql_udf_revenue",
+    "collation_group_caseinsensitive",  # also the relational-agg sentinel
+    "distributed_global_rank",     # also the relational-window sentinel
+    # sketches
+    "hll_sketch_union_estimate",
+    "approx_quantile_rank_bound",
+    # similarity / dedup / text / training
+    "knn_recall_eval",             # also the similarity sentinel
+    "split_leakage_minhash",       # also the dedup sentinel
+    "langid_eval_confusion",       # also the text sentinel
+    "epoch_shuffle_shards",        # also the training sentinel
+    "quality_quantile_gate",
+    "weighted_sample_ares",
+    # analytics
+    "attribution_multi_touch",
+    "forecast_backtest_daily",
+    "changepoint_mean_shift",
+    "autocorrelation_daily",
+    "revenue_concentration_gini",
+    "impute_group_median",
+    "weekday_seasonality_index",
+    # graph family (NEW category; entire family changed in r7 — the
+    # copurchase support now counts DISTINCT co-occurring orders)
+    "graph_degree_histogram",
+    "graph_triangle_count",
+    "graph_pagerank_3rounds",
+    "graph_components_4rounds",
+    "graph_jaccard_neighbors",
+    "graph_khop_reachability",
+    # statistics family (NEW category)
+    "ab_test_welch",
+    "chi_square_independence",
+    "linreg_normal_equations",
+    "woe_decile_bins",
+    "mann_whitney_u",
+    "ks_two_sample",
+    "benford_first_digit",
+    "survival_kaplan_meier",
+    "spearman_rank_corr",
+    # --- sentinels for families with no never-sampled member (all
+    # r6-green, so the slot doubles as a freshness re-check) ---
+    "asof_join_forward_tolerance", # as-of join (sole member)
+    "cdc_change_feed",             # CDC (sole member)
+    "mor_partial_state",           # MOR storage
+    "tumbling_window_offset",      # streaming windows
+    "stateful_session_machine",    # stateful streaming
+    "multimodal_dedup_store_once", # multimodal
+    "applyinpandas_user_trend",    # pandas-UDF surface
+    "join_lateral_topk",           # relational join
+    # --- flagship freshness re-checks (r6-green headliners) ---
+    "corpus_build_pipeline_v2",
+    "knn_rerank",
+    "dedup_minhash_lsh",
 ]
 
 

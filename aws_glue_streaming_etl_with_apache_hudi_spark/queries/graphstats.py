@@ -40,7 +40,7 @@ def _edges(spark, sf_dir):
 
 # shared oracle CTE: the co-purchase edge list (u < v, support >= 2)
 _EDGES_CTE = """
-    li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     edges AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM li a JOIN li b

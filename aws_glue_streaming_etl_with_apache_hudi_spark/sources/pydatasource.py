@@ -192,11 +192,18 @@ class GraftLedgerWriter(DataSourceWriter):
     independently (no coordination until the O(#tasks) driver commit)."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid as _uuid
+
         path = options.get("path")
         if not path:
             raise ValueError("graft_events writer requires option 'path'")
         self.path = path
         self.overwrite = overwrite
+        # Driver-minted job token, shared by every task via serialization:
+        # final file names are unique PER JOB, so promoting this job's
+        # files can never overwrite a file a previous _SUCCESS still
+        # references (the overwrite crash-safety below depends on it).
+        self.job_token = _uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         import json as _json
@@ -205,7 +212,10 @@ class GraftLedgerWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        name = (
+            f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+            f"-{self.job_token}.jsonl"
+        )
         staging = _os.path.join(self.path, "_staging")
         _os.makedirs(staging, exist_ok=True)
         staged = _os.path.join(staging, name)
@@ -219,24 +229,49 @@ class GraftLedgerWriter(DataSourceWriter):
         return _StagedFile(staged, n)
 
     def commit(self, messages):
+        # Crash-safe ordering (ADVICE r6): promote FIRST, swap the new
+        # _SUCCESS second, delete superseded files LAST. At every crash
+        # point the live manifest references only intact files — a crash
+        # mid-promote leaves the old manifest authoritative with this
+        # job's files unreferenced, a crash before the old-file sweep
+        # leaves the new manifest authoritative with the old files
+        # unreferenced; ledger_fsck() reclaims either orphan set. The
+        # job-token file names guarantee a promote never clobbers a file
+        # the old manifest still lists.
         import json as _json
         import os as _os
 
         _os.makedirs(self.path, exist_ok=True)
-        if self.overwrite:
-            for old in _os.listdir(self.path):
-                if old.endswith(".jsonl"):
-                    _os.remove(_os.path.join(self.path, old))
         final_names, rows = [], 0
         for m in messages:
+            if m is None:
+                continue
             dest = _os.path.join(self.path, _os.path.basename(m.staged))
             _os.replace(m.staged, dest)
             final_names.append(_os.path.basename(dest))
             rows += m.rows
-        tmp = _os.path.join(self.path, "_SUCCESS.tmp")
+        success = _os.path.join(self.path, "_SUCCESS")
+        prev_files: list = []
+        prev_rows = 0
+        if not self.overwrite and _os.path.exists(success):
+            with open(success) as f:
+                prev = _json.load(f)
+            prev_files, prev_rows = prev.get("files", []), prev.get("rows", 0)
+        tmp = success + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"files": sorted(final_names), "rows": rows}, f)
-        _os.replace(tmp, _os.path.join(self.path, "_SUCCESS"))
+            _json.dump(
+                {
+                    "files": sorted(set(prev_files) | set(final_names)),
+                    "rows": prev_rows + rows,
+                },
+                f,
+            )
+        _os.replace(tmp, success)
+        if self.overwrite:
+            keep = set(final_names)
+            for old in _os.listdir(self.path):
+                if old.endswith(".jsonl") and old not in keep:
+                    _os.remove(_os.path.join(self.path, old))
 
     def abort(self, messages):
         import os as _os
@@ -293,6 +328,16 @@ class GraftLedgerStreamWriter(DataSourceStreamWriter):
             self.abort(messages, batchId)
             return
         _os.makedirs(self.path, exist_ok=True)
+        # No manifest yet means NO prior attempt for this batch committed
+        # — any batch-N-* files already present are a crashed attempt's
+        # half-promoted leftovers (replays re-stage under fresh uuid
+        # names, so they would otherwise accrete forever). Sweep them
+        # before promoting so the manifest written below lists exactly
+        # this attempt's files (ADVICE r6).
+        stale_prefix = f"batch-{batchId}-"
+        for name in _os.listdir(self.path):
+            if name.startswith(stale_prefix) and name.endswith(".jsonl"):
+                _os.remove(_os.path.join(self.path, name))
         final_names, rows = [], 0
         for m in messages:
             if m is None:
@@ -314,6 +359,44 @@ class GraftLedgerStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None and _os.path.exists(m.staged):
                 _os.remove(m.staged)
+
+
+def ledger_fsck(path: str) -> dict:
+    """Reclaim a ledger directory's crash residue (offline-only, like
+    every storage-service fsck in the repo): ``.jsonl`` files referenced
+    by neither the ``_SUCCESS`` manifest nor any ``_batch_N`` manifest
+    (half-promoted batch-writer attempts, overwrite-superseded files the
+    commit crashed before sweeping), orphaned ``_staging`` files (lost
+    speculative task attempts), and torn ``*.tmp`` manifests. Never
+    touches a manifest-listed file, so a consistent directory is a
+    no-op. Returns the removed names by category."""
+    import json as _json
+    import os as _os
+
+    removed: dict = {"orphans": [], "staging": [], "tmp": []}
+    if not _os.path.isdir(path):
+        return removed
+    referenced: set = set()
+    for name in _os.listdir(path):
+        if name == "_SUCCESS" or (
+            name.startswith("_batch_") and not name.endswith(".tmp")
+        ):
+            with open(_os.path.join(path, name)) as f:
+                referenced.update(_json.load(f).get("files", []))
+    for name in sorted(_os.listdir(path)):
+        full = _os.path.join(path, name)
+        if name.endswith(".jsonl") and name not in referenced:
+            _os.remove(full)
+            removed["orphans"].append(name)
+        elif name.endswith(".tmp"):
+            _os.remove(full)
+            removed["tmp"].append(name)
+    staging = _os.path.join(path, "_staging")
+    if _os.path.isdir(staging):
+        for name in sorted(_os.listdir(staging)):
+            _os.remove(_os.path.join(staging, name))
+            removed["staging"].append(name)
+    return removed
 
 
 def register(spark) -> None:

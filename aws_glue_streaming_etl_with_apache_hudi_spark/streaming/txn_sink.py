@@ -75,19 +75,38 @@ class StagedRenameMarkerWriter:
     exactly like HDFS ``rename`` returning false) — no ``O_EXCL`` on
     the final path is ever used."""
 
+    _MAX_RESTAGE = 16  # concurrent-fsck sweeps between stage and link
+
     def write(self, path: str) -> bool:
-        staged = f"{path}{_STAGING_INFIX}{uuid.uuid4().hex}"
-        with open(staged, "w") as f:
-            f.write(os.path.basename(path))
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(staged, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(staged)
+        # A concurrent fsck() may sweep the staging file between the
+        # stage and the link (it cannot tell an orphan from an in-flight
+        # write). That is not a lost race for the MARKER — the link never
+        # happened — so the correct response is to re-stage and retry,
+        # not to crash commit(). The finally-unlink likewise tolerates
+        # the file having been swept for us.
+        for _ in range(self._MAX_RESTAGE):
+            staged = f"{path}{_STAGING_INFIX}{uuid.uuid4().hex}"
+            with open(staged, "w") as f:
+                f.write(os.path.basename(path))
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(staged, path)
+                return True
+            except FileExistsError:
+                return False
+            except FileNotFoundError:
+                continue  # staging swept mid-flight: stage again
+            finally:
+                try:
+                    os.unlink(staged)
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(
+            f"marker stage for {path} swept {self._MAX_RESTAGE} times in a "
+            "row — an fsck loop is running concurrently with commits; run "
+            "fsck() quiesced instead"
+        )
 
 
 class BatchIdLedger:
@@ -111,9 +130,12 @@ class BatchIdLedger:
 
     def fsck(self) -> list[str]:
         """Remove orphaned staging files (crash between stage and move).
-        Safe at any time: a staging file is never the live marker, and
-        the writer holds no staging file across calls. Returns the
-        removed names."""
+        Marker CORRECTNESS is never at risk — a staging file is never the
+        live marker — but fsck cannot distinguish an orphan from a
+        concurrent in-flight ``StagedRenameMarkerWriter.write``; sweeping
+        the latter's staging file forces that writer to re-stage (it
+        retries transparently). Prefer running fsck quiesced, like the
+        storage services' fsck. Returns the removed names."""
         removed = []
         for name in os.listdir(self.path):
             if _STAGING_INFIX in name:

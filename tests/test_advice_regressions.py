@@ -645,3 +645,274 @@ def test_fan_out_spreads_narrow_scan_and_skips_wide(spark, tmp_path):
     assert len(wide.inputFiles()) >= target
     out2 = fan_out(wide)
     assert out2 is wide, "fan_out added a shuffle to an already-wide scan"
+
+
+# --------------------------------------------------------------------------
+# round-7 ADVICE regressions
+# --------------------------------------------------------------------------
+
+
+def test_occ_conflicts_with_concurrent_schema_mapping(spark, tmp_path):
+    """ADVICE r6 (medium): a rename/drop instant records
+    touched_partitions=[], so the partition-overlap check alone never
+    flagged it — the OCC writer then published a schema with BOTH the
+    old and new column live (rows split between them). Schema-mapping
+    instants after `base` must conflict."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import CommitConflict
+
+    t = TimelineTable(
+        spark=spark, path=str(tmp_path / "tl"), keys=["k"],
+        precombine="ver", partition_by=["part"],
+    )
+    t.upsert(spark.createDataFrame([Row(k=1, part="a", v="x", ver=1)]))
+    base = t.last_commit()
+    t.rename_column("v", "v_usd")
+    with pytest.raises(CommitConflict, match="schema-mapping"):
+        t.upsert_occ(
+            spark.createDataFrame([Row(k=2, part="b", v="y", ver=1)]),
+            base=base,
+        )
+    # the losing writer left nothing behind; a retry from a fresh base
+    # (post-rename names) commits, and exactly ONE value column is live
+    t.upsert_occ(spark.createDataFrame([Row(k=2, part="b", v_usd="y", ver=1)]))
+    got = t.read()
+    assert "v_usd" in got.columns and "v" not in got.columns
+    assert {r.k: r.v_usd for r in got.collect()} == {1: "x", 2: "y"}
+
+
+def test_occ_conflicts_with_concurrent_drop_column(spark, tmp_path):
+    """Drop is the sibling hazard: the post-publish schema union would
+    resurrect the dropped column."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import CommitConflict
+
+    t = TimelineTable(
+        spark=spark, path=str(tmp_path / "tl"), keys=["k"],
+        precombine="ver", partition_by=["part"],
+    )
+    t.upsert(
+        spark.createDataFrame([Row(k=1, part="a", v="x", extra=1.0, ver=1)])
+    )
+    base = t.last_commit()
+    t.drop_column("extra")
+    with pytest.raises(CommitConflict, match="schema-mapping"):
+        t.upsert_occ(
+            spark.createDataFrame(
+                [Row(k=2, part="b", v="y", extra=2.0, ver=1)]
+            ),
+            base=base,
+        )
+    assert "extra" not in t.read().columns
+
+
+def test_occ_data_conflict_message_unchanged(spark, tmp_path):
+    """Plain partition-overlap conflicts still raise (and don't get
+    misclassified as schema-mapping)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import CommitConflict
+
+    t = TimelineTable(
+        spark=spark, path=str(tmp_path / "tl"), keys=["k"],
+        precombine="ver", partition_by=["part"],
+    )
+    t.upsert(spark.createDataFrame([Row(k=1, part="a", v="x", ver=1)]))
+    base = t.last_commit()
+    t.upsert_occ(spark.createDataFrame([Row(k=1, part="a", v="w", ver=2)]), base=base)
+    with pytest.raises(CommitConflict, match="touched this writer's partitions"):
+        t.upsert_occ(
+            spark.createDataFrame([Row(k=9, part="a", v="l", ver=1)]), base=base
+        )
+
+
+def test_copurchase_support_counts_distinct_orders(spark):
+    """ADVICE r6 (low): an order listing the same part on k lines must
+    contribute ONE co-occurrence per partner, not k*m line-pair
+    products — min_support means 'co-occurs in >= N orders'."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators import graph as G
+
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 10), (1, 20),  # part 10 twice in order 1
+            (2, 30), (2, 40),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.u, r.v) for r in G.copurchase_edges(li, min_support=2).collect()}
+    assert got == set()  # (10,20) co-occurs in ONE order, not two
+    # and a genuine 2-order pair still qualifies
+    li2 = li.union(
+        spark.createDataFrame([(3, 10), (3, 10), (3, 20)],
+                              "l_orderkey long, l_partkey long")
+    )
+    got2 = {(r.u, r.v) for r in G.copurchase_edges(li2, min_support=2).collect()}
+    assert got2 == {(10, 20)}
+
+
+def test_ledger_fsck_tolerated_by_inflight_marker_write(tmp_path, monkeypatch):
+    """ADVICE r6 (low): BatchIdLedger.fsck sweeping a concurrently
+    in-flight staged marker must not crash commit() — the writer
+    re-stages and still returns a boolean."""
+    import os as _os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.txn_sink import (
+        BatchIdLedger,
+        StagedRenameMarkerWriter,
+    )
+
+    ledger = BatchIdLedger(str(tmp_path / "ledger"), StagedRenameMarkerWriter())
+    real_link = _os.link
+    swept = {"n": 0}
+
+    def sweeping_link(src, dst):
+        if swept["n"] == 0:
+            swept["n"] += 1
+            _os.unlink(src)  # fsck swept the staging file mid-flight
+        return real_link(src, dst)
+
+    monkeypatch.setattr(_os, "link", sweeping_link)
+    assert ledger.commit(7) is True  # re-staged transparently
+    assert ledger.committed(7)
+    assert swept["n"] == 1
+    # second commit of the same id still loses cleanly
+    monkeypatch.undo()
+    assert ledger.commit(7) is False
+    assert ledger.fsck() == []  # no staging residue left behind
+
+
+def test_ledger_marker_write_gives_up_after_bounded_restages(tmp_path, monkeypatch):
+    import os as _os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.txn_sink import (
+        StagedRenameMarkerWriter,
+    )
+
+    w = StagedRenameMarkerWriter()
+
+    def always_sweeping_link(src, dst):
+        _os.unlink(src)
+        raise FileNotFoundError(src)
+
+    monkeypatch.setattr(_os, "link", always_sweeping_link)
+    with pytest.raises(RuntimeError, match="fsck loop"):
+        w.write(str(tmp_path / "marker.done"))
+
+
+def test_stream_commit_sweeps_half_promoted_batch_files(spark, tmp_path):
+    """ADVICE r6 (medium): a crash mid-promote leaves batch-N-* files
+    with no _batch_N manifest; the replay re-stages under fresh names,
+    so the crashed attempt's files accreted forever. Commit must sweep
+    them before promoting."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "sled")
+    os.makedirs(out, exist_ok=True)
+    # the crashed attempt's half-promoted leftover for batch 0
+    orphan = os.path.join(out, "batch-0-stage-99999-0-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"event_id": -1}\n')
+
+    stream = (
+        spark.readStream.format("graft_events")
+        .option("rows", 40).option("rowsPerBatch", 40).load()
+        .writeStream.format("graft_events").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    stream.awaitTermination(120)
+
+    assert not os.path.exists(orphan)
+    with open(os.path.join(out, "_batch_0")) as f:
+        manifest = json.load(f)
+    assert "batch-0-stage-99999-0-deadbeef.jsonl" not in manifest["files"]
+    on_disk = sorted(n for n in os.listdir(out) if n.startswith("batch-0-"))
+    assert on_disk == manifest["files"]  # exactly the attempt's files
+    total = 0
+    for name in on_disk:
+        with open(os.path.join(out, name)) as f:
+            total += sum(1 for _ in f)
+    assert total == manifest["rows"] == 40
+
+
+def test_batch_overwrite_promotes_before_manifest_swap(spark, tmp_path):
+    """ADVICE r6 (medium): overwrite used to DELETE the committed files
+    before writing the new _SUCCESS — a crash in between left the live
+    manifest referencing deleted files. New order: promote, swap
+    manifest, THEN sweep; a crash mid-promote must leave the old
+    manifest fully readable."""
+    import json
+    import os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import (
+        GraftLedgerWriter,
+        _StagedFile,
+        ledger_fsck,
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "bled")
+    df = spark.range(0, 20, numPartitions=2).selectExpr(
+        "id AS event_id", "timestamp'2024-01-01' AS ts", "id AS user_id",
+        "'view' AS event_type", "1.0 AS value", "'{}' AS props"
+    )
+    df.write.format("graft_events").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        old_manifest = json.load(f)
+
+    # crash an overwrite commit mid-promote: the second message's staged
+    # file is missing, so the promote loop dies after the first rename
+    w = GraftLedgerWriter({"path": out}, overwrite=True)
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    ok = os.path.join(staging, f"part-00000-1-{w.job_token}.jsonl")
+    with open(ok, "w") as f:
+        f.write('{"event_id": 100}\n')
+    gone = os.path.join(staging, f"part-00001-2-{w.job_token}.jsonl")
+    with pytest.raises(FileNotFoundError):
+        w.commit([_StagedFile(ok, 1), _StagedFile(gone, 1)])
+
+    # the OLD manifest is still live and every file it lists is intact
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert json.load(f) == old_manifest
+    for name in old_manifest["files"]:
+        assert os.path.exists(os.path.join(out, name))
+    # the half-promoted file is an unreferenced orphan; fsck reclaims it
+    rep = ledger_fsck(out)
+    assert os.path.basename(ok) in rep["orphans"]
+    # a clean overwrite retry converges
+    df.limit(5).repartition(1).write.format("graft_events").option(
+        "path", out
+    ).mode("overwrite").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        new_manifest = json.load(f)
+    assert new_manifest["rows"] == 5
+    live = sorted(n for n in os.listdir(out) if n.endswith(".jsonl"))
+    assert live == new_manifest["files"]
+
+
+def test_batch_append_manifest_accumulates(spark, tmp_path):
+    """Append keeps earlier committed files referenced: the manifest is
+    the union, so append-then-append reads the full ledger."""
+    import json
+    import os
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "aled")
+    df = spark.range(0, 10, numPartitions=1).selectExpr(
+        "id AS event_id", "timestamp'2024-01-01' AS ts", "id AS user_id",
+        "'view' AS event_type", "1.0 AS value", "'{}' AS props"
+    )
+    df.write.format("graft_events").option("path", out).mode("append").save()
+    df.write.format("graft_events").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 20
+    assert len(manifest["files"]) == 2
+    for name in manifest["files"]:
+        assert os.path.exists(os.path.join(out, name))

@@ -185,16 +185,42 @@ def mor_compact_before_meta(spark, path):
     assert sorted((r.k, r.p, r.ver, r.v) for r in t.read_optimized().collect()) == AFTER_B2
 
 
-def mor_restore_mid_swap(spark, path):
-    """THE r6 finding: crash between base->aside and staged->base
-    renames. Either full copy must survive; fsck rolls back."""
+def _mor_rebuild_restore_setup(spark, path):
     t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
                          partition_by=["p"], policy=_never())
     t.upsert(_df(spark, B1))
     sp = t.savepoint()
     t.upsert(_df(spark, B2))
     t.compact()  # restore target now below compacted_through -> rebuild path
-    pre_restore = _snap(t)
+    return t, sp, _snap(t)
+
+
+def mor_restore_before_aside_rename(spark, path):
+    """Crash at the base->aside rename: the intent marker still says
+    phase=begin, so the pre-restore base is authoritative — fsck rolls
+    BACK (drops staging + intent) and the retry converges."""
+    t, sp, pre_restore = _mor_rebuild_restore_setup(spark, path)
+
+    with mock.patch("os.rename", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.restore(sp)
+    rep = t.fsck()
+    assert t._restore_intent() is None
+    assert not os.path.isdir(t._base + ".restore_tmp")
+    assert _snap(t) == pre_restore  # pre-restore read intact
+    assert rep["dirs"] or rep["restored"]
+    t.restore(sp)  # clean retry
+    assert _snap(t) == sorted(B1)
+
+
+def mor_restore_mid_swap(spark, path):
+    """THE r6 finding: crash between base->aside and staged->base
+    renames. Either full copy must survive. The intent marker has
+    already flipped to phase=swapped here (the flip sits between the
+    two renames), so fsck rolls FORWARD: it promotes the staged base
+    AND finishes the meta update — no hybrid read, no re-run needed
+    (the r6 ADVICE defect was fsck leaving meta stale here)."""
+    t, sp, pre_restore = _mor_rebuild_restore_setup(spark, path)
 
     real_rename = os.rename
     calls = {"n": 0}
@@ -211,10 +237,37 @@ def mor_restore_mid_swap(spark, path):
     assert calls["n"] == 2
     assert not os.path.isdir(os.path.join(path, "base"))
     rep = t.fsck()
-    assert rep["restored"]  # rolled back from the aside copy
-    assert _snap(t) == pre_restore  # pre-restore read intact
-    t.restore(sp)  # clean retry
+    assert rep["restored"]  # rolled forward from the staged copy
+    assert t._restore_intent() is None
+    meta = t._meta()
+    assert meta["next_seq"] == sp + 1 and meta["compacted_through"] == sp
+    assert _snap(t) == sorted(B1)  # the restored state, meta consistent
+    assert meta["timeline"][-1]["action"] == "restore"
+
+
+def mor_restore_swapped_before_meta(spark, path):
+    """The r6 ADVICE case proper: base swap COMPLETED, crash before the
+    meta update. Without the intent marker fsck used to see 'base
+    present', drop the aside copy, and leave meta stale — post-
+    compaction logs merged onto the rolled-back base (hybrid read) with
+    the only consistent copy gone. Now fsck finishes the restore."""
+    t, sp, pre_restore = _mor_rebuild_restore_setup(spark, path)
+
+    with mock.patch.object(
+        MergeOnReadTable, "_finish_restore", side_effect=InjectedCrash
+    ):
+        with pytest.raises(InjectedCrash):
+            t.restore(sp)
+    rep = t.fsck()
+    assert t._restore_intent() is None
+    meta = t._meta()
+    assert meta["next_seq"] == sp + 1 and meta["compacted_through"] == sp
     assert _snap(t) == sorted(B1)
+    assert not os.path.isdir(t._base + ".restore_old")
+    assert rep["restored"]
+    # retry path: a fresh commit lands at the reclaimed sequence number
+    t.upsert(_df(spark, B2))
+    assert _snap(t) == AFTER_B2
 
 
 def mor_restore_forward_from_staging(spark, path):
@@ -414,7 +467,9 @@ FAULT_POINTS = [
     mor_bootstrap_before_meta,
     mor_upsert_before_meta,
     mor_compact_before_meta,
+    mor_restore_before_aside_rename,
     mor_restore_mid_swap,
+    mor_restore_swapped_before_meta,
     mor_restore_forward_from_staging,
     cow_upsert_replay_converges,
     cow_cluster_crash_before_manifest,

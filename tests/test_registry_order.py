@@ -18,28 +18,32 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-6 rotation: each sentinel points at its family's never-
-    # driver-sampled member (the whole late-r5 backlog rotates in), so
-    # the sentinel slot doubles as a refresh slot; sole-member families
-    # keep their r5-green representative.
-    "upsert": "partial_update_state",
-    "schema_evolution": "schema_evolution_union",
-    "partitioning": "partition_path_derivation",
+    # round-7 rotation: sentinels point at their family's never-driver-
+    # sampled late-r6 member where one exists (the slot doubles as a
+    # refresh slot); families with no never-sampled member keep an
+    # r6-green representative. Two NEW r6 categories (graph, statistics)
+    # get their first sentinels.
+    "upsert": "insert_overwrite_state",
+    "schema_evolution": "rename_evolution_state",
+    "partitioning": "delete_partition_state",
     "asof": "asof_join_forward_tolerance",
     "streaming": "tumbling_window_offset",
     "stateful": "stateful_session_machine",
     "storage_mor": "mor_partial_state",
-    "storage_incremental": "mv_incremental_refresh",
+    "storage_incremental": "mv_join_incremental",
     "storage_cdc": "cdc_change_feed",
-    "dedup": "semantic_dedup_clusters",
-    "similarity": "knn_rerank",
-    "text": "text_bigram_logprob",
+    "dedup": "split_leakage_minhash",
+    "similarity": "knn_recall_eval",
+    "text": "langid_eval_confusion",
     "multimodal": "multimodal_dedup_store_once",
-    "training": "corpus_build_pipeline_v2",
+    "training": "epoch_shuffle_shards",
     "udf": "applyinpandas_user_trend",
-    "relational_agg": "agg_grouping_id",
+    "relational_agg": "collation_group_caseinsensitive",
     "relational_join": "join_lateral_topk",
-    "relational_window": "window_rank_distributions",
+    "relational_window": "distributed_global_rank",
+    "graph": "graph_degree_histogram",
+    "statistics": "ab_test_welch",
+    "sketches": "hll_sketch_union_estimate",
 }
 
 
