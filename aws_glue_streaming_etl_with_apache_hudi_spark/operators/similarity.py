@@ -250,19 +250,28 @@ def knn_lsh(
         "table",
         "bucket",
     )
-    cands = (
+    # Score BEFORE the cross-table dedup: the collision join is map-side
+    # (queries broadcast), so the cosine is a JVM fold computed where the
+    # vectors already are, and the dropDuplicates shuffle then carries
+    # (query_id, neighbor_id, sim) — ~24 bytes/row — instead of two
+    # 64-double vectors (~1 KB/row). A pair colliding in t tables costs
+    # t redundant folds (bounded by num_tables), which is orders of
+    # magnitude cheaper than shuffling vector payloads: at the sf1 spot
+    # bench this cut knn_lsh from ~20 s to the expected near-linear
+    # scale-up. Duplicate rows agree on sim exactly (same fold, same
+    # rounding), so which one dropDuplicates keeps is immaterial.
+    scored = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                sim_decimals,
+            ).alias("sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-            sim_decimals,
-        ).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

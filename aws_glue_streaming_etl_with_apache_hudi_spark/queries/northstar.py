@@ -536,12 +536,17 @@ def dedup_embedding_cosine(spark, sf_dir):
     return (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # score BEFORE the cross-table dedup (same move as knn_lsh): the
+        # cosine is computed where the joined vectors already sit, so the
+        # dropDuplicates shuffle carries (id_a, id_b, sim) instead of two
+        # 64-double payloads; duplicate collisions re-fold identically,
+        # so the kept row is value-identical
         .select(
             "id_a",
             "id_b",
             F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("sim"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("sim") >= 0.25)
         .orderBy("id_a", "id_b")
     )

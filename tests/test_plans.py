@@ -380,3 +380,18 @@ def test_gini_and_spearman_rank_via_bucketed_windows(spark, sf_dir):
     for name in ("revenue_concentration_gini", "spearman_rank_corr"):
         plan = explain_str(QUERIES[name].fn(spark, sf_dir))
         assert "hashpartitioning(_drk_bucket" in plan, name
+
+
+def test_lsh_candidate_dedup_shuffles_scores_not_vectors(spark, sf_dir):
+    """knn_lsh / dedup_embedding_cosine score BEFORE the cross-table
+    candidate dedup: the dropDuplicates exchange must aggregate the
+    scalar sim, never ferry 64-double vector payloads (the r7 sf1
+    finding — vectors in that shuffle made knn_lsh ~5x slower)."""
+    for name, keep, banned in [
+        ("knn_lsh", "first(sim", ("first(qv", "first(cv")),
+        ("dedup_embedding_cosine", "first(sim", ("first(va", "first(vb")),
+    ]:
+        plan = explain_str(QUERIES[name].fn(spark, sf_dir))
+        assert keep in plan, name
+        for b in banned:
+            assert b not in plan, f"{name}: vector payload in dedup shuffle ({b})"
