@@ -29,6 +29,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import northstar  # n
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import analytics  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import warehouse  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering.
@@ -173,11 +174,20 @@ PRIORITY_WINDOW: list[str] = [
     "multimodal_dedup_store_once", # multimodal
     "applyinpandas_user_trend",    # pandas-UDF surface
     "join_lateral_topk",           # relational join
-    # --- flagship freshness re-checks (r6-green headliners) ---
-    "corpus_build_pipeline_v2",
-    "knn_rerank",
-    "dedup_minhash_lsh",
+    # --- changed-in-r7 queries (invariant 2: the LSH candidate scoring
+    # moved ahead of the cross-table dedup in both) ---
+    "knn_lsh",
+    "dedup_embedding_cosine",
+    # --- new r7 registration (Z-order data-skipping layout stats) ---
+    "zorder_layout_stats",
 ]
+
+# r8 rotation backlog: round-7 registrations that missed the frozen
+# window (all green on the local sf0.001+sf0.01 gate):
+#   warehouse family: scd2_user_state_history, winsorized_segment_stats,
+#     stratified_split_assignment, perplexity_band_filter
+# plus anything whose implementation changes later in r7 — see
+# ROUND_NOTES.md for the tally.
 
 
 def _apply_priority_order() -> None:

