@@ -185,7 +185,9 @@ PRIORITY_WINDOW: list[str] = [
 # r8 rotation backlog: round-7 registrations that missed the frozen
 # window (all green on the local sf0.001+sf0.01 gate):
 #   warehouse family: scd2_user_state_history, winsorized_segment_stats,
-#     stratified_split_assignment, perplexity_band_filter
+#     stratified_split_assignment, perplexity_band_filter,
+#     diversity_kcenter_sample (bounded-round greedy k-center),
+#     temporal_tier_attribution (SCD2 interval join)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

@@ -459,3 +459,194 @@ def perplexity_band_filter(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("lang", "band")
     )
+
+
+def _kcenter_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy farthest-point CTEs — round r's argmax is a
+    LIMIT 1 over least(distances to the r-1 prior centers), exactly the
+    rounds the Spark side runs (the bounded-round oracle pattern
+    operators/graph.py uses)."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"round(1 - list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v, 0.0 AS md FROM e "
+        "WHERE vec_id = (SELECT min(vec_id) FROM e))",
+    ]
+    for r in range(2, k + 1):
+        prior = [f"c{i}" for i in range(1, r)]
+        froms = " CROSS JOIN ".join(["e"] + prior)
+        excl = " AND ".join(f"e.vec_id <> {c}.vec_id" for c in prior)
+        dists = ", ".join(dist("e.v", f"{c}.v") for c in prior)
+        md = f"least({dists})" if r > 2 else dist("e.v", "c1.v")
+        ctes.append(
+            f"c{r} AS (SELECT e.vec_id, e.v, {md} AS md FROM {froms} "
+            f"WHERE {excl} ORDER BY md DESC, e.vec_id LIMIT 1)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, vec_id AS center_id, md AS dist FROM c{r}"
+        for r in range(1, k + 1)
+    )
+    return f"WITH {', '.join(ctes)} SELECT rnd, center_id, dist FROM ({unions}) ORDER BY rnd"
+
+
+@register("diversity_kcenter_sample", sql=_kcenter_oracle_sql())
+def diversity_kcenter_sample(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset over the embedding
+    corpus: seed at the smallest vec_id, then 4 rounds of "pick the
+    point whose NEAREST chosen center is farthest" (cosine distance,
+    6 dp, ties to the smaller id). This is the diversity-sampling
+    primitive training-data curation uses to pick maximally-spread
+    exemplars (and the k-means++ -style seeding IVFIndex could take);
+    exact duplicates have distance 0 and are never picked — the
+    anti-dedup-complement property that makes the sample diverse.
+
+    Scale shape: each round is ONE map-side pass over the corpus (the
+    chosen centers enter the plan as literal vectors, norms folded
+    in-plan) into a 1-row max aggregate — k bounded rounds = k scans,
+    no shuffle wider than the single-row argmax. The only driver state
+    is the k chosen (id, vector) tuples — bounded metadata, the same
+    contract as IVF's k x dim codebook. Returns (rnd, center_id, dist)
+    where dist is the selection distance (coverage radius sequence,
+    non-increasing)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seed = (
+        e.filter(F.col("vec_id") == e.agg(F.min("vec_id")).collect()[0][0])
+        .collect()[0]
+    )
+    chosen = [(int(seed.vec_id), list(seed.v), 0.0)]
+    for _ in range(4):
+        dist_cols = []
+        for cid, cvec, _d in chosen:
+            lit_v = F.array(*[F.lit(float(x)) for x in cvec])
+            dist_cols.append(
+                F.round(
+                    1
+                    - dot_product(F.col("v"), lit_v)
+                    / (l2_norm(F.col("v")) * l2_norm(lit_v)),
+                    6,
+                )
+            )
+        md = F.least(*dist_cols) if len(dist_cols) > 1 else dist_cols[0]
+        cand = (
+            e.filter(~F.col("vec_id").isin([c[0] for c in chosen]))
+            .select("vec_id", "v", md.alias("md"))
+            .agg(F.max(F.struct("md", (-F.col("vec_id")).alias("nid"), "v")).alias("top"))
+            .collect()[0]["top"]
+        )
+        chosen.append((int(-cand.nid), list(cand.v), float(cand.md)))
+    return spark.createDataFrame(
+        [(i + 1, cid, d) for i, (cid, _v, d) in enumerate(chosen)],
+        "rnd long, center_id long, dist double",
+    )
+
+
+@register(
+    "temporal_tier_attribution",
+    sql=f"""
+    WITH dim_ev AS (
+      SELECT user_id, ts, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cnt
+      FROM events WHERE event_type IN ('view', 'click', 'login')
+    ),
+    tiered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN cnt < 5 THEN 'low'
+                  WHEN cnt < 15 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM dim_ev
+    ),
+    starts AS (
+      SELECT user_id, tier, ts, event_id FROM (
+        SELECT *, lag(tier) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM tiered)
+      WHERE prev IS NULL OR prev <> tier
+    ),
+    periods AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM starts
+    ),
+    facts AS (
+      SELECT user_id, ts, round(value, 2) AS value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT coalesce(p.tier, 'none') AS tier, f.value
+      FROM facts f LEFT JOIN periods p
+        ON p.user_id = f.user_id
+       AND p.valid_from <= f.ts
+       AND (p.valid_to IS NULL OR f.ts < p.valid_to)
+    )
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {dsum_sql('value', 2)} AS total_value
+    FROM attributed GROUP BY tier ORDER BY tier
+    """,
+)
+def temporal_tier_attribution(spark, sf_dir):
+    """Temporal dimension join (the SCD2 consumption pattern): build the
+    user's engagement-tier history from view/click/login events (tier
+    ascends with cumulative activity, so each user has at most 3
+    validity periods), then attribute every PURCHASE to the tier that
+    was valid at purchase time via an interval join — purchases before
+    any activity land in tier 'none'. This is the query shape SCD2
+    tables exist for: "metric X by the dimension state AS OF the fact's
+    timestamp", not as of today.
+
+    Scale shape: the tier build is one user-keyed shuffle (count window
+    + change-point filter); the interval join is an equi join on
+    user_id with the validity range as residual filter — per-user
+    periods are bounded (<= 3, tiers only ascend), so fan-out is
+    bounded and no range-bin machinery is needed (operators/rangejoin
+    .py is the unbounded-period fallback). Money through exact decimal
+    sums."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_ev = ev.filter(F.col("event_type").isin("view", "click", "login")).select(
+        "user_id", "ts", "event_id", F.count(F.lit(1)).over(w).alias("cnt")
+    )
+    tiered = dim_ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("cnt") < 5, "low")
+        .when(F.col("cnt") < 15, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    starts = tiered.withColumn("prev", F.lag("tier").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("tier"))
+    )
+    periods = starts.select(
+        "user_id", "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 2).alias("value")
+    )
+    attributed = facts.join(
+        periods,
+        (periods.user_id == facts.user_id)
+        & (F.col("valid_from") <= facts.ts)
+        & (F.col("valid_to").isNull() | (facts.ts < F.col("valid_to"))),
+        "left",
+    ).select(F.coalesce(F.col("tier"), F.lit("none")).alias("tier"), "value")
+    return (
+        attributed.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
+        .orderBy("tier")
+    )

@@ -142,3 +142,38 @@ def test_perplexity_bands_cover_the_corpus(spark, sf_dir):
     assert by_band["keep"] > by_band.get("low", 0)
     assert by_band["keep"] > by_band.get("high", 0)
     assert 0.7 <= by_band["keep"] / total <= 0.9
+
+
+def test_kcenter_radii_nonincreasing_and_centers_distinct(spark, sf_dir):
+    rows = QUERIES["diversity_kcenter_sample"].fn(spark, sf_dir).collect()
+    assert [r.rnd for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r.center_id for r in rows]
+    assert len(set(ids)) == 5
+    # greedy farthest-point: the selection distance never increases
+    dists = [r.dist for r in rows[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:]))
+    assert rows[0].dist == 0.0
+    # seed is the smallest vec_id by contract
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import t
+
+    assert rows[0].center_id == t(spark, sf_dir, "embeddings").agg(
+        F.min("vec_id")
+    ).collect()[0][0]
+
+
+def test_temporal_attribution_partitions_all_purchases(spark, sf_dir):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import t
+
+    rows = QUERIES["temporal_tier_attribution"].fn(spark, sf_dir).collect()
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    assert sum(r.n_purchases for r in rows) == purchases.count()
+    got_total = sum(r.total_value for r in rows)
+    want_total = purchases.agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    assert got_total == pytest.approx(want_total, rel=1e-12)
+    tiers = {r.tier for r in rows}
+    assert tiers <= {"low", "mid", "high", "none"}
+    # tiers ascend with activity, so every tier seen must be reachable
+    assert "high" in tiers or "mid" in tiers or "low" in tiers
