@@ -188,6 +188,7 @@ PRIORITY_WINDOW: list[str] = [
 #     stratified_split_assignment, perplexity_band_filter,
 #     diversity_kcenter_sample (bounded-round greedy k-center),
 #     temporal_tier_attribution (SCD2 interval join)
+#   SQL surface: sql_pipe_syntax_pricing (Spark-4 |> pipe dialect)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

@@ -1011,3 +1011,45 @@ def distributed_global_rank(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+_PIPE_ORACLE_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# the same query in Spark 4's SQL pipe syntax (SPARK-49555): each |> stage
+# is a self-contained transformation in reading order — the dialect
+# modern SQL is converging on (ZetaSQL/BigQuery pipe syntax)
+_PIPE_SPARK_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n_items, sum_qty, revenue
+|> ORDER BY l_returnflag
+"""
+
+
+@register("sql_pipe_syntax_pricing", sql=_PIPE_ORACLE_SQL)
+def sql_pipe_syntax_pricing(spark, sf_dir):
+    """SQL pipe syntax (Spark 4, SPARK-49555 — the ZetaSQL `|>` dialect):
+    the filtered pricing rollup written as a top-down pipeline of
+    `|> WHERE`, `|> AGGREGATE ... GROUP BY`, `|> SELECT`, `|> ORDER BY`
+    stages. Catalyst parses pipe stages into the SAME logical plan the
+    ANSI form produces (the oracle runs the ANSI equivalent), so this
+    pins that the engine's modern-dialect surface resolves identically —
+    fifth member of the SQL-API parity family. Money through exact
+    decimal sums per the shared discipline."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_SPARK_SQL)

@@ -7,6 +7,7 @@ import glob
 import os
 import shutil
 
+import pytest
 from pyspark.sql import Row
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import EVENTS_SCHEMA
@@ -151,3 +152,164 @@ def test_session_state_machine_closes_on_gap_and_watermark(spark, tmp_path):
     assert got1[(2, "2024-01-01T00:01:00")] == (1, 9.0, "2024-01-01T00:06:00")
     # session_end = last_event + gap for the inline close too
     assert got1[(1, "2024-01-01T00:00:00")] == (2, 3.0, "2024-01-01T00:07:00")
+
+
+# -- transformWithState (Spark 4 StatefulProcessor) --------------------------
+#
+# The runtime leg needs protobuf (absent in this sandbox -> skipped, runs
+# when the env gains it); the SESSION SEMANTICS are pinned here by driving
+# the processor directly against a fake handle and asserting it emits the
+# same closed sessions the EventTimeTimeout implementation does.
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers: list[int] = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+
+class _FakeExpiry:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def _tws_batch(proc, key, rows):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"ts": [pd.Timestamp(t) for t, _v in rows], "value": [v for _t, v in rows]}
+    )
+    return list(proc.handleInputRows(key, iter([df]), None))
+
+
+def test_tws_processor_matches_gap_session_semantics():
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.stateful import SessionProcessor
+
+    proc = SessionProcessor(gap_seconds=300)
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    # batch 1: two events 2 min apart (one session), then an in-batch
+    # 30-min gap -> first session closes inline
+    out = _tws_batch(
+        proc, (1,),
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:02:00", 2.0),
+         ("2024-01-01 00:30:00", 5.0)],
+    )
+    assert len(out) == 1
+    closed = out[0].iloc[0]
+    assert closed["n_events"] == 2 and closed["total_value"] == 3.0
+    assert str(closed["session_end"]) == "2024-01-01 00:07:00"
+    # exactly ONE live timer, armed at the open session's close time
+    assert handle.timers == [proc_expiry(proc, "2024-01-01 00:30:00")]
+
+    # batch 2: extend the open session -> old timer replaced, not stacked
+    out = _tws_batch(proc, (1,), [("2024-01-01 00:33:00", 7.0)])
+    assert out == []
+    assert handle.timers == [proc_expiry(proc, "2024-01-01 00:33:00")]
+
+    # stale timer fire (the batch-1 expiry) must NOT close the session
+    stale = list(
+        proc.handleExpiredTimer(
+            (1,), None, _FakeExpiry(proc_expiry(proc, "2024-01-01 00:30:00"))
+        )
+    )
+    assert stale == []
+    assert handle.state.exists()
+
+    # current timer fire closes it with the full accumulated payload
+    fired = list(
+        proc.handleExpiredTimer(
+            (1,), None, _FakeExpiry(proc_expiry(proc, "2024-01-01 00:33:00"))
+        )
+    )
+    assert len(fired) == 1
+    final = fired[0].iloc[0]
+    assert final["n_events"] == 2 and final["total_value"] == 12.0
+    assert str(final["session_start"]) == "2024-01-01 00:30:00"
+    assert str(final["session_end"]) == "2024-01-01 00:38:00"
+    assert not handle.state.exists()
+
+    # post-close fire on empty state is a no-op
+    assert list(proc.handleExpiredTimer((1,), None, _FakeExpiry(0))) == []
+
+
+def proc_expiry(proc, ts_str):
+    import pandas as pd
+
+    return int(pd.Timestamp(ts_str).value // 1_000_000) + proc.gap_ms
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "aws_glue_streaming_etl_with_apache_hudi_spark.streaming.stateful", fromlist=["tws_available"]
+    ).tws_available(),
+    reason="transformWithState needs protobuf (env-blocked in this sandbox)",
+)
+def test_tws_end_to_end_matches_event_time_timeout_impl(spark, tmp_path):
+    """When the env has protobuf, the TWS operator must emit the same
+    closed-session set as session_state_machine on a replayed fixture."""
+    import tempfile
+    from datetime import datetime
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.sources.readers import EVENTS_SCHEMA
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.stateful import (
+        session_state_machine,
+        session_state_machine_tws,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 10, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 2), 10, "click", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 6, 0), 10, "view", 3.0, "{}"),
+        (4, datetime(2030, 1, 1, 0, 0), -1, "sentinel", 0.0, "{}"),
+    ]
+    staging = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=EVENTS_SCHEMA).write.parquet(staging)
+    got = {}
+    for name, op in [("apiw", session_state_machine), ("tws", session_state_machine_tws)]:
+        stream = (
+            spark.readStream.format("parquet").schema(EVENTS_SCHEMA)
+            .load(staging).withWatermark("ts", "0 seconds")
+        )
+        sink = f"twse2e_{name}"
+        q = (
+            op(stream, gap_seconds=3600)
+            .writeStream.format("memory").queryName(sink).outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}")).start()
+        )
+        q.processAllAvailable(); q.stop()
+        got[name] = sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {sink}").filter("user_id != -1").collect()
+        )
+    assert got["apiw"] == got["tws"] and got["apiw"]
