@@ -130,12 +130,25 @@ class UpsertTable:
     # columns override, nulls preserve the stored value (Hudi's
     # PartialUpdateAvroPayload — CDC/sparse-attribute feeds).
     merge_mode: str = "overwrite"
+    # Hudi BLOOM-index analogue: a per-partition key bloom filter
+    # consulted at upsert time. A partition none of whose batch keys can
+    # already exist takes the INSERT fast path (append a new file, no
+    # read-merge, no rewrite) — Hudi's "upsert degrades to insert for
+    # fresh keys" behavior, the dominant case for append-mostly streams.
+    bloom_index: bool = False
 
     def __post_init__(self) -> None:
         if self.record_index and not (self.global_index and self.partition_by):
             raise ValueError("record_index requires global_index + partition_by")
         if self.merge_mode not in ("overwrite", "partial"):
             raise ValueError(f"unknown merge_mode {self.merge_mode!r}")
+        if self.bloom_index and not self.partition_by:
+            raise ValueError("bloom_index requires partition_by (blooms are per partition path)")
+        if self.bloom_index and self.global_index:
+            raise ValueError(
+                "bloom_index is partition-local; global tables route key "
+                "lookups through record_index instead"
+            )
         if self.secondary_index_columns and not self.partition_by:
             raise ValueError(
                 "secondary_index_columns requires partition_by (the index "
@@ -278,6 +291,10 @@ class UpsertTable:
             batch = precombine_latest(batch, self._identity, self.precombine)
 
         if not self.exists():
+            if self.bloom_index:
+                # seed the key blooms BEFORE the data lands (monotone
+                # sidecar-first ordering — see the bloom section)
+                self._bloom_save(self._bloom_accumulate(batch, {}))
             self._write(batch, overwrite_all=True)
             if self.record_index:
                 self._rli_update(batch, batch)
@@ -285,6 +302,8 @@ class UpsertTable:
 
         stored = self.read()
         touched: list[tuple] = []
+        insert_parts: list[tuple] = []
+        merge_parts: list[tuple] = []
         if self.partition_by:
             touched = [
                 tuple(r)
@@ -322,13 +341,29 @@ class UpsertTable:
                         (v is None, "" if v is None else str(v)) for v in t
                     ),
                 )
-            cond = self._partition_values_filter(touched)
-            if cond is not None:
-                # Partition-pruned read: only touched partitions are merged.
-                stored = stored.filter(cond)
+            insert_parts = self._bloom_insert_parts(batch, touched)
+            merge_parts = [p for p in touched if p not in set(insert_parts)]
+            if insert_parts and not merge_parts:
+                # every touched partition proved key-disjoint: nothing to
+                # read-merge at all (the pure-insert micro-batch)
+                stored = stored.filter(F.lit(False))
+            else:
+                cond = self._partition_values_filter(merge_parts or touched)
+                if cond is not None:
+                    # Partition-pruned read: only merge-path partitions
+                    # are read (bloom-proven-disjoint ones are skipped).
+                    stored = stored.filter(cond)
 
         # Schema evolution across commits (A7): align both sides additively.
         batch, stored = evolve_schema(batch, stored)
+
+        batch_ins = None
+        if insert_parts:
+            # split AFTER evolution so the appended files carry the same
+            # (table) schema the overwrite path would have written
+            ins_cond = self._partition_values_filter(insert_parts)
+            batch_ins = batch.filter(ins_cond)
+            batch = batch.filter(~ins_cond)
 
         if self.merge_mode == "partial":
             merged = partial_merge(stored, batch, self._identity, self.precombine)
@@ -345,7 +380,49 @@ class UpsertTable:
             finally:
                 merged.unpersist()
         else:
-            self._write(merged, overwrite_all=False, touched=touched)
+            if batch_ins is not None:
+                # INSERT fast path: a new file appended beside the
+                # partition's existing files — no read, no rewrite
+                # (Hudi's upsert-degrades-to-insert for fresh keys)
+                batch_ins.write.mode("append").partitionBy(
+                    *self.partition_by
+                ).parquet(self.path)
+            if merge_parts or not insert_parts:
+                self._write(
+                    merged,
+                    overwrite_all=False,
+                    touched=merge_parts if insert_parts else touched,
+                )
+            if insert_parts:
+                # stats/secondary-index/catalog refresh for the appended
+                # partitions (same re-read-from-disk contract _write uses)
+                self._save_meta(
+                    merged, self._updated_stats(merged, False, insert_parts)
+                )
+                self._sidx_update(touched=insert_parts)
+                self._sync_catalog(touched=insert_parts)
+
+    def _bloom_insert_parts(self, batch: DataFrame, touched: list[tuple]) -> list[tuple]:
+        """Bloom-gate a batch: returns the touched partitions eligible
+        for the insert fast path, and accumulates the batch's key bits
+        into the sidecar FIRST (crash between the save and the data
+        writes leaves only false positives — replay takes the merge
+        path and stays idempotent). Additive-schema batches fall back
+        to the merge path wholesale (their rewrite realigns files)."""
+        if not (
+            self.bloom_index
+            and self.partition_by
+            and not self.global_index
+            and self.merge_mode == "overwrite"
+        ):
+            return []
+        if not set(batch.columns) <= {f.name for f in self._load_schema().fields}:
+            return []
+        blooms = self._bloom_load()
+        fast = self._bloom_definitely_new(batch, touched, blooms)
+        self._bloom_accumulate(batch, blooms)
+        self._bloom_save(blooms)
+        return fast
 
     def delete(self, keys_batch: DataFrame) -> None:
         """Hudi DELETE operation (unconditional): remove the live rows
@@ -768,7 +845,11 @@ class UpsertTable:
         elif os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
             report["removed"].append(tmp)
-        for t in (self._meta_path + ".tmp", manifest + ".tmp"):
+        for t in (
+            self._meta_path + ".tmp",
+            manifest + ".tmp",
+            self._bloom_path + ".tmp",
+        ):
             if os.path.exists(t):
                 try:
                     os.remove(t)
@@ -927,6 +1008,159 @@ class UpsertTable:
             if os.path.isdir(os.path.join(self.path, *sub)):
                 live.append(values)
         return live
+
+    # -- partition key blooms (Hudi BLOOM index analogue) ---------------------
+    #
+    # Layout: `<path>/_bloom.json` — per partition path, an m-bit filter
+    # over the partition's record keys (base64), monotone by design: bits
+    # only ever OR in (upsert batches, initial write, insert_overwrite
+    # batches); deletes never clear bits. Monotonicity is the safety
+    # argument: the bloom is always a SUPERSET of the live key set, so a
+    # "definitely absent" verdict is exact and the insert fast path can
+    # never duplicate a key — deletes and restatements only accrete
+    # false positives (performance, reclaimed by `rebuild_bloom`).
+    # The sidecar is saved BEFORE data writes: a crash in between leaves
+    # phantom bits (false positives), and a streaming replay of the same
+    # batch then takes the merge path, which absorbs any rows the
+    # crashed attempt already appended — replay-idempotent at every
+    # boundary. Production note: Hudi stores these per FILE in the
+    # parquet footer, written by the writer itself; the per-partition
+    # JSON sidecar is the local-FS stand-in (same role as the
+    # column-stats index below).
+
+    _BLOOM_M = 1 << 17  # bits per partition filter (16 KiB packed)
+    _BLOOM_K = 3        # hash functions
+
+    @property
+    def _bloom_path(self) -> str:
+        return os.path.join(self.path, "_bloom.json")
+
+    def _bloom_load(self) -> dict:
+        if not os.path.exists(self._bloom_path):
+            return {}
+        with open(self._bloom_path) as f:
+            return json.load(f)
+
+    def _bloom_save(self, blooms: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._bloom_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(blooms, f)
+        os.replace(tmp, self._bloom_path)
+
+    def _bloom_key_concat(self):
+        # null-safe key rendering shared by update and probe
+        return F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(k).cast("string"), F.lit("\x00NULL"))
+                for k in self.keys
+            ],
+        )
+
+    def _bloom_position_cols(self):
+        from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+        kc = self._bloom_key_concat()
+        return [
+            (stable_hash64(kc, seed=f"bloom{i}") % self._BLOOM_M).alias(f"_bpos{i}")
+            for i in range(self._BLOOM_K)
+        ]
+
+    def _bloom_accumulate(self, batch: DataFrame, blooms: dict) -> dict:
+        """OR every batch key's bit positions into its partition's
+        filter (in place; caller saves). The per-partition distinct
+        position list is bounded by min(k * batch keys, m) — the only
+        driver-side payload, same contract as the touched-partition
+        collect."""
+        import base64
+
+        import numpy as np
+
+        rows = (
+            batch.select(*self.partition_by, F.explode(F.array(*self._bloom_position_cols())).alias("_pos"))
+            .distinct()
+            .collect()
+        )
+        by_part: dict = {}
+        for r in rows:
+            tok = self._stat_key(tuple(r[c] for c in self.partition_by))
+            by_part.setdefault(tok, []).append(int(r["_pos"]))
+        for tok, positions in by_part.items():
+            prior = blooms.get(tok)
+            if prior is not None:
+                bits = np.unpackbits(
+                    np.frombuffer(base64.b64decode(prior["bits"]), dtype=np.uint8)
+                ).copy()
+            else:
+                bits = np.zeros(self._BLOOM_M, dtype=np.uint8)
+            bits[positions] = 1
+            saturated = bool(int(bits.sum()) * 2 > self._BLOOM_M)
+            blooms[tok] = {
+                "bits": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+                "saturated": saturated,
+            }
+        return blooms
+
+    def _bloom_definitely_new(self, batch: DataFrame, touched: list[tuple], blooms: dict) -> list[tuple]:
+        """The touched partitions that EXIST on disk and whose filter
+        proves no batch key is already present — the insert-fast-path
+        set. One Arrow-batched probe pass per candidate partition over
+        that partition's (already partition-pruned) batch slice; the
+        bitset rides the closure."""
+        import base64
+
+        import numpy as np
+
+        from pyspark.sql.functions import pandas_udf
+
+        fast: list[tuple] = []
+        for values in touched:
+            tok = self._stat_key(values)
+            entry = blooms.get(tok)
+            if entry is None or entry.get("saturated"):
+                continue
+            sub = [
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in zip(self.partition_by, values)
+            ]
+            if not os.path.isdir(os.path.join(self.path, *sub)):
+                continue  # brand-new partition: overwrite path is already O(batch)
+            bits = np.unpackbits(
+                np.frombuffer(base64.b64decode(entry["bits"]), dtype=np.uint8)
+            )
+
+            @pandas_udf("boolean")
+            def _maybe(*pos_cols):
+                hit = np.ones(len(pos_cols[0]), dtype=bool)
+                for pc in pos_cols:
+                    hit &= bits[pc.to_numpy()] == 1
+                import pandas as pd
+
+                return pd.Series(hit)
+
+            cond = self._partition_values_filter([values])
+            probe = (
+                batch.filter(cond)
+                .select(_maybe(*[c for c in self._bloom_position_cols()]).alias("_maybe"))
+                .agg(F.max("_maybe").alias("any_maybe"))
+                .collect()[0]["any_maybe"]
+            )
+            if probe is False:
+                fast.append(values)
+        return fast
+
+    def rebuild_bloom(self) -> int:
+        """Recompute every partition's filter from current table state —
+        the offline maintenance op that sheds accumulated false
+        positives after heavy deletes/restatements (run it beside
+        `cluster`). Returns the number of partitions rebuilt."""
+        if not (self.bloom_index and self.exists() and self.partition_by):
+            return 0
+        blooms: dict = {}
+        self._bloom_accumulate(self.read(), blooms)
+        self._bloom_save(blooms)
+        return len(blooms)
 
     # -- column statistics / data skipping -----------------------------------
     #

@@ -189,6 +189,7 @@ PRIORITY_WINDOW: list[str] = [
 #     diversity_kcenter_sample (bounded-round greedy k-center),
 #     temporal_tier_attribution (SCD2 interval join)
 #   SQL surface: sql_pipe_syntax_pricing (Spark-4 |> pipe dialect)
+#   storage: bloom_upsert_fastpath_state (Hudi BLOOM-index insert path)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

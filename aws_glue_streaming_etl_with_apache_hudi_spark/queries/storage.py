@@ -621,3 +621,48 @@ def rename_evolution_state(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         F.round("value_usd", 2).alias("value_usd"),
     ).orderBy("event_type", "user_id")
+
+
+@register(
+    "bloom_upsert_fastpath_state",
+    sql="""
+    SELECT event_type, user_id, event_id, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+    WHERE rn = 1 ORDER BY event_type, user_id
+    """,
+)
+def bloom_upsert_fastpath_state(spark, sf_dir):
+    """Upsert through the partition key blooms (operators/upsert.py
+    bloom_index — the Hudi BLOOM-index analogue): batch 1 ingests the
+    even user ids, batch 2 the odds — every batch-2 key is provably
+    absent, so each touched partition takes the INSERT fast path (a new
+    file appended, no read-merge, no rewrite; false positives merely
+    route a partition to the ordinary merge path, so the STATE is
+    path-independent, which is exactly what the oracle checks). The
+    fast-path trigger itself (append-not-rewrite file behavior, replay
+    safety through the sidecar-first crash window) is pinned in
+    tests/test_bloom_index.py.
+
+    Scale: this is the dominant micro-batch shape for append-mostly
+    streams — the probe is one Arrow pass per touched partition over
+    the batch slice, and the win is skipping the partition read+rewrite
+    entirely (O(batch) instead of O(partition bytes))."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="bloom_tbl_")
+    tbl = UpsertTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"], bloom_index=True,
+    )
+    tbl.upsert(e.filter(F.col("user_id") % 2 == 0))
+    tbl.upsert(e.filter(F.col("user_id") % 2 == 1))
+    return tbl.read().select(
+        "event_type", "user_id", "event_id", F.round("value", 2).alias("value")
+    ).orderBy("event_type", "user_id")

@@ -1,0 +1,187 @@
+"""Partition key blooms (Hudi BLOOM-index analogue, operators/upsert.py):
+the insert fast path must append without rewriting, never duplicate a
+key, and stay replay-safe through the sidecar-first crash window."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        [Row(k=k, part=p, v=v, ver=ver) for (k, p, v, ver) in data]
+    )
+
+
+def _state(table):
+    return sorted((r.k, r.part, r.v, r.ver) for r in table.read().collect())
+
+
+def _files(table, part):
+    return sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(table.path, f"part={part}", "*.parquet"))
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return UpsertTable(
+        spark=spark,
+        path=str(tmp_path / "bloomtbl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        bloom_index=True,
+    )
+
+
+def test_fresh_keys_take_insert_path_without_rewrite(spark, table):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    before_a = _files(table, "a")
+    assert len(before_a) >= 1
+
+    # all-new keys into an existing partition: append, never rewrite
+    table.upsert(_rows(spark, [(3, "a", "z", 1)]))
+    after_a = _files(table, "a")
+    assert set(before_a) <= set(after_a), "insert path must not rewrite old files"
+    assert len(after_a) > len(before_a), "insert path must append a new file"
+    assert _state(table) == [(1, "a", "x", 1), (2, "b", "y", 1), (3, "a", "z", 1)]
+
+
+def test_existing_key_takes_merge_path_no_duplicates(spark, table):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))  # same key: merge path
+    assert _state(table) == [(1, "a", "x2", 2)]
+    # and a mixed batch: partition a has an existing key (merge), b is new
+    table.upsert(_rows(spark, [(1, "a", "x3", 3), (9, "b", "w", 1)]))
+    assert _state(table) == [(1, "a", "x3", 3), (9, "b", "w", 1)]
+
+
+def test_bloom_equivalence_with_plain_table(spark, tmp_path):
+    """Same upsert sequence, bloom on vs off: identical final states."""
+    plain = UpsertTable(spark=spark, path=str(tmp_path / "plain"), keys=["k"],
+                        precombine="ver", partition_by=["part"])
+    bloom = UpsertTable(spark=spark, path=str(tmp_path / "bloom"), keys=["k"],
+                        precombine="ver", partition_by=["part"], bloom_index=True)
+    batches = [
+        [(1, "a", "x", 1), (2, "b", "y", 1)],
+        [(3, "a", "z", 1), (4, "c", "q", 1)],       # fresh keys -> fast path
+        [(1, "a", "x2", 2), (5, "a", "r", 1)],      # mixed update+insert
+        [(2, "b", "OLD", 0)],                        # stale precombine loses
+        [(6, "b", "s", 1)],                          # fresh again
+    ]
+    for b in batches:
+        plain.upsert(_rows(spark, b))
+        bloom.upsert(_rows(spark, b))
+    assert _state(plain) == _state(bloom)
+
+
+def test_replay_after_bloom_save_crash_is_idempotent(spark, table, monkeypatch):
+    """Crash between the sidecar save and the data write: the bloom now
+    holds the batch's bits (phantoms). The streaming replay of the SAME
+    batch must take the merge path and converge without duplicates."""
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+
+    class Boom(RuntimeError):
+        pass
+
+    # crash the DATA write itself (the fast path appends directly, so
+    # the parquet writer — not _write — is the boundary after the
+    # sidecar save)
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig_parquet = DataFrameWriter.parquet
+
+    def crashing_parquet(self, *a, **kw):
+        raise Boom()
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing_parquet)
+    with pytest.raises(Boom):
+        table.upsert(_rows(spark, [(2, "a", "y", 1)]))
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig_parquet)
+
+    # bits are already in the sidecar -> replay probes "maybe present"
+    blooms = table._bloom_load()
+    assert table._bloom_definitely_new(
+        _rows(spark, [(2, "a", "y", 1)]), [("a",)], blooms
+    ) == []
+    table.upsert(_rows(spark, [(2, "a", "y", 1)]))  # the replay
+    assert _state(table) == [(1, "a", "x", 1), (2, "a", "y", 1)]
+    table.upsert(_rows(spark, [(2, "a", "y", 1)]))  # replay again
+    assert _state(table) == [(1, "a", "x", 1), (2, "a", "y", 1)]
+
+
+def test_delete_keeps_bits_reinsert_merges(spark, table):
+    """Deletes never clear bits (monotone superset), so re-inserting a
+    deleted key takes the merge path — correct, just not fast."""
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "a", "y", 1)]))
+    table.delete(spark.createDataFrame([Row(k=1, part="a")]))
+    assert _state(table) == [(2, "a", "y", 1)]
+    table.upsert(_rows(spark, [(1, "a", "x2", 2)]))
+    assert _state(table) == [(1, "a", "x2", 2), (2, "a", "y", 1)]
+
+
+def test_schema_evolution_batch_falls_back_to_merge(spark, table):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    evolved = spark.createDataFrame([Row(k=2, part="a", v="y", ver=1, extra=7)])
+    table.upsert(evolved)  # new column: merge path, realigned rewrite
+    got = {r.k: (r.v, r["extra"]) for r in table.read().collect()}
+    assert got == {1: ("x", None), 2: ("y", 7)}
+    # post-evolution fast path works against the widened schema
+    table.upsert(spark.createDataFrame([Row(k=3, part="a", v="z", ver=1, extra=8)]))
+    assert {r.k for r in table.read().collect()} == {1, 2, 3}
+
+
+def test_saturated_partition_skips_fast_path_until_rebuild(spark, table, monkeypatch):
+    monkeypatch.setattr(UpsertTable, "_BLOOM_M", 64)  # force saturation
+    table.upsert(_rows(spark, [(i, "a", f"v{i}", 1) for i in range(60)]))
+    blooms = table._bloom_load()
+    tok = table._stat_key(("a",))
+    assert blooms[tok]["saturated"] is True
+    # saturated -> probe refuses the fast path outright
+    assert table._bloom_definitely_new(
+        _rows(spark, [(999, "a", "n", 1)]), [("a",)], blooms
+    ) == []
+    table.upsert(_rows(spark, [(999, "a", "n", 1)]))  # merge path, correct
+    assert len(_state(table)) == 61
+    # maintenance rebuild (still tiny m -> still saturated) keeps working
+    assert table.rebuild_bloom() == 1
+
+
+def test_rebuild_bloom_sheds_false_positives(spark, table):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "a", "y", 1), (7, "b", "k", 1)]))
+    table.delete(spark.createDataFrame([Row(k=1, part="a"), Row(k=2, part="a")]))
+    table.upsert(_rows(spark, [(3, "a", "z", 1)]))
+    assert table.rebuild_bloom() == 2
+    blooms = table._bloom_load()
+    # after rebuild only key 3 is in the filter: keys 1/2 probe as new
+    fast = table._bloom_definitely_new(
+        _rows(spark, [(1, "a", "x9", 9)]), [("a",)], blooms
+    )
+    assert fast == [("a",)]
+
+
+def test_bloom_validation_rules():
+    with pytest.raises(ValueError, match="requires partition_by"):
+        UpsertTable(spark=None, path="/tmp/x", keys=["k"], precombine="v",
+                    bloom_index=True)
+    with pytest.raises(ValueError, match="partition-local"):
+        UpsertTable(spark=None, path="/tmp/x", keys=["k"], precombine="v",
+                    partition_by=["p"], bloom_index=True, global_index=True)
+
+
+def test_fsck_sweeps_bloom_tmp(spark, table):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    with open(table._bloom_path + ".tmp", "w") as f:
+        json.dump({}, f)
+    rep = table.fsck()
+    assert any(t.endswith("_bloom.json.tmp") for t in rep["tmp_files"])
+    assert not os.path.exists(table._bloom_path + ".tmp")
