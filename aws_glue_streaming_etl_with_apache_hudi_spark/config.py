@@ -45,6 +45,9 @@ class PipelineConfig:
     database_name: str = "default"
     table_name: str = "hudi_table"
     quarantine_dir: str | None = None  # JSON dead-letter queue (optional)
+    # --bloom_index true: per-partition key blooms (Hudi BLOOM-index
+    # analogue) — fresh-key micro-batches append instead of rewriting
+    bloom_index: bool = False
 
     @classmethod
     def from_argv(cls, argv: list[str]) -> "PipelineConfig":
@@ -57,6 +60,8 @@ class PipelineConfig:
                   "database_name", "table_name", "quarantine_dir"):
             if k in opts:
                 kwargs[k] = opts[k]
+        if "bloom_index" in opts:
+            kwargs["bloom_index"] = opts["bloom_index"].lower() == "true"
         if "partition_fields" in opts:
             # --partition_fields "" = unpartitioned (empty tokens dropped)
             kwargs["partition_fields"] = [

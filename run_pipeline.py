@@ -42,7 +42,8 @@ def main(argv: list[str]) -> None:
             "--partition_fields (comma-separated) --table_name "
             "--window_size ('10 seconds') --source_format (parquet) "
             "--quarantine_dir --once (true|false) --infer_schema (true|false) "
-            "--dedup_index_dir --dedup_text_field (text) --dedup_id_field"
+            "--dedup_index_dir --dedup_text_field (text) --dedup_id_field "
+            "--bloom_index (true|false)"
         )
         return
     opts = resolve_options(argv, ["source_dir", "table_path", "checkpoint_path"])
@@ -66,6 +67,7 @@ def main(argv: list[str]) -> None:
         precombine=cfg.precombine,
         partition_by=cfg.partition_fields,
         table_name=cfg.table_name,
+        bloom_index=cfg.bloom_index,
     )
 
     # The driver fixture stores ts as parquet TIMESTAMP(NANOS); a streaming

@@ -176,3 +176,90 @@ def test_run_pipeline_cli_dedup_gate(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.table("cli_dedup_tbl").collect())
     assert got == [1, 2]
     assert LSHDedupIndex(spark, str(tmp_path / "idx")).size() == 2
+
+
+def test_stream_upsert_with_bloom_index_end_to_end(spark, sf_dir, tmp_path):
+    """The full stream->foreachBatch->upsert path with bloom_index on
+    (round 7): identical final state to the plain table, sidecar
+    present, and replay-from-checkpoint still a no-op."""
+    import json
+
+    src = str(tmp_path / "stream_src_b")
+    os.makedirs(src)
+    _write_event_files(spark, sf_dir, src, n_files=3)
+
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "user_state_bloom"),
+        keys=["user_id"],
+        precombine="ts",
+        partition_by=["event_type"],
+        bloom_index=True,
+    )
+    pipe = StreamingUpsertPipeline(
+        spark, source_dir=src, schema=EVENTS_SCHEMA, table=table,
+        checkpoint=str(tmp_path / "ckpt_b"),
+    )
+    pipe.run_available()
+
+    events = load_table(spark, sf_dir, "events")
+    expected = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.max_by(F.struct("ts", "event_id", "value"), F.struct("ts", "event_id")).alias("r"))
+        .select("event_type", "user_id", "r.ts", "r.event_id", "r.value")
+    )
+    got = table.read().select("event_type", "user_id", "ts", "event_id", "value")
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+    with open(table._bloom_path) as f:
+        blooms = json.load(f)
+    assert blooms  # one filter per event_type partition
+    assert set(blooms) == {
+        table._stat_key((r.event_type,))
+        for r in events.select("event_type").distinct().collect()
+    }
+
+
+def test_run_pipeline_cli_plumbs_bloom_index(spark, tmp_path, monkeypatch):
+    """--bloom_index true reaches the UpsertTable the CLI constructs
+    (A13 parameterization parity for the round-7 index)."""
+    import run_pipeline
+
+    captured = {}
+    real = run_pipeline.UpsertTable
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(run_pipeline, "UpsertTable", spy)
+
+    class _NoopPipe:
+        def __init__(self, *a, **kw):
+            pass
+
+        def run_available(self):
+            return None
+
+        def start(self):
+            class _Q:
+                def awaitTermination(self):
+                    return None
+
+            return _Q()
+
+    monkeypatch.setattr(run_pipeline, "StreamingUpsertPipeline", _NoopPipe)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "login", 10)], "user_id long, event_type string, ts long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_pipeline.main([
+        "--source_dir", src,
+        "--table_path", str(tmp_path / "tbl"),
+        "--checkpoint_path", str(tmp_path / "ck"),
+        "--record_key", "user_id", "--precombine", "ts",
+        "--partition_fields", "event_type",
+        "--bloom_index", "true", "--once", "false",
+    ])
+    assert captured.get("bloom_index") is True
