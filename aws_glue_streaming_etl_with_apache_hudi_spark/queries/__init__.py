@@ -190,6 +190,8 @@ PRIORITY_WINDOW: list[str] = [
 #     temporal_tier_attribution (SCD2 interval join)
 #   SQL surface: sql_pipe_syntax_pricing (Spark-4 |> pipe dialect)
 #   storage: bloom_upsert_fastpath_state (Hudi BLOOM-index insert path)
+#   analytics: ltv_cohort_curves (first-purchase cohorts, cumulative
+#     decimal revenue by age, per-user normalization)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

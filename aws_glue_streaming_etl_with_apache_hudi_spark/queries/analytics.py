@@ -1805,3 +1805,84 @@ def impute_group_median(spark, sf_dir):
             4,
         ).alias("imputed_mean"),
     ).orderBy("event_type")
+
+
+@register(
+    "ltv_cohort_curves",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    spend AS (
+      SELECT f.cohort,
+             date_diff('day', f.cohort,
+                       date_trunc('week', e.ts)) // 7 AS age,
+             CAST(e.value AS DECIMAL(18,2)) AS v
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    monthly AS (
+      SELECT cohort, age, sum(v) AS rev
+      FROM spend GROUP BY cohort, age
+    ),
+    sized AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort
+    )
+    SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort_week,
+           m.age,
+           s.cohort_users,
+           CAST(sum(m.rev) OVER (PARTITION BY m.cohort ORDER BY m.age)
+                AS DOUBLE) AS cum_revenue,
+           round(CAST(sum(m.rev) OVER (PARTITION BY m.cohort ORDER BY m.age)
+                      AS DOUBLE) / s.cohort_users, 4) AS ltv_per_user
+    FROM monthly m JOIN sized s USING (cohort)
+    ORDER BY cohort_week, age
+    """,
+)
+def ltv_cohort_curves(spark, sf_dir):
+    """Cohort lifetime-value curves: users cohorted by first-purchase
+    week, cumulative purchase revenue per cohort by weeks-since-first
+    (age), normalized per cohort user — THE growth-analytics table every
+    subscription/commerce warehouse maintains, and the natural companion
+    to retention_cohorts (that one counts activity, this one counts
+    money).
+
+    Exactness: revenue accumulates as DECIMAL(18,2) through both the
+    weekly rollup and the running window, so the cumulative sums are
+    exact in both engines and the single per-user division happens on
+    identical doubles. Scale shape: one shuffle to find first purchases,
+    one equi join back to purchases on user_id, a (cohort, age) rollup
+    (bounded key), and a running window over the tiny rollup — the
+    cumsum never touches row-level data."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    firsts = purchases.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    spend = purchases.join(firsts, "user_id").select(
+        "cohort",
+        F.floor(
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+        ).cast("long").alias("age"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    monthly = spend.groupBy("cohort", "age").agg(F.sum("v").alias("rev"))
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    w = W.partitionBy("cohort").orderBy("age")
+    return (
+        monthly.join(F.broadcast(sized), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "age",
+            "cohort_users",
+            F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("rev").over(w).cast("double") / F.col("cohort_users"), 4
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age")
+    )
