@@ -519,10 +519,20 @@ class TimelineTable:
         self._sync_catalog()
         return 1
 
-    def history(self) -> DataFrame:
+    def history(self, include_archived: bool = False) -> DataFrame:
         """The timeline as a queryable DataFrame (Hudi ``show commits`` /
         Delta ``DESCRIBE HISTORY``): one row per instant with its
-        operation, wall-clock time, and touched-partition count."""
+        operation, wall-clock time, and touched-partition count.
+        ``include_archived=True`` unions the archived timeline (Hudi's
+        ``show archived commits``)."""
+        instants = self.commits()
+        if include_archived:
+            active = {c["commit"] for c in instants}
+            instants = sorted(
+                [a for a in self.archived() if a["commit"] not in active]
+                + instants,
+                key=lambda c: c["commit"],
+            )
         rows = [
             (
                 c["commit"],
@@ -530,11 +540,102 @@ class TimelineTable:
                 float(c["ts"]),
                 len(c["touched_partitions"]),
             )
-            for c in self.commits()
+            for c in instants
         ]
         return self.spark.createDataFrame(
             rows, "commit INT, operation STRING, wall_ts DOUBLE, n_partitions INT"
         )
+
+    # -- timeline archival (Hudi archived timeline) --------------------------
+
+    @property
+    def _archive_path(self) -> str:
+        return os.path.join(self._timeline_dir, "_archive.jsonl")
+
+    def archived(self) -> list[dict]:
+        """Instants moved off the active timeline, oldest first. Dedupes
+        by commit id — the archive-then-delete crash window can leave an
+        instant briefly in both places, and either copy is identical."""
+        if not os.path.exists(self._archive_path):
+            return []
+        seen: set = set()
+        out = []
+        with open(self._archive_path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                inst = json.loads(line)
+                if inst["commit"] not in seen:
+                    seen.add(inst["commit"])
+                    out.append(inst)
+        return sorted(out, key=lambda c: c["commit"])
+
+    def archive_timeline(self) -> dict:
+        """Move no-longer-consulted instants to the append-only archive
+        log — Hudi's timeline archival. Without it the active timeline
+        (one metadata file per commit, ALL read on every ``commits()``
+        call) grows with table lifetime; at one commit a minute that is
+        half a million files a year, and every read/plan pays the
+        listing. Archival bounds active metadata to O(retained history).
+
+        An instant must STAY active while anything still consults it:
+        - at/above the clean horizon (time travel / incremental range);
+        - the final owner of any live partition (the cleaner keeps the
+          newest owning snapshot <= horizon live; ``read`` resolves data
+          through its metadata — location, partition list);
+        - a column-mapping instant (``renames``): retained owners older
+          than it still map their files forward through its entry.
+        Everything else below the horizon is archival-safe: reads refuse
+        those as_ofs already (clean() vacuumed their files).
+
+        Crash safety: append+fsync to the archive log FIRST, then delete
+        the active instant files — a crash in between leaves the instant
+        in both places, which ``archived()`` dedupes and a re-run
+        converges (already-archived commits are skipped on append).
+
+        Returns {"archived": [ids]}."""
+        horizon = self.clean_horizon()
+        instants = self.commits()
+        if horizon <= 0 or len(instants) <= 1:
+            return {"archived": []}
+        live_owners: set = set()
+        if self.partition_by:
+            owner: dict[tuple, int] = {}
+            for inst in instants:
+                for p in inst["touched_partitions"]:
+                    owner[tuple(p)] = inst["commit"]
+            live_owners = set(owner.values())
+        else:
+            data = [
+                c for c in instants
+                if c.get("operation") not in ("rename_column", "drop_column")
+            ]
+            if data:
+                live_owners.add(data[-1]["commit"])
+        already = {a["commit"] for a in self.archived()}
+        to_archive = [
+            c
+            for c in instants
+            if c["commit"] < horizon
+            and c["commit"] not in live_owners
+            and not c.get("renames")
+        ]
+        if not to_archive:
+            return {"archived": []}
+        with open(self._archive_path, "a") as f:
+            for c in to_archive:
+                if c["commit"] not in already:
+                    f.write(json.dumps(c) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        for c in to_archive:
+            try:
+                os.remove(
+                    os.path.join(self._timeline_dir, f"{c['commit']:06d}.json")
+                )
+            except FileNotFoundError:
+                pass
+        return {"archived": [c["commit"] for c in to_archive]}
 
     def _commit_delta(self, delta_batch: DataFrame, operation: str = "upsert") -> int:
         if self.lock_commits:

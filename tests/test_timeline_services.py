@@ -229,3 +229,93 @@ def test_fsck_removes_unreferenced_dirs_only(table, spark):
 def test_fsck_noop_on_clean_table(table, spark):
     table.upsert(_rows(spark, [(1, "a", "x", 1)]))
     assert table.fsck() == {"dirs": [], "tmp_files": []}
+
+
+# -- timeline archival (round 7) ---------------------------------------------
+
+
+def test_archive_moves_dead_instants_only(table, spark):
+    # 6 commits: a touched at 1,3,5; b at 2,4,6
+    for i in range(1, 7):
+        part = "a" if i % 2 == 1 else "b"
+        table.upsert(_rows(spark, [(i, part, f"v{i}", i)]))
+    before = _state(table)
+    table.clean(keep_last=2)  # horizon = commit 5
+    assert table.clean_horizon() == 5
+
+    rep = table.archive_timeline()
+    # owners after full replay: a->5, b->6; renames: none.
+    # archivable = {1,2,3} (4 is... commit 4 touched b, later re-owned by
+    # 6 -> dead; 4 < horizon) => {1,2,3,4}
+    assert rep["archived"] == [1, 2, 3, 4]
+    assert [c["commit"] for c in table.commits()] == [5, 6]
+    assert _state(table) == before
+    # retained as_ofs still read; below-horizon still refused
+    assert _state(table, as_of=5) != {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="clean horizon"):
+        table.read(as_of=3)
+    # idempotent
+    assert table.archive_timeline() == {"archived": []}
+    # full history still queryable through the archive
+    hist = table.history(include_archived=True)
+    assert [r.commit for r in hist.orderBy("commit").collect()] == [1, 2, 3, 4, 5, 6]
+    assert table.history().count() == 2
+    # new commits keep monotone ids (last_commit from the active tail)
+    c7 = table.upsert(_rows(spark, [(7, "a", "v7", 7)]))
+    assert c7 == 7
+
+
+def test_archive_keeps_live_owner_below_horizon(table, spark):
+    # partition c is touched ONCE, early; later commits touch only a/b,
+    # so c's owning snapshot (and metadata) must survive archival even
+    # though it is below the horizon
+    table.upsert(_rows(spark, [(1, "c", "keep", 1)]))      # commit 1 owns c
+    for i in range(2, 7):
+        part = "a" if i % 2 == 0 else "b"
+        table.upsert(_rows(spark, [(i, part, f"v{i}", i)]))
+    table.clean(keep_last=2)
+    assert table.clean_horizon() == 5
+    rep = table.archive_timeline()
+    assert 1 not in rep["archived"]  # live owner of partition c
+    active = [c["commit"] for c in table.commits()]
+    assert 1 in active
+    got = _state(table)
+    assert got[1] == ("c", "keep", 1)
+
+
+def test_archive_keeps_rename_instants(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))          # 1: owner until 5
+    rename_c = table.rename_column("v", "v2")                # 2: mapping
+    for i in range(3, 7):
+        table.upsert(
+            spark.createDataFrame([Row(k=i, part="a", v2=f"v{i}", ver=i)])
+        )
+    table.clean(keep_last=2)
+    assert table.clean_horizon() == 5
+    rep = table.archive_timeline()
+    assert rename_c not in rep["archived"]  # mapping still consulted
+    assert "v2" in table.read().columns
+
+
+def test_archive_crash_window_dedupes(table, spark):
+    import json as _json
+    import os as _os
+
+    for i in range(1, 5):
+        table.upsert(_rows(spark, [(i, "a" if i % 2 else "b", f"v{i}", i)]))
+    table.clean(keep_last=2)
+    table.archive_timeline()
+    arch = table.archived()
+    # simulate the crash window: an archived instant's active file was
+    # never deleted -> re-archive appends nothing new, readers dedupe
+    ghost = arch[0]
+    path = _os.path.join(table._timeline_dir, f"{ghost['commit']:06d}.json")
+    with open(path, "w") as f:
+        _json.dump(ghost, f)
+    rep = table.archive_timeline()
+    assert ghost["commit"] in rep["archived"]  # file re-swept
+    assert not _os.path.exists(path)
+    assert [a["commit"] for a in table.archived()] == [a["commit"] for a in arch]
+    assert table.history(include_archived=True).count() == 4
