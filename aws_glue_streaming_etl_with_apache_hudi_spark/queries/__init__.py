@@ -192,6 +192,8 @@ PRIORITY_WINDOW: list[str] = [
 #   storage: bloom_upsert_fastpath_state (Hudi BLOOM-index insert path)
 #   analytics: ltv_cohort_curves (first-purchase cohorts, cumulative
 #     decimal revenue by age, per-user normalization)
+#   dedup: dedup_recall_eval (LSH recall/precision vs exact-Jaccard
+#     truth at the shared 0.5 threshold; composed oracle)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

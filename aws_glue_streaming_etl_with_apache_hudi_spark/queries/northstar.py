@@ -2990,3 +2990,80 @@ def langid_eval_confusion(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _dedup_recall_oracle_sql() -> str:
+    """Composes the REGISTERED LSH and exact-Jaccard oracles (the
+    knn_recall_eval pattern) so the eval can never drift from the
+    operators it grades."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES
+
+    approx = QUERIES["dedup_minhash_lsh"].sql
+    exact = QUERIES["dedup_ngram_jaccard"].sql
+    return f"""
+    WITH approx AS ({approx}),
+    exact AS ({exact}),
+    ex AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
+    hit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit
+      FROM ex JOIN approx USING (id_a, id_b)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_lsh,
+           n_hit,
+           round(n_hit * 1.0 /
+                 greatest((SELECT count(*) FROM ex), 1), 4) AS recall,
+           round(n_hit * 1.0 /
+                 greatest((SELECT count(*) FROM approx), 1), 4) AS prec
+    FROM hit
+    """
+
+
+@register("dedup_recall_eval", sql=_dedup_recall_oracle_sql())
+def dedup_recall_eval(spark, sf_dir):
+    """Recall/precision of the MinHash+LSH dedup against the exact
+    all-pairs Jaccard truth at the SAME verify threshold (0.5) — the
+    third member of the operator-eval family (knn_recall_eval grades the
+    ANN index, langid_eval_confusion the language heuristic, this one
+    the near-dup pipeline). An un-graded dedup silently trades recall
+    for cost every time its banding is tuned; this query makes the trade
+    a number the pipeline can gate on.
+
+    Recall is the headline number (1.0 on the fixture). ``prec`` is a
+    LOWER BOUND: the truth side blocks on language while LSH is
+    unblocked, so cross-language template reuse (which this synthetic
+    corpus has plenty of, and which LSH correctly finds at >= 0.5
+    verified Jaccard) counts against it — the gap IS the blocking
+    strategy's blind spot, made visible.
+
+    Scale: the truth side is the lang-blocked exact join — affordable at
+    eval scale; production grades on a SAMPLED stratum with the same
+    composition. The LSH side is the production operator unchanged."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES
+
+    approx = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
+    exact = (
+        QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    hit = exact.join(approx, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_lsh = approx.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(hit)
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            F.round(
+                F.col("n_hit") * 1.0 / F.greatest(F.col("n_true"), F.lit(1)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") * 1.0 / F.greatest(F.col("n_lsh"), F.lit(1)), 4
+            ).alias("prec"),
+        )
+    )
