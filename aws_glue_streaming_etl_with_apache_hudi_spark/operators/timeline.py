@@ -1055,6 +1055,24 @@ class TimelineTable:
         pre = self.read(as_of=begin) if begin >= 1 else None
         return cdc_view(pre, inc, self._identity)
 
+    def changes_images(
+        self, begin: int = 0, end: int | None = None,
+        image_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """``changes`` with BEFORE images (Hudi 1.0 ``cdc.enabled``):
+        updates/deletes carry the replaced/erased values as
+        ``before_<col>`` columns. Default images = every non-key,
+        non-bookkeeping column of the feed."""
+        inc = self.incremental(begin, end)
+        pre = self.read(as_of=begin) if begin >= 1 else None
+        if image_cols is None:
+            skip = set(self._identity) | {COMMIT_COL, DELETED_COL}
+            image_cols = [
+                c for c in inc.columns
+                if c not in skip and (pre is None or c in pre.columns)
+            ]
+        return cdc_view_images(pre, inc, self._identity, image_cols)
+
     # -- table services: rollback + cleaner ----------------------------------
 
     def rollback(self, to_commit: int) -> int:
@@ -1404,6 +1422,49 @@ def apply_change_feed(table, feed: DataFrame) -> None:
         upserts = latest
     if not upserts.isEmpty():
         table.upsert(upserts.select(*cols))
+
+
+def cdc_view_images(
+    pre: DataFrame | None,
+    inc: DataFrame,
+    keys: list[str],
+    image_cols: list[str],
+) -> DataFrame:
+    """``cdc_view`` plus BEFORE images (Hudi 1.0 ``cdc.enabled`` /
+    Debezium shape): each change row carries the pre-state's
+    ``image_cols`` as ``before_<col>`` — null for inserts, the replaced
+    values for updates, the erased values for deletes. Downstream
+    consumers that maintain aggregates or reverse replicas need the
+    before image to SUBTRACT the old contribution; the plain feed only
+    supports idempotent overwrite sinks.
+
+    Same scale shape as cdc_view — one key join — except the pre-state
+    side now projects keys + image columns (still a column-pruned scan,
+    never the full width)."""
+    deleted = (
+        F.coalesce(F.col(DELETED_COL), F.lit(False))
+        if DELETED_COL in inc.columns
+        else F.lit(False)
+    )
+    if pre is None:
+        out = inc.withColumn(
+            CHANGE_COL, F.when(deleted, "delete").otherwise(F.lit("insert"))
+        )
+        for c in image_cols:
+            out = out.withColumn(f"before_{c}", F.lit(None).cast(inc.schema[c].dataType))
+        return out
+    before = pre.select(
+        *keys,
+        F.lit(1).alias("_pre"),
+        *[F.col(c).alias(f"before_{c}") for c in image_cols],
+    )
+    joined = inc.join(before, on=keys, how="left")
+    return joined.withColumn(
+        CHANGE_COL,
+        F.when(deleted, "delete")
+        .when(F.col("_pre").isNull(), "insert")
+        .otherwise("update"),
+    ).drop("_pre")
 
 
 def cdc_view(pre: DataFrame | None, inc: DataFrame, keys: list[str]) -> DataFrame:

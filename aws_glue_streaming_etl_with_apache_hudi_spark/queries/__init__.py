@@ -194,6 +194,8 @@ PRIORITY_WINDOW: list[str] = [
 #     decimal revenue by age, per-user normalization)
 #   dedup: dedup_recall_eval (LSH recall/precision vs exact-Jaccard
 #     truth at the shared 0.5 threshold; composed oracle)
+#   storage/CDC: cdc_before_after_images (Hudi 1.0 cdc.enabled /
+#     Debezium envelope -- updates carry before_* images)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

@@ -410,3 +410,55 @@ def mor_partial_state(spark, sf_dir):
         "event_type",
         F.round("value", 2).alias("value"),
     ).orderBy("user_id")
+
+
+@register(
+    "cdc_before_after_images",
+    sql=f"""
+    WITH pre AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_CUT1}') x WHERE rn = 1
+    ),
+    aft AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_CUT1}') x WHERE rn = 1
+    )
+    SELECT a.user_id,
+           CASE WHEN p.user_id IS NULL THEN 'insert' ELSE 'update' END
+             AS _change_type,
+           a.event_id,
+           round(a.value, 2) AS value,
+           p.event_id AS before_event_id,
+           round(p.value, 2) AS before_value
+    FROM aft a LEFT JOIN pre p USING (user_id)
+    ORDER BY a.user_id
+    """,
+)
+def cdc_before_after_images(spark, sf_dir):
+    """CDC feed WITH before images (operators/timeline.py
+    ``cdc_view_images`` — Hudi 1.0 ``cdc.enabled`` / Debezium envelope):
+    every update carries the replaced values as ``before_*`` columns,
+    inserts carry nulls. This is the feed an aggregate-maintaining or
+    reverse-ETL consumer needs — without the before image it cannot
+    subtract the old contribution and must re-read the table. The
+    before side stays a key+image column-pruned scan of the as-of-begin
+    snapshot; one left join on the record key."""
+    pre, d2, d3 = _commit_deltas(spark, sf_dir)
+    inc = incremental_view([d2, d3], ["user_id"], "ts")
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import cdc_view_images
+
+    out = cdc_view_images(pre, inc, ["user_id"], ["event_id", "value"])
+    return out.select(
+        "user_id",
+        "_change_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        "before_event_id",
+        F.round("before_value", 2).alias("before_value"),
+    ).orderBy("user_id")

@@ -319,3 +319,24 @@ def test_archive_crash_window_dedupes(table, spark):
     assert not _os.path.exists(path)
     assert [a["commit"] for a in table.archived()] == [a["commit"] for a in arch]
     assert table.history(include_archived=True).count() == 4
+
+
+# -- CDC before images (round 7) ---------------------------------------------
+
+
+def test_changes_images_carry_before_values(table, spark):
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))   # c1
+    table.upsert(_rows(spark, [(1, "a", "x2", 2), (3, "a", "z", 1)]))  # c2
+    table.delete(spark.createDataFrame([Row(k=2, part="b", ver=3)]))   # c3
+
+    feed = {r.k: r for r in table.changes_images(begin=1).collect()}
+    assert feed[1]._change_type == "update"
+    assert feed[1].v == "x2" and feed[1].before_v == "x"
+    assert feed[3]._change_type == "insert"
+    assert feed[3].before_v is None
+    assert feed[2]._change_type == "delete"
+    assert feed[2].before_v == "y"  # the erased value rides the tombstone
+
+    # begin=0: everything is an insert/delete with null before images
+    full = {r.k: r for r in table.changes_images(begin=0).collect()}
+    assert full[3]._change_type == "insert" and full[3].before_v is None
