@@ -424,6 +424,162 @@ class UpsertTable:
         self._bloom_save(blooms)
         return fast
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        matched_update: dict[str, str] | None = None,
+        matched_update_condition: str | None = None,
+        matched_delete_condition: str | None = None,
+        insert_not_matched: bool = True,
+        not_matched_condition: str | None = None,
+    ) -> dict:
+        """ANSI ``MERGE INTO`` semantics over the table (the SQL surface
+        Hudi exposes as ``MERGE INTO hudi_table USING source ...``):
+
+        - WHEN MATCHED [AND cond] THEN DELETE  (``matched_delete_condition``)
+        - WHEN MATCHED [AND cond] THEN UPDATE SET c = expr
+          (``matched_update`` maps target column -> SQL expression over
+          aliases ``t`` (target row) and ``s`` (source row); None means
+          UPDATE SET * — every non-identity column from the source)
+        - WHEN NOT MATCHED [AND cond] THEN INSERT
+        Rows matched by neither clause keep their stored values; stored
+        rows never matched are untouched. Delete wins over update when
+        both conditions hold (SQL clause order).
+
+        MERGE differs from ``upsert`` in exactly the ways that matter:
+        clause CONDITIONS (a stale source row can be made a no-op with
+        ``s.ver > t.ver`` — upsert's precombine does this implicitly,
+        MERGE makes it explicit), DELETE as a branch, and the standard's
+        cardinality rule — two source rows matching one target row is an
+        ERROR here, not a silent precombine.
+
+        Identity (key + partition) columns cannot be assigned — changing
+        them is a delete+insert in MERGE terms and a row migration in
+        storage terms; express it as such.
+
+        Returns clause counts {"updated": n, "deleted": n, "inserted": n}.
+        Scale shape: one full-outer join on the identity, partition-
+        pruned to the source's touched partitions; everything else is
+        map-side CASE logic; the write is the same touched-partition
+        dynamic overwrite every commit uses."""
+        ident = self._identity
+        if matched_update:
+            bad = [c for c in matched_update if c in set(ident)]
+            if bad:
+                raise ValueError(
+                    f"MERGE cannot assign identity columns {bad}: that is a "
+                    "delete+insert (row migration), express it as such"
+                )
+        # the standard's cardinality check: each target row may match at
+        # most ONE source row (one slim aggregation over the source keys)
+        dup = (
+            source.groupBy(*ident)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE cardinality violation: multiple source rows share "
+                f"identity {dict(zip(ident, [dup[0][k] for k in ident]))!r}"
+            )
+        if not self.exists():
+            inserted = source
+            if not_matched_condition is not None:
+                inserted = source.alias("s").filter(F.expr(not_matched_condition))
+            if insert_not_matched:
+                self.upsert(inserted)
+                return {"updated": 0, "deleted": 0, "inserted": inserted.count()}
+            return {"updated": 0, "deleted": 0, "inserted": 0}
+
+        stored = self.read()
+        touched: list[tuple] = []
+        if self.partition_by:
+            touched = [
+                tuple(r)
+                for r in source.select(*self.partition_by).distinct().collect()
+            ]
+            cond = self._partition_values_filter(touched)
+            if cond is not None:
+                stored = stored.filter(cond)
+
+        cols = stored.columns
+        t_ = stored.withColumn("_t_present", F.lit(1)).alias("t")
+        s_ = source.withColumn("_s_present", F.lit(1)).alias("s")
+        on = None
+        for k in ident:
+            eq = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            on = eq if on is None else (on & eq)
+        j = t_.join(s_, on, "full_outer")
+
+        matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+        t_only = F.col("s._s_present").isNull()
+        s_only = F.col("t._t_present").isNull()
+        del_cond = (
+            matched & F.expr(matched_delete_condition)
+            if matched_delete_condition is not None
+            else F.lit(False)
+        )
+        upd_gate = (
+            F.expr(matched_update_condition)
+            if matched_update_condition is not None
+            else F.lit(True)
+        )
+        upd_cond = matched & ~del_cond & upd_gate
+        ins_gate = (
+            F.expr(not_matched_condition)
+            if not_matched_condition is not None
+            else F.lit(True)
+        )
+        ins_cond = s_only & F.lit(insert_not_matched) & ins_gate
+
+        assignments = matched_update or {
+            c: f"s.{c}" for c in cols if c not in ident and c in source.columns
+        }
+        out_cols = []
+        for c in cols:
+            src_side = F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")
+            updated_val = (
+                F.expr(assignments[c]) if c in assignments else F.col(f"t.{c}")
+            )
+            out_cols.append(
+                F.when(upd_cond, updated_val)
+                .when(ins_cond, src_side)
+                .when(matched, F.col(f"t.{c}"))  # matched, no clause fired
+                .otherwise(F.col(f"t.{c}"))      # t_only
+                .alias(c)
+            )
+        keep = ~del_cond & (matched | t_only | ins_cond)
+        action = (
+            F.when(del_cond, "deleted")
+            .when(upd_cond, "updated")
+            .when(ins_cond, "inserted")
+            .otherwise(F.lit(None))
+        )
+        counts = {
+            r["_action"]: r["n"]
+            for r in j.select(action.alias("_action"))
+            .filter(F.col("_action").isNotNull())
+            .groupBy("_action")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        merged = j.filter(keep).select(*out_cols)
+        merged = merged.persist()
+        try:
+            merged.count()
+            self._write(merged, overwrite_all=False, touched=touched or None)
+            if self.partition_by and touched:
+                self._remove_emptied_partitions(touched, merged)
+        finally:
+            merged.unpersist()
+        return {
+            "updated": int(counts.get("updated", 0)),
+            "deleted": int(counts.get("deleted", 0)),
+            "inserted": int(counts.get("inserted", 0)),
+        }
+
     def delete(self, keys_batch: DataFrame) -> None:
         """Hudi DELETE operation (unconditional): remove the live rows
         matching ``keys_batch``'s record keys. Non-global tables locate

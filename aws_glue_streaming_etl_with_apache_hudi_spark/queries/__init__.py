@@ -196,6 +196,9 @@ PRIORITY_WINDOW: list[str] = [
 #     truth at the shared 0.5 threshold; composed oracle)
 #   storage/CDC: cdc_before_after_images (Hudi 1.0 cdc.enabled /
 #     Debezium envelope -- updates carry before_* images)
+#   storage/SQL: merge_into_state (ANSI MERGE INTO clause algebra over
+#     the on-disk table: conditional update, delete branch, gated
+#     insert; full-outer-join oracle)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

@@ -666,3 +666,89 @@ def bloom_upsert_fastpath_state(spark, sf_dir):
     return tbl.read().select(
         "event_type", "user_id", "event_id", F.round("value", 2).alias("value")
     ).orderBy("event_type", "user_id")
+
+
+@register(
+    "merge_into_state",
+    sql="""
+    WITH base AS (
+      SELECT event_type, user_id, event_id, ts, round(value, 2) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    src AS (
+      SELECT event_type, user_id, event_id, ts, round(value, 2) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT
+        coalesce(t.event_type, s.event_type) AS event_type,
+        coalesce(t.user_id, s.user_id) AS user_id,
+        CASE
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND s.value >= t.value THEN s.event_id
+          WHEN t.user_id IS NULL THEN s.event_id
+          ELSE t.event_id END AS event_id,
+        CASE
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND s.value >= t.value THEN s.value
+          WHEN t.user_id IS NULL THEN s.value
+          ELSE t.value END AS value,
+        (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+         AND s.event_type = 'refund') AS _deleted,
+        (t.user_id IS NULL AND NOT s.value >= 50.0) AS _skip_insert
+      FROM base t FULL OUTER JOIN src s
+        ON t.event_type = s.event_type AND t.user_id = s.user_id
+    )
+    SELECT event_type, user_id, event_id, value
+    FROM merged WHERE NOT _deleted AND NOT _skip_insert
+    ORDER BY event_type, user_id
+    """,
+)
+def merge_into_state(spark, sf_dir):
+    """ANSI MERGE INTO over the upsert table (UpsertTable.merge_into —
+    Hudi's ``MERGE INTO hudi_table USING source``): base = first
+    event-time half's latest state; source = second half's latest rows;
+    clauses exercise every branch — WHEN MATCHED AND s.event_type =
+    'refund' THEN DELETE, WHEN MATCHED AND s.value >= t.value THEN
+    UPDATE SET (the conditional update a bare upsert cannot express),
+    WHEN NOT MATCHED AND s.value >= 50 THEN INSERT. The oracle replays
+    the identical clause algebra over a FULL OUTER join. The table is
+    REAL (on-disk commits, dynamic partition overwrite) — the driver
+    verifies the post-merge read."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import (
+        UpsertTable,
+        precombine_latest,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="merge_tbl_")
+    tbl = UpsertTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    tbl.upsert(e.filter(F.col("ts") < cut))
+    src = precombine_latest(
+        e.filter(F.col("ts") >= cut),
+        ["event_type", "user_id"], "ts", tie_breakers=["event_id"],
+    )
+    tbl.merge_into(
+        src,
+        matched_update={"event_id": "s.event_id", "ts": "s.ts", "value": "s.value"},
+        matched_update_condition="s.value >= t.value",
+        matched_delete_condition="s.event_type = 'refund'",
+        not_matched_condition="s.value >= 50.0",
+    )
+    return tbl.read().select(
+        "event_type", "user_id", "event_id", "value"
+    ).orderBy("event_type", "user_id")
