@@ -199,6 +199,9 @@ PRIORITY_WINDOW: list[str] = [
 #   storage/SQL: merge_into_state (ANSI MERGE INTO clause algebra over
 #     the on-disk table: conditional update, delete branch, gated
 #     insert; full-outer-join oracle)
+#   sketches: audience_overlap_kmv (KMV/theta set algebra -- union via
+#     (k-1)/theta, intersection via Jaccard scaling; even the sketch
+#     error is deterministic and oracle-checked)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

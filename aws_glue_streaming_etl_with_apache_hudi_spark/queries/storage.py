@@ -752,3 +752,116 @@ def merge_into_state(spark, sf_dir):
     return tbl.read().select(
         "event_type", "user_id", "event_id", "value"
     ).orderBy("event_type", "user_id")
+
+
+_KMV_K = 8  # fixture-sized; production sketches run k=4096 (same algebra)
+
+
+def _kmv_h_sql(expr: str) -> str:
+    return stable_hash64_sql(f"CAST({expr} AS VARCHAR)", "kmv")
+
+
+@register(
+    "audience_overlap_kmv",
+    sql=f"""
+    WITH ua AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    ub AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    ka AS (
+      SELECT h FROM (
+        SELECT {_kmv_h_sql('user_id')} AS h,
+               row_number() OVER (ORDER BY {_kmv_h_sql('user_id')}) AS rn
+        FROM ua) x WHERE rn <= {_KMV_K}
+    ),
+    kb AS (
+      SELECT h FROM (
+        SELECT {_kmv_h_sql('user_id')} AS h,
+               row_number() OVER (ORDER BY {_kmv_h_sql('user_id')}) AS rn
+        FROM ub) x WHERE rn <= {_KMV_K}
+    ),
+    uni AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+      ) x WHERE rn <= {_KMV_K}
+    ),
+    th AS (SELECT max(h) AS theta FROM uni),
+    ovl AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM ka JOIN kb USING (h) CROSS JOIN th WHERE h < theta
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM ua) AS exact_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM ub) AS exact_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT user_id FROM ua UNION SELECT user_id FROM ub)) AS exact_union,
+           round(({_KMV_K} - 1) * pow(2.0, 60) / theta, 2) AS est_union,
+           (SELECT CAST(count(*) AS BIGINT) FROM ua JOIN ub USING (user_id))
+             AS exact_overlap,
+           round((ovl.c * 1.0 / {_KMV_K})
+                 * (({_KMV_K} - 1) * pow(2.0, 60) / theta), 2) AS est_overlap
+    FROM th CROSS JOIN ovl
+    """,
+)
+def audience_overlap_kmv(spark, sf_dir):
+    """Audience-overlap estimation with KMV (k-minimum-values) sketches:
+    the distinct-user sets of two event types are each summarized by
+    their k smallest md5 hash values; union cardinality is the classic
+    (k-1)/theta estimator over the merged sketch and the intersection is
+    the Jaccard-scaled union — the theta-sketch set algebra (audience
+    overlap, campaign reach) at sketch size k instead of a
+    COUNT(DISTINCT) join. Exact counts ride along so the estimate's
+    error is visible in the output (k=8 here, fixture-sized; production
+    runs k=4096 with the identical algebra — the estimator's variance is
+    ~1/sqrt(k), not data-sized).
+
+    Scale shape: per side, one distinct + a TakeOrdered(k) — the only
+    thing that crosses the wire is k hashes per sketch; merging sketches
+    is set algebra on 2k rows. The md5 hash family makes every value —
+    including the estimates — engine-deterministic, so even the sketch
+    ERROR is oracle-checked."""
+    k = _KMV_K
+    e = t(spark, sf_dir, "events")
+    h = stable_hash64(F.col("user_id").cast("string"), "kmv")
+
+    def sketch(event_type):
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select("user_id").distinct()
+            .select(h.alias("h"))
+            .orderBy("h").limit(k)
+        )
+
+    ua = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    ub = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    ka, kb = sketch("view"), sketch("purchase")
+    uni = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+    th = uni.agg(F.max("h").alias("theta"))
+    ovl = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    est_union = (k - 1) * F.pow(F.lit(2.0), 60) / F.col("theta")
+    return (
+        th.crossJoin(ovl)
+        .crossJoin(ua.agg(F.count(F.lit(1)).cast("long").alias("exact_a")))
+        .crossJoin(ub.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(
+            ua.unionByName(ub).distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        )
+        .crossJoin(
+            ua.join(ub, "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+        )
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            F.round(est_union, 2).alias("est_union"),
+            "exact_overlap",
+            F.round((F.col("c") * 1.0 / k) * est_union, 2).alias("est_overlap"),
+        )
+    )
