@@ -395,3 +395,49 @@ def test_lsh_candidate_dedup_shuffles_scores_not_vectors(spark, sf_dir):
         assert keep in plan, name
         for b in banned:
             assert b not in plan, f"{name}: vector payload in dedup shuffle ({b})"
+
+
+def test_temporal_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the validity-interval join rides the user_id equi key with the
+    # range as residual; a BNLJ/cartesian here would be events x periods
+    plan = explain_str(QUERIES["temporal_tier_attribution"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_build_is_one_shuffle(spark, sf_dir):
+    # both windows and the change-point filter share the user_id
+    # partitioning: the whole SCD2 build must cost exactly ONE hash
+    # exchange (plus the display sort), never one per window
+    df = QUERIES["scd2_user_state_history"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, n
+
+
+def test_merge_into_uses_equi_full_outer(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    t_ = UpsertTable(
+        spark=spark, path=str(tmp_path / "mplan"), keys=["k"],
+        precombine="ver", partition_by=["part"],
+    )
+    t_.upsert(spark.createDataFrame([Row(k=1, part="a", v="x", ver=1)]))
+    # capture the merged frame's plan via the write-side hook
+    captured = {}
+    orig = UpsertTable._write
+
+    def spy(self, df, *a, **kw):
+        captured["plan"] = df._jdf.queryExecution().executedPlan().toString()
+        return orig(self, df, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(UpsertTable, "_write", spy):
+        t_.merge_into(spark.createDataFrame([Row(k=2, part="a", v="y", ver=1)]))
+    plan = captured["plan"]
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
