@@ -202,6 +202,8 @@ PRIORITY_WINDOW: list[str] = [
 #   sketches: audience_overlap_kmv (KMV/theta set algebra -- union via
 #     (k-1)/theta, intersection via Jaccard scaling; even the sketch
 #     error is deterministic and oracle-checked)
+#   statistics: theil_sen_daily_trend (median-of-pairwise-slopes robust
+#     trend vs OLS on the bounded daily spine)
 # plus anything whose implementation changes later in r7 — see
 # ROUND_NOTES.md for the tally.
 

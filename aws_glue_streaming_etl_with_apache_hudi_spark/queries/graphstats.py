@@ -1021,3 +1021,70 @@ def spearman_rank_corr(spark, sf_dir):
         * F.sqrt(c("n") * c("syy") - c("sy") * c("sy"))
     )
     return m.select("n_users", F.round(rho, 6).alias("spearman_rho"))
+
+
+@register(
+    "theil_sen_daily_trend",
+    sql="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             (count(*) * sum(d * rev) - sum(d) * sum(rev))
+               / (count(*) * sum(d * d) - sum(d) * sum(d)) AS beta
+      FROM daily
+    )
+    SELECT n_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+           round((SELECT quantile_cont(slope, 0.5) FROM slopes), 4)
+             AS theil_sen_slope,
+           round(beta, 4) AS ols_slope
+    FROM ols
+    """,
+)
+def theil_sen_daily_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes between days — the estimator that shrugs off the
+    outlier days an OLS fit chases (both slopes are reported so the gap
+    is visible; up to 29% contamination leaves Theil-Sen standing). The
+    pairwise join is over the DAILY AGGREGATE — a bounded spine (~30
+    rows -> ~435 pairs), never the event rows, so the O(n²) lives on a
+    frame whose size is set by the calendar, not the data. Daily sums
+    are exact decimals; every slope is then the same IEEE division in
+    both engines and the median interpolates identically
+    (percentile == quantile_cont, verified family-wide)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .select(((F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))).alias("slope"))
+    )
+    n = F.count(F.lit(1))
+    sd, sr = F.sum(F.col("d").cast("double")), F.sum("rev")
+    sdr, sdd = F.sum(F.col("d") * F.col("rev")), F.sum(F.col("d") * F.col("d").cast("double"))
+    ols = daily.agg(
+        n.cast("long").alias("n_days"),
+        ((n * sdr - sd * sr) / (n * sdd - sd * sd)).alias("beta"),
+    )
+    return (
+        ols.crossJoin(slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+        .crossJoin(
+            slopes.agg(F.expr("percentile(slope, 0.5)").alias("_med"))
+        )
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("_med", 4).alias("theil_sen_slope"),
+            F.round("beta", 4).alias("ols_slope"),
+        )
+    )
