@@ -458,6 +458,33 @@ def mv_refresh_before_cursor(spark, path):
     assert mv._cursor() == (2, 1)
 
 
+def cow_bloom_sidecar_saved_then_write_crash(spark, path):
+    """Bloom insert fast path (r7): crash AFTER the sidecar save, BEFORE
+    the data write. The sidecar now holds the batch's bits (phantoms,
+    false-positive-only by monotonicity), so the streaming replay of the
+    same batch probes "maybe present", takes the merge path, and
+    converges without duplicates — the sidecar-first ordering contract."""
+    t = UpsertTable(spark, path, keys=["k"], precombine="ver",
+                    partition_by=["p"], bloom_index=True)
+    t.upsert(_df(spark, B1))
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    real = DataFrameWriter.parquet
+    with mock.patch.object(
+        DataFrameWriter, "parquet", side_effect=InjectedCrash
+    ):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    # consistent after crash: table still reads the pre-batch state
+    assert _snap(t) == sorted(B1)
+    rep = t.fsck()
+    assert isinstance(rep, dict)  # nothing to reclaim; fsck is a no-op
+    t.upsert(_df(spark, B2))  # the replay
+    assert _snap(t) == AFTER_B2
+    t.upsert(_df(spark, B2))  # replay again: still idempotent
+    assert _snap(t) == AFTER_B2
+
+
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
@@ -475,6 +502,7 @@ FAULT_POINTS = [
     cow_cluster_crash_before_manifest,
     cow_cluster_crash_mid_delete,
     cow_cluster_crash_mid_move,
+    cow_bloom_sidecar_saved_then_write_crash,
     dedup_accept_crash_then_replay,
     mv_refresh_before_cursor,
     tl_rename_before_instant,
