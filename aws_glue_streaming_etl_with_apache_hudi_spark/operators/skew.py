@@ -147,12 +147,24 @@ def distributed_rank(
         lambda acc, b: acc + F.when(F.col(col).cast("double") > b, 1).otherwise(0),
     )
     bucketed = df.withColumn("_drk_bucket", bucket)
-    counts = bucketed.groupBy("_drk_bucket").agg(F.count(F.lit(1)).alias("_n"))
-    w_prev = Window.orderBy("_drk_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_drk_bucket",
-        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_drk_offset"),
+    # Per-bucket counts fold driver-side into prefix offsets — O(buckets)
+    # metadata, exactly like the boundary collect above. (This used to be
+    # an unpartitioned cumsum window over the counts frame; composing
+    # that global window with a second window in the same consumer plan
+    # trips a Catalyst mis-resolution — INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND — and the driver fold is simpler anyway.)
+    rows = sorted(
+        bucketed.groupBy("_drk_bucket").agg(F.count(F.lit(1)).alias("_n")).collect(),
+        key=lambda r: r["_drk_bucket"],
     )
+    offs: dict[int, int] = {}
+    cum = 0
+    for r in rows:
+        offs[r["_drk_bucket"]] = cum
+        cum += r["_n"]
+    off_expr = F.lit(0)
+    for b, o in offs.items():
+        off_expr = F.when(F.col("_drk_bucket") == b, F.lit(o)).otherwise(off_expr)
     if method == "rank" and tie_breakers:
         raise ValueError("tie_breakers change competition-rank semantics")
     order_cols = [col] + list(tie_breakers or [])
@@ -164,7 +176,61 @@ def distributed_rank(
     else:
         raise ValueError(f"unknown method {method!r}")
     return (
-        bucketed.join(F.broadcast(offsets), "_drk_bucket")
-        .withColumn(out, (F.col("_drk_offset") + local).cast("long"))
-        .drop("_drk_bucket", "_drk_offset")
+        bucketed.withColumn(out, (off_expr + local).cast("long"))
+        .drop("_drk_bucket")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    k: int,
+    col: str,
+    tie_breakers: list[str] | None = None,
+    out: str = "bin",
+    buckets: int = 32,
+) -> DataFrame:
+    """EXACT global ``ntile(k)`` without a single-partition sort — the
+    same degradation path ``distributed_rank`` provides for rank():
+    quantile-bucketed unique global index, then the ntile closed form
+    from (index, n): the first ``n mod k`` tiles get ``n div k + 1``
+    rows, the rest ``n div k`` — bit-identical to the window function's
+    assignment over the same total order. ``tie_breakers`` complete the
+    total order exactly as the window's ORDER BY would.
+
+    The only non-distributed pieces are the O(buckets) boundary/count
+    metadata inside distributed_rank and one scalar row count broadcast
+    back onto the frame."""
+    # Unique global index = competition rank + within-tie row_number - 1.
+    # The tie window partitions by the VALUE (tie blocks are bounded by
+    # the same assumption bucketing already makes), so no global sort is
+    # introduced — and distributed_rank runs in its plain rank() mode,
+    # sidestepping a Catalyst mis-resolution its row_number+tie_breakers
+    # mode trips over HOF-lambda bucketing (INTERNAL_ERROR_ATTRIBUTE_
+    # NOT_FOUND when the two windows compose).
+    ranked = distributed_rank(df, col, out="_dnt_rk", buckets=buckets)
+    w_tie = Window.partitionBy(col).orderBy(*(tie_breakers or [col]))
+    ranked = ranked.withColumn(
+        "_dnt_r", F.col("_dnt_rk") + F.row_number().over(w_tie) - 1
+    )
+    # count from the INPUT frame (same cardinality): aggregating the
+    # ranked plan and crossJoining it back self-references the window
+    # subtree, which Catalyst also mis-resolves
+    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("_dnt_n"))
+    r = F.col("_dnt_r")
+    n = F.col("_dnt_n")
+    small = F.floor(n / k).cast("long")          # n div k
+    big = (n % k).cast("long")                   # tiles that get one extra
+    threshold = big * (small + 1)
+    tile = (
+        F.when(r <= threshold, F.floor((r - 1) / (small + 1)) + 1)
+        .otherwise(
+            big + F.floor((r - 1 - threshold) / F.greatest(small, F.lit(1))) + 1
+        )
+        .cast("int")
+        .alias(out)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .withColumn(out, tile)
+        .drop("_dnt_r", "_dnt_rk", "_dnt_n")
     )

@@ -210,3 +210,28 @@ def test_distributed_rank_window_is_bucket_partitioned(spark, sf_dir):
     # the data-sized ranking window shuffles on the bucket key, never
     # through one partition
     assert "hashpartitioning(_drk_bucket" in plan
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """distributed_ntile must equal F.ntile over the identical total
+    order for every shape that exercises the closed form: remainder
+    tiles, n < k, heavy ties."""
+    from pyspark.sql import Window
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_ntile
+
+    cases = [
+        (100, 10), (103, 10), (7, 10), (25, 4), (64, 3), (1, 5),
+    ]
+    for n, k in cases:
+        df = spark.range(n).select(
+            F.col("id").alias("key"),
+            (F.col("id") % 9).cast("double").alias("x"),  # heavy ties
+        )
+        want = df.select(
+            "key", F.ntile(k).over(Window.orderBy("x", "key")).alias("bin")
+        )
+        got = distributed_ntile(df, k, "x", tie_breakers=["key"], buckets=8)
+        w = {r.key: r.bin for r in want.collect()}
+        g = {r.key: r["bin"] for r in got.collect()}
+        assert g == w, (n, k)
