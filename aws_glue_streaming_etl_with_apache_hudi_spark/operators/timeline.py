@@ -598,20 +598,33 @@ class TimelineTable:
         instants = self.commits()
         if horizon <= 0 or len(instants) <= 1:
             return {"archived": []}
+        # Liveness mirrors clean() exactly: per partition, every owning
+        # commit > horizon stays consulted by some retained as_of, and so
+        # does the NEWEST owning commit <= horizon (read(as_of) for as_of
+        # in [horizon, next rewrite) resolves the partition through it
+        # even when the partition is rewritten again later — archiving
+        # only the globally-newest owner would silently drop the
+        # partition from those valid time-travel reads).
         live_owners: set = set()
         if self.partition_by:
-            owner: dict[tuple, int] = {}
+            owners: dict[tuple, list[int]] = {}
             for inst in instants:
                 for p in inst["touched_partitions"]:
-                    owner[tuple(p)] = inst["commit"]
-            live_owners = set(owner.values())
+                    owners.setdefault(tuple(p), []).append(inst["commit"])
+            for commits_for_part in owners.values():
+                at_or_before = [c for c in commits_for_part if c <= horizon]
+                if at_or_before:
+                    live_owners.add(max(at_or_before))
+                live_owners.update(c for c in commits_for_part if c > horizon)
         else:
             data = [
-                c for c in instants
+                c["commit"] for c in instants
                 if c.get("operation") not in ("rename_column", "drop_column")
             ]
-            if data:
-                live_owners.add(data[-1]["commit"])
+            at_or_before = [c for c in data if c <= horizon]
+            if at_or_before:
+                live_owners.add(max(at_or_before))
+            live_owners.update(c for c in data if c > horizon)
         already = {a["commit"] for a in self.archived()}
         to_archive = [
             c
@@ -1290,7 +1303,15 @@ class TimelineTable:
                 live.update(c for c in commits_for_part if c > horizon)
         else:
             live = {c["commit"] for c in instants if c["commit"] >= horizon}
-            at_or_before = [c["commit"] for c in instants if c["commit"] <= horizon]
+            # the retained floor must be the newest DATA instant <= horizon:
+            # read(as_of) resolves through data instants only (a metadata-
+            # only rename/drop owns no snapshot), so picking a rename here
+            # would vacuum the snapshot those reads still consult
+            data = [
+                c["commit"] for c in instants
+                if c.get("operation") not in ("rename_column", "drop_column")
+            ]
+            at_or_before = [c for c in data if c <= horizon]
             if at_or_before:
                 live.add(max(at_or_before))
 

@@ -405,23 +405,26 @@ class UpsertTable:
     def _bloom_insert_parts(self, batch: DataFrame, touched: list[tuple]) -> list[tuple]:
         """Bloom-gate a batch: returns the touched partitions eligible
         for the insert fast path, and accumulates the batch's key bits
-        into the sidecar FIRST (crash between the save and the data
-        writes leaves only false positives — replay takes the merge
-        path and stays idempotent). Additive-schema batches fall back
-        to the merge path wholesale (their rewrite realigns files)."""
-        if not (
-            self.bloom_index
-            and self.partition_by
-            and not self.global_index
+        into the touched shards FIRST (crash between the save and the
+        data writes leaves only false positives — replay takes the
+        merge path and stays idempotent). Accumulation happens on EVERY
+        path through here — in particular for additive-schema batches,
+        which fall back to the merge path wholesale (their rewrite
+        realigns files) but still ADD keys: skipping them would break
+        the superset invariant and let a later upsert of the same keys
+        take the fast path and duplicate rows."""
+        if not (self.bloom_index and self.partition_by):
+            return []
+        blooms = self._bloom_load(touched)
+        fast: list[tuple] = []
+        if (
+            not self.global_index
             and self.merge_mode == "overwrite"
+            and set(batch.columns) <= {f.name for f in self._load_schema().fields}
         ):
-            return []
-        if not set(batch.columns) <= {f.name for f in self._load_schema().fields}:
-            return []
-        blooms = self._bloom_load()
-        fast = self._bloom_definitely_new(batch, touched, blooms)
+            fast = self._bloom_definitely_new(batch, touched, blooms)
         self._bloom_accumulate(batch, blooms)
-        self._bloom_save(blooms)
+        self._bloom_save(blooms, touched)
         return fast
 
     def merge_into(
@@ -500,6 +503,35 @@ class UpsertTable:
                 tuple(r)
                 for r in source.select(*self.partition_by).distinct().collect()
             ]
+            if self.global_index:
+                # Global-index identity is the key ALONE: a matched key's
+                # stored row may live under a DIFFERENT partition path
+                # than the source row names. Pruning to the source's
+                # partitions would misclassify such keys as NOT MATCHED
+                # (duplicating them via the insert clause) — so the
+                # keys' home partitions join the touched set, exactly as
+                # in upsert: RLI bucket lookup when indexed, else a
+                # key-column semi-join (the bloom-index tagging analogue).
+                homes = self._rli_homes(source) if self.record_index else None
+                if homes is None:
+                    homes = [
+                        tuple(r)
+                        for r in _nullsafe_key_join(
+                            stored,
+                            source.select(*self.keys).distinct(),
+                            self.keys,
+                            "leftsemi",
+                        )
+                        .select(*self.partition_by)
+                        .distinct()
+                        .collect()
+                    ]
+                touched = sorted(
+                    set(touched) | set(homes),
+                    key=lambda t: tuple(
+                        (v is None, "" if v is None else str(v)) for v in t
+                    ),
+                )
             cond = self._partition_values_filter(touched)
             if cond is not None:
                 stored = stored.filter(cond)
@@ -569,9 +601,26 @@ class UpsertTable:
         merged = merged.persist()
         try:
             merged.count()
+            # superset invariant: the insert clause ADDS keys, so their
+            # bits must land in the touched shards BEFORE the data does
+            # (whole source accumulated — matched keys' bits are already
+            # set, gated-out keys only cost a false positive)
+            self._bloom_note_batch(source)
             self._write(merged, overwrite_all=False, touched=touched or None)
             if self.partition_by and touched:
                 self._remove_emptied_partitions(touched, merged)
+            if self.record_index:
+                # refresh the record-level index with the keys' (possibly
+                # migrated) homes; deleted keys leave the index
+                self._rli_update(merged, source)
+                if matched_delete_condition is not None:
+                    gone = _nullsafe_key_join(
+                        source.select(*self.keys).distinct(),
+                        merged.select(*self.keys).distinct(),
+                        self.keys,
+                        "left_anti",
+                    )
+                    self._rli_delete(gone)
         finally:
             merged.unpersist()
         return {
@@ -1001,11 +1050,15 @@ class UpsertTable:
         elif os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
             report["removed"].append(tmp)
-        for t in (
-            self._meta_path + ".tmp",
-            manifest + ".tmp",
-            self._bloom_path + ".tmp",
-        ):
+        import glob as _glob
+
+        stale = [self._meta_path + ".tmp", manifest + ".tmp"]
+        # bloom shard tmps: a crash mid-save leaves `filter.json.tmp`
+        # beside the (still-consistent) previous shard
+        stale += _glob.glob(
+            os.path.join(self._bloom_dir, "**", "*.tmp"), recursive=True
+        )
+        for t in stale:
             if os.path.exists(t):
                 try:
                     os.remove(t)
@@ -1037,6 +1090,7 @@ class UpsertTable:
             self._rli_delete(raw.select(*self.keys).distinct())
         shutil.rmtree(target, ignore_errors=True)
         self._sidx_remove_partitions([values])
+        self._bloom_remove_partitions([values])
         if self.stats_columns and self.exists():
             with open(self._meta_path) as f:
                 meta = json.load(f)
@@ -1058,6 +1112,10 @@ class UpsertTable:
                 tuple(r)
                 for r in batch.select(*self.partition_by).distinct().collect()
             ]
+        # superset invariant: restated partitions' NEW keys must enter
+        # the shards before data lands (restating only accretes false
+        # positives for the replaced keys — monotone by design)
+        self._bloom_note_batch(batch, parts=touched)
         self._write(batch, overwrite_all=not self.exists(), touched=touched)
 
     def _write(
@@ -1167,42 +1225,110 @@ class UpsertTable:
 
     # -- partition key blooms (Hudi BLOOM index analogue) ---------------------
     #
-    # Layout: `<path>/_bloom.json` — per partition path, an m-bit filter
-    # over the partition's record keys (base64), monotone by design: bits
-    # only ever OR in (upsert batches, initial write, insert_overwrite
-    # batches); deletes never clear bits. Monotonicity is the safety
-    # argument: the bloom is always a SUPERSET of the live key set, so a
-    # "definitely absent" verdict is exact and the insert fast path can
-    # never duplicate a key — deletes and restatements only accrete
-    # false positives (performance, reclaimed by `rebuild_bloom`).
-    # The sidecar is saved BEFORE data writes: a crash in between leaves
-    # phantom bits (false positives), and a streaming replay of the same
-    # batch then takes the merge path, which absorbs any rows the
-    # crashed attempt already appended — replay-idempotent at every
-    # boundary. Production note: Hudi stores these per FILE in the
-    # parquet footer, written by the writer itself; the per-partition
-    # JSON sidecar is the local-FS stand-in (same role as the
-    # column-stats index below).
+    # Layout: `<path>/_bloom/<c=v>/.../filter.json` — ONE file per
+    # partition path (the `_sidx` layout), each an m-bit filter over that
+    # partition's record keys (base64). Sharding is the O(touched)
+    # commit contract (timeline.py:35-37): a commit reads and rewrites
+    # only the touched partitions' filters, never the table's — the
+    # monolithic `_bloom.json` of the first cut rewrote O(table
+    # partitions) per commit, a scale-killer the sidecar exists to avoid.
+    # Filters are monotone by design: bits only ever OR in, on EVERY
+    # key-adding write path (upsert batches — including schema-widening
+    # ones that fall back to the merge path, initial write, merge_into,
+    # insert_overwrite); deletes never clear bits. Monotonicity is the
+    # safety argument: the bloom is always a SUPERSET of the live key
+    # set, so a "definitely absent" verdict is exact and the insert fast
+    # path can never duplicate a key — deletes and restatements only
+    # accrete false positives (performance, reclaimed by
+    # `rebuild_bloom`). Shards are saved BEFORE data writes: a crash in
+    # between leaves phantom bits (false positives), and a streaming
+    # replay of the same batch then takes the merge path, which absorbs
+    # any rows the crashed attempt already appended — replay-idempotent
+    # at every boundary. Production note: Hudi stores these per FILE in
+    # the parquet footer, written by the writer itself; the per-partition
+    # JSON shard is the local-FS stand-in (same role as the column-stats
+    # index below).
 
     _BLOOM_M = 1 << 17  # bits per partition filter (16 KiB packed)
     _BLOOM_K = 3        # hash functions
 
     @property
-    def _bloom_path(self) -> str:
-        return os.path.join(self.path, "_bloom.json")
+    def _bloom_dir(self) -> str:
+        return os.path.join(self.path, "_bloom")
 
-    def _bloom_load(self) -> dict:
-        if not os.path.exists(self._bloom_path):
-            return {}
-        with open(self._bloom_path) as f:
-            return json.load(f)
+    def _bloom_shard_path(self, tok: str) -> str:
+        sub = [f"{c}={v}" for c, v in zip(self.partition_by, tok.split("|"))]
+        return os.path.join(self._bloom_dir, *sub, "filter.json")
 
-    def _bloom_save(self, blooms: dict) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._bloom_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(blooms, f)
-        os.replace(tmp, self._bloom_path)
+    def _bloom_load(self, parts: list[tuple] | None = None) -> dict:
+        """Read the filters of ``parts`` (touched partitions) only — or
+        every shard when ``parts`` is None (rebuild/maintenance)."""
+        import glob as _glob
+
+        blooms: dict = {}
+        if parts is not None:
+            for values in parts:
+                tok = self._stat_key(values)
+                p = self._bloom_shard_path(tok)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        blooms[tok] = json.load(f)
+            return blooms
+        prefix = os.path.join(self._bloom_dir, "")
+        for p in _glob.glob(
+            os.path.join(self._bloom_dir, *["*"] * len(self.partition_by), "filter.json")
+        ):
+            rel = os.path.dirname(p)[len(prefix):]
+            tok = "|".join(seg.split("=", 1)[1] for seg in rel.split(os.sep))
+            with open(p) as f:
+                blooms[tok] = json.load(f)
+        return blooms
+
+    def _bloom_save(self, blooms: dict, parts: list[tuple] | None = None) -> None:
+        """Write each (touched) partition's shard atomically — tmp +
+        rename per shard, commit cost O(touched), never O(table)."""
+        toks = (
+            [self._stat_key(v) for v in parts] if parts is not None else list(blooms)
+        )
+        for tok in toks:
+            if tok not in blooms:
+                continue
+            p = self._bloom_shard_path(tok)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(blooms[tok], f)
+            os.replace(tmp, p)
+
+    def _bloom_remove_partitions(self, parts: list[tuple]) -> None:
+        """Drop shards of partitions whose ROWS are all gone
+        (delete_partition) — the one bit-clearing operation that is
+        superset-safe, and it sheds the dropped keys' false positives
+        for free."""
+        import shutil
+
+        if not self.bloom_index:
+            return
+        for values in parts:
+            shard = self._bloom_shard_path(self._stat_key(values))
+            shutil.rmtree(os.path.dirname(shard), ignore_errors=True)
+
+    def _bloom_note_batch(self, batch: DataFrame, parts: list[tuple] | None = None) -> None:
+        """Superset maintenance for key-adding writes that bypass
+        upsert's fast-path gate (merge_into, insert_overwrite): OR the
+        batch's key bits into the touched shards BEFORE data lands, so
+        a later upsert of the same keys can never probe "definitely
+        new" and duplicate them (the bloom-superset invariant)."""
+        if not (self.bloom_index and self.partition_by):
+            return
+        if parts is None:
+            parts = [
+                tuple(r)
+                for r in batch.select(*self.partition_by).distinct().collect()
+            ]
+        blooms = self._bloom_load(parts)
+        self._bloom_accumulate(batch, blooms)
+        self._bloom_save(blooms, parts)
 
     def _bloom_key_concat(self):
         # null-safe key rendering shared by update and probe
@@ -1261,19 +1387,23 @@ class UpsertTable:
     def _bloom_definitely_new(self, batch: DataFrame, touched: list[tuple], blooms: dict) -> list[tuple]:
         """The touched partitions that EXIST on disk and whose filter
         proves no batch key is already present — the insert-fast-path
-        set. One Arrow-batched probe pass per candidate partition over
-        that partition's (already partition-pruned) batch slice; the
-        bitset rides the closure."""
+        set. ONE Spark job for the whole batch regardless of how many
+        partitions it touches: a broadcast dict of candidate bitsets
+        (16 KiB each, keyed by partition token), one Arrow-batched probe
+        over the batch, one `max(maybe)` per-token aggregation. The
+        first cut launched one job PER touched partition — a driver
+        serialization bottleneck at exactly the thousands-of-partitions
+        scale blooms exist for."""
         import base64
 
         import numpy as np
+        import pandas as pd
 
         from pyspark.sql.functions import pandas_udf
 
-        fast: list[tuple] = []
+        candidates: list[tuple] = []
         for values in touched:
-            tok = self._stat_key(values)
-            entry = blooms.get(tok)
+            entry = blooms.get(self._stat_key(values))
             if entry is None or entry.get("saturated"):
                 continue
             sub = [
@@ -1282,39 +1412,84 @@ class UpsertTable:
             ]
             if not os.path.isdir(os.path.join(self.path, *sub)):
                 continue  # brand-new partition: overwrite path is already O(batch)
-            bits = np.unpackbits(
-                np.frombuffer(base64.b64decode(entry["bits"]), dtype=np.uint8)
+            candidates.append(values)
+        if not candidates:
+            return []
+
+        bitsets = {
+            self._stat_key(v): blooms[self._stat_key(v)]["bits"] for v in candidates
+        }
+        bc = batch.sparkSession.sparkContext.broadcast(bitsets)
+        m = self._BLOOM_M
+
+        @pandas_udf("boolean")
+        def _maybe(*cols):
+            # cols[0] = partition token, cols[1:] = the k bit positions.
+            # Unknown token (driver/JVM string-render mismatch) degrades
+            # to maybe=True — conservatively disables the fast path,
+            # never risks a duplicate.
+            tokv = cols[0].to_numpy()
+            out = np.ones(len(tokv), dtype=bool)
+            cache: dict = {}
+            for t in pd.unique(tokv):
+                raw = bc.value.get(t)
+                if raw is None:
+                    continue  # stays maybe=True
+                if t not in cache:
+                    cache[t] = np.unpackbits(
+                        np.frombuffer(base64.b64decode(raw), dtype=np.uint8)
+                    )[:m]
+                bits = cache[t]
+                mask = tokv == t
+                hit = np.ones(int(mask.sum()), dtype=bool)
+                for pc in cols[1:]:
+                    hit &= bits[pc.to_numpy()[mask]] == 1
+                out[mask] = hit
+            return pd.Series(out)
+
+        # token rendered JVM-side with the same format _stat_key uses;
+        # string/int/date render identically on both sides (a type that
+        # doesn't — e.g. boolean True vs true — just misses the dict and
+        # degrades to the merge path)
+        tok_col = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__"))
+                for c in self.partition_by
+            ],
+        )
+        cond = self._partition_values_filter(candidates)
+        probe = batch.filter(cond) if cond is not None else batch
+        probe = probe.select(tok_col.alias("_tok"), *self._bloom_position_cols())
+        verdict = {
+            r["_tok"]: r["any_maybe"]
+            for r in probe.select(
+                "_tok",
+                _maybe(F.col("_tok"), *[f"_bpos{i}" for i in range(self._BLOOM_K)]).alias("_maybe"),
             )
-
-            @pandas_udf("boolean")
-            def _maybe(*pos_cols):
-                hit = np.ones(len(pos_cols[0]), dtype=bool)
-                for pc in pos_cols:
-                    hit &= bits[pc.to_numpy()] == 1
-                import pandas as pd
-
-                return pd.Series(hit)
-
-            cond = self._partition_values_filter([values])
-            probe = (
-                batch.filter(cond)
-                .select(_maybe(*[c for c in self._bloom_position_cols()]).alias("_maybe"))
-                .agg(F.max("_maybe").alias("any_maybe"))
-                .collect()[0]["any_maybe"]
-            )
-            if probe is False:
-                fast.append(values)
-        return fast
+            .groupBy("_tok")
+            .agg(F.max("_maybe").alias("any_maybe"))
+            .collect()
+        }
+        return [
+            values
+            for values in candidates
+            if verdict.get(self._stat_key(values)) is False
+        ]
 
     def rebuild_bloom(self) -> int:
         """Recompute every partition's filter from current table state —
         the offline maintenance op that sheds accumulated false
         positives after heavy deletes/restatements (run it beside
-        `cluster`). Returns the number of partitions rebuilt."""
+        `cluster`). Drops stale shards (deleted partitions) wholesale.
+        Returns the number of partitions rebuilt."""
+        import shutil
+
         if not (self.bloom_index and self.exists() and self.partition_by):
             return 0
         blooms: dict = {}
         self._bloom_accumulate(self.read(), blooms)
+        shutil.rmtree(self._bloom_dir, ignore_errors=True)
         self._bloom_save(blooms)
         return len(blooms)
 

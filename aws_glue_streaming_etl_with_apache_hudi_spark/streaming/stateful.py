@@ -225,7 +225,11 @@ class SessionProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        batch = pd.concat(list(rows))
+        # ignore_index: a key's batch may arrive as SEVERAL Arrow chunks,
+        # each indexed 0..n-1 — concatenating labels as-is duplicates them
+        # and scalar lookups (ts_us[i]) would return Series. Positional
+        # iloc below keeps every access scalar regardless of chunking.
+        batch = pd.concat(list(rows), ignore_index=True)
         ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000
         order = ts_us.sort_values().index
         prior = self.state.get() if self.state.exists() else None
@@ -235,8 +239,8 @@ class SessionProcessor(StatefulProcessor):
             start_us = last_us = old_timer = None
             n, total = 0, 0.0
         for i in order:
-            t_us = int(ts_us[i])
-            v = float(batch["value"][i])
+            t_us = int(ts_us.iloc[i])
+            v = float(batch["value"].iloc[i])
             if start_us is None:
                 start_us, last_us, n, total = t_us, t_us, 1, v
             elif t_us - last_us > self.gap_us:

@@ -916,3 +916,93 @@ def test_batch_append_manifest_accumulates(spark, tmp_path):
     assert len(manifest["files"]) == 2
     for name in manifest["files"]:
         assert os.path.exists(os.path.join(out, name))
+
+
+# -- round-8 (ADVICE r7) regressions ----------------------------------------
+# 1. bloom superset invariant on merge_into/insert_overwrite/evolving
+#    upserts: tests/test_bloom_index.py::
+#    test_bloom_superset_invariant_on_every_key_adding_path
+# 2. archive_timeline per-partition liveness: below + the updated
+#    tests/test_timeline_services.py::test_archive_moves_dead_instants_only
+# 3. merge_into global_index home-partition migration: below
+# 4. SessionProcessor multi-chunk Arrow input: tests/test_stateful.py::
+#    test_tws_processor_handles_multi_chunk_arrow_input
+
+
+def test_archive_keeps_per_partition_owner_rewritten_after_horizon(spark, tmp_path):
+    """ADVICE r7 #2: partition c owned at commit 1 (< horizon) and
+    rewritten AFTER the horizon (commit 6). The old rule kept only the
+    globally newest owner (6) and archived 1 — silently dropping c from
+    read(as_of) for as_of in [horizon, 6). Commit 1 must stay active."""
+    t = TimelineTable(
+        spark, str(tmp_path / "tl"), keys=["k"], precombine="ver",
+        partition_by=["part"],
+    )
+
+    def rows(data):
+        return spark.createDataFrame(
+            [Row(k=k, part=p, v=v, ver=ver) for (k, p, v, ver) in data]
+        )
+
+    t.upsert(rows([(1, "c", "keep", 1)]))          # commit 1 owns c
+    for i in range(2, 6):                           # commits 2-5 touch a/b
+        t.upsert(rows([(i, "a" if i % 2 == 0 else "b", f"v{i}", i)]))
+    t.clean(keep_last=2)
+    assert t.clean_horizon() == 4
+    t.upsert(rows([(9, "c", "rewrite", 9)]))        # commit 6 re-owns c
+
+    rep = t.archive_timeline()
+    assert 1 not in rep["archived"], "live below-horizon owner of c archived"
+    at4 = {r.k: (r.part, r.v) for r in t.read(as_of=4).collect()}
+    assert at4.get(1) == ("c", "keep"), "partition c lost from as_of=4 read"
+
+
+def test_archive_unpartitioned_keeps_newest_data_instant_at_horizon(spark, tmp_path):
+    """ADVICE r7 #2 (unpartitioned leg): the newest DATA instant <= the
+    horizon must stay active even when a newer data instant exists —
+    read(as_of=horizon) resolves through it (the data[-1]-only rule
+    returned an empty frame once it was archived)."""
+    t = TimelineTable(spark, str(tmp_path / "tlu"), keys=["k"], precombine="ver")
+    t.upsert(spark.createDataFrame([Row(k=1, v="a", ver=1)]))   # commit 1
+    t.upsert(spark.createDataFrame([Row(k=1, v="b", ver=2)]))   # commit 2
+    c3 = t.rename_column("v", "v2")                             # commit 3
+    t.upsert(spark.createDataFrame([Row(k=1, v2="c", ver=3)]))  # commit 4
+    t.clean(keep_last=2)
+    horizon = t.clean_horizon()
+    assert horizon == 3
+    rep = t.archive_timeline()
+    assert 2 not in rep["archived"], "newest data instant <= horizon archived"
+    assert c3 not in rep["archived"]
+    at3 = {r.k: r.v2 for r in t.read(as_of=3).collect()}
+    assert at3 == {1: "b"}, "as_of=horizon read lost the table state"
+
+
+def test_merge_into_global_index_migrates_instead_of_duplicating(spark, tmp_path):
+    """ADVICE r7 #3: with global_index the stored row for a matched key
+    may live under a DIFFERENT partition path than the source names.
+    merge_into must treat it as MATCHED (update = migration), keep one
+    live row per key, and refresh the record-level index."""
+    t = UpsertTable(
+        spark, str(tmp_path / "gmi"), keys=["k"], precombine="ver",
+        partition_by=["part"], global_index=True, record_index=True,
+    )
+    t.upsert(spark.createDataFrame([
+        Row(k=1, part="a", v="x", ver=1), Row(k=2, part="a", v="y", ver=1),
+    ]))
+    # source names partition b for key 1: matched -> migrate, not insert
+    res = t.merge_into(spark.createDataFrame([Row(k=1, part="b", v="x2", ver=2)]))
+    assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+    got = sorted((r.k, r.part, r.v, r.ver) for r in t.read().collect())
+    assert got == [(1, "b", "x2", 2), (2, "a", "y", 1)], "key duplicated or lost"
+    # the record-level index followed the migration
+    hit = t.read_key((1,)).collect()
+    assert len(hit) == 1 and hit[0].part == "b"
+    # delete branch de-indexes: merge a delete for key 2
+    res = t.merge_into(
+        spark.createDataFrame([Row(k=2, part="a", v="zz", ver=3)]),
+        matched_delete_condition="s.ver > t.ver",
+        insert_not_matched=False,
+    )
+    assert res == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert t.read_key((2,)).collect() == []
+    assert sorted((r.k,) for r in t.read().collect()) == [(1,)]

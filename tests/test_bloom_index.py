@@ -178,10 +178,93 @@ def test_bloom_validation_rules():
                     partition_by=["p"], bloom_index=True, global_index=True)
 
 
-def test_fsck_sweeps_bloom_tmp(spark, table):
+def test_fsck_sweeps_bloom_shard_tmp(spark, table):
     table.upsert(_rows(spark, [(1, "a", "x", 1)]))
-    with open(table._bloom_path + ".tmp", "w") as f:
+    shard = table._bloom_shard_path(table._stat_key(("a",)))
+    with open(shard + ".tmp", "w") as f:
         json.dump({}, f)
     rep = table.fsck()
-    assert any(t.endswith("_bloom.json.tmp") for t in rep["tmp_files"])
-    assert not os.path.exists(table._bloom_path + ".tmp")
+    assert any(t.endswith("filter.json.tmp") for t in rep["tmp_files"])
+    assert not os.path.exists(shard + ".tmp")
+    # the shard itself (previous consistent save) survives the sweep
+    assert os.path.exists(shard)
+
+
+def test_bloom_sidecar_is_sharded_per_partition(spark, table):
+    """Commit cost must be O(touched): each partition's filter lives in
+    its own shard file, and a commit touching one partition rewrites
+    only that partition's shard (mtime check on the other)."""
+    table.upsert(_rows(spark, [(1, "a", "x", 1), (2, "b", "y", 1)]))
+    shard_a = table._bloom_shard_path(table._stat_key(("a",)))
+    shard_b = table._bloom_shard_path(table._stat_key(("b",)))
+    assert os.path.exists(shard_a) and os.path.exists(shard_b)
+    sig_b = (os.stat(shard_b).st_mtime_ns, open(shard_b).read())
+    table.upsert(_rows(spark, [(3, "a", "z", 1)]))  # touches only a
+    assert (os.stat(shard_b).st_mtime_ns, open(shard_b).read()) == sig_b
+    assert os.stat(shard_a).st_mtime_ns >= sig_b[0]
+
+
+def test_bloom_superset_invariant_on_every_key_adding_path(spark, table, tmp_path):
+    """ADVICE r7: keys added by merge_into inserts, insert_overwrite,
+    or a schema-widening upsert batch must enter the shards — a later
+    upsert of the same keys must take the MERGE path (never duplicate),
+    and state must match a bloom-off twin under the same sequence."""
+    plain = UpsertTable(spark=spark, path=str(tmp_path / "plainpath"),
+                        keys=["k"], precombine="ver", partition_by=["part"])
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    plain.upsert(_rows(spark, [(1, "a", "x", 1)]))
+
+    # 1) merge_into insert adds key 2
+    src = _rows(spark, [(2, "a", "m", 1)])
+    table.merge_into(src)
+    plain.merge_into(src)
+    # 2) insert_overwrite restates partition b with key 3
+    ow = _rows(spark, [(3, "b", "o", 1)])
+    table.insert_overwrite(ow)
+    plain.insert_overwrite(ow)
+    # 3) schema-widening upsert adds key 4 via the merge fallback
+    from pyspark.sql import Row as R
+    wide = spark.createDataFrame([R(k=4, part="a", v="w", ver=1, extra=9)])
+    table.upsert(wide)
+    plain.upsert(wide)
+
+    # replaying each added key as an upsert must merge, not duplicate
+    replay = _rows(spark, [(2, "a", "m2", 2), (3, "b", "o2", 2)])
+    table.upsert(replay)
+    plain.upsert(replay)
+    wide2 = spark.createDataFrame([R(k=4, part="a", v="w2", ver=2, extra=9)])
+    table.upsert(wide2)
+    plain.upsert(wide2)
+
+    got = sorted((r.k, r.part, r.v, r.ver) for r in table.read().collect())
+    want = sorted((r.k, r.part, r.v, r.ver) for r in plain.read().collect())
+    assert got == want
+    assert [k for (k, *_rest) in got] == [1, 2, 3, 4]
+
+
+def test_bloom_probe_is_one_job_for_many_partitions(spark, table, monkeypatch):
+    """VERDICT r7 #2: the fast-path probe must be ONE Spark job however
+    many partitions the batch touches (the first cut launched one per
+    partition — a driver serialization bottleneck at scale). Counted by
+    intercepting DataFrame.collect inside _bloom_definitely_new."""
+    parts = [chr(ord("a") + i) for i in range(6)]
+    table.upsert(_rows(spark, [(i, p, "x", 1) for i, p in enumerate(parts)]))
+
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract base whose subclass defines its own collect)
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    calls = {"n": 0}
+    orig_collect = _DF.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    blooms = table._bloom_load()
+    batch = _rows(spark, [(100 + i, p, "y", 1) for i, p in enumerate(parts)])
+    monkeypatch.setattr(_DF, "collect", counting_collect)
+    fast = table._bloom_definitely_new(batch, [(p,) for p in parts], blooms)
+    monkeypatch.setattr(_DF, "collect", orig_collect)
+    assert sorted(fast) == [(p,) for p in parts]
+    assert calls["n"] == 1, f"probe ran {calls['n']} jobs for 6 partitions"

@@ -313,3 +313,48 @@ def test_tws_end_to_end_matches_event_time_timeout_impl(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM {sink}").filter("user_id != -1").collect()
         )
     assert got["apiw"] == got["tws"] and got["apiw"]
+
+
+def test_tws_processor_handles_multi_chunk_arrow_input():
+    """ADVICE r7 #4: a key's batch may arrive as SEVERAL Arrow chunks;
+    concatenating them without ignore_index duplicated index labels, so
+    scalar lookups returned Series and int()/float() raised TypeError.
+    Multi-chunk input must produce exactly the single-chunk result."""
+    import pandas as pd
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.stateful import SessionProcessor
+
+    events = [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 00:02:00", 2.0),
+        ("2024-01-01 00:30:00", 5.0),  # in-batch gap: closes session 1
+        ("2024-01-01 00:31:00", 7.0),
+    ]
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {"ts": [pd.Timestamp(t) for t, _v in rows],
+             "value": [v for _t, v in rows]}
+        )
+
+    results = {}
+    for label, chunks in [
+        ("single", [chunk(events)]),
+        # 2 chunks, each restarting its index at 0 (the Arrow reality)
+        ("multi", [chunk(events[:2]), chunk(events[2:])]),
+        # order shuffled across chunks: the processor sorts by ts itself
+        ("multi_unordered", [chunk(events[2:]), chunk(events[:2])]),
+    ]:
+        proc = SessionProcessor(gap_seconds=300)
+        handle = _FakeHandle()
+        proc.init(handle)
+        out = list(proc.handleInputRows((1,), iter(chunks), None))
+        assert len(out) == 1, f"{label}: expected one closed session"
+        closed = out[0].iloc[0]
+        results[label] = (
+            int(closed["n_events"]), float(closed["total_value"]),
+            str(closed["session_start"]), str(closed["session_end"]),
+            tuple(handle.state.get()),
+        )
+    assert results["single"] == results["multi"] == results["multi_unordered"]
+    assert results["single"][:2] == (2, 3.0)

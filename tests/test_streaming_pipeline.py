@@ -211,9 +211,8 @@ def test_stream_upsert_with_bloom_index_end_to_end(spark, sf_dir, tmp_path):
     got = table.read().select("event_type", "user_id", "ts", "event_id", "value")
     assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
 
-    with open(table._bloom_path) as f:
-        blooms = json.load(f)
-    assert blooms  # one filter per event_type partition
+    blooms = table._bloom_load()  # all shards (one per event_type partition)
+    assert blooms
     assert set(blooms) == {
         table._stat_key((r.event_type,))
         for r in events.select("event_type").distinct().collect()

@@ -244,14 +244,19 @@ def test_archive_moves_dead_instants_only(table, spark):
     assert table.clean_horizon() == 5
 
     rep = table.archive_timeline()
-    # owners after full replay: a->5, b->6; renames: none.
-    # archivable = {1,2,3} (4 is... commit 4 touched b, later re-owned by
-    # 6 -> dead; 4 < horizon) => {1,2,3,4}
-    assert rep["archived"] == [1, 2, 3, 4]
-    assert [c["commit"] for c in table.commits()] == [5, 6]
+    # Liveness mirrors clean() (ADVICE r7 #2): per partition keep every
+    # owner > horizon plus the NEWEST owner <= horizon. a: owners 1,3,5
+    # -> 5 stays (newest <= 5), 1,3 dead. b: owners 2,4,6 -> 6 stays
+    # (> horizon) AND 4 stays (newest <= horizon: read(as_of=5) resolves
+    # b through it — the instant the old global-last-owner rule archived,
+    # silently dropping b from that valid time-travel read). => {1,2,3}
+    assert rep["archived"] == [1, 2, 3]
+    assert [c["commit"] for c in table.commits()] == [4, 5, 6]
     assert _state(table) == before
-    # retained as_ofs still read; below-horizon still refused
-    assert _state(table, as_of=5) != {}
+    # retained as_ofs still read — INCLUDING partition b via commit 4
+    at5 = _state(table, as_of=5)
+    assert at5 != {}
+    assert any(p == "b" for (p, _v, _ver) in at5.values())
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="clean horizon"):
@@ -261,7 +266,7 @@ def test_archive_moves_dead_instants_only(table, spark):
     # full history still queryable through the archive
     hist = table.history(include_archived=True)
     assert [r.commit for r in hist.orderBy("commit").collect()] == [1, 2, 3, 4, 5, 6]
-    assert table.history().count() == 2
+    assert table.history().count() == 3
     # new commits keep monotone ids (last_commit from the active tail)
     c7 = table.upsert(_rows(spark, [(7, "a", "v7", 7)]))
     assert c7 == 7
