@@ -115,7 +115,85 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import warehouse  # n
 # Every rotated-out query remains continuously verified by the local
 # DuckDB suite, which runs the WHOLE registry (tests/test_queries_oracle.py).
 
+# Round-8 rotation (VERDICT r7 task 1, closing the coverage ladder):
+# the 14 late-r7 registrations — the ONLY queries without a driver
+# CORRECTNESS row entering r8 — all rotate in; after this round every
+# registered query has at least one driver row. Changed-in-r8 queries
+# rotate in per invariant 2: bloom_upsert_fastpath_state +
+# insert_overwrite_state + merge_into_state (the bloom sidecar was
+# sharded per partition, the probe batched to one job, and the
+# superset invariant extended to merge_into/insert_overwrite/evolving
+# batches), cdc_before_after_images + stateful_session_machine (the
+# ADVICE r7 medium fixes), and approx_aggregates (r1-aged AND gains a
+# driver-checkable oracle this round — the registry's last rows-only
+# entry retires). Category sentinels point at in-window family members
+# (named in tests/test_registry_order.py). The remaining slots are
+# freshness re-checks: the entire r2-aged cohort — the 21 queries whose
+# only driver row is from round 2, the oldest coverage in the registry.
+# New r8 registrations displace freshness fillers (never sentinels or
+# backlog names), newest-listed first.
+
 PRIORITY_WINDOW: list[str] = [
+    # --- the 14 never-driver-sampled late-r7 registrations ---
+    "scd2_user_state_history",     # also the relational-window sentinel
+    "winsorized_segment_stats",    # also the relational-agg sentinel
+    "stratified_split_assignment", # also the training sentinel
+    "perplexity_band_filter",
+    "diversity_kcenter_sample",
+    "temporal_tier_attribution",   # also the relational-join sentinel (interval join)
+    "sql_pipe_syntax_pricing",
+    "bloom_upsert_fastpath_state", # also the upsert sentinel; changed in r8
+    "ltv_cohort_curves",
+    "dedup_recall_eval",           # also the dedup sentinel
+    "cdc_before_after_images",     # also the CDC sentinel; adjacent to r8 fixes
+    "merge_into_state",            # changed in r8 (global-index MERGE fix)
+    "audience_overlap_kmv",        # also the sketches sentinel
+    "theil_sen_daily_trend",       # also the statistics sentinel
+    # --- changed-in-r8 rotations (invariant 2) ---
+    "insert_overwrite_state",      # insert_overwrite now feeds the blooms
+    "approx_aggregates",           # new oracle (partial-merge invariance booleans)
+    "stateful_session_machine",    # stateful sentinel; stateful.py chunk fix
+    "cdc_change_feed",             # timeline clean/archive liveness changed in r8
+    # --- sentinels for the remaining categories (all r6/r7-green, so
+    # the slot doubles as a freshness re-check) ---
+    "rename_evolution_state",      # schema evolution
+    "delete_partition_state",      # partitioning
+    "asof_join_forward_tolerance", # as-of join (sole member)
+    "tumbling_window_offset",      # streaming windows
+    "mor_partial_state",           # MOR storage
+    "mv_join_incremental",         # incremental storage
+    "knn_recall_eval",             # similarity
+    "multimodal_dedup_store_once", # multimodal
+    "applyinpandas_user_trend",    # pandas-UDF surface
+    "graph_pagerank_3rounds",      # graph
+    "langid_eval_confusion",       # text
+    # --- freshness re-checks: the whole r2-aged cohort (oldest driver
+    # coverage in the registry; every other query is r3+). New r8
+    # registrations displace these from the BOTTOM of this block. ---
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_cube",
+    "stream_dedup_first_seen",
+    "scd2_validity_intervals",
+    "bloom_filter_join_prune",
+    "zorder_morton_keys",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "embedding_label_centroids",
+    "text_quality",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprints",
+    "embedding_quantize",
+    "inverted_index_postings",
+    "train_test_split",
+    "quota_sample_per_source",
+]
+
+_PRIOR_WINDOW_R7: list[str] = [
     # --- the 39 never-driver-sampled late-r6 registrations ---
     # storage / SQL surface
     "insert_overwrite_state",      # also the upsert-family sentinel (replacecommit)
@@ -182,8 +260,8 @@ PRIORITY_WINDOW: list[str] = [
     "zorder_layout_stats",
 ]
 
-# r8 rotation backlog: round-7 registrations that missed the frozen
-# window (all green on the local sf0.001+sf0.01 gate):
+# (handled) r8 rotation backlog — all 14 are in PRIORITY_WINDOW above.
+# Kept for the round-7 record:
 #   warehouse family: scd2_user_state_history, winsorized_segment_stats,
 #     stratified_split_assignment, perplexity_band_filter,
 #     diversity_kcenter_sample (bounded-round greedy k-center),

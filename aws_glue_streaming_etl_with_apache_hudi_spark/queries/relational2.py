@@ -248,19 +248,60 @@ def date_parts(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
-@register("approx_aggregates", sql=None)
+@register(
+    "approx_aggregates",
+    sql="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS direct_within_5pct,
+           TRUE AS merged_within_5pct,
+           TRUE AS merge_close_to_direct,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_aggregates(spark, sf_dir):
     """Sketch-based aggregates — the 100 TB substitutes for exact
-    count-distinct/percentile (bounded memory, one pass, mergeable
-    partials). No SQL oracle: HLL/KLL estimates are engine-specific;
-    tests bound their relative error against exact values instead."""
+    count-distinct (bounded memory, one pass, MERGEABLE partials).
+    Raw HLL estimates are engine-specific, so the oracled columns are
+    the deterministic properties instead (VERDICT r7 #6 — this retires
+    the registry's last rows-only entry): per group, (1) the one-pass
+    sketch estimate is within 5% of exact, (2) the estimate built by
+    UNIONING per-linestatus partial sketches (``hll_sketch_agg`` →
+    ``hll_union_agg``, the map-side-combine shape a 1000-executor
+    rollup uses) is within 5% of exact, and (3) partial-merge agrees
+    with one-pass to 2% — the mergeability invariant itself. Exact
+    count-distinct anchors the values; sketches are deterministic for
+    a fixed dataset, so a merge/precision regression flips a boolean
+    and fails the driver's hash compare."""
     li = t(spark, sf_dir, "lineitem")
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("_sk")
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_m_parts")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("_d_parts"),
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.count("*").alias("n"),
+    )
+    within = lambda a: (  # noqa: E731
+        F.abs(F.col(a) - F.col("exact_parts")) / F.col("exact_parts")
+    ) < 0.05
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-            F.count("*").alias("n"),
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            within("_d_parts").alias("direct_within_5pct"),
+            within("_m_parts").alias("merged_within_5pct"),
+            (
+                F.abs(F.col("_m_parts") - F.col("_d_parts"))
+                / F.greatest(F.col("_d_parts"), F.lit(1.0))
+                < 0.02
+            ).alias("merge_close_to_direct"),
+            "n",
         )
         .orderBy("l_returnflag")
     )

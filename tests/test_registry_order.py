@@ -18,12 +18,11 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-7 rotation: sentinels point at their family's never-driver-
-    # sampled late-r6 member where one exists (the slot doubles as a
+    # round-8 rotation: sentinels point at their family's never-driver-
+    # sampled late-r7 member where one exists (the slot doubles as a
     # refresh slot); families with no never-sampled member keep an
-    # r6-green representative. Two NEW r6 categories (graph, statistics)
-    # get their first sentinels.
-    "upsert": "insert_overwrite_state",
+    # r6/r7-green representative.
+    "upsert": "bloom_upsert_fastpath_state",
     "schema_evolution": "rename_evolution_state",
     "partitioning": "delete_partition_state",
     "asof": "asof_join_forward_tolerance",
@@ -31,19 +30,19 @@ CATEGORY_SENTINELS = {
     "stateful": "stateful_session_machine",
     "storage_mor": "mor_partial_state",
     "storage_incremental": "mv_join_incremental",
-    "storage_cdc": "cdc_change_feed",
-    "dedup": "split_leakage_minhash",
+    "storage_cdc": "cdc_before_after_images",
+    "dedup": "dedup_recall_eval",
     "similarity": "knn_recall_eval",
     "text": "langid_eval_confusion",
     "multimodal": "multimodal_dedup_store_once",
-    "training": "epoch_shuffle_shards",
+    "training": "stratified_split_assignment",
     "udf": "applyinpandas_user_trend",
-    "relational_agg": "collation_group_caseinsensitive",
-    "relational_join": "join_lateral_topk",
-    "relational_window": "distributed_global_rank",
-    "graph": "graph_degree_histogram",
-    "statistics": "ab_test_welch",
-    "sketches": "hll_sketch_union_estimate",
+    "relational_agg": "winsorized_segment_stats",
+    "relational_join": "temporal_tier_attribution",
+    "relational_window": "scd2_user_state_history",
+    "graph": "graph_pagerank_3rounds",
+    "statistics": "theil_sen_daily_trend",
+    "sketches": "audience_overlap_kmv",
 }
 
 
