@@ -181,6 +181,22 @@ def distributed_rank(
     )
 
 
+def _orderable_as_double(df: DataFrame, c: str):
+    """A double-valued expression that preserves the column's order, or
+    None when the type has no such embedding (strings): numerics cast
+    directly, timestamps/dates via their epoch value."""
+    import pyspark.sql.types as T
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, T.NumericType) or isinstance(dt, T.BooleanType):
+        return F.col(c).cast("double")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(c)).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.col(c).cast("timestamp").cast("double")
+    return None
+
+
 def distributed_ntile(
     df: DataFrame,
     k: int,
@@ -197,27 +213,112 @@ def distributed_ntile(
     assignment over the same total order. ``tie_breakers`` complete the
     total order exactly as the window's ORDER BY would.
 
+    Skew: a tie block is the one thing value-bucketing cannot split
+    (strict comparison is what keeps ranks exact), so HOT values — a
+    90%-constant column, the Gini/ntile degradation input — get a
+    second bucketing level: global tie-breaker quantile boundaries
+    sub-bucket each hot tie block (cells stay contiguous in the total
+    order because the value is constant inside the block), the per-cell
+    offsets fold driver-side (O(hot·buckets) metadata, hot <= buckets
+    by the n/buckets threshold), and the within-cell row_number runs
+    bucket-parallel. Cold values keep the plain per-value tie window.
+    The sub-split needs an order-embedding of the first tie breaker
+    into doubles (numeric/timestamp/date); string tie breakers fall
+    back to the per-value window for that input.
+
     The only non-distributed pieces are the O(buckets) boundary/count
-    metadata inside distributed_rank and one scalar row count broadcast
-    back onto the frame."""
-    # Unique global index = competition rank + within-tie row_number - 1.
-    # The tie window partitions by the VALUE (tie blocks are bounded by
-    # the same assumption bucketing already makes), so no global sort is
-    # introduced — and distributed_rank runs in its plain rank() mode,
-    # sidestepping a Catalyst mis-resolution its row_number+tie_breakers
-    # mode trips over HOF-lambda bucketing (INTERNAL_ERROR_ATTRIBUTE_
-    # NOT_FOUND when the two windows compose).
+    metadata and one scalar row count folded into the tile literal."""
+    tb = list(tie_breakers or [col])
+    # Unique global index = competition rank + within-tie index.
     ranked = distributed_rank(df, col, out="_dnt_rk", buckets=buckets)
-    w_tie = Window.partitionBy(col).orderBy(*(tie_breakers or [col]))
-    ranked = ranked.withColumn(
-        "_dnt_r", F.col("_dnt_rk") + F.row_number().over(w_tie) - 1
-    )
-    # count from the INPUT frame (same cardinality): aggregating the
-    # ranked plan and crossJoining it back self-references the window
-    # subtree, which Catalyst also mis-resolves
-    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("_dnt_n"))
+
+    # n as a driver scalar: feeds both the closed-form tile expression
+    # (as a literal — no crossJoin of an aggregate over the same window
+    # subtree) and the hot-value threshold.
+    n_total = int(df.count())
+    threshold_cnt = max(n_total // buckets, 1)
+    hot_vals = [
+        r[col]
+        for r in df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > threshold_cnt)
+        .collect()  # bounded: at most `buckets` values can exceed n/buckets
+    ]
+    tb0d = _orderable_as_double(df, tb[0]) if (tie_breakers and hot_vals) else None
+
+    if tb0d is None:
+        # no hot values (or no order-embeddable tie breaker): per-value
+        # tie window, tie blocks bounded by the hot threshold
+        w_tie = Window.partitionBy(col).orderBy(*tb)
+        ranked = ranked.withColumn(
+            "_dnt_r", F.col("_dnt_rk") + F.row_number().over(w_tie) - 1
+        )
+    else:
+        hot_cond = None
+        for v in hot_vals:
+            c = F.col(col).isNull() if v is None else F.col(col).eqNullSafe(F.lit(v))
+            hot_cond = c if hot_cond is None else (hot_cond | c)
+        qs = [i / buckets for i in range(1, buckets)]
+        b2 = df.filter(hot_cond).select(
+            F.percentile_approx(tb0d, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias("b")
+        ).collect()[0]["b"]
+        b2 = sorted(set(b2 or []))
+        # strict-comparison sub-bucket (chained whens, no HOF lambda):
+        # equal tie-breaker values never straddle a cell boundary
+        sub = F.lit(0)
+        for b in b2:
+            sub = sub + F.when(tb0d > F.lit(float(b)), 1).otherwise(0)
+        ranked = ranked.withColumn(
+            "_dnt_sub", F.when(hot_cond, sub).otherwise(F.lit(-1))
+        )
+        # per-cell counts -> within-block prefix offsets, driver-folded
+        cells = (
+            ranked.filter(F.col("_dnt_sub") >= 0)
+            .groupBy(col, "_dnt_sub")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        by_val: dict = {}
+        for r in cells:
+            by_val.setdefault(r[col], []).append((int(r["_dnt_sub"]), int(r["_c"])))
+        off_rows = []
+        for v, pairs in by_val.items():
+            cum = 0
+            for s, c in sorted(pairs):
+                off_rows.append((v, s, cum))
+                cum += c
+        spark = df.sparkSession
+        import pyspark.sql.types as T
+
+        off_schema = T.StructType(
+            [
+                T.StructField("_dnt_v", df.schema[col].dataType, True),
+                T.StructField("_dnt_sub", T.IntegerType(), False),
+                T.StructField("_dnt_off", T.LongType(), False),
+            ]
+        )
+        offs = spark.createDataFrame(
+            [(v, s, o) for (v, s, o) in off_rows], off_schema
+        )
+        w_cell = Window.partitionBy(col, "_dnt_sub").orderBy(*tb)
+        ranked = ranked.join(
+            F.broadcast(offs),
+            on=[
+                F.col(col).eqNullSafe(F.col("_dnt_v")),
+                ranked["_dnt_sub"] == offs["_dnt_sub"],
+            ],
+            how="left_outer",
+        ).drop(offs["_dnt_sub"]).drop("_dnt_v")
+        ranked = ranked.withColumn(
+            "_dnt_r",
+            F.col("_dnt_rk")
+            + F.coalesce(F.col("_dnt_off"), F.lit(0))
+            + F.row_number().over(w_cell)
+            - 1,
+        ).drop("_dnt_off", "_dnt_sub")
+
     r = F.col("_dnt_r")
-    n = F.col("_dnt_n")
+    n = F.lit(n_total).cast("long")
     small = F.floor(n / k).cast("long")          # n div k
     big = (n % k).cast("long")                   # tiles that get one extra
     threshold = big * (small + 1)
@@ -229,8 +330,4 @@ def distributed_ntile(
         .cast("int")
         .alias(out)
     )
-    return (
-        ranked.crossJoin(F.broadcast(n_row))
-        .withColumn(out, tile)
-        .drop("_dnt_r", "_dnt_rk", "_dnt_n")
-    )
+    return ranked.withColumn(out, tile).drop("_dnt_r", "_dnt_rk")

@@ -235,3 +235,58 @@ def test_distributed_ntile_matches_window_ntile(spark):
         w = {r.key: r.bin for r in want.collect()}
         g = {r.key: r["bin"] for r in got.collect()}
         assert g == w, (n, k)
+
+
+def test_distributed_ntile_hot_value_splits_tie_block(spark):
+    """VERDICT r7 #5: a 90%-constant column must not serialize its tie
+    block in one task. The hot value's rows must be indexed through
+    tie-breaker sub-buckets (plan shows a window keyed by the cell, not
+    the bare value) and still match F.ntile exactly."""
+    from pyspark.sql import Window
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_ntile
+
+    n, k = 2000, 7
+    df = spark.range(n).select(
+        F.col("id").alias("key"),
+        # 90% of rows share x=1.0; the rest spread over 10 values
+        F.when(F.col("id") % 10 < 9, 1.0)
+        .otherwise((F.col("id") % 100).cast("double"))
+        .alias("x"),
+    )
+    got = distributed_ntile(df, k, "x", tie_breakers=["key"], buckets=8)
+    want = df.select(
+        "key", F.ntile(k).over(Window.orderBy("x", "key")).alias("bin")
+    )
+    w = {r.key: r.bin for r in want.collect()}
+    g = {r.key: r["bin"] for r in got.collect()}
+    assert g == w
+    # plan gate: the within-tie window partitions by the CELL
+    # (value, _dnt_sub), never by the bare value alone
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    tie_specs = [s for s in specs if s.startswith("x#")]
+    assert tie_specs, plan[:2000]
+    assert all("_dnt_sub" in s for s in tie_specs), tie_specs
+
+
+def test_distributed_ntile_string_tiebreaker_falls_back(spark):
+    """String tie breakers have no double order-embedding: the operator
+    must fall back to the per-value tie window and stay exact."""
+    from pyspark.sql import Window
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_ntile
+
+    df = spark.range(500).select(
+        F.format_string("k%04d", F.col("id")).alias("key"),
+        F.lit(1.0).alias("x"),  # fully constant: one giant tie block
+    )
+    got = distributed_ntile(df, 4, "x", tie_breakers=["key"], buckets=8)
+    want = df.select(
+        "key", F.ntile(4).over(Window.orderBy("x", "key")).alias("bin")
+    )
+    w = {r.key: r.bin for r in want.collect()}
+    g = {r.key: r["bin"] for r in got.collect()}
+    assert g == w
