@@ -444,11 +444,22 @@ def corpus_build_pipeline_v2(spark, sf_dir):
     full text never enters a shuffle."""
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators import dedup as D
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators import text as TX
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import incremental_flags
 
     docs = t(spark, sf_dir, "documents")
-    keep = D.exact_dedup(docs, "text", "doc_id").select(
-        F.col("keep_id").alias("doc_id")
+    # Stage boundaries are persist slots: every downstream branch
+    # (flags probe+candidate sides, the share/rate fan-out) re-inlines
+    # its inputs — Catalyst does not share common subtrees — so without
+    # them the md5-dedup and quality subtrees execute once PER BRANCH
+    # (~86 scans of documents at sf1, the round-6/7 flat spot). `keep`
+    # caches doc ids only (one row per distinct digest); `k3` caches
+    # (doc_id, lang, n_words) survivors — both tiny next to the text.
+    keep = _persist_slot(
+        D.exact_dedup(docs, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "corpus_v2.keep",
     )
     k1 = docs.join(keep, "doc_id")
     flags = incremental_flags(
@@ -459,11 +470,12 @@ def corpus_build_pipeline_v2(spark, sf_dir):
     k2 = k1.join(
         flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
     )
-    k3 = (
+    k3 = _persist_slot(
         TX.text_stats(k2, "doc_id", "text", keep=("lang",))
         .select("doc_id", "lang", "n_words", TX.quality_expr().alias("quality"))
         .filter(F.col("quality") >= 0.5)
-        .select("doc_id", "lang", "n_words")
+        .select("doc_id", "lang", "n_words"),
+        "corpus_v2.k3",
     )
     shares = k3.groupBy("lang").agg(F.sum("n_words").cast("double").alias("tl"))
     total = shares.agg(F.sum("tl").alias("tt"))
