@@ -204,6 +204,17 @@ class UpsertTable:
             ]
         )
 
+    def read_partitions(self, parts: list[tuple]) -> DataFrame:
+        """Read ONLY the given partitions' directories (``basePath``-
+        scoped), skipping the O(table partitions) directory listing a
+        full ``read()`` pays before pruning. This is the commit path's
+        read: a 5-partition commit against a 4000-partition table must
+        list 5 directories, not 4000 — the pure-Spark stand-in for
+        Hudi's metadata-table file listings. Partitions not on disk
+        (brand-new) are skipped; if none exist the persisted-schema
+        empty frame returns."""
+        return self._read_partition_dirs(parts)
+
     def _touched_partition_filter(self, batch: DataFrame):
         """Build a pushed-down filter selecting only partitions present in
         the batch. Returns (condition, n_touched). The distinct list is tiny
@@ -300,7 +311,6 @@ class UpsertTable:
                 self._rli_update(batch, batch)
             return
 
-        stored = self.read()
         touched: list[tuple] = []
         insert_parts: list[tuple] = []
         merge_parts: list[tuple] = []
@@ -316,14 +326,15 @@ class UpsertTable:
                 # the record-level index the lookup reads only the RLI
                 # buckets containing batch keys; otherwise it is a
                 # key-column semi-join over stored data (columnar
-                # pruning) — the pure-Spark analogue of Hudi's
+                # pruning, but an O(table) listing+scan — the documented
+                # fallback) — the pure-Spark analogue of Hudi's
                 # bloom-index key tagging.
                 homes = self._rli_homes(batch) if self.record_index else None
                 if homes is None:
                     homes = [
                         tuple(r)
                         for r in _nullsafe_key_join(
-                            stored,
+                            self.read(),
                             batch.select(*self.keys).distinct(),
                             self.keys,
                             "leftsemi",
@@ -343,16 +354,17 @@ class UpsertTable:
                 )
             insert_parts = self._bloom_insert_parts(batch, touched)
             merge_parts = [p for p in touched if p not in set(insert_parts)]
-            if insert_parts and not merge_parts:
-                # every touched partition proved key-disjoint: nothing to
-                # read-merge at all (the pure-insert micro-batch)
-                stored = stored.filter(F.lit(False))
-            else:
-                cond = self._partition_values_filter(merge_parts or touched)
-                if cond is not None:
-                    # Partition-pruned read: only merge-path partitions
-                    # are read (bloom-proven-disjoint ones are skipped).
-                    stored = stored.filter(cond)
+            # Touched-partition read: lists and scans ONLY the merge-path
+            # partitions (bloom-proven-disjoint ones are skipped; when
+            # every touched partition proved key-disjoint nothing is
+            # read at all — the pure-insert micro-batch). Never pays the
+            # O(table partitions) directory listing a full read() does.
+            stored = self.read_partitions(
+                [] if (insert_parts and not merge_parts)
+                else (merge_parts or touched)
+            )
+        else:
+            stored = self.read()
 
         # Schema evolution across commits (A7): align both sides additively.
         batch, stored = evolve_schema(batch, stored)
@@ -496,7 +508,6 @@ class UpsertTable:
                 return {"updated": 0, "deleted": 0, "inserted": inserted.count()}
             return {"updated": 0, "deleted": 0, "inserted": 0}
 
-        stored = self.read()
         touched: list[tuple] = []
         if self.partition_by:
             touched = [
@@ -517,7 +528,7 @@ class UpsertTable:
                     homes = [
                         tuple(r)
                         for r in _nullsafe_key_join(
-                            stored,
+                            self.read(),
                             source.select(*self.keys).distinct(),
                             self.keys,
                             "leftsemi",
@@ -532,9 +543,10 @@ class UpsertTable:
                         (v is None, "" if v is None else str(v)) for v in t
                     ),
                 )
-            cond = self._partition_values_filter(touched)
-            if cond is not None:
-                stored = stored.filter(cond)
+            # touched-partition read: O(touched) listing, never O(table)
+            stored = self.read_partitions(touched)
+        else:
+            stored = self.read()
 
         cols = stored.columns
         t_ = stored.withColumn("_t_present", F.lit(1)).alias("t")
@@ -640,7 +652,6 @@ class UpsertTable:
         """
         if not self.exists():
             return
-        stored = self.read()
         touched: list[tuple] = []
         if self.partition_by:
             if self.global_index:
@@ -649,7 +660,7 @@ class UpsertTable:
                     homes = [
                         tuple(r)
                         for r in _nullsafe_key_join(
-                            stored,
+                            self.read(),
                             keys_batch.select(*self.keys).distinct(),
                             self.keys,
                             "leftsemi",
@@ -671,9 +682,10 @@ class UpsertTable:
                 ]
             if not touched:
                 return
-            cond = self._partition_values_filter(touched)
-            if cond is not None:
-                stored = stored.filter(cond)
+            # touched-partition read: O(touched) listing, never O(table)
+            stored = self.read_partitions(touched)
+        else:
+            stored = self.read()
         ids = self.keys if self.global_index else self._identity
         missing_keys = [c for c in ids if c not in keys_batch.columns]
         if missing_keys:
@@ -717,7 +729,10 @@ class UpsertTable:
                 return 0
             cond = self._partition_values_filter(touched)
             if cond is not None:
-                stored = stored.filter(cond)
+                # the rewrite reads only the touched partitions (the
+                # matching scan above is the unavoidable full pass; with
+                # stats_columns it is file-pruned by read_skipping)
+                stored = self.read_partitions(touched)
         n_deleted = matching.count()
         if n_deleted == 0:
             return 0
@@ -1156,11 +1171,8 @@ class UpsertTable:
         indexed column + partition path."""
         if not self.secondary_index_columns:
             return
-        src = self.read()
-        if touched:
-            cond = self._partition_values_filter(touched)
-            if cond is not None:
-                src = src.filter(cond)
+        # touched-partition re-read: O(touched) listing, never O(table)
+        src = self.read_partitions(touched) if touched else self.read()
         for col in self.secondary_index_columns:
             if col not in src.columns:
                 continue
@@ -1610,7 +1622,9 @@ class UpsertTable:
         ]
         dirs = [d for d in dirs if os.path.isdir(d)]
         if not dirs:
-            return self.read().filter(F.lit(False))
+            # persisted-schema empty frame — never a full read() whose
+            # filter(False) would still pay the O(table) listing
+            return self.spark.createDataFrame([], self._load_schema())
         raw = self.spark.read.option("basePath", self.path).parquet(*dirs)
         schema = {f.name: f.dataType for f in self._load_schema().fields}
         return raw.select(

@@ -118,6 +118,121 @@ def sf1_spot(spark) -> dict:
     return {"sf": 1.0, "replicas_of": SF_DIR, "queries": out}
 
 
+# -- storage scale rehearsal (VERDICT r7 task 7) ----------------------------
+# The 100 TB storage claims — O(touched) commits, sharded bloom sidecar,
+# partition-pruned merges — argued from code are MEASURED here: the same
+# 5-partition commit against tables whose partition count grows 100x
+# (40 -> 400 -> 4000, fixed rows per partition). If commit cost is
+# O(touched), the wall times stay flat in table size; any O(table
+# partitions) step (the r7 monolithic _bloom.json, a full-table listing
+# in the write path) shows up as linear growth. Fixtures build once and
+# cache under /tmp; timed batches use a per-run counter so every run
+# exercises the same path (fresh keys -> bloom fast path, ver bumps ->
+# merge path) without fixture drift.
+STORAGE_SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_STORAGE_SCALE_DIR", "/tmp/spark_graft_storage_scale"
+)
+STORAGE_SCALE_PARTITIONS = (40, 400, 4000)
+_SS_ROWS_PER_PART = 25
+_SS_TOUCH = 5  # partitions per timed commit
+
+
+def _ss_table(spark, P: int):
+    from pyspark.sql import functions as F
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    base = os.path.join(STORAGE_SCALE_DIR, f"p{P}")
+    tbl = UpsertTable(
+        spark, os.path.join(base, "tbl"), keys=["k"], precombine="ver",
+        partition_by=["pk"], bloom_index=True,
+    )
+    marker = os.path.join(base, "_READY")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        df = spark.range(P * _SS_ROWS_PER_PART).select(
+            F.format_string(f"part%0{len(str(P))}d", F.col("id") % P).alias("pk"),
+            F.col("id").alias("k"),
+            F.lit(1).cast("long").alias("ver"),
+            F.lit("x").alias("v"),
+        )
+        tbl.upsert(df.repartition(32, "pk"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tbl, base
+
+
+def _ss_counter(base: str) -> int:
+    p = os.path.join(base, "_RUN")
+    n = int(open(p).read()) + 1 if os.path.exists(p) else 1
+    with open(p, "w") as f:
+        f.write(str(n))
+    return n
+
+
+def storage_scaling(spark) -> dict:
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    out: dict = {
+        "rows_per_partition": _SS_ROWS_PER_PART,
+        "touched_per_commit": _SS_TOUCH,
+        "tables": {},
+    }
+    for P in STORAGE_SCALE_PARTITIONS:
+        tbl, base = _ss_table(spark, P)
+        run = _ss_counter(base)
+        pks = [f"part%0{len(str(P))}d" % i for i in range(_SS_TOUCH)]
+        res: dict = {}
+
+        # untimed warm-up commit (codegen/JVM priming — without it the
+        # first table measured absorbs the whole session's warm-up)
+        tbl.upsert(spark.createDataFrame(
+            [Row(pk=pks[0], k=20 * P, ver=run + 1, v=f"w{run}")]
+        ))
+
+        # merge-path upsert: existing keys in _SS_TOUCH partitions, ver
+        # bump (key k lives in partition k % P by construction)
+        b = spark.createDataFrame(
+            [
+                Row(pk=pks[j], k=j + m * P, ver=run + 1, v=f"m{run}")
+                for j in range(_SS_TOUCH)
+                for m in range(4)
+            ]
+        )
+        t0 = time.perf_counter()
+        tbl.upsert(b)
+        res["upsert_merge_sec"] = round(time.perf_counter() - t0, 3)
+
+        # bloom fast path: FRESH keys into the same partitions
+        off = P * _SS_ROWS_PER_PART * (run + 1)
+        bf = spark.createDataFrame(
+            [Row(pk=pks[i % _SS_TOUCH], k=off + i, ver=1, v="f") for i in range(_SS_TOUCH * 4)]
+        )
+        t0 = time.perf_counter()
+        tbl.upsert(bf)
+        res["upsert_bloom_insert_sec"] = round(time.perf_counter() - t0, 3)
+
+        # MERGE INTO: conditional update of the merge batch's keys
+        src = b.withColumn("ver", F.col("ver") + 1)
+        t0 = time.perf_counter()
+        tbl.merge_into(src, matched_update_condition="s.ver > t.ver")
+        res["merge_into_sec"] = round(time.perf_counter() - t0, 3)
+
+        # delete_partition of a sacrificial partition (created untimed)
+        sac = f"sac{run}"
+        tbl.upsert(spark.createDataFrame([Row(pk=sac, k=off + 10_000, ver=1, v="s")]))
+        t0 = time.perf_counter()
+        tbl.delete_partition((sac,))
+        res["delete_partition_sec"] = round(time.perf_counter() - t0, 3)
+
+        out["tables"][f"partitions_{P}"] = res
+    return out
+
+
 def run_one(spark, fn) -> float:
     t0 = time.perf_counter()
     df = fn(spark, SF_DIR)
@@ -189,6 +304,17 @@ def main() -> None:
             out["sf1_spot"] = sf1_spot(spark)
         except Exception as exc:  # never let the spot section kill the bench line
             out["sf1_spot"] = {"error": f"{type(exc).__name__}: {exc}"}
+    # storage scale rehearsal: same commit against 40/400/4000-partition
+    # tables — flat rows prove O(touched) commits (VERDICT r7 task 7).
+    # Opt out with SPARK_GRAFT_STORAGE_SCALE=0.
+    if (
+        os.environ.get("SPARK_GRAFT_STORAGE_SCALE", "1") == "1"
+        and SF_DIR.rstrip("/").endswith("sf0.1")
+    ):
+        try:
+            out["storage_scaling"] = storage_scaling(spark)
+        except Exception as exc:
+            out["storage_scaling"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(out))
 
 
