@@ -154,6 +154,18 @@ PRIORITY_WINDOW: list[str] = [
     "approx_aggregates",           # new oracle (partial-merge invariance booleans)
     "stateful_session_machine",    # stateful sentinel; stateful.py chunk fix
     "cdc_change_feed",             # timeline clean/archive liveness changed in r8
+    "corpus_build_pipeline_v2",    # changed in r8 (persist-slot stage boundaries)
+    # --- new r8 registrations (all slots: a new query must enter the
+    # window the round it registers, or it becomes next round's debt) ---
+    "snapshot_diff_audit",         # as-of diff over a cleaned+archived timeline
+    "kmeans_lloyd_rounds",         # the IVF coarse quantizer, oracled
+    "graph_kcore_peel",
+    "two_proportion_ztest",
+    "daily_new_vs_returning",
+    "gapfill_interpolate",
+    "dq_referential_orphans",
+    "rank_uniform_features",
+    "sql_named_parameters",
     # --- sentinels for the remaining categories (all r6/r7-green, so
     # the slot doubles as a freshness re-check) ---
     "rename_evolution_state",      # schema evolution
@@ -181,16 +193,11 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "embedding_label_centroids",
-    "text_quality",
-    "text_langid",
-    "text_token_counts",
-    "text_fingerprints",
-    "embedding_quantize",
-    "inverted_index_postings",
-    "train_test_split",
-    "quota_sample_per_source",
+    # displaced by the 10 r8 slots above (still r2-aged; next round's
+    # freshness pool): dedup_ngram_jaccard, embedding_label_centroids,
+    # text_quality, text_langid, text_token_counts, text_fingerprints,
+    # embedding_quantize, inverted_index_postings, train_test_split,
+    # quota_sample_per_source
 ]
 
 _PRIOR_WINDOW_R7: list[str] = [

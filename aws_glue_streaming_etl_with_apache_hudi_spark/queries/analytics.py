@@ -1886,3 +1886,185 @@ def ltv_cohort_curves(spark, sf_dir):
         )
         .orderBy("cohort_week", "age")
     )
+
+
+# -- round 8: engagement accounting + time-series gap repair -----------------
+
+
+@register(
+    "daily_new_vs_returning",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    per_day AS (
+      SELECT a.day,
+             count(*) AS n_active,
+             sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END) AS n_new
+      FROM active a JOIN firsts f USING (user_id)
+      GROUP BY a.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_users
+    FROM per_day ORDER BY day
+    """,
+)
+def daily_new_vs_returning(spark, sf_dir):
+    """New-vs-returning engagement accounting: per day, distinct active
+    users split into first-ever-seen and returning, plus the running
+    count of distinct users to date. The running distinct is computed
+    WITHOUT a distinct-over-window (quadratic state): a user is new on
+    exactly one day, so cumulative distinct = running sum of the daily
+    new counts — the identity that makes this O(1) state per day at
+    100 TB.
+
+    Scale: one user-keyed aggregation (first day) reusing the distinct
+    shuffle, one day-keyed rollup; the final cumsum runs over the
+    bounded day spine."""
+    e = t(spark, sf_dir, "events")
+    active = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    firsts = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = (
+        active.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias("n_returning"),
+        F.sum("n_new").over(w).cast("long").alias("cum_distinct_users"),
+    ).orderBy("day")
+
+
+@register(
+    "gapfill_interpolate",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS v
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.event_type, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day
+    ),
+    anchored AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS filled,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                           / date_diff('day', pd, nd) END, 6) AS value
+    FROM anchored
+    ORDER BY event_type, day
+    """,
+)
+def gapfill_interpolate(spark, sf_dir):
+    """Time-bucket gap fill by LINEAR INTERPOLATION (the timescale
+    ``interpolate()`` to resample_locf_daily's ``locf()``): per event
+    type, a daily mean-value series over the type's [first, last] day
+    spine; silent days get the straight line between the surrounding
+    anchors, tagged ``filled=1``. Interior gaps only by construction
+    (the spine ends at anchors), so prev/next always exist on filled
+    rows.
+
+    Determinism: anchors are exact-decimal daily means rounded at 6 dp
+    BEFORE interpolating, so both engines interpolate from IEEE-
+    identical inputs; day distances are integers.
+
+    Scale: bounds are one slim aggregation; the spine explodes
+    row-locally; anchor resolution is two frame-bounded window passes
+    over the event_type-keyed shuffle — same key as the daily rollup."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import dsum
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(
+            dsum(F.col("value"), 2) / F.count(F.lit(1)), 6
+        ).alias("v")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    back = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fwd = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    day_marker = F.when(F.col("v").isNotNull(), F.col("day"))
+    anchored = joined.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(day_marker, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(day_marker, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")) / F.datediff(
+        F.col("nd"), F.col("pd")
+    )
+    return anchored.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("filled"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            ),
+            6,
+        ).alias("value"),
+    ).orderBy("event_type", "day")

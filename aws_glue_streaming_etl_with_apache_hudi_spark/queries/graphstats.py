@@ -1088,3 +1088,133 @@ def theil_sen_daily_trend(spark, sf_dir):
             F.round("beta", 4).alias("ols_slope"),
         )
     )
+
+
+# -- round 8: k-core decomposition + proportion inference --------------------
+
+
+def _kcore_round_sql(prev: str, cur: str, k: int) -> str:
+    return f"""
+    {cur} AS (
+      SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM sym e
+      JOIN {prev} a ON e.src = a.node
+      JOIN {prev} b ON e.dst = b.node
+      GROUP BY e.src HAVING count(*) >= {k}
+    )"""
+
+
+@register(
+    "graph_kcore_peel",
+    sql=f"""
+    WITH {_EDGES_CTE},
+    core0 AS (SELECT node, degree FROM deg WHERE degree >= 2),
+    {_kcore_round_sql('core0', 'core1', 2)},
+    {_kcore_round_sql('core1', 'core2', 2)},
+    {_kcore_round_sql('core2', 'core3', 2)}
+    SELECT node, degree AS core_degree FROM core3 ORDER BY node
+    """,
+)
+def graph_kcore_peel(spark, sf_dir):
+    """2-core of the co-purchase graph by three peeling rounds: each
+    round drops nodes whose degree WITHIN the surviving subgraph fell
+    below k (removing a node can demote its neighbors — that cascade is
+    why peeling iterates). Bounded rounds keep it deterministic and
+    oracle-checkable (the production loop peels until a round is a
+    no-op, same per-round plan); the oracle unrolls the identical three
+    rounds. k-core is the standard spam/noise trim before community or
+    embedding passes over co-engagement graphs.
+
+    Scale: each round is one self-contained (edges x survivors x
+    survivors) double semi-join + count — the same src-keyed shuffle
+    every round, survivor frames shrink monotonically."""
+    edges = _edges(spark, sf_dir)
+    sym = edges.selectExpr("u AS src", "v AS dst").unionAll(
+        edges.selectExpr("v AS src", "u AS dst")
+    )
+    core = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    for _ in range(3):
+        nodes = core.select("node")
+        core = (
+            sym.join(nodes.withColumnRenamed("node", "src"), "src")
+            .join(nodes.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .filter(F.col("degree") >= 2)
+        )
+    return core.select("node", F.col("degree").alias("core_degree")).orderBy("node")
+
+
+@register(
+    "two_proportion_ztest",
+    sql="""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 0 ELSE 1 END
+               AS period,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, period,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(hit) AS DOUBLE) AS x
+      FROM halves GROUP BY event_type, period
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_before, CAST(b.n AS BIGINT) AS n_after,
+           round(a.x / a.n, 6) AS rate_before,
+           round(b.x / b.n, 6) AS rate_after,
+           round((b.x / b.n - a.x / a.n)
+                 / sqrt(((a.x + b.x) / (a.n + b.n))
+                        * (1 - (a.x + b.x) / (a.n + b.n))
+                        * (1 / a.n + 1 / b.n)), 6) AS z_stat
+    FROM m a JOIN m b
+      ON a.event_type = b.event_type AND a.period = 0 AND b.period = 1
+    ORDER BY a.event_type
+    """,
+)
+def two_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test per event type: did the rate of high-value
+    events (value >= 50) shift between the first and second half of the
+    window? Pooled-variance z statistic — the standard launch-readout
+    test beside ab_test_welch's mean comparison. Counts are exact
+    integers; the z arithmetic starts from identical doubles in both
+    engines, rounded at 6 dp.
+
+    Scale: one pass, one (event_type, period) aggregation — map-side
+    combinable, 2 rows per type to the driver-free self-join."""
+    e = t(spark, sf_dir, "events")
+    halves = e.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("hit"),
+    )
+    m = halves.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("hit").cast("double").alias("x"),
+    )
+    a = m.filter(F.col("period") == 0).alias("a")
+    b = m.filter(F.col("period") == 1).alias("b")
+    pooled = (F.col("a.x") + F.col("b.x")) / (F.col("a.n") + F.col("b.n"))
+    z = (F.col("b.x") / F.col("b.n") - F.col("a.x") / F.col("a.n")) / F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("a.n") + 1 / F.col("b.n"))
+    )
+    return (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").cast("long").alias("n_before"),
+            F.col("b.n").cast("long").alias("n_after"),
+            F.round(F.col("a.x") / F.col("a.n"), 6).alias("rate_before"),
+            F.round(F.col("b.x") / F.col("b.n"), 6).alias("rate_after"),
+            F.round(z, 6).alias("z_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -3067,3 +3067,102 @@ def dedup_recall_eval(spark, sf_dir):
             ).alias("prec"),
         )
     )
+
+
+# -- round 8: the IVF coarse quantizer's k-means, surfaced + oracled ---------
+
+
+def _km_round_sql(cent: str, dist: str, asg: str, nxt: str | None) -> str:
+    upd = (
+        f""",
+    {nxt} AS (
+      SELECT {asg}.cl, ex.pos, avg(ex.x) AS c
+      FROM ex JOIN {asg} USING (vec_id) GROUP BY {asg}.cl, ex.pos
+    )"""
+        if nxt
+        else ""
+    )
+    return f"""
+    {dist} AS (
+      SELECT ex.vec_id, {cent}.cl, sum((ex.x - {cent}.c) ^ 2) AS d
+      FROM ex JOIN {cent} ON ex.pos = {cent}.pos
+      GROUP BY ex.vec_id, {cent}.cl
+    ),
+    {asg} AS (
+      SELECT vec_id, cl, d FROM (
+        SELECT vec_id, cl, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        FROM {dist}) WHERE rn = 1
+    ){upd}"""
+
+
+@register(
+    "kmeans_lloyd_rounds",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+           FROM e),
+    c0 AS (SELECT vec_id AS cl, generate_subscripts(v, 1) AS pos, unnest(v) AS c
+           FROM e WHERE vec_id < 4),
+    {_km_round_sql('c0', 'd1', 'a1', 'c1')},
+    {_km_round_sql('c1', 'd2', 'a2', 'c2')},
+    {_km_round_sql('c2', 'd3', 'a3', None)}
+    SELECT a3.cl AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round((SELECT sqrt(sum(c.c ^ 2)) FROM c2 c WHERE c.cl = a3.cl), 4)
+             AS centroid_norm,
+           round(CAST(sum(CAST(round(a3.d, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS inertia
+    FROM a3 GROUP BY a3.cl ORDER BY cluster
+    """,
+)
+def kmeans_lloyd_rounds(spark, sf_dir):
+    """Lloyd's k-means (k=4, two update rounds) over the embedding
+    corpus — the IVF index's coarse quantizer (operators/similarity.py
+    kmeans_centroids) surfaced as a first-class query with a hard
+    oracle: deterministic lowest-id init, argmin assignment with
+    (distance, cluster) tie order, distributed per-(cluster, dim) mean
+    updates. Output per cluster: membership count, centroid norm, and
+    inertia (sum of final squared distances — per-row distances are
+    index-ordered 64-term folds rounded at 6 dp, then EXACT decimal
+    sums, so the cross-row float-order hazard never arises).
+
+    Scale: each round is one corpus scan (centroids ride the closure —
+    k x dim floats) plus a (cluster, pos)-keyed shuffle of k*dim
+    partial means; the vectors themselves never shuffle."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.similarity import kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=4, iterations=2, dim=64)
+    v = F.col("embedding").cast("array<double>")
+    dists = [
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(c)) for c in cent]), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        for cent in cents
+    ]
+    best_d = F.least(*dists)
+    cluster = F.lit(len(cents) - 1)
+    for j in range(len(cents) - 2, -1, -1):
+        cluster = F.when(dists[j] == best_d, F.lit(j)).otherwise(cluster)
+    norms = {
+        j: round(sum(c * c for c in cent) ** 0.5, 4) for j, cent in enumerate(cents)
+    }
+    norm_col = F.lit(norms[len(cents) - 1])
+    for j in range(len(cents) - 2, -1, -1):
+        norm_col = F.when(F.col("cluster") == j, F.lit(norms[j])).otherwise(norm_col)
+    return (
+        emb.select(cluster.cast("long").alias("cluster"), best_d.alias("_d"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.round(F.col("_d"), 6).cast("decimal(18,6)")).cast("double"), 4
+            ).alias("inertia"),
+        )
+        .withColumn("centroid_norm", norm_col)
+        .select("cluster", "n_members", "centroid_norm", "inertia")
+        .orderBy("cluster")
+    )

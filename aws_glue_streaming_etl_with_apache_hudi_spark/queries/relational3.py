@@ -1053,3 +1053,115 @@ def sql_pipe_syntax_pricing(spark, sf_dir):
     decimal sums per the shared discipline."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PIPE_SPARK_SQL)
+
+
+# -- round 8: data-quality audit + parameterized SQL -------------------------
+
+
+@register(
+    "dq_referential_orphans",
+    sql="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    ORDER BY fk
+    """,
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit — the foreign-key leg of the DQ suite
+    (dq_expectations_orders covers ranges/nulls): orphan counts for the
+    fact->dim edges a warehouse load contract pins. Anti-joins, never
+    row-level EXCEPT: at 100 TB each check is one broadcast (dim key
+    side) or key-shuffle anti-join plus a count — and a zero here is
+    what lets every downstream query use INNER joins safely."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+
+    def leg(name, fact, dim_keys, on):
+        orphans = fact.join(F.broadcast(dim_keys), on, "left_anti")
+        return (
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(
+                    fact.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    return (
+        leg("lineitem->orders", li,
+            o.select(F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"])
+        .unionByName(
+            leg("orders->customer", o,
+                c.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"])
+        )
+        .unionByName(
+            leg("lineitem->part", li,
+                p.select(F.col("p_partkey").alias("l_partkey")), ["l_partkey"])
+        )
+        .orderBy("fk")
+    )
+
+
+_PARAM_SQL = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM {lineitem}
+    WHERE l_shipdate >= :start_ts AND l_quantity < :max_qty
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sql_named_parameters",
+    sql="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-06-01 00:00:00' AND l_quantity < 30
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_named_parameters(spark, sf_dir):
+    """Spark 4 parameterized SQL: named ``:param`` markers bound through
+    ``spark.sql(args=...)`` and a DataFrame passed positionally via the
+    ``{table}`` template syntax — no temp-view registration, no string
+    interpolation (the injection-safe API surface apps should be on).
+    The oracle inlines the same literals; identical results pin that
+    parameter binding does not alter semantics. Money through exact
+    decimal sums per the shared discipline."""
+    import datetime
+
+    li = t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        _PARAM_SQL,
+        args={
+            "start_ts": datetime.datetime(2024, 6, 1),
+            "max_qty": 30,
+        },
+        lineitem=li,
+    )

@@ -462,3 +462,79 @@ def cdc_before_after_images(spark, sf_dir):
         "before_event_id",
         F.round("before_value", 2).alias("before_value"),
     ).orderBy("user_id")
+
+
+# -- round 8: snapshot diff audit over a cleaned + archived timeline ---------
+
+
+@register(
+    "snapshot_diff_audit",
+    sql=f"""
+    WITH s2 AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_CUT2}') WHERE rn = 1
+    ),
+    s3 AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT coalesce(s3.user_id, s2.user_id) AS user_id,
+           CASE WHEN s2.user_id IS NULL THEN 'added'
+                WHEN s2.event_id <> s3.event_id THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           s2.event_id AS event_id_before,
+           s3.event_id AS event_id_after
+    FROM s2 FULL OUTER JOIN s3 USING (user_id)
+    WHERE s2.user_id IS NULL OR s2.event_id <> s3.event_id
+    ORDER BY user_id
+    """,
+)
+def snapshot_diff_audit(spark, sf_dir):
+    """Time-travel snapshot diff on the REAL on-disk timeline table —
+    the audit question "what changed between instant 2 and now?"
+    answered from two as-of reads, AFTER the cleaner and the archiver
+    have run (clean keep_last=2 puts the horizon AT instant 2;
+    archive_timeline then retires dead instants — the round-8 liveness
+    rule is what keeps the as-of-horizon read resolving through the
+    newest data instant at/below it). Per key: added / changed
+    classification with before/after record ids; unchanged keys are
+    filtered (at 100 TB the diff output is the change set, not the
+    table).
+
+    Scale: two snapshot reads partition-pruned by the timeline, one
+    key-keyed full-outer join; clean/archive are O(retained history)
+    metadata passes."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    pre, d2, d3 = _commit_deltas(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="snapdiff_tbl_")
+    tbl = TimelineTable(spark, path, keys=["user_id"], precombine="ts")
+    tbl.upsert(pre.select(*_EVENT_COLS))                      # instant 1
+    tbl.upsert(d2.select(*_EVENT_COLS))                       # instant 2
+    tbl.upsert(d3.select(*_EVENT_COLS))                       # instant 3
+    tbl.clean(keep_last=2)                                    # horizon = 2
+    tbl.archive_timeline()
+    s2 = tbl.read(as_of=2).select("user_id", F.col("event_id").alias("eb"))
+    s3 = tbl.read(as_of=3).select("user_id", F.col("event_id").alias("ea"))
+    j = s2.join(s3, "user_id", "full_outer")
+    return (
+        j.select(
+            "user_id",
+            F.when(F.col("eb").isNull(), "added")
+            .when(F.col("eb") != F.col("ea"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+            F.col("eb").alias("event_id_before"),
+            F.col("ea").alias("event_id_after"),
+        )
+        .filter((F.col("change") != "unchanged"))
+        .orderBy("user_id")
+    )

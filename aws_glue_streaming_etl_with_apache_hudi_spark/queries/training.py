@@ -646,3 +646,52 @@ def weighted_sample_ares(spark, sf_dir):
         .filter(F.col("rk") <= 10)
         .orderBy("lang", "rk")
     )
+
+
+# -- round 8: rank-uniform feature transform ---------------------------------
+
+
+@register(
+    "rank_uniform_features",
+    sql="""
+    SELECT doc_id, source,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+             AS pr_group,
+           round(percent_rank() OVER (ORDER BY n_chars), 6) AS pr_global,
+           round(round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+                 - round(percent_rank() OVER (ORDER BY n_chars), 6), 6) AS pr_shift
+    FROM documents ORDER BY doc_id
+    """,
+)
+def rank_uniform_features(spark, sf_dir):
+    """Rank-uniform feature transform (the quantile-normalization /
+    rank-gauss prep step): each document's length mapped to [0, 1] by
+    competition-rank percentile, BOTH within its source and globally;
+    ``pr_shift`` is the group-vs-global quantile displacement — the
+    feature that tells a mixture model "long for its source, short for
+    the corpus". Ties share a rank in both engines (percent_rank), so
+    no tie-breaker is needed for determinism.
+
+    Scale: the per-source leg shuffles once on source; the GLOBAL leg
+    never runs a single-partition window — it routes through
+    operators/skew.py distributed_rank (quantile-bucketed exact rank),
+    with n folded in as a driver scalar."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_rank
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    n = docs.count()
+    ranked = distributed_rank(docs, "n_chars", out="_gr", buckets=32)
+    wg = W.partitionBy("source").orderBy("n_chars")
+    pr_group = F.round(F.percent_rank().over(wg), 6)
+    pr_global = F.round((F.col("_gr") - 1) / F.lit(float(n - 1)), 6)
+    return (
+        ranked.select(
+            "doc_id",
+            "source",
+            pr_group.alias("pr_group"),
+            pr_global.alias("pr_global"),
+        )
+        .withColumn("pr_shift", F.round(F.col("pr_group") - F.col("pr_global"), 6))
+        .orderBy("doc_id")
+    )
