@@ -95,6 +95,26 @@ def _nullsafe_key_join(
     return l.join(r, on=cond, how=how)
 
 
+#: Hive's FileUtils.escapePathName character set (verified against what
+#: Spark 4 actually writes: "o'brien" -> o%27brien, "a:b" -> a%3Ab,
+#: space and non-ASCII unescaped). Partition DIRECTORY names must be
+#: escaped with this before any os-level existence check/removal/scoped
+#: read, or values with quotes/colons silently miss their directory --
+#: which in a commit-path read means dropping the partition's stored
+#: rows on the floor (caught by test_partition_value_escaping after the
+#: r8 read_partitions change).
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(i) for i in range(32)}
+
+
+def _hive_escape_part(v) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in str(v)
+    )
+
+
+
 @dataclass
 class UpsertTable:
     """A partitioned-Parquet table with Hudi-style upsert semantics.
@@ -251,7 +271,7 @@ class UpsertTable:
         emptied = set(touched) - present
         for values in emptied:
             parts = [
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                f"{c}={_hive_escape_part(v)}"
                 for c, v in zip(self.partition_by, values)
             ]
             shutil.rmtree(os.path.join(self.path, *parts), ignore_errors=True)
@@ -447,6 +467,9 @@ class UpsertTable:
         matched_delete_condition: str | None = None,
         insert_not_matched: bool = True,
         not_matched_condition: str | None = None,
+        not_matched_by_source_update: dict[str, str] | None = None,
+        not_matched_by_source_update_condition: str | None = None,
+        not_matched_by_source_delete_condition: str | None = None,
     ) -> dict:
         """ANSI ``MERGE INTO`` semantics over the table (the SQL surface
         Hudi exposes as ``MERGE INTO hudi_table USING source ...``):
@@ -457,9 +480,12 @@ class UpsertTable:
           aliases ``t`` (target row) and ``s`` (source row); None means
           UPDATE SET * — every non-identity column from the source)
         - WHEN NOT MATCHED [AND cond] THEN INSERT
-        Rows matched by neither clause keep their stored values; stored
-        rows never matched are untouched. Delete wins over update when
-        both conditions hold (SQL clause order).
+        - WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE
+          (SQL:2023; the Delta/Hudi sync-table clause — conditions and
+          assignments may reference ``t`` only, the source side is null
+          by definition). Delete wins over update (clause order), and
+          by-source actions count into ``deleted``/``updated``.
+        Rows matched by neither clause keep their stored values.
 
         MERGE differs from ``upsert`` in exactly the ways that matter:
         clause CONDITIONS (a stale source row can be made a no-op with
@@ -476,15 +502,30 @@ class UpsertTable:
         Scale shape: one full-outer join on the identity, partition-
         pruned to the source's touched partitions; everything else is
         map-side CASE logic; the write is the same touched-partition
-        dynamic overwrite every commit uses."""
+        dynamic overwrite every commit uses. BY SOURCE clauses are the
+        exception: "every target row not in the source" is inherently a
+        full-table question, so those merges read and may rewrite every
+        live partition (same contract as Delta/Hudi)."""
         ident = self._identity
-        if matched_update:
-            bad = [c for c in matched_update if c in set(ident)]
-            if bad:
-                raise ValueError(
-                    f"MERGE cannot assign identity columns {bad}: that is a "
-                    "delete+insert (row migration), express it as such"
-                )
+        by_source = (
+            not_matched_by_source_update is not None
+            or not_matched_by_source_delete_condition is not None
+        )
+        if not_matched_by_source_update_condition is not None and (
+            not_matched_by_source_update is None
+        ):
+            raise ValueError(
+                "not_matched_by_source_update_condition needs "
+                "not_matched_by_source_update assignments"
+            )
+        for assigns in (matched_update, not_matched_by_source_update):
+            if assigns:
+                bad = [c for c in assigns if c in set(ident)]
+                if bad:
+                    raise ValueError(
+                        f"MERGE cannot assign identity columns {bad}: that is a "
+                        "delete+insert (row migration), express it as such"
+                    )
         # the standard's cardinality check: each target row may match at
         # most ONE source row (one slim aggregation over the source keys)
         dup = (
@@ -509,7 +550,25 @@ class UpsertTable:
             return {"updated": 0, "deleted": 0, "inserted": 0}
 
         touched: list[tuple] = []
-        if self.partition_by:
+        if self.partition_by and by_source:
+            # BY SOURCE clauses consult every stored row: full read, and
+            # every live partition is write-touched (emptied ones must
+            # be removable) — the documented full-table mode.
+            stored = self.read()
+            touched = sorted(
+                {
+                    tuple(r)
+                    for r in stored.select(*self.partition_by).distinct().collect()
+                }
+                | {
+                    tuple(r)
+                    for r in source.select(*self.partition_by).distinct().collect()
+                },
+                key=lambda t: tuple(
+                    (v is None, "" if v is None else str(v)) for v in t
+                ),
+            )
+        elif self.partition_by:
             touched = [
                 tuple(r)
                 for r in source.select(*self.partition_by).distinct().collect()
@@ -578,27 +637,54 @@ class UpsertTable:
         )
         ins_cond = s_only & F.lit(insert_not_matched) & ins_gate
 
+        # NOT MATCHED BY SOURCE branches (t_only rows; s columns are
+        # null there, so conditions/assignments reference t alone)
+        tos_del = (
+            t_only & F.expr(not_matched_by_source_delete_condition)
+            if not_matched_by_source_delete_condition is not None
+            else F.lit(False)
+        )
+        tos_gate = (
+            F.expr(not_matched_by_source_update_condition)
+            if not_matched_by_source_update_condition is not None
+            else F.lit(True)
+        )
+        tos_upd = (
+            t_only & ~tos_del & tos_gate
+            if not_matched_by_source_update is not None
+            else F.lit(False)
+        )
+
         assignments = matched_update or {
             c: f"s.{c}" for c in cols if c not in ident and c in source.columns
         }
+        tos_assignments = not_matched_by_source_update or {}
         out_cols = []
         for c in cols:
             src_side = F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")
             updated_val = (
                 F.expr(assignments[c]) if c in assignments else F.col(f"t.{c}")
             )
+            tos_val = (
+                F.expr(tos_assignments[c])
+                if c in tos_assignments
+                else F.col(f"t.{c}")
+            )
             out_cols.append(
                 F.when(upd_cond, updated_val)
                 .when(ins_cond, src_side)
+                .when(tos_upd, tos_val)
                 .when(matched, F.col(f"t.{c}"))  # matched, no clause fired
-                .otherwise(F.col(f"t.{c}"))      # t_only
+                .otherwise(F.col(f"t.{c}"))      # t_only, no clause fired
                 .alias(c)
             )
-        keep = ~del_cond & (matched | t_only | ins_cond)
+        keep = ~del_cond & ~tos_del & (matched | t_only | ins_cond)
         action = (
             F.when(del_cond, "deleted")
             .when(upd_cond, "updated")
             .when(ins_cond, "inserted")
+            .when(tos_del, "deleted")
+            .when(tos_upd, "updated")
             .otherwise(F.lit(None))
         )
         counts = {
@@ -611,6 +697,24 @@ class UpsertTable:
         }
         merged = j.filter(keep).select(*out_cols)
         merged = merged.persist()
+        gone_t = None
+        if (
+            self.record_index
+            and not_matched_by_source_delete_condition is not None
+        ):
+            # lineage-FREE materialization (localCheckpoint, not persist):
+            # the t-side reads the pre-overwrite files, and a plain cache
+            # would be invalidated-and-recached by the table write itself
+            # (CacheManager recache-by-path) — the recompute would then
+            # chase files the commit just replaced/removed. Same contract
+            # as dedup.py's accepted-signature checkpoint; cluster
+            # deployments swap in a reliable checkpoint dir.
+            gone_t = (
+                j.filter(tos_del)
+                .select(*[F.col(f"t.{k}").alias(k) for k in self.keys])
+                .distinct()
+                .localCheckpoint()
+            )
         try:
             merged.count()
             # superset invariant: the insert clause ADDS keys, so their
@@ -633,6 +737,9 @@ class UpsertTable:
                         "left_anti",
                     )
                     self._rli_delete(gone)
+                if gone_t is not None:
+                    # by-source deletes touch keys the SOURCE never names
+                    self._rli_delete(gone_t)
         finally:
             merged.unpersist()
         return {
@@ -1091,7 +1198,7 @@ class UpsertTable:
             raise ValueError("table is unpartitioned")
         values = tuple(values)
         parts = [
-            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            f"{c}={_hive_escape_part(v)}"
             for c, v in zip(self.partition_by, values)
         ]
         target = os.path.join(self.path, *parts)
@@ -1193,7 +1300,7 @@ class UpsertTable:
                 continue
             for values in parts:
                 sub = [
-                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                    f"{c}={_hive_escape_part(v)}"
                     for c, v in zip(self.partition_by, values)
                 ]
                 shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
@@ -1228,7 +1335,7 @@ class UpsertTable:
         live = []
         for values in parts:
             sub = [
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                f"{c}={_hive_escape_part(v)}"
                 for c, v in zip(self.partition_by, values)
             ]
             if os.path.isdir(os.path.join(self.path, *sub)):
@@ -1269,7 +1376,10 @@ class UpsertTable:
         return os.path.join(self.path, "_bloom")
 
     def _bloom_shard_path(self, tok: str) -> str:
-        sub = [f"{c}={v}" for c, v in zip(self.partition_by, tok.split("|"))]
+        sub = [
+            f"{c}={_hive_escape_part(v)}"
+            for c, v in zip(self.partition_by, tok.split("|"))
+        ]
         return os.path.join(self._bloom_dir, *sub, "filter.json")
 
     def _bloom_load(self, parts: list[tuple] | None = None) -> dict:
@@ -1419,7 +1529,7 @@ class UpsertTable:
             if entry is None or entry.get("saturated"):
                 continue
             sub = [
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                f"{c}={_hive_escape_part(v)}"
                 for c, v in zip(self.partition_by, values)
             ]
             if not os.path.isdir(os.path.join(self.path, *sub)):
@@ -1614,7 +1724,7 @@ class UpsertTable:
             os.path.join(
                 self.path,
                 *(
-                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                    f"{c}={_hive_escape_part(v)}"
                     for c, v in zip(self.partition_by, values)
                 ),
             )

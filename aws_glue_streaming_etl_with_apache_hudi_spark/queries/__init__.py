@@ -166,6 +166,7 @@ PRIORITY_WINDOW: list[str] = [
     "dq_referential_orphans",
     "rank_uniform_features",
     "sql_named_parameters",
+    "merge_sync_by_source_state", # SQL:2023 NOT MATCHED BY SOURCE clauses
     # --- sentinels for the remaining categories (all r6/r7-green, so
     # the slot doubles as a freshness re-check) ---
     "rename_evolution_state",      # schema evolution
@@ -192,9 +193,9 @@ PRIORITY_WINDOW: list[str] = [
     "sessionize_events",
     "dedup_exact",
     "dedup_fingerprint",
-    "dedup_minhash_signatures",
-    # displaced by the 10 r8 slots above (still r2-aged; next round's
-    # freshness pool): dedup_ngram_jaccard, embedding_label_centroids,
+    # displaced by the 11 r8 slots above (still r2-aged; next round's
+    # freshness pool): dedup_minhash_signatures,
+    # dedup_ngram_jaccard, embedding_label_centroids,
     # text_quality, text_langid, text_token_counts, text_fingerprints,
     # embedding_quantize, inverted_index_postings, train_test_split,
     # quota_sample_per_source

@@ -865,3 +865,81 @@ def audience_overlap_kmv(spark, sf_dir):
             F.round((F.col("c") * 1.0 / k) * est_union, 2).alias("est_overlap"),
         )
     )
+
+
+@register(
+    "merge_sync_by_source_state",
+    sql="""
+    WITH base AS (
+      SELECT event_type, user_id, event_id, round(value, 2) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    src AS (
+      SELECT event_type, user_id, event_id, round(value, 2) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT
+        coalesce(t.event_type, s.event_type) AS event_type,
+        coalesce(t.user_id, s.user_id) AS user_id,
+        CASE WHEN s.user_id IS NOT NULL THEN s.event_id
+             ELSE t.event_id END AS event_id,
+        CASE WHEN s.user_id IS NOT NULL THEN s.value
+             ELSE t.value - 10.0 END AS value,
+        (s.user_id IS NULL AND t.value < 20.0) AS _deleted
+      FROM base t FULL OUTER JOIN src s
+        ON t.event_type = s.event_type AND t.user_id = s.user_id
+    )
+    SELECT event_type, user_id, event_id, value
+    FROM merged WHERE NOT _deleted
+    ORDER BY event_type, user_id
+    """,
+)
+def merge_sync_by_source_state(spark, sf_dir):
+    """MERGE with the SQL:2023 ``WHEN NOT MATCHED BY SOURCE`` clause
+    family (the Delta/Hudi sync-table shape): matched keys take the
+    source row (UPDATE SET *), unmatched source keys insert, and keys
+    the source NO LONGER carries are retired — deleted when their
+    stored value is already low (t.value < 20), otherwise decayed by a
+    flat 10 (conditions/assignments reference t only; the source side
+    is null there by definition). The oracle replays the clause algebra
+    over a FULL OUTER join; the driver verifies the post-merge read of
+    the real on-disk table. By-source merges are inherently full-table
+    (every stored row is consulted) — the documented exception to the
+    touched-partition read."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import (
+        UpsertTable,
+        precombine_latest,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="merge_bysrc_tbl_")
+    tbl = UpsertTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    tbl.upsert(e.filter(F.col("ts") < cut))
+    src = precombine_latest(
+        e.filter(F.col("ts") >= cut),
+        ["event_type", "user_id"], "ts", tie_breakers=["event_id"],
+    )
+    tbl.merge_into(
+        src,
+        matched_update={"event_id": "s.event_id", "ts": "s.ts", "value": "s.value"},
+        not_matched_by_source_delete_condition="t.value < 20.0",
+        not_matched_by_source_update={"value": "t.value - 10.0"},
+    )
+    return tbl.read().select(
+        "event_type", "user_id", "event_id", "value"
+    ).orderBy("event_type", "user_id")

@@ -519,10 +519,12 @@ def diversity_kcenter_sample(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    seed = (
-        e.filter(F.col("vec_id") == e.agg(F.min("vec_id")).collect()[0][0])
-        .collect()[0]
-    )
+    # seed = smallest vec_id, fetched with the SAME single-row argmax
+    # shape the rounds use (one job; the first cut ran two collects —
+    # a min then a filtered fetch)
+    seed = e.agg(
+        F.min(F.struct("vec_id", "v")).alias("top")
+    ).collect()[0]["top"]
     chosen = [(int(seed.vec_id), list(seed.v), 0.0)]
     for _ in range(4):
         dist_cols = []

@@ -112,3 +112,87 @@ def test_merge_into_empty_table_inserts(spark, tmp_path):
     rep = t.merge_into(_rows(spark, [(1, "a", "x", 1)]))
     assert rep["inserted"] == 1
     assert _state(t) == [(1, "a", "x", 1)]
+
+
+def test_merge_not_matched_by_source_clauses(spark, tmp_path):
+    """SQL:2023 BY SOURCE branches: delete wins over update, conditions
+    see t only, matched/inserted rows are untouched by them, and counts
+    fold into updated/deleted."""
+    from pyspark.sql import Row
+
+    t = UpsertTable(
+        spark, str(tmp_path / "bysrc"), keys=["k"], precombine="ver",
+        partition_by=["p"],
+    )
+    t.upsert(spark.createDataFrame([
+        Row(k=1, p="a", v=10.0, ver=1),   # stale + low     -> deleted
+        Row(k=2, p="a", v=90.0, ver=1),   # stale + high    -> decayed
+        Row(k=3, p="b", v=50.0, ver=1),   # matched         -> updated
+        Row(k=4, p="c", v=5.0, ver=1),    # stale + low, sole row of c
+    ]))
+    res = t.merge_into(
+        spark.createDataFrame([
+            Row(k=3, p="b", v=55.0, ver=2),
+            Row(k=9, p="b", v=70.0, ver=1),  # new -> inserted
+        ]),
+        not_matched_by_source_delete_condition="t.v < 20.0",
+        not_matched_by_source_update={"v": "t.v - 10.0"},
+    )
+    assert res == {"updated": 2, "deleted": 2, "inserted": 1}
+    got = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    assert got == [(2, "a", 80.0), (3, "b", 55.0), (9, "b", 70.0)]
+    # partition c was drained by the by-source delete -> directory gone
+    import os
+    assert not os.path.isdir(str(tmp_path / "bysrc" / "p=c"))
+
+
+def test_merge_by_source_update_condition_and_validation(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = UpsertTable(
+        spark, str(tmp_path / "bysrc2"), keys=["k"], precombine="ver",
+    )
+    t.upsert(spark.createDataFrame([
+        Row(k=1, v=10.0, ver=1), Row(k=2, v=90.0, ver=1),
+    ]))
+    # gated by-source update: only high-value stale rows decay
+    res = t.merge_into(
+        spark.createDataFrame([Row(k=3, v=1.0, ver=1)]),
+        not_matched_by_source_update={"v": "t.v - 10.0"},
+        not_matched_by_source_update_condition="t.v >= 50.0",
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, 10.0), (2, 80.0), (3, 1.0)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="needs not_matched_by_source_update"):
+        t.merge_into(
+            spark.createDataFrame([Row(k=3, v=1.0, ver=1)]),
+            not_matched_by_source_update_condition="t.v >= 50.0",
+        )
+    with _pytest.raises(ValueError, match="identity columns"):
+        t.merge_into(
+            spark.createDataFrame([Row(k=3, v=1.0, ver=1)]),
+            not_matched_by_source_update={"k": "t.k + 100"},
+        )
+
+
+def test_merge_by_source_global_index_rli(spark, tmp_path):
+    """BY SOURCE delete must de-index keys the source never names."""
+    from pyspark.sql import Row
+
+    t = UpsertTable(
+        spark, str(tmp_path / "bysrc3"), keys=["k"], precombine="ver",
+        partition_by=["p"], global_index=True, record_index=True,
+    )
+    t.upsert(spark.createDataFrame([
+        Row(k=1, p="a", v=1.0, ver=1), Row(k=2, p="b", v=2.0, ver=1),
+    ]))
+    res = t.merge_into(
+        spark.createDataFrame([Row(k=1, p="a", v=9.0, ver=2)]),
+        not_matched_by_source_delete_condition="t.v < 100.0",
+    )
+    assert res == {"updated": 1, "deleted": 1, "inserted": 0}
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, 9.0)]
+    assert t.read_key((2,)).collect() == []   # de-indexed
+    assert len(t.read_key((1,)).collect()) == 1
