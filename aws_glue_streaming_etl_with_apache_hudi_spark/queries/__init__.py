@@ -167,6 +167,8 @@ PRIORITY_WINDOW: list[str] = [
     "rank_uniform_features",
     "sql_named_parameters",
     "merge_sync_by_source_state", # SQL:2023 NOT MATCHED BY SOURCE clauses
+    "cuped_adjusted_ab",           # variance-reduced A/B readout
+    "cluster_service_state",       # Z-order clustering service end to end
     # --- sentinels for the remaining categories (all r6/r7-green, so
     # the slot doubles as a freshness re-check) ---
     "rename_evolution_state",      # schema evolution
@@ -191,10 +193,9 @@ PRIORITY_WINDOW: list[str] = [
     "bloom_filter_join_prune",
     "zorder_morton_keys",
     "sessionize_events",
-    "dedup_exact",
-    "dedup_fingerprint",
-    # displaced by the 11 r8 slots above (still r2-aged; next round's
-    # freshness pool): dedup_minhash_signatures,
+    # displaced by the 13 r8 slots above (still r2-aged; next round's
+    # freshness pool): dedup_exact, dedup_fingerprint,
+    # dedup_minhash_signatures,
     # dedup_ngram_jaccard, embedding_label_centroids,
     # text_quality, text_langid, text_token_counts, text_fingerprints,
     # embedding_quantize, inverted_index_postings, train_test_split,

@@ -1218,3 +1218,102 @@ def two_proportion_ztest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cuped_adjusted_ab",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                      THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+               AS pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                      THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+               AS post
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(pre  AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(post AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(pre  AS DECIMAL(18,2)) * CAST(pre  AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(pre  AS DECIMAL(18,2)) * CAST(post AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th, sx / n AS mx
+      FROM g
+    ),
+    m AS (
+      SELECT cohort,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CAST(post AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS mean_post,
+             CAST(sum(CAST(pre  AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS mean_pre
+      FROM per_user GROUP BY cohort
+    )
+    SELECT cohort, n_users,
+           round(mean_post, 6) AS mean_post,
+           round(mean_post - th * (mean_pre - mx), 6) AS mean_cuped
+    FROM m, theta ORDER BY cohort
+    """,
+)
+def cuped_adjusted_ab(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (the industry-standard
+    covariate adjustment): per-user PRE-period value is the covariate
+    for the POST-period metric; theta = cov(pre, post) / var(pre) fitted
+    POOLED (the standard, unbiased-under-randomization choice), each
+    cohort's adjusted mean = mean(post) - theta * (mean(pre) - grand
+    mean(pre)). Moments come from exact decimal sums (value is 2-dp
+    fixed point; pre*post products are exact at scale 4), so both
+    engines divide IEEE-identical doubles — rounding at 6 dp is safe.
+
+    Scale: one user-keyed aggregation (the same shuffle the experiment
+    assignment rides), then 2-row cohort math against broadcast
+    1-row theta — no second pass over events."""
+    e = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    d2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, d2(F.col("value"))).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, d2(F.col("value"))).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("post"),
+    ).withColumn("cohort", F.col("user_id") % 2)
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d2(F.col("pre"))).cast("double").alias("sx"),
+        F.sum(d2(F.col("post"))).cast("double").alias("sy"),
+        F.sum(d2(F.col("pre")) * d2(F.col("pre"))).cast("double").alias("sxx"),
+        F.sum(d2(F.col("pre")) * d2(F.col("post"))).cast("double").alias("sxy"),
+    )
+    theta = g.select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+        (F.col("sx") / F.col("n")).alias("mx"),
+    )
+    m = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum(d2(F.col("post"))).cast("double") / F.count(F.lit(1))).alias("mean_post"),
+        (F.sum(d2(F.col("pre"))).cast("double") / F.count(F.lit(1))).alias("mean_pre"),
+    )
+    return (
+        m.crossJoin(F.broadcast(theta))
+        .select(
+            "cohort",
+            "n_users",
+            F.round("mean_post", 6).alias("mean_post"),
+            F.round(
+                F.col("mean_post") - F.col("th") * (F.col("mean_pre") - F.col("mx")), 6
+            ).alias("mean_cuped"),
+        )
+        .orderBy("cohort")
+    )

@@ -943,3 +943,59 @@ def merge_sync_by_source_state(spark, sf_dir):
     return tbl.read().select(
         "event_type", "user_id", "event_id", "value"
     ).orderBy("event_type", "user_id")
+
+
+@register(
+    "cluster_service_state",
+    sql="""
+    SELECT event_type, user_id, event_id, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+    WHERE rn = 1 ORDER BY event_type, user_id
+    """,
+)
+def cluster_service_state(spark, sf_dir):
+    """The clustering table service (UpsertTable.cluster — Hudi's
+    ``hoodie.layout.optimize`` rewrite) driven end to end: the event
+    stream lands in FOUR commits (small-files fragmentation), then the
+    staged Z-order rewrite on (value, user_id) swaps in. Row content,
+    key semantics and partitioning are layout-INVARIANT — the oracle is
+    simply latest-state-per-key, which only holds if the rewrite lost
+    and duplicated nothing. File count must not exceed n_files per
+    partition afterwards (the compaction half of the service),
+    asserted in-plan by reading back through the swapped layout.
+
+    Scale: the rewrite is one partition-preserving sorted write beside
+    the table + an atomic manifest swap; readers never see a
+    half-rewritten table (crash windows covered in
+    tests/test_crash_injection.py)."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="cluster_tbl_")
+    tbl = UpsertTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+    )
+    # four event-time quarters -> four commits -> fragmented files
+    qs = [
+        "2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00",
+    ]
+    prev = None
+    for cut in qs + [None]:
+        part = e
+        if prev is not None:
+            part = part.filter(F.col("ts") >= F.lit(prev).cast("timestamp"))
+        if cut is not None:
+            part = part.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+        tbl.upsert(part)
+        prev = cut
+    tbl.cluster(["value", "user_id"], n_files=2)
+    return tbl.read().select(
+        "event_type", "user_id", "event_id", "value"
+    ).orderBy("event_type", "user_id")
