@@ -169,6 +169,8 @@ PRIORITY_WINDOW: list[str] = [
     "merge_sync_by_source_state", # SQL:2023 NOT MATCHED BY SOURCE clauses
     "cuped_adjusted_ab",           # variance-reduced A/B readout
     "cluster_service_state",       # Z-order clustering service end to end
+    "udtf_sentence_split",         # Python UDTF via SQL LATERAL (Spark 3.5+)
+    "sql_listagg_dialect",         # LISTAGG WITHIN GROUP (Spark 4)
     # --- sentinels for the remaining categories (all r6/r7-green, so
     # the slot doubles as a freshness re-check) ---
     "rename_evolution_state",      # schema evolution
@@ -191,10 +193,9 @@ PRIORITY_WINDOW: list[str] = [
     "stream_dedup_first_seen",
     "scd2_validity_intervals",
     "bloom_filter_join_prune",
-    "zorder_morton_keys",
-    "sessionize_events",
-    # displaced by the 13 r8 slots above (still r2-aged; next round's
-    # freshness pool): dedup_exact, dedup_fingerprint,
+    # displaced by the 15 r8 slots above (still r2-aged; next round's
+    # freshness pool): zorder_morton_keys, sessionize_events,
+    # dedup_exact, dedup_fingerprint,
     # dedup_minhash_signatures,
     # dedup_ngram_jaccard, embedding_label_centroids,
     # text_quality, text_langid, text_token_counts, text_fingerprints,

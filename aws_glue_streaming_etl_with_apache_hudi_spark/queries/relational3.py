@@ -1165,3 +1165,79 @@ def sql_named_parameters(spark, sf_dir):
         },
         lineitem=li,
     )
+
+
+# -- round 8: Python UDTF + listagg dialect ----------------------------------
+
+
+@register(
+    "udtf_sentence_split",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, unnest(string_split(text, '. ')) AS sent,
+             generate_subscripts(string_split(text, '. '), 1) AS sent_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+           CAST(length(sent) AS BIGINT) AS sent_chars
+    FROM s WHERE length(sent) > 0
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def udtf_sentence_split(spark, sf_dir):
+    """Python user-defined TABLE function (Spark 3.5+ ``@udtf``) driven
+    through the SQL LATERAL correlate — the row-expanding UDF shape
+    (one document in, N sentence rows out) that ``explode`` cannot
+    express when the expansion logic is imperative. The UDTF splits on
+    the literal '. ' boundary and emits (index, char length) per
+    sentence; the oracle replays the identical split relationally.
+    Arrow-batched by the engine; the LATERAL join stays row-local (no
+    shuffle introduced by the expansion)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sent_chars bigint")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, sent in enumerate(text.split(". ")):
+                if sent:
+                    yield i + 1, len(sent)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sent_chars
+        FROM documents d, LATERAL sentence_split(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )
+
+
+@register(
+    "sql_listagg_dialect",
+    sql="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_listagg_dialect(spark, sf_dir):
+    """SQL:2023 ``LISTAGG (DISTINCT ... ) WITHIN GROUP (ORDER BY ...)``
+    (new in Spark 4) pinned against DuckDB's ordered ``string_agg`` —
+    sixth member of the SQL-API parity family. The explicit WITHIN
+    GROUP order is what makes the concatenation deterministic
+    cross-engine."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               listagg(DISTINCT l_linestatus, ',')
+                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
