@@ -171,6 +171,7 @@ PRIORITY_WINDOW: list[str] = [
     "cluster_service_state",       # Z-order clustering service end to end
     "udtf_sentence_split",         # Python UDTF via SQL LATERAL (Spark 3.5+)
     "sql_listagg_dialect",         # LISTAGG WITHIN GROUP (Spark 4)
+    "k_anonymity_audit",           # governance release gate
     # --- sentinels for the remaining categories (all r6/r7-green, so
     # the slot doubles as a freshness re-check) ---
     "rename_evolution_state",      # schema evolution
@@ -192,9 +193,9 @@ PRIORITY_WINDOW: list[str] = [
     "agg_cube",
     "stream_dedup_first_seen",
     "scd2_validity_intervals",
-    "bloom_filter_join_prune",
     # displaced by the 15 r8 slots above (still r2-aged; next round's
-    # freshness pool): zorder_morton_keys, sessionize_events,
+    # freshness pool): bloom_filter_join_prune,
+    # zorder_morton_keys, sessionize_events,
     # dedup_exact, dedup_fingerprint,
     # dedup_minhash_signatures,
     # dedup_ngram_jaccard, embedding_label_centroids,

@@ -2068,3 +2068,55 @@ def gapfill_interpolate(spark, sf_dir):
             6,
         ).alias("value"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "k_anonymity_audit",
+    sql="""
+    WITH cells AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             CAST(floor(value / 10) AS BIGINT) AS value_band,
+             count(*) AS sz
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_cells,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           CAST(min(sz) AS BIGINT) AS min_cell
+    FROM cells GROUP BY event_type ORDER BY event_type
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier cell
+    (event_type, day, value decile band): cells smaller than k are
+    re-identification risks a release gate must suppress or generalize
+    — the governance screen that runs BEFORE a dataset ships. Reports
+    per-type cell census, risky cells/rows, and the minimum cell size
+    (the dataset's actual k).
+
+    Scale: one map-side-combinable aggregation on the cell key, then a
+    per-type rollup — no joins, no windows."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") / 10).cast("long").alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_risky_cells"),
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("n_risky_rows"),
+            F.min("sz").cast("long").alias("min_cell"),
+        )
+        .orderBy("event_type")
+    )
