@@ -67,6 +67,25 @@ def _session_stopped(session) -> bool:
         return True  # unreachable context == unusable cache
 
 
+def clear_persist_slots(session) -> int:
+    """Release every live operator cache owned by ``session`` and forget
+    the slots (benchmark/section boundaries: sf0.1-era caches must not
+    squeeze executor storage for a following sf1 pass). Safe because the
+    slot map is cleared too — the next operator call re-persists fresh
+    instead of being handed an unpersisted previous frame."""
+    slots = _PERSIST_SLOTS.pop(session, None)
+    if not slots:
+        return 0
+    n = 0
+    for df in slots.values():
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _persist_slot(df: DataFrame, slot: str) -> DataFrame:
     """``persist()`` with a per-operator accumulation bound.
 

@@ -104,6 +104,13 @@ def ensure_sf1(spark) -> str:
 
 def sf1_spot(spark) -> dict:
     """Min-of-2 wall time per dedup/ANN query at the synthesized sf1."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import clear_persist_slots
+
+    # section boundary: drop the sf0.1-era operator caches — 66 headliner
+    # executions leave persist slots that otherwise squeeze executor
+    # storage under the 10x data (observed: dedup_minhash_lsh sf1 8.1 s
+    # in-process vs 2.1 s isolated)
+    clear_persist_slots(spark)
     sf1 = ensure_sf1(spark)
     out: dict[str, float] = {}
     for name in SF1_QUERIES:
@@ -177,6 +184,9 @@ def storage_scaling(spark) -> dict:
     from pyspark.sql import Row
     from pyspark.sql import functions as F
 
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import clear_persist_slots
+
+    clear_persist_slots(spark)  # same section-boundary hygiene as sf1_spot
     out: dict = {
         "rows_per_partition": _SS_ROWS_PER_PART,
         "touched_per_commit": _SS_TOUCH,
