@@ -1733,8 +1733,14 @@ class UpsertTable:
         dirs = [d for d in dirs if os.path.isdir(d)]
         if not dirs:
             # persisted-schema empty frame — never a full read() whose
-            # filter(False) would still pay the O(table) listing
-            return self.spark.createDataFrame([], self._load_schema())
+            # filter(False) would still pay the O(table) listing. Field
+            # order mimics a parquet read (data columns, then partition
+            # columns appended) so callers see one shape either way.
+            fields = sorted(
+                self._load_schema().fields,
+                key=lambda f: f.name in (self.partition_by or []),
+            )
+            return self.spark.createDataFrame([], T.StructType(fields))
         raw = self.spark.read.option("basePath", self.path).parquet(*dirs)
         schema = {f.name: f.dataType for f in self._load_schema().fields}
         return raw.select(

@@ -1127,7 +1127,13 @@ def graph_kcore_peel(spark, sf_dir):
 
     Scale: each round is one self-contained (edges x survivors x
     survivors) double semi-join + count — the same src-keyed shuffle
-    every round, survivor frames shrink monotonically."""
+    every round. Each round's survivor frame is persist-slotted
+    (bounded: one (node, degree) row per survivor): the survivor feeds
+    BOTH sides of the next round's semi-joins and Catalyst does not
+    share common subtrees, so without the slots the plan tree doubles
+    per round (119 exchanges unrolled vs ~5 per round slotted)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
     edges = _edges(spark, sf_dir)
     sym = edges.selectExpr("u AS src", "v AS dst").unionAll(
         edges.selectExpr("v AS src", "u AS dst")
@@ -1137,7 +1143,8 @@ def graph_kcore_peel(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .filter(F.col("degree") >= 2)
     )
-    for _ in range(3):
+    for rnd in range(3):
+        core = _persist_slot(core, f"kcore.round{rnd}")
         nodes = core.select("node")
         core = (
             sym.join(nodes.withColumnRenamed("node", "src"), "src")

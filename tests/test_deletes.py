@@ -143,3 +143,39 @@ def test_cdc_emits_delete(tl, spark):
     flags = {r.k: bool(r._deleted) if r._deleted is not None else False
              for r in inc.collect()}
     assert flags == {1: True, 3: False}
+
+
+def test_read_partitions_lists_only_touched_dirs(spark, tmp_path):
+    """The commit-path read (r8): basePath-scoped, O(touched) listing —
+    inputFiles shows only the requested partitions; Hive-escaped values
+    (quotes, colons) resolve to the directories Spark actually wrote;
+    missing partitions are skipped; an all-missing request returns the
+    persisted-schema empty frame without touching the table listing."""
+    from pyspark.sql import Row
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    t = UpsertTable(
+        spark, str(tmp_path / "rp"), keys=["k"], precombine="ver",
+        partition_by=["p"],
+    )
+    t.upsert(spark.createDataFrame([
+        Row(k=1, p="plain", v="a", ver=1),
+        Row(k=2, p="o'brien", v="b", ver=1),
+        Row(k=3, p="x:y", v="c", ver=1),
+        Row(k=4, p=None, v="d", ver=1),
+    ]))
+    got = t.read_partitions([("o'brien",), ("x:y",), (None,), ("missing",)])
+    assert sorted((r.k, r.p, r.v) for r in got.collect()) == [
+        (2, "o'brien", "b"), (3, "x:y", "c"), (4, None, "d"),
+    ]
+    files = got.inputFiles()
+    assert files and all("p=plain" not in f for f in files)
+
+    empty = t.read_partitions([("nope",)])
+    assert empty.count() == 0
+    # same shape as a real partition read: data columns then partition
+    # columns appended
+    assert [f.name for f in empty.schema.fields] == [
+        f.name for f in t.read().schema.fields
+    ]

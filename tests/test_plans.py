@@ -458,3 +458,31 @@ def test_corpus_v2_stage_boundaries_are_persisted(spark, sf_dir):
     assert "corpus_v2.keep" in slots and "corpus_v2.k3" in slots
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_round8_query_plan_shapes(spark, sf_dir):
+    """Round-8 plan gates: (a) kmeans' assignment pass keeps vectors out
+    of every exchange (centroids ride the closure; only (cluster, dist)
+    shuffle); (b) rank_uniform_features never runs a GLOBAL window (no
+    empty-partition windowspecdefinition — the global leg routes through
+    distributed_rank's buckets); (c) graph_kcore_peel slot-persists each
+    peeling round (no doubled subtree re-execution) and stays
+    equi-joined; (d) gapfill_interpolate introduces no all-pairs join."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _PERSIST_SLOTS
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    km = explain_str(QUERIES["kmeans_lloyd_rounds"].fn(spark, sf_dir))
+    for chunk in km.split("Exchange")[1:]:
+        assert "embedding#" not in chunk.splitlines()[0]
+
+    ru = QUERIES["rank_uniform_features"].fn(spark, sf_dir)
+    ru_plan = ru._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition()" not in ru_plan.replace(" ", "")
+
+    kc = explain_str(QUERIES["graph_kcore_peel"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in kc and "BroadcastNestedLoopJoin" not in kc
+    slots = _PERSIST_SLOTS.get(spark, {})
+    assert all(f"kcore.round{i}" in slots for i in range(3))
+
+    gf = explain_str(QUERIES["gapfill_interpolate"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in gf and "BroadcastNestedLoopJoin" not in gf
