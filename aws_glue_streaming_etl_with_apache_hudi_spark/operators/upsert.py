@@ -1162,6 +1162,16 @@ class UpsertTable:
         import shutil
 
         report: dict = {"promoted": False, "removed": [], "tmp_files": []}
+        # a crashed Spark write leaves its FileOutputCommitter scratch
+        # (`_temporary/`, `.spark-staging-*`) under the table — invisible
+        # to readers (dot/underscore-prefixed) but accreting storage;
+        # sweep it like Hudi's marker rollback reclaims partial writes
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if name == "_temporary" or name.startswith(".spark-staging"):
+                    p = os.path.join(self.path, name)
+                    shutil.rmtree(p, ignore_errors=True)
+                    report["removed"].append(p)
         tmp = self.path.rstrip("/") + ".clustering"
         manifest = self._cluster_manifest_path
         if os.path.exists(manifest):

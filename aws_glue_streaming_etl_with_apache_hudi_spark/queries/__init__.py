@@ -172,6 +172,7 @@ PRIORITY_WINDOW: list[str] = [
     "udtf_sentence_split",         # Python UDTF via SQL LATERAL (Spark 3.5+)
     "sql_listagg_dialect",         # LISTAGG WITHIN GROUP (Spark 4)
     "k_anonymity_audit",           # governance release gate
+    "observe_pipeline_metrics",    # DataFrame.observe accumulator metrics
     # --- sentinels for the remaining categories (all r6/r7-green, so
     # the slot doubles as a freshness re-check) ---
     "rename_evolution_state",      # schema evolution
@@ -190,11 +191,10 @@ PRIORITY_WINDOW: list[str] = [
     # registrations displace these from the BOTTOM of this block. ---
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "agg_cube",
     "stream_dedup_first_seen",
     "scd2_validity_intervals",
     # displaced by the 15 r8 slots above (still r2-aged; next round's
-    # freshness pool): bloom_filter_join_prune,
+    # freshness pool): agg_cube, bloom_filter_join_prune,
     # zorder_morton_keys, sessionize_events,
     # dedup_exact, dedup_fingerprint,
     # dedup_minhash_signatures,

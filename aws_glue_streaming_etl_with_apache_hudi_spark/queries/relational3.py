@@ -1241,3 +1241,41 @@ def sql_listagg_dialect(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "observe_pipeline_metrics",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_english
+    FROM documents
+    """,
+)
+def observe_pipeline_metrics(spark, sf_dir):
+    """``DataFrame.observe`` / ``Observation`` (the production way to
+    collect pipeline health metrics WITHOUT a second scan; DISTINCT
+    aggregates are rejected by the API, so the language metric is a
+    conditional count — the metric
+    expressions piggyback on the main action as accumulators): one pass
+    over documents yields the observability row a monitoring hook would
+    export. The oracle recomputes the same aggregates relationally, so
+    the driver pins that observed metrics equal first-class aggregation
+    results — the property monitoring depends on."""
+    from pyspark.sql import Observation
+
+    docs = t(spark, sf_dir, "documents")
+    obs = Observation("corpus_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_english"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the main action
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_docs"]), int(m["total_chars"]), int(m["n_english"]))],
+        "n_docs long, total_chars long, n_english long",
+    )

@@ -179,3 +179,27 @@ def test_read_partitions_lists_only_touched_dirs(spark, tmp_path):
     assert [f.name for f in empty.schema.fields] == [
         f.name for f in t.read().schema.fields
     ]
+
+
+def test_fsck_sweeps_crashed_write_scratch(spark, tmp_path):
+    """A crashed Spark write's FileOutputCommitter scratch (_temporary,
+    .spark-staging-*) under the table is reclaimed by fsck; data and
+    sidecars are untouched."""
+    import os
+
+    from pyspark.sql import Row
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    t = UpsertTable(
+        spark, str(tmp_path / "scratch"), keys=["k"], precombine="ver",
+        partition_by=["p"],
+    )
+    t.upsert(spark.createDataFrame([Row(k=1, p="a", v="x", ver=1)]))
+    os.makedirs(os.path.join(t.path, "_temporary", "0"))
+    os.makedirs(os.path.join(t.path, ".spark-staging-abc123"))
+    rep = t.fsck()
+    assert any(p.endswith("_temporary") for p in rep["removed"])
+    assert any(".spark-staging" in p for p in rep["removed"])
+    assert not os.path.exists(os.path.join(t.path, "_temporary"))
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, "x")]
