@@ -1324,3 +1324,132 @@ def cuped_adjusted_ab(spark, sf_dir):
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "fdr_bh_screen",
+    sql="""
+    WITH halves AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 0 ELSE 1 END
+               AS cohort
+      FROM events
+    ),
+    sizes AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+      FROM halves GROUP BY event_type
+    ),
+    steps AS (
+      SELECT event_type, value,
+             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
+      FROM halves GROUP BY event_type, value
+    ),
+    ecdf AS (
+      SELECT s.event_type,
+             sum(s.c0) OVER (PARTITION BY s.event_type ORDER BY s.value) / z.n0 AS f0,
+             sum(s.c1) OVER (PARTITION BY s.event_type ORDER BY s.value) / z.n1 AS f1
+      FROM steps s JOIN sizes z USING (event_type)
+    ),
+    d AS (
+      SELECT e.event_type,
+             round(max(abs(e.f0 - e.f1)), 6) AS ks_d,
+             any_value(z.n0) AS n0, any_value(z.n1) AS n1
+      FROM ecdf e JOIN sizes z USING (event_type)
+      GROUP BY e.event_type
+    ),
+    p AS (
+      SELECT event_type, ks_d,
+             round(least(1.0,
+               2 * exp(-2 * (n0 * n1 / (n0 + n1)) * ks_d * ks_d)), 6) AS p_value
+      FROM d
+    ),
+    ranked AS (
+      SELECT event_type, ks_d, p_value,
+             row_number() OVER (ORDER BY p_value, event_type) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    kstar AS (
+      SELECT coalesce(max(CASE WHEN p_value <= rk * 0.10 / m THEN rk END), 0)
+               AS k FROM ranked
+    )
+    SELECT event_type, ks_d, p_value, CAST(rk AS BIGINT) AS rk,
+           rk <= (SELECT k FROM kstar) AS rejected
+    FROM ranked ORDER BY rk, event_type
+    """,
+)
+def fdr_bh_screen(spark, sf_dir):
+    """Benjamini-Hochberg FDR screen (q=0.10) over one KS test PER
+    event type (did the value distribution shift between the two
+    halves of the window?) — the multiple-comparisons discipline a
+    metrics platform applies before alerting on m simultaneous
+    segments. Per type: exact-rational ECDF sup-gap D (6 dp), the KS
+    asymptotic p = min(1, 2·exp(-2·(n0·n1/(n0+n1))·D²)) from that
+    ROUNDED D (identical doubles into exp in both engines), then the
+    step-up rule: reject ranks <= k* = max{k: p_(k) <= k·q/m}. The
+    rank/threshold pass runs over m rows (one per segment) — the
+    bounded-frame exception to the no-global-window rule.
+
+    Scale: the ECDFs are event_type-partitioned windows over DISTINCT
+    values (never raw events); everything after is m-row math."""
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.when(F.col("ts") < cut, 0).otherwise(1).alias("cohort"),
+    )
+    sizes = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+    )
+    steps = e.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("double").alias("c0"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("double").alias("c1"),
+    )
+    w = W.partitionBy("event_type").orderBy("value").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ecdf = steps.join(F.broadcast(sizes), "event_type").select(
+        "event_type",
+        (F.sum("c0").over(w) / F.col("n0")).alias("f0"),
+        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
+        "n0",
+        "n1",
+    )
+    d = ecdf.groupBy("event_type").agg(
+        F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 6).alias("ks_d"),
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+    )
+    m_eff = F.col("n0") * F.col("n1") / (F.col("n0") + F.col("n1"))
+    p = d.select(
+        "event_type",
+        "ks_d",
+        F.round(
+            F.least(F.lit(1.0), 2 * F.exp(-2 * m_eff * F.col("ks_d") * F.col("ks_d"))),
+            6,
+        ).alias("p_value"),
+    )
+    wr = W.orderBy("p_value", "event_type")
+    ranked = p.select(
+        "event_type", "ks_d", "p_value",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p_value") <= F.col("rk") * 0.10 / F.col("m"), F.col("rk"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type", "ks_d", "p_value",
+            F.col("rk").cast("long").alias("rk"),
+            (F.col("rk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rk", "event_type")
+    )

@@ -1279,3 +1279,62 @@ def observe_pipeline_metrics(spark, sf_dir):
         [(int(m["n_docs"]), int(m["total_chars"]), int(m["n_english"]))],
         "n_docs long, total_chars long, n_english long",
     )
+
+
+@register(
+    "applyinarrow_group_profile",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS mean_value,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def applyinarrow_group_profile(spark, sf_dir):
+    """Arrow-NATIVE grouped map (Spark 4 ``applyInArrow`` — the sibling
+    of applyInPandas that hands the UDF a ``pyarrow.Table`` directly, no
+    pandas conversion): per-group profile computed with pyarrow compute
+    kernels. The mean is an exact decimal sum divided once (value is
+    2-dp fixed point rendered through Arrow's decimal128), so both
+    engines round identical doubles. Pins the THIRD Python-UDF transport
+    (row UDF excluded by policy, pandas UDF, Arrow UDF) to relational
+    semantics.
+
+    Scale: one shuffle on the group key; Arrow batches never convert to
+    pandas — the cheapest Python-side grouped map Spark offers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def profile(table: pa.Table) -> pa.Table:
+        et = table.column("event_type")[0].as_py()
+        n = table.num_rows
+        dec = pc.cast(
+            pc.round(table.column("value"), ndigits=2),
+            pa.decimal128(18, 2),
+        )
+        total = pc.sum(dec).as_py()  # exact Decimal
+        mean = round(float(total) / n, 6)
+        ids = table.column("event_id")
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "mean_value": pa.array([mean], pa.float64()),
+                "first_event": pa.array([pc.min(ids).as_py()], pa.int64()),
+                "last_event": pa.array([pc.max(ids).as_py()], pa.int64()),
+            }
+        )
+
+    e = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return (
+        e.groupBy("event_type")
+        .applyInArrow(
+            profile,
+            schema="event_type string, n long, mean_value double, "
+                   "first_event long, last_event long",
+        )
+        .orderBy("event_type")
+    )
