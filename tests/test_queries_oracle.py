@@ -20,6 +20,13 @@ def test_oracle_match(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_every_query_has_an_oracle():
+    """Round 8 closed the last rows-only entry (approx_aggregates) —
+    the whole registry is DuckDB-value-hash checkable. A new rows-only
+    registration must be a deliberate decision, not a forgotten SQL."""
+    assert NO_ORACLE == [], f"rows-only queries reappeared: {NO_ORACLE}"
+
+
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_rows_only(spark, sf_dir, name):
     df = QUERIES[name].fn(spark, sf_dir)
