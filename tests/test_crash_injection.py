@@ -485,6 +485,39 @@ def cow_bloom_sidecar_saved_then_write_crash(spark, path):
     assert _snap(t) == AFTER_B2
 
 
+def cow_merge_bysource_crash_before_write(spark, path):
+    """MERGE with BY SOURCE clauses (r8): crash at the data write — the
+    table must still read the pre-merge state (dynamic overwrite never
+    published), and replaying the SAME merge converges to the clause
+    result exactly once."""
+    t = UpsertTable(spark, path, keys=["k"], precombine="ver",
+                    partition_by=["p"])
+    t.upsert(_df(spark, B1))
+    src = _df(spark, [(2, "b", 2, 21.0), (3, "a", 1, 30.0)])
+
+    def do_merge():
+        return t.merge_into(
+            src,
+            matched_update={"v": "s.v", "ver": "s.ver"},
+            not_matched_by_source_delete_condition="t.v < 5.0",
+            not_matched_by_source_update={"v": "t.v + 100.0"},
+        )
+
+    with mock.patch.object(UpsertTable, "_write", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            do_merge()
+    assert _snap(t) == sorted(B1)  # nothing published
+    res = do_merge()  # the replay
+    assert res == {"updated": 2, "deleted": 0, "inserted": 1}
+    want = sorted([(1, "a", 1, 110.0), (2, "b", 2, 21.0), (3, "a", 1, 30.0)])
+    assert _snap(t) == want
+    # replaying AGAIN re-fires the by-source update (MERGE is a clause
+    # program, not an idempotent upsert): key 1 decays once more
+    do_merge()
+    assert _snap(t) == sorted([(1, "a", 1, 210.0), (2, "b", 2, 21.0), (3, "a", 1, 30.0)])
+
+
+
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
@@ -503,6 +536,7 @@ FAULT_POINTS = [
     cow_cluster_crash_mid_delete,
     cow_cluster_crash_mid_move,
     cow_bloom_sidecar_saved_then_write_crash,
+    cow_merge_bysource_crash_before_write,
     dedup_accept_crash_then_replay,
     mv_refresh_before_cursor,
     tl_rename_before_instant,
