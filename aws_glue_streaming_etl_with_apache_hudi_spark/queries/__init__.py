@@ -175,6 +175,7 @@ PRIORITY_WINDOW: list[str] = [
     "observe_pipeline_metrics",    # DataFrame.observe accumulator metrics
     "applyinarrow_group_profile",  # Arrow-native grouped map (Spark 4)
     "fdr_bh_screen",               # Benjamini-Hochberg over per-segment KS
+    "agg_mode_per_group",          # deterministic exact mode
     # --- sentinels for the remaining categories (all r6/r7-green, so
     # the slot doubles as a freshness re-check) ---
     "rename_evolution_state",      # schema evolution
@@ -191,10 +192,10 @@ PRIORITY_WINDOW: list[str] = [
     # --- freshness re-checks: the whole r2-aged cohort (oldest driver
     # coverage in the registry; every other query is r3+). New r8
     # registrations displace these from the BOTTOM of this block. ---
-    "stream_dedup_first_seen",
     "scd2_validity_intervals",
     # displaced by the 15 r8 slots above (still r2-aged; next round's
-    # freshness pool): q3_shipping_priority, q5_local_supplier_volume,
+    # freshness pool): stream_dedup_first_seen,
+    # q3_shipping_priority, q5_local_supplier_volume,
     # agg_cube, bloom_filter_join_prune,
     # zorder_morton_keys, sessionize_events,
     # dedup_exact, dedup_fingerprint,

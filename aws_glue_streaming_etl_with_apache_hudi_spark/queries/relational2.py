@@ -488,3 +488,38 @@ def approx_quantile_rank_bound(spark, sf_dir):
         (F.abs(F.col("r50") - 0.5) <= 0.01).alias("p50_within_rank_eps"),
         (F.abs(F.col("r95") - 0.95) <= 0.01).alias("p95_within_rank_eps"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_mode_per_group",
+    sql="""
+    SELECT event_type, modal_value, n_occurrences FROM (
+      SELECT event_type, value AS modal_value,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, value) AS rn
+      FROM events GROUP BY event_type, value) x
+    WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Exact per-group MODE with a total tie order (highest count,
+    lowest value wins) — the deterministic formulation of the statistic
+    whose built-in (``F.mode``) leaves tie choice engine-defined, which
+    is exactly why a cross-engine pipeline computes it as
+    count-then-rank instead. Two map-side-combinable aggregations
+    sharing the group key's shuffle; the rank window partitions by
+    group (never global)."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.desc("n_occurrences"), F.asc("value")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("value").alias("modal_value"), "n_occurrences")
+        .orderBy("event_type")
+    )
