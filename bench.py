@@ -232,6 +232,14 @@ def storage_scaling(spark) -> dict:
         tbl.merge_into(src, matched_update_condition="s.ver > t.ver")
         res["merge_into_sec"] = round(time.perf_counter() - t0, 3)
 
+        # partition-pruned READ of the touched set (the other half of
+        # the O(touched) contract: listing+scanning 5 partitions must
+        # not depend on how many others exist)
+        t0 = time.perf_counter()
+        n = tbl.read_partitions([(p,) for p in pks]).count()
+        assert n >= _SS_TOUCH * 4
+        res["read_touched_sec"] = round(time.perf_counter() - t0, 3)
+
         # delete_partition of a sacrificial partition (created untimed)
         sac = f"sac{run}"
         tbl.upsert(spark.createDataFrame([Row(pk=sac, k=off + 10_000, ver=1, v="s")]))
