@@ -71,7 +71,7 @@ def subquery_in(spark, sf_dir):
     sql="""
     SELECT o_orderkey, round(o_totalprice, 2) AS price
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    WHERE o_totalprice > 1.5 * (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                                              / count(*), 6) FROM orders)
     ORDER BY o_orderkey
     """,
@@ -85,7 +85,7 @@ def subquery_scalar(spark, sf_dir):
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS price
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        WHERE o_totalprice > 1.5 * (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                                                  / count(*), 6) FROM orders)
         ORDER BY o_orderkey
         """

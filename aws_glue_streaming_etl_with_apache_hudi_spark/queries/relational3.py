@@ -1142,7 +1142,7 @@ _PARAM_SQL = """
            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2024-06-01 00:00:00' AND l_quantity < 30
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00' AND l_quantity < 30
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -1160,7 +1160,7 @@ def sql_named_parameters(spark, sf_dir):
     return spark.sql(
         _PARAM_SQL,
         args={
-            "start_ts": datetime.datetime(2024, 6, 1),
+            "start_ts": datetime.datetime(1998, 6, 1),
             "max_qty": 30,
         },
         lineitem=li,
