@@ -331,3 +331,67 @@ def distributed_ntile(
         .alias(out)
     )
     return ranked.withColumn(out, tile).drop("_dnt_r", "_dnt_rk")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str = "cum",
+    buckets: int = 32,
+) -> DataFrame:
+    """EXACT inclusive running sum of ``val_col`` over the total order
+    of ``order_col`` without a single-partition sort — the two-phase
+    prefix sum (per-bucket subtotals, broadcast offsets, bucket-local
+    cumsum) that a global ``sum() OVER (ORDER BY ...)`` degrades to at
+    scale.
+
+    Phase 1: approx-quantile boundaries on ``order_col`` split the
+    domain into ~equal buckets; rows bucket by STRICT comparison, so
+    the sketch only balances load — it never decides correctness.
+    Per-bucket subtotals of ``val_col`` fold driver-side into prefix
+    offsets (O(buckets) metadata). Phase 2: each bucket runs a
+    bucket-partitioned window cumsum; the global running sum is the
+    bucket offset plus the local cumsum. ``order_col`` must be a total
+    order (unique values) — ties would make the running sum
+    order-dependent exactly as they do under the global window — and
+    must embed into doubles (numeric/timestamp/date)."""
+    emb = _orderable_as_double(df, order_col)
+    if emb is None:
+        raise ValueError(
+            f"distributed_prefix_sum needs an order-embeddable column, got {order_col!r}"
+        )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.select(
+        F.percentile_approx(emb, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias("b")
+    ).collect()[0]["b"]
+    bounds = sorted(set(bounds or []))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(emb > F.lit(float(b)), 1).otherwise(0)
+    bucketed = df.withColumn("_dps_bucket", bucket)
+    rows = sorted(
+        bucketed.groupBy("_dps_bucket")
+        .agg(F.sum(F.col(val_col)).alias("_s"))
+        .collect(),
+        key=lambda r: r["_dps_bucket"],
+    )
+    offs: dict[int, int] = {}
+    cum = 0
+    for r in rows:
+        offs[r["_dps_bucket"]] = cum
+        cum += int(r["_s"] or 0)
+    off_expr = F.lit(0)
+    for b, o in offs.items():
+        off_expr = F.when(F.col("_dps_bucket") == b, F.lit(o)).otherwise(off_expr)
+    w_local = (
+        Window.partitionBy("_dps_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.withColumn(
+            out, (off_expr + F.sum(F.col(val_col)).over(w_local)).cast("long")
+        )
+        .drop("_dps_bucket")
+    )

@@ -471,10 +471,15 @@ def rfm_segmentation(spark, sf_dir):
     buckets over the window order), and the monetary sum is the exact
     decimal pattern (FIXTURES.md rule).
 
-    Scale: one groupBy(custkey) over orders; the three ntiles are
-    global-order windows over the CUSTOMER aggregate (|customers| rows,
-    not |orders|) — at 100 TB replace with percentile_approx cutoffs
-    broadcast into row-local CASE, the curriculum_phases pattern."""
+    Scale: one groupBy(custkey) over orders; the three quartile
+    assignments come from operators/skew.py distributed_ntile
+    (quantile-bucketed per-bucket windows + broadcast offsets + the
+    closed-form tile) — bit-identical to ``ntile(4) OVER (ORDER BY
+    metric, custkey)`` with NO single-partition sort. Recency (a
+    timestamp) rides through ``unix_micros`` — an order-isomorphic
+    integer, so the total order and the tile assignment are unchanged."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_ntile
+
     o = t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("recency"),
@@ -482,13 +487,12 @@ def rfm_segmentation(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
         .cast("double")
         .alias("monetary"),
+    ).withColumn(
+        "_rec_days", F.unix_micros(F.col("recency").cast("timestamp"))
     )
-    seg = rfm.select(
-        "o_custkey",
-        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r_seg"),
-        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_seg"),
-        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_seg"),
-    )
+    seg = rfm
+    for metric, out in (("_rec_days", "r_seg"), ("frequency", "f_seg"), ("monetary", "m_seg")):
+        seg = distributed_ntile(seg, 4, metric, tie_breakers=["o_custkey"], out=out)
     return (
         seg.groupBy("r_seg", "f_seg", "m_seg")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))

@@ -440,17 +440,23 @@ def linreg_normal_equations(spark, sf_dir):
 )
 def woe_decile_bins(spark, sf_dir):
     """Weight-of-evidence per price decile against the 'F' order-status
-    outcome — the credit-scoring binning primitive. ntile over a TOTAL
-    order (price, key) is engine-portable; rates are ratios of exact
-    counts, so ln() sees identical doubles. At scale the single global
-    ntile sort is the cost — a production binning would use
-    approx-quantile cut points instead of a full sort (same downstream
-    algebra), which is why the bin assignment is isolated in one window."""
-    orders = t(spark, sf_dir, "orders")
-    binned = orders.select(
-        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
+    outcome — the credit-scoring binning primitive. The decile over the
+    TOTAL order (price, key) comes from operators/skew.py
+    distributed_ntile (quantile-bucketed per-bucket windows + broadcast
+    offsets + the closed-form tile from the unique index) — bit-identical
+    to ``ntile(10) OVER (ORDER BY price, key)`` with NO single-partition
+    sort, so the bin assignment scales with the cluster. Rates are ratios
+    of exact counts, so ln() sees identical doubles."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_ntile
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
     )
+    binned = distributed_ntile(
+        orders, 10, "o_totalprice", tie_breakers=["o_orderkey"], out="bin"
+    ).select("bin", "bad")
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("bad").cast("long").alias("n_bad"),
@@ -577,19 +583,21 @@ def mann_whitney_u(spark, sf_dir):
     """Mann-Whitney U (rank-sum) between the two user cohorts — the
     nonparametric sibling of ab_test_welch. Tied values take the average
     rank (rank() + (ties-1)/2, identical in both engines and exact in
-    halves, so the statistic is exact to 2dp by construction). One global
-    rank over per-user aggregates: the sort is over users, not events —
-    at 100 TB the rank would come from a distributed sort of the (much
-    smaller) per-user table, which Spark executes as a range-partitioned
-    sort without a single-node bottleneck."""
+    halves, so the statistic is exact to 2dp by construction). The global
+    rank comes from operators/skew.py distributed_rank (the Spearman
+    midrank pattern): quantile-bucketed per-bucket windows + broadcast
+    offsets — NO single-partition sort anywhere in the plan; the tie
+    count is a value-hash partitioned window."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_rank
+
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
     ).select((F.col("user_id") % 2).alias("cohort"), "x")
-    ranked = per_user.select(
+    ranked = distributed_rank(per_user, "x", out="_rk", buckets=32).select(
         "cohort",
         (
-            F.rank().over(W.orderBy("x")).cast("double")
+            F.col("_rk").cast("double")
             + (F.count(F.lit(1)).over(W.partitionBy("x")).cast("double") - 1.0) / 2.0
         ).alias("avg_rank"),
     )

@@ -817,19 +817,25 @@ def topk_with_ties(spark, sf_dir):
     price is included — the difference between "10 rows" and "the top
     10 price points' rows", which matters whenever k cuts a tie group.
 
-    Scale: rank over a global order — at 100 TB pre-filter with a
-    TakeOrdered pass (top k' >= k rows by row_number) and re-rank the
-    survivors; the fixture query pins the tie semantics."""
-    from pyspark.sql import Window as SW
-
+    Scale: NO global window. ``rank() <= k`` keeps exactly the rows
+    whose value >= the k-th largest row's value (competition rank counts
+    strictly-greater rows), so the plan is a TakeOrderedAndProject
+    pre-pass — ``orderBy(desc).limit(k)``, the distributed top-k where
+    every partition keeps its own k and the driver merges k scalars —
+    whose minimum is the tie threshold, then one map-side ``price >=
+    threshold`` filter over the table. The only driver-side data is k
+    price doubles; nothing single-partition-sorts."""
     o = t(spark, sf_dir, "orders")
-    r = F.rank().over(SW.orderBy(F.desc("o_totalprice")))
-    return (
-        o.select("o_orderkey", "o_totalprice", r.alias("r"))
-        .filter(F.col("r") <= 10)
-        .select(
+    k = 10
+    topk = o.select("o_totalprice").orderBy(F.desc("o_totalprice")).limit(k).collect()
+    if not topk:
+        return o.select(
             "o_orderkey", F.round("o_totalprice", 2).alias("price")
-        )
+        ).limit(0)
+    threshold = min(r["o_totalprice"] for r in topk)
+    return (
+        o.filter(F.col("o_totalprice") >= F.lit(threshold))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
         .orderBy(F.desc("price"), F.asc("o_orderkey"))
     )
 

@@ -171,17 +171,22 @@ def token_shard_packing(spark, sf_dir):
     """Token-budget shard packing: documents in doc_id order fill
     ~2k-token shards; a doc starts a new shard when the budget is
     exceeded (greedy prefix-sum assignment). This fixes shard boundaries
-    BEFORE any writer runs, so the pack is reproducible. The global
-    running sum is the sequential part — at 100 TB, run it per source
-    (partitioned prefix sums) or two-phase: per-partition subtotals,
-    broadcast the offsets, then a partition-local cumsum; the fixture
-    query pins the single-sequence algebra."""
+    BEFORE any writer runs, so the pack is reproducible. The running
+    sum comes from operators/skew.py distributed_prefix_sum — the
+    two-phase plan (quantile-bucketed per-bucket subtotals, broadcast
+    prefix offsets, bucket-local window cumsum) — so NOTHING
+    single-partition-sorts: the only driver-side data is O(buckets)
+    boundary/subtotal metadata. doc_id is unique, so the total order
+    (and therefore every shard boundary) is exact."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import (
+        distributed_prefix_sum,
+    )
+
     docs = t(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id", X.token_count_whitespace("text").alias("toks")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = tk.withColumn("cum", F.sum("toks").over(w))
+    c = distributed_prefix_sum(tk, "doc_id", "toks", out="cum", buckets=32)
     return (
         c.select(
             F.expr("(cum - toks) div 2000").alias("shard"), "toks", "doc_id"
