@@ -290,3 +290,43 @@ def test_distributed_ntile_string_tiebreaker_falls_back(spark):
     w = {r.key: r.bin for r in want.collect()}
     g = {r.key: r["bin"] for r in got.collect()}
     assert g == w
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """distributed_prefix_sum == sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) on a unique order column, including skewed value mass
+    (most of the sum concentrated in a few rows) and zero/negative
+    values — and its windows are bucket-partitioned (no empty
+    windowspecdefinition partition)."""
+    from pyspark.sql import Window
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_prefix_sum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (
+            F.when(F.col("id") % 97 == 0, F.col("id") * 1000)
+            .when(F.col("id") % 3 == 0, -F.col("id"))
+            .otherwise(F.col("id") % 7)
+        ).cast("long").alias("v"),
+    )
+    got = distributed_prefix_sum(df, "k", "v", out="cum", buckets=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    g = {r["k"]: r["cum"] for r in got.collect()}
+    x = {r["k"]: r["cum"] for r in want.collect()}
+    assert g == x
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.plans import global_window_nodes
+
+    assert global_window_nodes(got) == []
+
+
+def test_distributed_prefix_sum_rejects_strings(spark):
+    import pytest
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_prefix_sum
+
+    df = spark.range(10).select(F.format_string("k%d", "id").alias("k"), F.lit(1).alias("v"))
+    with pytest.raises(ValueError):
+        distributed_prefix_sum(df, "k", "v")
