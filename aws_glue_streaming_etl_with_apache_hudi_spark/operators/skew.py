@@ -333,33 +333,43 @@ def distributed_ntile(
     return ranked.withColumn(out, tile).drop("_dnt_r", "_dnt_rk")
 
 
-def distributed_prefix_sum(
+def distributed_running_agg(
     df: DataFrame,
     order_col: str,
-    val_col: str,
-    out: str = "cum",
+    val_cols: list[str],
+    out_cols: list[str],
     buckets: int = 32,
+    agg: str = "sum",
+    inclusive: bool = True,
 ) -> DataFrame:
-    """EXACT inclusive running sum of ``val_col`` over the total order
-    of ``order_col`` without a single-partition sort — the two-phase
-    prefix sum (per-bucket subtotals, broadcast offsets, bucket-local
-    cumsum) that a global ``sum() OVER (ORDER BY ...)`` degrades to at
-    scale.
+    """EXACT running ``sum``/``max`` of each ``val_cols`` column over the
+    total order of ``order_col`` without a single-partition sort — the
+    two-phase prefix pattern (per-bucket subtotals, broadcast offsets,
+    bucket-local window) that a global ``agg() OVER (ORDER BY ...)``
+    degrades to at scale.
 
     Phase 1: approx-quantile boundaries on ``order_col`` split the
     domain into ~equal buckets; rows bucket by STRICT comparison, so
     the sketch only balances load — it never decides correctness.
-    Per-bucket subtotals of ``val_col`` fold driver-side into prefix
-    offsets (O(buckets) metadata). Phase 2: each bucket runs a
-    bucket-partitioned window cumsum; the global running sum is the
-    bucket offset plus the local cumsum. ``order_col`` must be a total
-    order (unique values) — ties would make the running sum
-    order-dependent exactly as they do under the global window — and
-    must embed into doubles (numeric/timestamp/date)."""
+    Per-bucket subtotals fold driver-side into EXCLUSIVE prefix offsets
+    (O(buckets · len(val_cols)) metadata). Phase 2: each bucket runs a
+    bucket-partitioned window; the global running value combines the
+    bucket offset with the local window (sum adds, max takes the
+    greater). ``inclusive=False`` gives the strictly-preceding frame
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``) — for max,
+    the skyline/running-record shape; the first row of the total order
+    gets NULL, exactly like the window.
+
+    ``order_col`` must be a total order (unique values) — ties would
+    make the running value order-dependent exactly as they do under
+    the global window — and must embed into doubles
+    (numeric/timestamp/date)."""
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be sum|max, got {agg!r}")
     emb = _orderable_as_double(df, order_col)
     if emb is None:
         raise ValueError(
-            f"distributed_prefix_sum needs an order-embeddable column, got {order_col!r}"
+            f"distributed_running_agg needs an order-embeddable column, got {order_col!r}"
         )
     qs = [i / buckets for i in range(1, buckets)]
     bounds = df.select(
@@ -370,28 +380,59 @@ def distributed_prefix_sum(
     for b in bounds:
         bucket = bucket + F.when(emb > F.lit(float(b)), 1).otherwise(0)
     bucketed = df.withColumn("_dps_bucket", bucket)
+    jagg = F.sum if agg == "sum" else F.max
     rows = sorted(
         bucketed.groupBy("_dps_bucket")
-        .agg(F.sum(F.col(val_col)).alias("_s"))
+        .agg(*[jagg(F.col(c)).alias(f"_s{i}") for i, c in enumerate(val_cols)])
         .collect(),
         key=lambda r: r["_dps_bucket"],
     )
-    offs: dict[int, int] = {}
-    cum = 0
+    # exclusive prefix per bucket: sum -> cumulative total of earlier
+    # buckets; max -> running max of earlier buckets (None before any)
+    offs: dict[int, list] = {}
+    acc: list = [0 if agg == "sum" else None] * len(val_cols)
     for r in rows:
-        offs[r["_dps_bucket"]] = cum
-        cum += int(r["_s"] or 0)
-    off_expr = F.lit(0)
-    for b, o in offs.items():
-        off_expr = F.when(F.col("_dps_bucket") == b, F.lit(o)).otherwise(off_expr)
+        offs[r["_dps_bucket"]] = list(acc)
+        for i in range(len(val_cols)):
+            v = r[f"_s{i}"]
+            if v is None:
+                continue
+            if agg == "sum":
+                acc[i] += v
+            else:
+                acc[i] = v if acc[i] is None else max(acc[i], v)
+    hi = Window.currentRow if inclusive else -1
     w_local = (
         Window.partitionBy("_dps_bucket")
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, hi)
     )
-    return (
-        bucketed.withColumn(
-            out, (off_expr + F.sum(F.col(val_col)).over(w_local)).cast("long")
-        )
-        .drop("_dps_bucket")
+    for i, (c, out) in enumerate(zip(val_cols, out_cols)):
+        off_expr = F.lit(None) if agg == "max" else F.lit(0)
+        for b, o in offs.items():
+            off_expr = F.when(F.col("_dps_bucket") == b, F.lit(o[i])).otherwise(off_expr)
+        local = jagg(F.col(c)).over(w_local)
+        if agg == "sum":
+            combined = off_expr + F.coalesce(local, F.lit(0))
+        else:
+            combined = (
+                F.when(local.isNull(), off_expr)
+                .when(off_expr.isNull(), local)
+                .otherwise(F.greatest(off_expr, local))
+            )
+        bucketed = bucketed.withColumn(out, combined)
+    return bucketed.drop("_dps_bucket")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str = "cum",
+    buckets: int = 32,
+) -> DataFrame:
+    """Inclusive two-phase running sum (see distributed_running_agg)."""
+    out_df = distributed_running_agg(
+        df, order_col, [val_col], [out], buckets=buckets, agg="sum", inclusive=True
     )
+    return out_df.withColumn(out, F.col(out).cast("long"))

@@ -54,3 +54,64 @@ def codegen_stage_count(df: DataFrame) -> int:
     plan = explain_str(df, mode="codegen")
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
     return int(m.group(1)) if m else 0
+
+
+def _logical_tree(df: DataFrame) -> list[dict]:
+    """The optimized logical plan as pre-order nodes ({_cls, _ancestors,
+    partitionSpec, global}), walked directly over py4j. NOT via
+    ``toJSON()``: TreeNode JSON serialization hangs/explodes on plans
+    containing higher-order-function lambdas (the distributed_rank
+    bucket expression reproduces it), while a direct child walk is a
+    bounded ~hundreds of py4j calls per plan."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    out: list[dict] = []
+
+    def walk(node, ancestors: tuple[str, ...]) -> None:
+        cls = node.getClass().getSimpleName()
+        info: dict = {"_cls": cls, "_ancestors": ancestors}
+        if cls == "Window":
+            info["partitionSpec"] = not node.partitionSpec().isEmpty()
+        elif cls == "Sort":
+            info["global"] = getattr(node, "global")()
+        out.append(info)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), ancestors + (cls,))
+
+    walk(root, ())
+    return out
+
+
+#: nodes that may sit ABOVE a presentation sort without invalidating it —
+#: they reshape or truncate the already-computed result, nothing more.
+_PRESENTATION = {"Project", "Sort", "GlobalLimit", "LocalLimit", "ReturnAnswer"}
+
+
+def global_window_nodes(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec in the optimized plan —
+    each funnels its whole input through one task at scale. Returns one
+    human-readable line per offender."""
+    hits = []
+    for n in _logical_tree(df):
+        if n["_cls"] == "Window" and not n.get("partitionSpec"):
+            hits.append(f"global Window under {'/'.join(n['_ancestors']) or '<root>'}")
+    return hits
+
+
+def interior_global_sorts(df: DataFrame) -> list[str]:
+    """Global Sort nodes that are NOT the final presentation sort (i.e.
+    something other than project/limit consumes their output). A
+    presentation sort orders the finished result; an interior global
+    sort is a single-partition bottleneck in the dataflow."""
+    hits = []
+    for n in _logical_tree(df):
+        if n["_cls"] == "Sort" and n.get("global"):
+            anc = n["_ancestors"]
+            if anc and anc[-1] == "LocalLimit":
+                # GlobalLimit(LocalLimit(Sort)) — a logical top-k; the
+                # physical plan is TakeOrderedAndProject (per-partition
+                # top-k + driver merge), not a single-partition sort
+                continue
+            if not set(anc).issubset(_PRESENTATION):
+                hits.append(f"global Sort under {'/'.join(anc)}")
+    return hits

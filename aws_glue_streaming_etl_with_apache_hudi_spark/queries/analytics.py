@@ -905,11 +905,16 @@ def pareto_frontier_orders(spark, sf_dir):
     sort-filter-skyline algorithm as a declarative plan (both engines
     share the frame semantics, so the frontier is identical).
 
-    Scale: dedup to distinct points first (one aggregation; the window
-    then runs on |distinct| rows, not |orders|), single global window
-    over a 2-column frame — for partitioned skylines, partition the
-    window and the sort comes co-located."""
-    from pyspark.sql import Window as SW
+    Scale: dedup to distinct points, then ONE candidate per price (the
+    max-date point — same-price earlier dates are dominated inside the
+    group), then the running max over preceding prices comes from
+    operators/skew.py distributed_running_agg (two-phase exclusive
+    prefix MAX: bucket maxima fold driver-side into broadcast offsets,
+    each bucket runs a bucket-partitioned window) — the skyline sweep
+    with NO single-partition sort. Dates ride as unix_micros (an
+    order-isomorphic long), so strict dominance comparisons are
+    unchanged."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_running_agg
 
     o = t(spark, sf_dir, "orders")
     pts = (
@@ -920,14 +925,23 @@ def pareto_frontier_orders(spark, sf_dir):
         .groupBy("price", "odate")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
-    w = (
-        SW.orderBy(F.asc("price"), F.desc("odate"))
-        .rowsBetween(SW.unboundedPreceding, -1)
+    per_price = (
+        pts.withColumn("_od", F.unix_micros(F.col("odate").cast("timestamp")))
+        .groupBy("price")
+        .agg(F.max(F.struct("_od", "odate", "n_orders")).alias("_m"))
+        .select(
+            "price",
+            F.col("_m._od").alias("_od"),
+            F.col("_m.odate").alias("odate"),
+            F.col("_m.n_orders").alias("n_orders"),
+        )
     )
-    ranked = pts.withColumn("best_prev", F.max("odate").over(w))
+    ranked = distributed_running_agg(
+        per_price, "price", ["_od"], ["best_prev"], agg="max", inclusive=False
+    )
     return (
         ranked.filter(
-            F.col("best_prev").isNull() | (F.col("odate") > F.col("best_prev"))
+            F.col("best_prev").isNull() | (F.col("_od") > F.col("best_prev"))
         )
         .select(
             "price",

@@ -544,12 +544,13 @@ def graph_jaccard_neighbors(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
-    rn = F.row_number().over(W.orderBy(F.desc("jaccard"), "u", "v"))
+    # top-20 under the TOTAL order (jaccard desc, u, v): row_number<=20
+    # == orderBy+limit, which Spark plans as TakeOrderedAndProject
+    # (per-partition top-k + driver merge) — never a global window
     return (
-        j.withColumn("rn", rn)
-        .filter(F.col("rn") <= 20)
-        .select("u", "v", "jaccard")
+        j.select("u", "v", "jaccard")
         .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
     )
 
 
@@ -651,8 +652,12 @@ def ks_two_sample(spark, sf_dir):
     cohorts' per-user spend. Both ECDFs are cumulative counts over the
     SAME ordered distinct values divided by exact cohort sizes — step
     heights are exact rationals, so max|F0-F1| is engine-identical. The
-    window sum over distinct values is the only ordered pass, over the
-    per-user table, not raw events."""
+    running counts come from operators/skew.py distributed_running_agg
+    (two-phase: bucket subtotals, broadcast offsets, bucket-local
+    cumsum over DISTINCT spend values) — no single-partition sort even
+    over the per-user step table."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_running_agg
+
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
@@ -666,10 +671,11 @@ def ks_two_sample(spark, sf_dir):
         F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("double").alias("c0"),
         F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("double").alias("c1"),
     )
-    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ecdf = steps.select(
-        (F.sum("c0").over(w) / F.lit(n0)).alias("f0"),
-        (F.sum("c1").over(w) / F.lit(n1)).alias("f1"),
+    ecdf = distributed_running_agg(
+        steps, "x", ["c0", "c1"], ["cum0", "cum1"], agg="sum"
+    ).select(
+        (F.col("cum0") / F.lit(n0)).alias("f0"),
+        (F.col("cum1") / F.lit(n1)).alias("f1"),
     )
     out = ecdf.agg(
         F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 6).alias("ks_d"),
@@ -1460,4 +1466,227 @@ def fdr_bh_screen(spark, sf_dir):
             (F.col("rk") <= F.col("k")).alias("rejected"),
         )
         .orderBy("rk", "event_type")
+    )
+
+
+# -- round 9: one-way ANOVA, Cramér's V, degree assortativity ----------------
+
+
+@register(
+    "anova_oneway",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id % 3 AS grp,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS s,
+             CAST(sum(CAST(x * x AS DECIMAL(30,4))) AS DOUBLE) AS q
+      FROM per_user GROUP BY grp
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nt, CAST(count(*) AS DOUBLE) AS k,
+             sum(s) AS st,
+             sum(s * s / CAST(n AS DOUBLE)) AS sb_part,
+             sum(q) AS qt
+      FROM g
+    )
+    SELECT CAST(nt AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+           round(sb_part - st * st / nt, 4) AS ss_between,
+           round(qt - sb_part, 4) AS ss_within,
+           round(((sb_part - st * st / nt) / (k - 1))
+                 / ((qt - sb_part) / (nt - k)), 6) AS f_stat
+    FROM m
+    """,
+)
+def anova_oneway(spark, sf_dir):
+    """One-way ANOVA F over three user cohorts' per-user spend — the
+    k-group generalization of ab_test_welch (is ANY cohort's mean
+    different?). The sums-of-squares identities (SSB = Σ s_g²/n_g − S²/N,
+    SSW = Σ q_g − Σ s_g²/n_g) need only per-group (n, Σx, Σx²); Σx and
+    Σx² stay DECIMAL through aggregation (x is an exact 2-dp decimal;
+    its square is an exact 4-dp decimal, width-capped at DECIMAL(30,4)
+    per the shared cross-engine rule), so both engines feed identical
+    doubles into the closed-form F. The k-row group frame folds in one
+    two-level aggregation — no window, no driver math.
+
+    Scale: one user-keyed aggregation over events, one k-row rollup —
+    both map-side combinable."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    ).select((F.col("user_id") % 3).alias("grp"), "x")
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).cast("double").alias("q"),
+    )
+    m = g.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("s").alias("st"),
+        F.sum(F.col("s") * F.col("s") / F.col("n").cast("double")).alias("sb_part"),
+        F.sum("q").alias("qt"),
+    )
+    c = F.col
+    ssb = c("sb_part") - c("st") * c("st") / c("nt")
+    ssw = c("qt") - c("sb_part")
+    return m.select(
+        c("nt").cast("long").alias("n_total"),
+        c("k").cast("long").alias("k_groups"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (c("k") - 1)) / (ssw / (c("nt") - c("k"))), 6).alias("f_stat"),
+    )
+
+
+@register(
+    "cramers_v_association",
+    sql="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT seg, st, CAST(count(*) AS BIGINT) AS o FROM joined GROUP BY seg, st
+    ),
+    rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY seg),
+    ct AS (SELECT st, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY st),
+    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(cells.o AS DOUBLE) - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / n.n)
+               * (CAST(cells.o AS DOUBLE) - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / n.n)
+               / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / n.n), 6)
+             AS DECIMAL(18,6)) AS term
+      FROM cells JOIN rt USING (seg) JOIN ct USING (st) CROSS JOIN n
+    ),
+    dims AS (
+      SELECT CAST((SELECT count(*) FROM rt) AS DOUBLE) AS nr,
+             CAST((SELECT count(*) FROM ct) AS DOUBLE) AS nc
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_total,
+           CAST(sum(term) AS DOUBLE) AS chi2,
+           round(sqrt(CAST(sum(term) AS DOUBLE)
+                      / (n.n * (least(dims.nr, dims.nc) - 1))), 6) AS cramers_v
+    FROM terms CROSS JOIN n CROSS JOIN dims
+    GROUP BY n.n, dims.nr, dims.nc
+    """,
+)
+def cramers_v_association(spark, sf_dir):
+    """Cramér's V between customer market segment and order status — the
+    normalized chi-square effect size (how strongly are the two
+    categoricals associated, on a 0..1 scale chi2 alone doesn't give).
+    Expected counts come from exact row/column/total integers; each
+    cell's (O−E)²/E is an identical double in both engines, ROUNDED to
+    6 dp and summed as DECIMAL (the cross-row float-sum rule: per-cell
+    values are order-free, the sum must be), then V normalizes by
+    n·(min(r,c)−1).
+
+    Scale: one fact-dim broadcast join, one (seg, status) cell
+    aggregation — the contingency table is r×c rows; everything after
+    is cell-count math."""
+    o = t(spark, sf_dir, "orders")
+    cdim = t(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(cdim), o["o_custkey"] == cdim["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("double").alias("n"))
+    dims = rt.agg(F.count(F.lit(1)).cast("double").alias("nr")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e, 6
+    ).cast("decimal(18,6)")
+    terms = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"), "n")
+    )
+    chi2 = F.sum("term").cast("double")
+    return (
+        terms.groupBy("n")
+        .agg(chi2.alias("chi2"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n_total"),
+            "chi2",
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))), 6
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "graph_assortativity",
+    sql=f"""
+    WITH {_EDGES_CTE},
+    pairs AS (
+      SELECT CAST(du.degree AS BIGINT) AS x, CAST(dv.degree AS BIGINT) AS y
+      FROM sym e JOIN deg du ON du.node = e.src JOIN deg dv ON dv.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x)::HUGEINT AS DOUBLE) AS sx,
+             CAST(sum(y)::HUGEINT AS DOUBLE) AS sy,
+             CAST(sum(x * y)::HUGEINT AS DOUBLE) AS sxy,
+             CAST(sum(x * x)::HUGEINT AS DOUBLE) AS sxx,
+             CAST(sum(y * y)::HUGEINT AS DOUBLE) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_endpoints,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive means hubs link to hubs (social-network shape), negative
+    means hubs link to leaves (the dependency/star shape). All five
+    moments are INTEGER sums of integer degrees (exact in both engines;
+    the oracle pins HUGEINT->BIGINT-safe casts), so the correlation is
+    one closed-form double, 6 dp.
+
+    Scale: two broadcast-joinable degree lookups on the edge list, one
+    map-side-combinable moment aggregation — no window, no sort; the
+    same degree-orientation bound as the triangle census governs the
+    wedge join that builds the edges."""
+    edges = _edges(spark, sf_dir)
+    sym = G.symmetrize(edges)
+    deg = G.degrees(edges)
+    du = deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "x")
+    dv = deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "y")
+    pairs = sym.join(du, "src").join(dv, "dst").select(
+        F.col("x").cast("long").alias("x"), F.col("y").cast("long").alias("y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    c = F.col
+    r = (c("n") * c("sxy") - c("sx") * c("sy")) / (
+        F.sqrt(c("n") * c("sxx") - c("sx") * c("sx"))
+        * F.sqrt(c("n") * c("syy") - c("sy") * c("sy"))
+    )
+    return m.select(
+        c("n").cast("long").alias("n_endpoints"),
+        F.round(r, 6).alias("assortativity"),
     )

@@ -75,6 +75,15 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Spark 4 captures the Python call site (a full inspect.stack walk
+        # through a py4j roundtrip) on EVERY DataFrame/Column API call for
+        # error decoration — ~3 ms per call, which is ~50% of the whole
+        # plan-build wall for expression-heavy operators (the minhash
+        # pipeline issues ~400 decorated calls per build; measured 2.97 s
+        # -> 0.97 s build for 3 dedup_minhash_lsh constructions with this
+        # off). Errors still surface with the JVM-side context; only the
+        # Python-line decoration is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if warehouse_dir:
         # Persistent catalog: external tables registered by the hive-sync

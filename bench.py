@@ -52,17 +52,63 @@ SF1_QUERIES = ["dedup_minhash_lsh", "knn_lsh", "knn_rerank", "corpus_build_pipel
 SF1_REPLICAS = 10
 
 
+#: bump when the synthesis scheme changes so stale caches rebuild
+_SF1_SCHEME = "v2-full-tables"
+
+
+def _replicate_keyed(spark, reps, src: str, dst: str, key_offsets: dict[str, int]) -> None:
+    """Replicate a parquet table SF1_REPLICAS times, shifting each listed
+    key column by rep * its domain offset — replicas of joined tables
+    shift the SAME key domain by the SAME offset, so every join keeps
+    its per-replica fan-out (the workload scales 10x without changing
+    selectivity)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src).crossJoin(reps)
+    for col, off in key_offsets.items():
+        df = df.withColumn(col, F.col(col) + F.col("_rep") * F.lit(off))
+    df.drop("_rep").repartition(32).write.mode("overwrite").parquet(dst)
+
+
 def ensure_sf1(spark) -> str:
     import shutil
 
     from pyspark.sql import functions as F
 
     marker = os.path.join(SF1_DIR, "_READY")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and _SF1_SCHEME in open(marker).read():
         return SF1_DIR
     shutil.rmtree(SF1_DIR, ignore_errors=True)
     os.makedirs(SF1_DIR)
     reps = spark.range(SF1_REPLICAS).withColumnRenamed("id", "_rep")
+
+    # TPC-H tables + events: replicate with ALIGNED key-domain offsets
+    # (one offset per key domain, from the source table's max key) so
+    # referential joins hold inside each replica. nation/region stay
+    # symlinked — real dims stay dim-sized at any SF.
+    def _off(table: str, key: str) -> int:
+        return int(
+            spark.read.parquet(f"{SF_DIR}/{table}.parquet").agg(F.max(key)).collect()[0][0]
+        ) + 1
+
+    ok_off = _off("orders", "o_orderkey")
+    ck_off = _off("customer", "c_custkey")
+    pk_off = _off("part", "p_partkey")
+    sk_off = _off("supplier", "s_suppkey")
+    uid_off = _off("events", "user_id")
+    eid_off = _off("events", "event_id")
+    plan = {
+        "orders": {"o_orderkey": ok_off, "o_custkey": ck_off},
+        "lineitem": {"l_orderkey": ok_off, "l_partkey": pk_off, "l_suppkey": sk_off},
+        "customer": {"c_custkey": ck_off},
+        "part": {"p_partkey": pk_off},
+        "supplier": {"s_suppkey": sk_off},
+        "events": {"event_id": eid_off, "user_id": uid_off},
+    }
+    for tname, offs in plan.items():
+        _replicate_keyed(
+            spark, reps, f"{SF_DIR}/{tname}.parquet", f"{SF1_DIR}/{tname}.parquet", offs
+        )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     doc_off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -92,13 +138,12 @@ def ensure_sf1(spark) -> str:
         .parquet(f"{SF1_DIR}/embeddings.parquet")
     )
 
-    for tname in ["region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events"]:
+    for tname in ["region", "nation"]:
         src = f"{SF_DIR}/{tname}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{SF1_DIR}/{tname}.parquet")
     with open(marker, "w") as f:
-        f.write(f"from {SF_DIR} x{SF1_REPLICAS}")
+        f.write(f"from {SF_DIR} x{SF1_REPLICAS} {_SF1_SCHEME}")
     return SF1_DIR
 
 
@@ -114,6 +159,30 @@ def sf1_spot(spark) -> dict:
     sf1 = ensure_sf1(spark)
     out: dict[str, float] = {}
     for name in SF1_QUERIES:
+        fn = QUERIES[name].fn
+        fn(spark, sf1).count()  # warmup
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf1).count()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    return {"sf": 1.0, "replicas_of": SF_DIR, "queries": out}
+
+
+def sf1_full(spark, names: list[str]) -> dict:
+    """EVERY headliner at the synthesized sf1 (VERDICT r8 task 5): the
+    r6 knn_lsh 22.6 s scale-killer was invisible at sf0.1 and caught
+    only because that one query happened to be in the 4-query spot —
+    this section removes the blind spot for the other 18. Warmup +
+    min-of-2 per query, persist slots cleared at the section boundary
+    (same hygiene as sf1_spot)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import clear_persist_slots
+
+    clear_persist_slots(spark)
+    sf1 = ensure_sf1(spark)
+    out: dict[str, float] = {}
+    for name in names:
         fn = QUERIES[name].fn
         fn(spark, sf1).count()  # warmup
         runs = []
@@ -322,6 +391,18 @@ def main() -> None:
             out["sf1_spot"] = sf1_spot(spark)
         except Exception as exc:  # never let the spot section kill the bench line
             out["sf1_spot"] = {"error": f"{type(exc).__name__}: {exc}"}
+        # full 22-headliner sweep at sf1 (VERDICT r8 task 5). Opt out
+        # with SPARK_GRAFT_SF1_FULL=0.
+        if os.environ.get("SPARK_GRAFT_SF1_FULL", "1") == "1":
+            try:
+                out["sf1_full"] = sf1_full(
+                    spark, [n for n in names if n not in SF1_QUERIES]
+                )
+                out["sf1_full"]["queries"].update(
+                    out["sf1_spot"].get("queries", {})
+                )
+            except Exception as exc:
+                out["sf1_full"] = {"error": f"{type(exc).__name__}: {exc}"}
     # storage scale rehearsal: same commit against 40/400/4000-partition
     # tables — flat rows prove O(touched) commits (VERDICT r7 task 7).
     # Opt out with SPARK_GRAFT_STORAGE_SCALE=0.
