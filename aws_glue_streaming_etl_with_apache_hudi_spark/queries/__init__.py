@@ -134,76 +134,68 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import warehouse  # n
 # backlog names), newest-listed first.
 
 PRIORITY_WINDOW: list[str] = [
-    # --- the 14 never-driver-sampled late-r7 registrations ---
-    "scd2_user_state_history",     # also the relational-window sentinel
-    "winsorized_segment_stats",    # also the relational-agg sentinel
-    "stratified_split_assignment", # also the training sentinel
-    "perplexity_band_filter",
-    "diversity_kcenter_sample",
-    "temporal_tier_attribution",   # also the relational-join sentinel (interval join)
-    "sql_pipe_syntax_pricing",
-    "bloom_upsert_fastpath_state", # also the upsert sentinel; changed in r8
-    "ltv_cohort_curves",
-    "dedup_recall_eval",           # also the dedup sentinel
-    "cdc_before_after_images",     # also the CDC sentinel; adjacent to r8 fixes
-    "merge_into_state",            # changed in r8 (global-index MERGE fix)
-    "audience_overlap_kmv",        # also the sketches sentinel
-    "theil_sen_daily_trend",       # also the statistics sentinel
-    # --- changed-in-r8 rotations (invariant 2) ---
-    "insert_overwrite_state",      # insert_overwrite now feeds the blooms
-    "approx_aggregates",           # new oracle (partial-merge invariance booleans)
-    "stateful_session_machine",    # stateful sentinel; stateful.py chunk fix
-    "cdc_change_feed",             # timeline clean/archive liveness changed in r8
-    "corpus_build_pipeline_v2",    # changed in r8 (persist-slot stage boundaries)
-    # --- new r8 registrations (all slots: a new query must enter the
-    # window the round it registers, or it becomes next round's debt) ---
-    "snapshot_diff_audit",         # as-of diff over a cleaned+archived timeline
-    "kmeans_lloyd_rounds",         # the IVF coarse quantizer, oracled
-    "graph_kcore_peel",
-    "two_proportion_ztest",
-    "daily_new_vs_returning",
-    "gapfill_interpolate",
-    "dq_referential_orphans",
-    "rank_uniform_features",
-    "sql_named_parameters",
-    "merge_sync_by_source_state", # SQL:2023 NOT MATCHED BY SOURCE clauses
-    "cuped_adjusted_ab",           # variance-reduced A/B readout
-    "cluster_service_state",       # Z-order clustering service end to end
-    "udtf_sentence_split",         # Python UDTF via SQL LATERAL (Spark 3.5+)
-    "sql_listagg_dialect",         # LISTAGG WITHIN GROUP (Spark 4)
-    "k_anonymity_audit",           # governance release gate
-    "observe_pipeline_metrics",    # DataFrame.observe accumulator metrics
-    "applyinarrow_group_profile",  # Arrow-native grouped map (Spark 4)
-    "fdr_bh_screen",               # Benjamini-Hochberg over per-segment KS
-    "agg_mode_per_group",          # deterministic exact mode
-    # --- sentinels for the remaining categories (all r6/r7-green, so
-    # the slot doubles as a freshness re-check) ---
-    "rename_evolution_state",      # schema evolution
-    "delete_partition_state",      # partitioning
-    "asof_join_forward_tolerance", # as-of join (sole member)
-    "tumbling_window_offset",      # streaming windows
-    "mor_partial_state",           # MOR storage
-    "mv_join_incremental",         # incremental storage
-    "knn_recall_eval",             # similarity
-    "multimodal_dedup_store_once", # multimodal
-    "applyinpandas_user_trend",    # pandas-UDF surface
-    "graph_pagerank_3rounds",      # graph
-    "langid_eval_confusion",       # text
-    # --- freshness re-checks: the whole r2-aged cohort (oldest driver
-    # coverage in the registry; every other query is r3+). New r8
-    # registrations displace these from the BOTTOM of this block. ---
-    "scd2_validity_intervals",
-    # displaced by the 15 r8 slots above (still r2-aged; next round's
-    # freshness pool): stream_dedup_first_seen,
-    # q3_shipping_priority, q5_local_supplier_volume,
-    # agg_cube, bloom_filter_join_prune,
-    # zorder_morton_keys, sessionize_events,
-    # dedup_exact, dedup_fingerprint,
-    # dedup_minhash_signatures,
-    # dedup_ngram_jaccard, embedding_label_centroids,
-    # text_quality, text_langid, text_token_counts, text_fingerprints,
-    # embedding_quantize, inverted_index_postings, train_test_split,
-    # quota_sample_per_source
+    # --- changed-in-r9 rotations (invariant 2): the de-vacuated oracle
+    # rows and every query migrated off a global Window/Sort this round ---
+    "sql_named_parameters",        # :start_ts rebound into the data range
+    "subquery_scalar",             # threshold 2x -> 1.5x avg (non-empty)
+    "woe_decile_bins",             # -> distributed_ntile
+    "mann_whitney_u",              # -> distributed_rank; also the statistics-adjacent re-check
+    "rfm_segmentation",            # -> distributed_ntile x3
+    "topk_with_ties",              # -> TakeOrdered threshold plan; also the relational sort/limit re-check
+    "token_shard_packing",         # -> distributed_prefix_sum
+    "ks_two_sample",               # -> distributed_running_agg cumsums
+    "graph_jaccard_neighbors",     # rank<=20 window -> orderBy+limit
+    "pareto_frontier_orders",      # skyline -> exclusive running max
+    # --- new r9 registrations (enter the window the round they register) ---
+    "anova_oneway",                # also the statistics sentinel
+    "cramers_v_association",
+    "graph_assortativity",         # also the graph sentinel
+    # --- freshness: the WHOLE r2-aged cohort (oldest driver coverage;
+    # after r9 no query's newest driver row is older than round 3) ---
+    "agg_cube",                    # also the relational-agg sentinel
+    "bloom_filter_join_prune",     # also the relational-join sentinel
+    "dedup_exact",                 # also the dedup sentinel
+    "dedup_fingerprint",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "embedding_label_centroids",
+    "embedding_quantize",
+    "inverted_index_postings",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "quota_sample_per_source",
+    "sessionize_events",           # also the streaming sentinel
+    "stream_dedup_first_seen",
+    "text_fingerprints",
+    "text_langid",                 # also the text sentinel
+    "text_quality",
+    "text_token_counts",
+    "train_test_split",            # also the training sentinel
+    "zorder_morton_keys",
+    # --- category sentinels pointed at their family's OLDEST member, so
+    # every sentinel slot doubles as a freshness re-check ---
+    "upsert_merge_batches",        # upsert (r3-aged)
+    "schema_evolution_union",      # schema evolution (r6)
+    "partition_path_derivation",   # partitioning (r6)
+    "asof_join_events_orders",     # as-of join (r4)
+    "stateful_running_totals",     # stateful (r5)
+    "mor_incremental",             # MOR storage (r4)
+    "incremental_pull",            # incremental storage (r4)
+    "cdc_change_feed",             # CDC (r8; freshest family)
+    "multimodal_binary_meta",      # multimodal (r5)
+    "applyinpandas_group_rank",    # pandas-UDF surface (r5)
+    "heavy_hitters_cms",           # sketches (r6)
+    "knn_bruteforce",              # similarity (r3)
+    "window_running_sum",          # relational-window (r4)
+    # --- remaining slots: oldest r3-aged fillers ---
+    "agg_grouping_sets",
+    "decontaminate_ngrams",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    # r3-aged names NOT fitting this window (next round's freshness
+    # pool): join_inner_revenue, join_theta_range, knn_bruteforce was
+    # taken as sentinel; q2/q4/q6-q22 TPC-H members, subquery_correlated,
+    # text_stats, text_tfidf_top_term, window_topk_per_group.
 ]
 
 _PRIOR_WINDOW_R7: list[str] = [

@@ -18,31 +18,31 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-8 rotation: sentinels point at their family's never-driver-
-    # sampled late-r7 member where one exists (the slot doubles as a
-    # refresh slot); families with no never-sampled member keep an
-    # r6/r7-green representative.
-    "upsert": "bloom_upsert_fastpath_state",
-    "schema_evolution": "rename_evolution_state",
-    "partitioning": "delete_partition_state",
-    "asof": "asof_join_forward_tolerance",
-    "streaming": "tumbling_window_offset",
-    "stateful": "stateful_session_machine",
-    "storage_mor": "mor_partial_state",
-    "storage_incremental": "mv_join_incremental",
-    "storage_cdc": "cdc_before_after_images",
-    "dedup": "dedup_recall_eval",
-    "similarity": "knn_recall_eval",
-    "text": "langid_eval_confusion",
-    "multimodal": "multimodal_dedup_store_once",
-    "training": "stratified_split_assignment",
-    "udf": "applyinpandas_user_trend",
-    "relational_agg": "winsorized_segment_stats",
-    "relational_join": "temporal_tier_attribution",
-    "relational_window": "scd2_user_state_history",
-    "graph": "graph_pagerank_3rounds",
-    "statistics": "theil_sen_daily_trend",
-    "sketches": "audience_overlap_kmv",
+    # round-9 rotation: every sentinel points at its family's OLDEST
+    # driver-verified member inside the window (the slot doubles as a
+    # freshness re-check); statistics/graph point at this round's new
+    # registrations.
+    "upsert": "upsert_merge_batches",
+    "schema_evolution": "schema_evolution_union",
+    "partitioning": "partition_path_derivation",
+    "asof": "asof_join_events_orders",
+    "streaming": "sessionize_events",
+    "stateful": "stateful_running_totals",
+    "storage_mor": "mor_incremental",
+    "storage_incremental": "incremental_pull",
+    "storage_cdc": "cdc_change_feed",
+    "dedup": "dedup_exact",
+    "similarity": "knn_bruteforce",
+    "text": "text_langid",
+    "multimodal": "multimodal_binary_meta",
+    "training": "train_test_split",
+    "udf": "applyinpandas_group_rank",
+    "relational_agg": "agg_cube",
+    "relational_join": "bloom_filter_join_prune",
+    "relational_window": "window_running_sum",
+    "graph": "graph_assortativity",
+    "statistics": "anova_oneway",
+    "sketches": "heavy_hitters_cms",
 }
 
 
