@@ -106,11 +106,24 @@ def _nullsafe_key_join(
 _HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(i) for i in range(32)}
 
 
+def _part_str(v) -> str:
+    """Render a partition VALUE exactly as Spark's Hive-style writer
+    does. The one divergence from Python's str(): booleans — Spark
+    writes ``part=true``, Python renders ``True``. Before this fix a
+    boolean-partitioned upsert LOST rows: the O(touched) commit read
+    probed ``part=True`` (absent), saw an empty partition, and the
+    dynamic overwrite then replaced ``part=true`` with only the batch
+    (caught by tests/test_bloom_index.py token-render cases)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _hive_escape_part(v) -> str:
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"
     return "".join(
-        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in str(v)
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in _part_str(v)
     )
 
 
@@ -1638,8 +1651,12 @@ class UpsertTable:
 
     @staticmethod
     def _stat_key(values: tuple) -> str:
+        # _part_str, not str(): the bloom probe's JVM-side token is a
+        # cast-to-string (boolean -> 'true'), and a driver/JVM mismatch
+        # permanently disables the fast path for that partition column
         return "|".join(
-            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v) for v in values
+            "__HIVE_DEFAULT_PARTITION__" if v is None else _part_str(v)
+            for v in values
         )
 
     @staticmethod

@@ -268,3 +268,92 @@ def test_bloom_probe_is_one_job_for_many_partitions(spark, table, monkeypatch):
     monkeypatch.setattr(_DF, "collect", orig_collect)
     assert sorted(fast) == [(p,) for p in parts]
     assert calls["n"] == 1, f"probe ran {calls['n']} jobs for 6 partitions"
+
+
+# --- r9 (VERDICT r8 task 7): the batched probe's token-render contract ----
+# The single-job probe keys a broadcast bitset dict by a partition token
+# rendered TWICE: driver-side (_stat_key: str(v) / sentinel for None) and
+# JVM-side (concat_ws of cast-to-string / sentinel). The safety law is
+# one-sided: a mismatch may only DISABLE the fast path (unknown token ->
+# maybe=True -> merge), never produce a false "definitely new" (duplicate
+# rows). These cases pin the law for every partition-column type the
+# engine accepts, including the renders that provably DIFFER (Python
+# str(True)='True' vs JVM 'true'; float '1.5' both sides but '1.0' vs
+# driver '1.0' ok) and the r8 _hive_escape_part surface (quotes, colons,
+# equals, unicode, whitespace).
+
+import datetime
+
+TOKEN_CASES = [
+    ("int", [1, 2], "long"),
+    ("string_plain", ["alpha", "beta"], "string"),
+    ("string_colon_quote", ["a:b", 'q"uote'], "string"),
+    ("string_equals_slash", ["k=v", "a/b"], "string"),
+    ("string_space_unicode", ["has space", "ünïcode"], "string"),
+    ("bool", [True, False], "boolean"),
+    ("date", [datetime.date(2024, 1, 1), datetime.date(2024, 6, 30)], "date"),
+    ("float", [1.5, 2.25], "double"),
+    ("null_string", [None, "present"], "string"),
+]
+
+
+@pytest.mark.parametrize("label,parts,ptype", TOKEN_CASES, ids=[c[0] for c in TOKEN_CASES])
+def test_bloom_probe_token_render_never_false_new(spark, tmp_path, label, parts, ptype):
+    tbl = UpsertTable(
+        spark=spark,
+        path=str(tmp_path / f"tok_{label}"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        bloom_index=True,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, f"k long, part {ptype}, v string, ver long")
+
+    tbl.upsert(df([(1, parts[0], "x", 1), (2, parts[1], "y", 1)]))
+    # RE-upsert the same keys with higher ver: if a render mismatch ever
+    # produced a false "definitely new", the key would duplicate instead
+    # of merging
+    tbl.upsert(df([(1, parts[0], "x2", 2), (2, parts[1], "y2", 2)]))
+    got = sorted(
+        ((r.k, r.v, r.ver) for r in tbl.read().collect()), key=lambda t: t[0]
+    )
+    assert got == [(1, "x2", 2), (2, "y2", 2)], f"{label}: duplicate or lost row"
+
+    # fresh keys into the same partitions still work (fast path OR merge
+    # path both legal — the law is correctness, not which path ran)
+    tbl.upsert(df([(3, parts[0], "z", 1)]))
+    ks = sorted(r.k for r in tbl.read().collect())
+    assert ks == [1, 2, 3]
+
+
+def test_bloom_probe_mismatched_token_degrades_not_fastpaths(spark, tmp_path, monkeypatch):
+    """Directly pin the degradation direction: simulate a future driver/
+    JVM render drift by patching _stat_key to a token the JVM-side
+    concat_ws can never produce, and assert the partition is NOT
+    declared definitely-new (unknown token -> maybe=True -> merge
+    path), even though the key is genuinely absent from the filter."""
+    tbl = UpsertTable(
+        spark=spark,
+        path=str(tmp_path / "tok_direct"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        bloom_index=True,
+    )
+    tbl.upsert(
+        spark.createDataFrame([(1, "a", "x", 1)], "k long, part string, v string, ver long")
+    )
+    monkeypatch.setattr(
+        UpsertTable,
+        "_stat_key",
+        staticmethod(lambda values: "|".join("DRIFTED" for _ in values)),
+    )
+    blooms = tbl._bloom_load()
+    batch = spark.createDataFrame(
+        [(99, "a", "new", 1)], "k long, part string, v string, ver long"
+    )
+    blooms["DRIFTED"] = next(iter(blooms.values()))  # driver-side entry exists
+    fast = tbl._bloom_definitely_new(batch, [("a",)], blooms)
+    assert fast == [], "render drift must disable the fast path, not fake it"
