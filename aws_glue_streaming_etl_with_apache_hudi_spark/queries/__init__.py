@@ -150,6 +150,7 @@ PRIORITY_WINDOW: list[str] = [
     "anova_oneway",                # also the statistics sentinel
     "cramers_v_association",
     "graph_assortativity",         # also the graph sentinel
+    "xml_source_roundtrip",        # Spark 4 native XML source
     # --- freshness: the WHOLE r2-aged cohort (oldest driver coverage;
     # after r9 no query's newest driver row is older than round 3) ---
     "agg_cube",                    # also the relational-agg sentinel
@@ -191,10 +192,10 @@ PRIORITY_WINDOW: list[str] = [
     "agg_grouping_sets",
     "decontaminate_ngrams",
     "dedup_simhash",
-    "q1_pricing_summary",
     # r3-aged names NOT fitting this window (next round's freshness
-    # pool): join_inner_revenue, join_theta_range, knn_bruteforce was
-    # taken as sentinel; q2/q4/q6-q22 TPC-H members, subquery_correlated,
+    # pool): q1_pricing_summary (displaced by xml_source_roundtrip),
+    # join_inner_revenue, join_theta_range,
+    # q2/q4/q6-q22 TPC-H members, subquery_correlated,
     # text_stats, text_tfidf_top_term, window_topk_per_group.
 ]
 

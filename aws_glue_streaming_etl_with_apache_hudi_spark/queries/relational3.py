@@ -1344,3 +1344,70 @@ def applyinarrow_group_profile(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# -- round 9: Spark 4 native XML source --------------------------------------
+
+
+@register(
+    "xml_source_roundtrip",
+    sql="""
+    SELECT n.n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n.n_name) AS first_nation,
+           CAST(sum(length(n.n_name)) AS BIGINT) AS name_chars
+    FROM nation n
+    GROUP BY n.n_regionkey ORDER BY n.n_regionkey
+    """,
+)
+def xml_source_roundtrip(spark, sf_dir):
+    """Spark 4's NATIVE XML source (spark.read.format('xml'), the
+    spark-xml package folded into core — SPARK-44265): the nation dim
+    is round-tripped through an on-disk XML document (one <nation>
+    element per row, written once per fixture and cached) and the read
+    side aggregates it. The oracle computes the identical result from
+    the original parquet, so the hash pins the full write->parse->
+    infer->aggregate XML path, including type recovery (XML infers
+    longs/strings; explicit casts normalize). Completes the source-
+    format family next to parquet/JSON/CSV/rate/python-datasource.
+
+    Scale: XML is a row-based text format — fine as an INTERCHANGE
+    source (files split per-element like JSON lines), wrong as a table
+    format; the query models the ingest-side read, not storage."""
+    import hashlib
+    import os
+
+    xml_dir = os.path.join(
+        "/tmp/spark_graft_xml", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    marker = os.path.join(xml_dir, "_READY")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "nation")
+            .repartition(1)
+            .write.format("xml")
+            .option("rowTag", "nation")
+            .option("rootTag", "nations")
+            .mode("overwrite")
+            .save(xml_dir)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    n = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(xml_dir)
+        .select(
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+            F.col("n_name").cast("string").alias("n_name"),
+        )
+    )
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+            F.sum(F.length("n_name")).cast("long").alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
