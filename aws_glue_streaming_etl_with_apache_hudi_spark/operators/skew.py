@@ -383,14 +383,18 @@ def distributed_running_agg(
     jagg = F.sum if agg == "sum" else F.max
     rows = sorted(
         bucketed.groupBy("_dps_bucket")
-        .agg(*[jagg(F.col(c)).alias(f"_s{i}") for i, c in enumerate(val_cols)])
+        .agg(
+            *[jagg(F.col(c)).alias(f"_s{i}") for i, c in enumerate(val_cols)],
+        )
         .collect(),
         key=lambda r: r["_dps_bucket"],
     )
     # exclusive prefix per bucket: sum -> cumulative total of earlier
-    # buckets; max -> running max of earlier buckets (None before any)
+    # buckets; max -> running max of earlier buckets. None = "no non-null
+    # mass in any earlier bucket" for BOTH aggs, so the SQL window's
+    # null-before-first-value semantics survive the rewrite exactly.
     offs: dict[int, list] = {}
-    acc: list = [0 if agg == "sum" else None] * len(val_cols)
+    acc: list = [None] * len(val_cols)
     for r in rows:
         offs[r["_dps_bucket"]] = list(acc)
         for i in range(len(val_cols)):
@@ -398,7 +402,7 @@ def distributed_running_agg(
             if v is None:
                 continue
             if agg == "sum":
-                acc[i] += v
+                acc[i] = v if acc[i] is None else acc[i] + v
             else:
                 acc[i] = v if acc[i] is None else max(acc[i], v)
     hi = Window.currentRow if inclusive else -1
@@ -408,12 +412,15 @@ def distributed_running_agg(
         .rowsBetween(Window.unboundedPreceding, hi)
     )
     for i, (c, out) in enumerate(zip(val_cols, out_cols)):
-        off_expr = F.lit(None) if agg == "max" else F.lit(0)
+        off_expr = F.lit(None).cast("long")
         for b, o in offs.items():
             off_expr = F.when(F.col("_dps_bucket") == b, F.lit(o[i])).otherwise(off_expr)
         local = jagg(F.col(c)).over(w_local)
         if agg == "sum":
-            combined = off_expr + F.coalesce(local, F.lit(0))
+            combined = (
+                F.when(local.isNull() & off_expr.isNull(), F.lit(None))
+                .otherwise(F.coalesce(off_expr, F.lit(0)) + F.coalesce(local, F.lit(0)))
+            )
         else:
             combined = (
                 F.when(local.isNull(), off_expr)

@@ -156,6 +156,10 @@ def sf1_spot(spark) -> dict:
     # storage under the 10x data (observed: dedup_minhash_lsh sf1 8.1 s
     # in-process vs 2.1 s isolated)
     clear_persist_slots(spark)
+    # full-GC hint after dropping the sf0.1-era caches: 66 headliner
+    # executions leave old-gen pressure that can triple the first sf1
+    # walls (observed 5.9 s vs 2.0 s isolated for dedup_minhash_lsh)
+    spark.sparkContext._jvm.System.gc()
     sf1 = ensure_sf1(spark)
     out: dict[str, float] = {}
     for name in SF1_QUERIES:
@@ -180,6 +184,7 @@ def sf1_full(spark, names: list[str]) -> dict:
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import clear_persist_slots
 
     clear_persist_slots(spark)
+    spark.sparkContext._jvm.System.gc()
     sf1 = ensure_sf1(spark)
     out: dict[str, float] = {}
     for name in names:
