@@ -919,7 +919,10 @@ class UpsertTable:
             return None
         kb = self._with_bucket(keys_df.select(*self.keys).distinct())
         buckets = [r._kb for r in kb.select("_kb").distinct().collect()]
-        idx = rli.read().filter(F.col("_kb").isin(buckets))
+        # O(touched buckets) directory read — rli.read().filter(isin)
+        # pruned the SCAN but still paid the O(rli_buckets) listing,
+        # the same InMemoryFileIndex class the data path fixed in r8
+        idx = rli.read_partitions([(b,) for b in buckets])
         return [
             tuple(r)
             for r in _nullsafe_key_join(idx, kb.select(*self.keys), self.keys, "leftsemi")
