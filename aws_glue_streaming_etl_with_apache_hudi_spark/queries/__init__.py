@@ -151,6 +151,8 @@ PRIORITY_WINDOW: list[str] = [
     "cramers_v_association",
     "graph_assortativity",         # also the graph sentinel
     "xml_source_roundtrip",        # Spark 4 native XML source
+    "map_hof_event_shares",        # map HOF family (transform_values/map_filter)
+    "cume_dist_spend_curve",       # the last unpinned ranking window fn
     # --- freshness: the WHOLE r2-aged cohort (oldest driver coverage;
     # after r9 no query's newest driver row is older than round 3) ---
     "agg_cube",                    # also the relational-agg sentinel
@@ -188,12 +190,11 @@ PRIORITY_WINDOW: list[str] = [
     "heavy_hitters_cms",           # sketches (r6)
     "knn_bruteforce",              # similarity (r3)
     "window_running_sum",          # relational-window (r4)
-    # --- remaining slots: oldest r3-aged fillers ---
+    # --- remaining slot: oldest r3-aged filler ---
     "agg_grouping_sets",
-    "decontaminate_ngrams",
-    "dedup_simhash",
     # r3-aged names NOT fitting this window (next round's freshness
-    # pool): q1_pricing_summary (displaced by xml_source_roundtrip),
+    # pool): q1_pricing_summary, decontaminate_ngrams, dedup_simhash
+    # (displaced by the three new r9 registrations),
     # join_inner_revenue, join_theta_range,
     # q2/q4/q6-q22 TPC-H members, subquery_correlated,
     # text_stats, text_tfidf_top_term, window_topk_per_group.

@@ -2138,3 +2138,44 @@ def k_anonymity_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cume_dist_spend_curve",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, cohort,
+           round(cume_dist() OVER (PARTITION BY cohort ORDER BY x), 6) AS cd,
+           round(x, 2) AS spend
+    FROM per_user ORDER BY user_id
+    """,
+)
+def cume_dist_spend_curve(spark, sf_dir):
+    """cume_dist — the one ranking window function the registry had
+    not pinned (rank/dense_rank/row_number/ntile/percent_rank all
+    have oracled members): each user's spend position as the fraction
+    of cohort rows at-or-below it, tie-inclusive by definition (ties
+    share the cume_dist of their last member — identical in both
+    engines). The window partitions by cohort, so no single-partition
+    sort; spend is the exact decimal per-user sum cast once.
+
+    Scale: one user-keyed aggregation; the ranking window shuffles on
+    cohort — at two cohorts partition-level parallelism is the
+    bound, the classic case for sub-bucketing via distributed_rank if
+    cohorts are few and huge (documented, not needed for the API
+    pin)."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    ).select("user_id", (F.col("user_id") % 2).alias("cohort"), "x")
+    w = W.partitionBy("cohort").orderBy("x")
+    return per_user.select(
+        "user_id",
+        "cohort",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round("x", 2).alias("spend"),
+    ).orderBy("user_id")

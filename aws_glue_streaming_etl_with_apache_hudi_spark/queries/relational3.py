@@ -1411,3 +1411,60 @@ def xml_source_roundtrip(spark, sf_dir):
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "map_hof_event_shares",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id, c.event_type,
+           round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
+    FROM c JOIN t USING (user_id)
+    WHERE CAST(c.n AS DOUBLE) / t.tot >= 0.2
+    ORDER BY c.user_id, c.event_type
+    """,
+)
+def map_hof_event_shares(spark, sf_dir):
+    """Map higher-order functions end to end — the API family the
+    array HOFs (transform/filter/aggregate/zip_with, used across the
+    vector ops) left unpinned: per user, the event-type histogram is
+    materialized AS A MAP (map_from_entries), normalized with
+    transform_values, thresholded with map_filter, and the surviving
+    entries exploded back to rows. The oracle replays the same
+    algebra relationally, so the value hash pins the map kernels'
+    semantics (key preservation, lambda typing, entry order
+    irrelevance). The per-user total comes from aggregate() over
+    map_values — no second shuffle.
+
+    Scale: one (user, type) aggregation + one map_from_entries rollup;
+    all HOFs are row-local JVM expressions."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("hist")
+    )
+    tot = F.aggregate(
+        F.map_values("hist"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).cast("double")
+    shares = F.transform_values(
+        F.col("hist"), lambda k, v: v.cast("double") / F.col("_tot")
+    )
+    kept = F.map_filter(F.col("_shares"), lambda k, v: v >= 0.2)
+    return (
+        m.withColumn("_tot", tot)
+        .withColumn("_shares", shares)
+        .withColumn("_kept", kept)
+        .select("user_id", F.explode("_kept").alias("event_type", "raw_share"))
+        .select(
+            "user_id", "event_type", F.round("raw_share", 6).alias("share")
+        )
+        .orderBy("user_id", "event_type")
+    )
