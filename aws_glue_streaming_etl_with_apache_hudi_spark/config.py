@@ -48,6 +48,13 @@ class PipelineConfig:
     # --bloom_index true: per-partition key blooms (Hudi BLOOM-index
     # analogue) — fresh-key micro-batches append instead of rewriting
     bloom_index: bool = False
+    # --table_type cow|mor: the reference's hoodie...write.table.type job
+    # parameter (COPY_ON_WRITE pinned at glue_job_script.py:53-54; the
+    # CFN template exposes the choice). cow = UpsertTable (read-optimized
+    # writes, per-commit touched-partition rewrite); mor =
+    # MergeOnReadTable (O(batch) delta appends + policy-scheduled
+    # compaction — the 10-second-trigger-friendly shape)
+    table_type: str = "cow"
 
     @classmethod
     def from_argv(cls, argv: list[str]) -> "PipelineConfig":
@@ -62,6 +69,11 @@ class PipelineConfig:
                 kwargs[k] = opts[k]
         if "bloom_index" in opts:
             kwargs["bloom_index"] = opts["bloom_index"].lower() == "true"
+        if "table_type" in opts:
+            tt = opts["table_type"].lower()
+            if tt not in ("cow", "mor"):
+                raise ValueError(f"--table_type must be cow|mor, got {tt!r}")
+            kwargs["table_type"] = tt
         if "partition_fields" in opts:
             # --partition_fields "" = unpartitioned (empty tokens dropped)
             kwargs["partition_fields"] = [

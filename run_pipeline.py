@@ -43,7 +43,7 @@ def main(argv: list[str]) -> None:
             "--window_size ('10 seconds') --source_format (parquet) "
             "--quarantine_dir --once (true|false) --infer_schema (true|false) "
             "--dedup_index_dir --dedup_text_field (text) --dedup_id_field "
-            "--bloom_index (true|false)"
+            "--bloom_index (true|false) --table_type (cow|mor)"
         )
         return
     opts = resolve_options(argv, ["source_dir", "table_path", "checkpoint_path"])
@@ -60,15 +60,30 @@ def main(argv: list[str]) -> None:
         shutil.copy(opts["source_dir"], staged)
         opts["source_dir"] = staged
 
-    table = UpsertTable(
-        spark,
-        cfg.table_path,
-        keys=[cfg.record_key],
-        precombine=cfg.precombine,
-        partition_by=cfg.partition_fields,
-        table_name=cfg.table_name,
-        bloom_index=cfg.bloom_index,
-    )
+    if cfg.table_type == "mor":
+        from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import MergeOnReadTable
+
+        # MOR: each micro-batch appends one delta (O(batch) write);
+        # the default policy compacts inline after 5 delta commits —
+        # Hudi's hoodie.compact.inline.max.delta.commits default
+        table = MergeOnReadTable(
+            spark,
+            cfg.table_path,
+            keys=[cfg.record_key],
+            precombine=cfg.precombine,
+            partition_by=cfg.partition_fields,
+            table_name=cfg.table_name,
+        )
+    else:
+        table = UpsertTable(
+            spark,
+            cfg.table_path,
+            keys=[cfg.record_key],
+            precombine=cfg.precombine,
+            partition_by=cfg.partition_fields,
+            table_name=cfg.table_name,
+            bloom_index=cfg.bloom_index,
+        )
 
     # The driver fixture stores ts as parquet TIMESTAMP(NANOS); a streaming
     # schema must declare it long and convert per batch (readers.load_table

@@ -117,3 +117,18 @@ def test_run_query_cli_list_and_unknown(tmp_path):
         capture_output=True, text=True, timeout=120,
     )
     assert r2.returncode == 2 and "unknown query" in r2.stdout
+
+
+def test_table_type_parameter_parses_and_validates():
+    """--table_type cow|mor (the reference's hoodie write.table.type job
+    parameter; the CFN template exposes the choice the job pins)."""
+    import pytest
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.config import PipelineConfig
+
+    base = ["--table_path", "/t", "--checkpoint_path", "/c"]
+    assert PipelineConfig.from_argv(base).table_type == "cow"
+    assert PipelineConfig.from_argv(base + ["--table_type", "mor"]).table_type == "mor"
+    assert PipelineConfig.from_argv(base + ["--table_type", "MOR"]).table_type == "mor"
+    with pytest.raises(ValueError):
+        PipelineConfig.from_argv(base + ["--table_type", "iceberg"])
