@@ -518,6 +518,28 @@ def cow_merge_bysource_crash_before_write(spark, path):
 
 
 
+def mor_stream_replay_converges(spark, path):
+    """MOR's recovery is ALSO the streaming replay contract (the shape
+    run_pipeline --table_type mor now exposes): a delta lands but the
+    caller dies before acking -> the checkpoint re-delivers the batch
+    and a SECOND identical delta appends. The read-side max_by
+    (precombine, commit seq) picks the later commit with the same
+    values, so the table state converges; compaction folds the
+    redundant delta away. Fault point 23."""
+    t = MergeOnReadTable(
+        spark, path, keys=["k"], precombine="ver", partition_by=["p"],
+        policy=_never(),
+    )
+    t.upsert(_df(spark, B1))
+    with mock.patch.object(MergeOnReadTable, "_save_meta", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    t.upsert(_df(spark, B2))  # checkpoint replay of the same batch
+    assert _snap(t) == AFTER_B2
+    t.compact()
+    assert _snap(t) == AFTER_B2  # the redundant delta folds away
+
+
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
@@ -532,6 +554,7 @@ FAULT_POINTS = [
     mor_restore_swapped_before_meta,
     mor_restore_forward_from_staging,
     cow_upsert_replay_converges,
+    mor_stream_replay_converges,
     cow_cluster_crash_before_manifest,
     cow_cluster_crash_mid_delete,
     cow_cluster_crash_mid_move,
