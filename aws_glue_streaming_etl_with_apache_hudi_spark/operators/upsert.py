@@ -701,16 +701,26 @@ class UpsertTable:
             .when(tos_upd, "updated")
             .otherwise(F.lit(None))
         )
+        # ONE materialization of the join: clause counts and the merged
+        # output both read the cached annotated frame. The first cut
+        # executed the full-outer join TWICE — once for the counts
+        # collect (over `j`), once to populate merged's own persist —
+        # doubling the merge's dominant cost at any scale.
+        annotated = j.select(
+            *out_cols,
+            action.alias("_action"),
+            keep.alias("_keep"),
+            tos_del.alias("_tos_del"),
+            *[F.col(f"t.{k}").alias(f"_t_{k}") for k in self.keys],
+        )
+        merged = annotated.persist()
         counts = {
             r["_action"]: r["n"]
-            for r in j.select(action.alias("_action"))
-            .filter(F.col("_action").isNotNull())
+            for r in merged.filter(F.col("_action").isNotNull())
             .groupBy("_action")
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .collect()  # materializes the cache
         }
-        merged = j.filter(keep).select(*out_cols)
-        merged = merged.persist()
         gone_t = None
         if (
             self.record_index
@@ -722,31 +732,32 @@ class UpsertTable:
             # (CacheManager recache-by-path) — the recompute would then
             # chase files the commit just replaced/removed. Same contract
             # as dedup.py's accepted-signature checkpoint; cluster
-            # deployments swap in a reliable checkpoint dir.
+            # deployments swap in a reliable checkpoint dir. (Served from
+            # the warm annotated cache — no extra join execution.)
             gone_t = (
-                j.filter(tos_del)
-                .select(*[F.col(f"t.{k}").alias(k) for k in self.keys])
+                merged.filter(F.col("_tos_del"))
+                .select(*[F.col(f"_t_{k}").alias(k) for k in self.keys])
                 .distinct()
                 .localCheckpoint()
             )
         try:
-            merged.count()
             # superset invariant: the insert clause ADDS keys, so their
             # bits must land in the touched shards BEFORE the data does
             # (whole source accumulated — matched keys' bits are already
             # set, gated-out keys only cost a false positive)
             self._bloom_note_batch(source)
-            self._write(merged, overwrite_all=False, touched=touched or None)
+            clean = merged.filter(F.col("_keep")).select(*cols)
+            self._write(clean, overwrite_all=False, touched=touched or None)
             if self.partition_by and touched:
-                self._remove_emptied_partitions(touched, merged)
+                self._remove_emptied_partitions(touched, clean)
             if self.record_index:
                 # refresh the record-level index with the keys' (possibly
                 # migrated) homes; deleted keys leave the index
-                self._rli_update(merged, source)
+                self._rli_update(clean, source)
                 if matched_delete_condition is not None:
                     gone = _nullsafe_key_join(
                         source.select(*self.keys).distinct(),
-                        merged.select(*self.keys).distinct(),
+                        clean.select(*self.keys).distinct(),
                         self.keys,
                         "left_anti",
                     )
