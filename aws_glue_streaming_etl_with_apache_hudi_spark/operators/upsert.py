@@ -1803,26 +1803,30 @@ class UpsertTable:
         # then re-insert fresh stats for partitions present on disk.
         # Raw read (no meta dependency — on the first commit meta does not
         # exist yet): partition columns arrive as strings, which is the
-        # stat-key format already.
-        fresh = self.spark.read.parquet(self.path)
+        # stat-key format already. Touched commits list ONLY the touched
+        # directories (basePath-scoped) — the root read paid the
+        # O(table partitions) InMemoryFileIndex listing before pruning,
+        # the same class as the r8 read_partitions fix.
         if touched is not None:
             for values in touched:
                 prior.pop(self._stat_key(values), None)
-            cond = None
-            for values in touched:
-                clause = None
-                for col_name, v in zip(self.partition_by, values):
-                    eq = (
-                        F.col(col_name).isNull()
-                        if v is None
-                        else F.col(col_name).eqNullSafe(F.lit(str(v)))
-                    )
-                    clause = eq if clause is None else (clause & eq)
-                cond = clause if cond is None else (cond | clause)
-            if cond is not None:
-                fresh = fresh.filter(cond)
+            dirs = [
+                os.path.join(
+                    self.path,
+                    *(
+                        f"{c}={_hive_escape_part(v)}"
+                        for c, v in zip(self.partition_by, values)
+                    ),
+                )
+                for values in touched
+            ]
+            dirs = [d for d in dirs if os.path.isdir(d)]
+            if not dirs:
+                return prior  # every touched partition emptied/gone
+            fresh = self.spark.read.option("basePath", self.path).parquet(*dirs)
         else:
             prior = {}
+            fresh = self.spark.read.parquet(self.path)
         aggs = []
         for c in self.stats_columns:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
