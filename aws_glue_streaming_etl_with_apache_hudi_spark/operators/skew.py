@@ -133,9 +133,18 @@ def distributed_rank(
     which is safe because tie blocks never split across buckets).
 
     Returns ``df`` with an ``out`` column holding the chosen rank."""
+    # bucket on the double ORDER EMBEDDING (numerics cast; timestamps/
+    # dates via epoch) — percentile_approx over the raw column returned
+    # datetimes the float() boundary fold could not take, so timestamp
+    # rank columns previously failed outright
+    emb = _orderable_as_double(df, col)
+    if emb is None:
+        raise ValueError(
+            f"distributed_rank needs an order-embeddable column, got {col!r}"
+        )
     qs = [i / buckets for i in range(1, buckets)]
     bounds = df.select(
-        F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias(
+        F.percentile_approx(emb, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias(
             "b"
         )
     ).collect()[0]["b"]
@@ -144,7 +153,7 @@ def distributed_rank(
     bucket = F.aggregate(
         barr,
         F.lit(0),
-        lambda acc, b: acc + F.when(F.col(col).cast("double") > b, 1).otherwise(0),
+        lambda acc, b: acc + F.when(emb > b, 1).otherwise(0),
     )
     bucketed = df.withColumn("_drk_bucket", bucket)
     # Per-bucket counts fold driver-side into prefix offsets — O(buckets)
@@ -192,6 +201,11 @@ def _orderable_as_double(df: DataFrame, c: str):
         return F.col(c).cast("double")
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(F.col(c)).cast("double")
+    if isinstance(dt, T.TimestampNTZType):
+        # the fixtures' native timestamp type (parquet TIMESTAMP_NTZ);
+        # cast through TIMESTAMP is monotone and injective under the
+        # fixed UTC session zone, so order embeds exactly
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
     if isinstance(dt, T.DateType):
         return F.col(c).cast("timestamp").cast("double")
     return None

@@ -330,3 +330,33 @@ def test_distributed_prefix_sum_rejects_strings(spark):
     df = spark.range(10).select(F.format_string("k%d", "id").alias("k"), F.lit(1).alias("v"))
     with pytest.raises(ValueError):
         distributed_prefix_sum(df, "k", "v")
+
+
+def test_distributed_primitives_accept_timestamp_ntz(spark):
+    """TIMESTAMP_NTZ — the fixtures' native timestamp type — must embed
+    into the bucketing order for both rank order columns and ntile tie
+    breakers (the rfm_segmentation migration initially tripped on it)."""
+    from pyspark.sql import Window
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import (
+        distributed_rank,
+        distributed_running_agg,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.timestamp_seconds(F.col("id") * 3601)).cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    assert str(df.schema["ts"].dataType) == "TimestampNTZType()"
+    got = distributed_rank(df, "ts", out="r", buckets=8)
+    want = df.withColumn("r", F.rank().over(Window.orderBy("ts")))
+    assert {r["k"]: r["r"] for r in got.collect()} == {
+        r["k"]: r["r"] for r in want.collect()
+    }
+    ra = distributed_running_agg(df, "ts", ["one"], ["cum"], buckets=8)
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want2 = df.withColumn("cum", F.sum("one").over(w))
+    assert {r["k"]: r["cum"] for r in ra.collect()} == {
+        r["k"]: r["cum"] for r in want2.collect()
+    }
