@@ -15,6 +15,7 @@ data flow only.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -377,7 +378,16 @@ def distributed_running_agg(
     ``order_col`` must be a total order (unique values) — ties would
     make the running value order-dependent exactly as they do under
     the global window — and must embed into doubles
-    (numeric/timestamp/date)."""
+    (numeric/timestamp/date).
+
+    Exactness: bit-exact window equivalence holds for integral sums and
+    for max (all current callers). For FLOAT sums the driver-side
+    offset fold uses ``math.fsum`` over the bucket subtotals (correctly
+    rounded, order-independent), but the subtotals themselves and the
+    window's row-order additions are non-associative — late-decimal
+    divergence from a literal ``sum() OVER`` is possible, the standard
+    cross-engine float-sum caveat (round or cast per the oracle rules
+    in queries/base.py when comparing)."""
     if agg not in ("sum", "max"):
         raise ValueError(f"agg must be sum|max, got {agg!r}")
     emb = _orderable_as_double(df, order_col)
@@ -408,6 +418,7 @@ def distributed_running_agg(
     # mass in any earlier bucket" for BOTH aggs, so the SQL window's
     # null-before-first-value semantics survive the rewrite exactly.
     offs: dict[int, list] = {}
+    seen: list = [[] for _ in val_cols]  # non-null subtotals so far, per col
     acc: list = [None] * len(val_cols)
     for r in rows:
         offs[r["_dps_bucket"]] = list(acc)
@@ -416,7 +427,13 @@ def distributed_running_agg(
             if v is None:
                 continue
             if agg == "sum":
-                acc[i] = v if acc[i] is None else acc[i] + v
+                # float subtotals fold via math.fsum (correctly rounded,
+                # bucket-order independent); ints stay exact plain adds
+                seen[i].append(v)
+                if any(isinstance(x, float) for x in seen[i]):
+                    acc[i] = math.fsum(seen[i])
+                else:
+                    acc[i] = acc[i] + v if acc[i] is not None else v
             else:
                 acc[i] = v if acc[i] is None else max(acc[i], v)
     hi = Window.currentRow if inclusive else -1

@@ -36,6 +36,7 @@ distinct partition tuples (bounded by touched-partition count).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 from dataclasses import dataclass, field
@@ -108,14 +109,29 @@ _HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(i) for i in range(32)}
 
 def _part_str(v) -> str:
     """Render a partition VALUE exactly as Spark's Hive-style writer
-    does. The one divergence from Python's str(): booleans — Spark
-    writes ``part=true``, Python renders ``True``. Before this fix a
-    boolean-partitioned upsert LOST rows: the O(touched) commit read
-    probed ``part=True`` (absent), saw an empty partition, and the
-    dynamic overwrite then replaced ``part=true`` with only the batch
-    (caught by tests/test_bloom_index.py token-render cases)."""
+    does. Two divergences from Python's str():
+
+    * booleans — Spark writes ``part=true``, Python renders ``True``.
+      Before this fix a boolean-partitioned upsert LOST rows: the
+      O(touched) commit read probed ``part=True`` (absent), saw an
+      empty partition, and the dynamic overwrite then replaced
+      ``part=true`` with only the batch.
+    * timestamps — Spark trims trailing zeros in fractional seconds
+      (``.5``, ``.123``, ``.0001``; no ``.0`` at whole seconds) while
+      ``str(datetime)`` renders the full six digits (``.500000``) —
+      the same silent-row-loss path for fractional-second
+      timestamp-partitioned tables (verified against what Spark 4's
+      writer and cast-to-string actually emit for both TIMESTAMP and
+      TIMESTAMP_NTZ).
+
+    Both pinned by TOKEN_CASES in tests/test_bloom_index.py."""
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += ("." + f"{v.microsecond:06d}").rstrip("0")
+        return s
     return str(v)
 
 
@@ -1721,6 +1737,27 @@ class UpsertTable:
             )
             .collect()
         )
+        # Safety law (ADVICE r9): the accumulated bits are keyed by the
+        # JVM-rendered token, but _bloom_save filters by the driver-side
+        # _stat_key — on any future render drift the bits would land
+        # under an unsaved key and silently vanish (the shard stops
+        # reflecting writes until rebuild_bloom). Guard: every JVM token
+        # must be in the batch's touched _stat_key set; if one isn't,
+        # discard this pass's accumulation and rerun the collected-
+        # Python-values _bloom_accumulate (which keys by _stat_key and
+        # cannot drift). Verdicts for drifted tokens then miss the
+        # _stat_key lookup below -> merge path, the conservative
+        # direction. Costs one extra job only when drift actually
+        # happens (never, after the _part_str timestamp fix).
+        touched_toks = {self._stat_key(v) for v in touched}
+        if any(r["_tok"] not in touched_toks for r in rows):
+            self._bloom_accumulate(batch, blooms)
+            verdict = {r["_tok"]: r["any_maybe"] for r in rows}
+            return [
+                values
+                for values in candidates
+                if verdict.get(self._stat_key(values)) is False
+            ]
         verdict: dict = {}
         for r in rows:
             tok = r["_tok"]

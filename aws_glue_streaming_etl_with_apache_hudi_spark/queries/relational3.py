@@ -1377,9 +1377,22 @@ def xml_source_roundtrip(spark, sf_dir):
     import hashlib
     import os
 
-    xml_dir = os.path.join(
-        "/tmp/spark_graft_xml", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    )
+    # Cache key = content fingerprint of the nation parquet (path +
+    # per-file size/mtime), not the sf_dir path alone — a regenerated
+    # fixture at the same path gets a fresh render instead of serving
+    # stale XML against a fresh oracle (ADVICE r9). Marker is written
+    # atomically (tmp + os.replace) so parallel test workers either see
+    # a complete render or rebuild into their own keyed dir.
+    src = os.path.join(sf_dir, "nation.parquet")
+    fp = hashlib.md5(src.encode())
+    walk_src = src if os.path.isdir(src) else os.path.dirname(src)
+    for root, _dirs, files in sorted(os.walk(walk_src)):
+        for fn in sorted(files):
+            if not (fn.startswith("nation") or "nation" in root):
+                continue
+            st = os.stat(os.path.join(root, fn))
+            fp.update(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    xml_dir = os.path.join("/tmp/spark_graft_xml", fp.hexdigest()[:16])
     marker = os.path.join(xml_dir, "_READY")
     if not os.path.exists(marker):
         (
@@ -1391,8 +1404,10 @@ def xml_source_roundtrip(spark, sf_dir):
             .mode("overwrite")
             .save(xml_dir)
         )
-        with open(marker, "w") as f:
+        tmp = marker + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write("ok")
+        os.replace(tmp, marker)
     n = (
         spark.read.format("xml")
         .option("rowTag", "nation")

@@ -294,7 +294,43 @@ TOKEN_CASES = [
     ("date", [datetime.date(2024, 1, 1), datetime.date(2024, 6, 30)], "date"),
     ("float", [1.5, 2.25], "double"),
     ("null_string", [None, "present"], "string"),
+    # r10 (ADVICE r9): fractional-second timestamps — Spark's writer and
+    # cast-to-string trim trailing zeros (.500000 -> .5) while Python
+    # str() keeps six digits; _part_str must render the trimmed form for
+    # BOTH TIMESTAMP and TIMESTAMP_NTZ or the commit read drops rows
+    (
+        "timestamp_frac",
+        [
+            datetime.datetime(2021, 1, 1, 0, 0, 0, 500000),
+            datetime.datetime(2021, 1, 1, 12, 30, 15, 123000),
+        ],
+        "timestamp",
+    ),
+    (
+        "timestamp_ntz_edge",
+        [
+            datetime.datetime(2021, 1, 1, 6, 0, 0),
+            datetime.datetime(2021, 1, 1, 6, 0, 0, 100),
+        ],
+        "timestamp_ntz",
+    ),
 ]
+
+
+def test_part_str_matches_spark_writer_timestamp_render():
+    """Pin _part_str's timestamp render against what Spark 4's Hive-style
+    writer actually emits (probed: ts=2021-01-01 00%3A00%3A00.5 etc —
+    trailing zeros trimmed, no '.0' at whole seconds, '.0001' for 100µs)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import _part_str
+
+    cases = [
+        (datetime.datetime(2021, 1, 1, 0, 0, 0, 500000), "2021-01-01 00:00:00.5"),
+        (datetime.datetime(2021, 1, 1, 12, 30, 15, 123000), "2021-01-01 12:30:15.123"),
+        (datetime.datetime(2021, 1, 1, 6, 0, 0), "2021-01-01 06:00:00"),
+        (datetime.datetime(2021, 1, 1, 6, 0, 0, 100), "2021-01-01 06:00:00.0001"),
+    ]
+    for v, want in cases:
+        assert _part_str(v) == want, (v, _part_str(v), want)
 
 
 @pytest.mark.parametrize("label,parts,ptype", TOKEN_CASES, ids=[c[0] for c in TOKEN_CASES])
