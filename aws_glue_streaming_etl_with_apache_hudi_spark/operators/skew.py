@@ -474,3 +474,106 @@ def distributed_prefix_sum(
         df, order_col, [val_col], [out], buckets=buckets, agg="sum", inclusive=True
     )
     return out_df.withColumn(out, F.col(out).cast("long"))
+
+
+def distributed_cume_dist(
+    df: DataFrame,
+    part_cols: list[str],
+    col: str,
+    out: str = "cd",
+    buckets: int = 32,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """EXACT ``cume_dist() OVER (PARTITION BY part_cols ORDER BY col)``
+    for FEW, HUGE cohorts — the case where the literal window is a
+    scale bug (two cohorts at 100 TB push half the table through one
+    task) and plain ``Window.partitionBy`` buys nothing.
+
+    ``cume_dist`` is the tie-inclusive rank over the cohort size:
+    ``count(x' <= x within cohort) / n_cohort``. The rewrite is the
+    same two-phase shape as distributed_rank, sub-bucketed per cohort:
+
+    1. GLOBAL approx-quantile boundaries on ``col`` split the value
+       domain into ~equal buckets; rows bucket by STRICT comparison, so
+       a tie block can never straddle a boundary — the sketch balances
+       load, it never decides correctness.
+    2. Per-(cohort, bucket) counts fold driver-side into per-cohort
+       exclusive prefix offsets and cohort totals — O(cohorts x
+       buckets) metadata (``max_cells`` guards the contract: beyond a
+       few thousand cohorts the literal window is already parallel and
+       this primitive is the wrong tool).
+    3. Each (cohort, bucket) runs a RANGE-framed count window —
+       ``rangeBetween(unboundedPreceding, currentRow)`` counts all rows
+       with value <= current INCLUDING ties, exactly the cume_dist
+       numerator — and the global numerator adds the broadcast offset.
+
+    Parallelism is cohorts x buckets tasks instead of cohorts."""
+    emb = _orderable_as_double(df, col)
+    if emb is None:
+        raise ValueError(
+            f"distributed_cume_dist needs an order-embeddable column, got {col!r}"
+        )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.select(
+        F.percentile_approx(emb, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias("b")
+    ).collect()[0]["b"]
+    bounds = sorted(set(bounds or []))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.aggregate(
+        barr, F.lit(0), lambda acc, b: acc + F.when(emb > b, 1).otherwise(0)
+    )
+    bucketed = df.withColumn("_dcd_bucket", bucket)
+    cells = bucketed.groupBy(*part_cols, "_dcd_bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"distributed_cume_dist collected {len(cells)} (cohort, bucket) "
+            f"cells > max_cells={max_cells}; with that many cohorts the "
+            "plain partitioned window is already parallel — use it"
+        )
+    by_cohort: dict[tuple, list] = {}
+    for r in cells:
+        pv = tuple(r[c] for c in part_cols)
+        by_cohort.setdefault(pv, []).append((r["_dcd_bucket"], r["_n"]))
+    spark = df.sparkSession
+    rows = []
+    for pv, blist in by_cohort.items():
+        total = sum(n for _b, n in blist)
+        cum = 0
+        for b, n in sorted(blist):
+            rows.append((*pv, b, cum, total))
+            cum += n
+    part_fields = [df.schema[c] for c in part_cols]
+    import pyspark.sql.types as T
+
+    meta_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in part_fields]
+        + [
+            T.StructField("_dcd_bucket", T.IntegerType()),
+            T.StructField("_dcd_off", T.LongType()),
+            T.StructField("_dcd_total", T.LongType()),
+        ]
+    )
+    meta = F.broadcast(spark.createDataFrame(rows, meta_schema))
+    cond = F.col("_l._dcd_bucket") == F.col("_r._dcd_bucket")
+    for c in part_cols:
+        cond = cond & F.col(f"_l.`{c}`").eqNullSafe(F.col(f"_r.`{c}`"))
+    joined = (
+        bucketed.alias("_l")
+        .join(meta.alias("_r"), cond, "left")
+        .select("_l.*", "_r._dcd_off", "_r._dcd_total")
+    )
+    w_local = (
+        Window.partitionBy(*part_cols, "_dcd_bucket")
+        .orderBy(col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            out,
+            (F.col("_dcd_off") + F.count(F.lit(1)).over(w_local)).cast("double")
+            / F.col("_dcd_total").cast("double"),
+        )
+        .drop("_dcd_bucket", "_dcd_off", "_dcd_total")
+    )

@@ -68,7 +68,7 @@ def _logical_tree(df: DataFrame) -> list[dict]:
 
     def walk(node, ancestors: tuple[str, ...]) -> None:
         cls = node.getClass().getSimpleName()
-        info: dict = {"_cls": cls, "_ancestors": ancestors}
+        info: dict = {"_cls": cls, "_ancestors": ancestors, "_node": node}
         if cls == "Window":
             info["partitionSpec"] = not node.partitionSpec().isEmpty()
         elif cls == "Sort":
@@ -80,6 +80,79 @@ def _logical_tree(df: DataFrame) -> list[dict]:
 
     walk(root, ())
     return out
+
+
+def _collect_alias_map(nodes: list[dict]) -> dict:
+    """exprId.id -> defining JVM expression, from every Project /
+    Aggregate / Window named-expression list in the plan (exprIds are
+    plan-globally unique, so one flat map is safe)."""
+    alias_map: dict = {}
+    getters = {
+        "Project": "projectList",
+        "Aggregate": "aggregateExpressions",
+        "Window": "windowExpressions",
+    }
+    for n in nodes:
+        getter = getters.get(n["_cls"])
+        if getter is None:
+            continue
+        seq = getattr(n["_node"], getter)()
+        for i in range(seq.size()):
+            ne = seq.apply(i)
+            if ne.getClass().getSimpleName() == "Alias":
+                alias_map[ne.exprId().id()] = ne.child()
+    return alias_map
+
+
+def _bounded_cardinality(expr, alias_map: dict, depth: int = 0) -> bool:
+    """True when ``expr``'s value domain is FIXED regardless of data
+    volume — the partition keys that make a "partitioned" window a
+    single-task funnel in disguise. Detected classes: literals, boolean-
+    typed expressions (2 values + null), ``x % <literal>`` / ``pmod(x,
+    <literal>)`` (domain = the literal), casts of those, and attributes
+    whose defining Alias (traced through Project/Aggregate lists)
+    resolves to one of those."""
+    if depth > 8:
+        return False
+    cls = expr.getClass().getSimpleName()
+    if cls == "Literal":
+        return True
+    if expr.dataType().simpleString() == "boolean":
+        return True
+    if cls in ("Remainder", "Pmod"):
+        right = expr.children().apply(1)
+        return right.getClass().getSimpleName() == "Literal"
+    if cls == "Cast":
+        return _bounded_cardinality(expr.children().apply(0), alias_map, depth + 1)
+    if cls == "AttributeReference":
+        target = alias_map.get(expr.exprId().id())
+        if target is not None:
+            return _bounded_cardinality(target, alias_map, depth + 1)
+    return False
+
+
+def bounded_partition_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose partition spec consists ENTIRELY of bounded-
+    cardinality expressions (see _bounded_cardinality) — at scale these
+    behave like the partition-LESS windows global_window_nodes flags:
+    the row count per partition grows with the data while the partition
+    count stays fixed, so a handful of tasks own the whole table.
+    Returns one human-readable line per offender."""
+    nodes = _logical_tree(df)
+    alias_map = _collect_alias_map(nodes)
+    hits = []
+    for n in nodes:
+        if n["_cls"] != "Window" or not n.get("partitionSpec"):
+            continue
+        spec = n["_node"].partitionSpec()
+        exprs = [spec.apply(i) for i in range(spec.size())]
+        if exprs and all(_bounded_cardinality(e, alias_map) for e in exprs):
+            keys = ", ".join(e.sql() for e in exprs)
+            hits.append(
+                f"bounded-cardinality Window partition [{keys}] under "
+                f"{'/'.join(n['_ancestors']) or '<root>'}"
+            )
+    return hits
 
 
 #: nodes that may sit ABOVE a presentation sort without invalidating it —

@@ -2160,22 +2160,27 @@ def cume_dist_spend_curve(spark, sf_dir):
     have oracled members): each user's spend position as the fraction
     of cohort rows at-or-below it, tie-inclusive by definition (ties
     share the cume_dist of their last member — identical in both
-    engines). The window partitions by cohort, so no single-partition
-    sort; spend is the exact decimal per-user sum cast once.
+    engines). Spend is the exact decimal per-user sum cast once.
 
-    Scale: one user-keyed aggregation; the ranking window shuffles on
-    cohort — at two cohorts partition-level parallelism is the
-    bound, the classic case for sub-bucketing via distributed_rank if
-    cohorts are few and huge (documented, not needed for the API
-    pin)."""
+    Scale: the cohort key has TWO values, so a literal
+    ``cume_dist() OVER (PARTITION BY cohort ...)`` pushes half the
+    per-user table through one task at any scale. The plan instead
+    uses operators/skew.py distributed_cume_dist — global value
+    buckets x per-cohort broadcast offsets; the only window is
+    partitioned by (cohort, bucket), parallelism cohorts x 32, and the
+    math (inclusive RANGE-frame count / cohort total = rank of last
+    tie / n) equals cume_dist exactly because strict bucket boundaries
+    never split a tie block (VERDICT r9 item 1)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_cume_dist
+
     e = t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
     ).select("user_id", (F.col("user_id") % 2).alias("cohort"), "x")
-    w = W.partitionBy("cohort").orderBy("x")
-    return per_user.select(
+    with_cd = distributed_cume_dist(per_user, ["cohort"], "x", out="_cd")
+    return with_cd.select(
         "user_id",
         "cohort",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.col("_cd"), 6).alias("cd"),
         F.round("x", 2).alias("spend"),
     ).orderBy("user_id")

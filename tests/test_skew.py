@@ -360,3 +360,68 @@ def test_distributed_primitives_accept_timestamp_ntz(spark):
     assert {r["k"]: r["cum"] for r in ra.collect()} == {
         r["k"]: r["cum"] for r in want2.collect()
     }
+
+
+# -- r10: distributed_cume_dist (VERDICT r9 task 1) --------------------------
+
+
+def test_distributed_cume_dist_matches_window(spark):
+    """Two-value cohort key (the exact cume_dist_spend_curve shape),
+    heavy ties, negatives: the two-phase rewrite must equal the literal
+    cume_dist() window EXACTLY — division count/total is the same
+    float op in both plans."""
+    from pyspark.sql import Window
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_cume_dist
+
+    rows = [(i, i % 2, float(v)) for i, v in enumerate(
+        [5, 5, 5, -3, 2, 2, 9, -3, 0, 5, 1, 1, 1, 7, -8, 2, 2, 2, 6, 4]
+    )]
+    df = spark.createDataFrame(rows, "id long, cohort long, x double")
+    for buckets in (1, 2, 7, 32):
+        got = distributed_cume_dist(df, ["cohort"], "x", out="cd", buckets=buckets)
+        w = Window.partitionBy("cohort").orderBy("x")
+        want = df.withColumn("cd", F.cume_dist().over(w))
+        g = {r["id"]: r["cd"] for r in got.collect()}
+        x = {r["id"]: r["cd"] for r in want.collect()}
+        assert g == x, f"buckets={buckets}"
+
+
+def test_distributed_cume_dist_all_equal_values(spark):
+    """Everyone ties: cume_dist is 1.0 for every row (rank of last tie =
+    n), and the single tie block must not split across buckets."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_cume_dist
+
+    df = spark.createDataFrame(
+        [(i, i % 3, 42.0) for i in range(30)], "id long, cohort long, x double"
+    )
+    got = distributed_cume_dist(df, ["cohort"], "x", out="cd", buckets=8)
+    assert all(r["cd"] == 1.0 for r in got.collect())
+
+
+def test_distributed_cume_dist_window_is_subbucketed(spark):
+    """The scale contract itself: the only Window in the plan partitions
+    by (cohort, bucket) — never by the bounded cohort alone."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_cume_dist
+    from aws_glue_streaming_etl_with_apache_hudi_spark.plans import (
+        bounded_partition_windows,
+        global_window_nodes,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 2).alias("cohort"),
+        (F.col("id") * 7 % 13).cast("double").alias("x"),
+    )
+    got = distributed_cume_dist(df, ["cohort"], "x", out="cd")
+    assert not global_window_nodes(got)
+    assert not bounded_partition_windows(got)
+
+
+def test_distributed_cume_dist_max_cells_guard(spark):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_cume_dist
+
+    df = spark.range(100).select(
+        F.col("id"), F.col("id").alias("cohort"), F.col("id").cast("double").alias("x")
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        distributed_cume_dist(df, ["cohort"], "x", buckets=4, max_cells=10)
