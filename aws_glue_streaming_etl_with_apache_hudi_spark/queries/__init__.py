@@ -133,7 +133,92 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import warehouse  # n
 # New r8 registrations displace freshness fillers (never sentinels or
 # backlog names), newest-listed first.
 
+# Round-10 rotation (VERDICT r9 task 3): the freshness floor rises to
+# round 4 — the ENTIRE r3-aged cohort (27 queries, the oldest driver
+# coverage left) rotates in. Changed-in-r10 queries rotate in per
+# invariant 2: cume_dist_spend_curve (migrated onto the new
+# distributed_cume_dist sub-bucketed primitive), xml_source_roundtrip
+# (content-fingerprint render cache), and the three
+# distributed_running_agg consumers (the offset fold gained the fsum
+# float path): ks_two_sample, pareto_frontier_orders,
+# token_shard_packing. corpus_stream_e2e (new this round — the streamed
+# quality->LSH-dedup->MOR->datasheet composition) enters the window the
+# round it registers. Category sentinels point at their family's OLDEST
+# driver-verified member (the slot doubles as a freshness re-check);
+# the two spare slots take the oldest r4-aged headliners
+# (corpus_build_pipeline, dedup_minhash_lsh).
 PRIORITY_WINDOW: list[str] = [
+    # --- changed-in-r10 rotations (invariant 2) ---
+    "cume_dist_spend_curve",       # -> distributed_cume_dist (VERDICT r9 #1)
+    "xml_source_roundtrip",        # content-fingerprint cache (ADVICE r9)
+    "ks_two_sample",               # distributed_running_agg consumer
+    "pareto_frontier_orders",      # distributed_running_agg consumer
+    "token_shard_packing",         # distributed_prefix_sum consumer; training sentinel
+    # --- new r10 registration ---
+    "corpus_stream_e2e",           # streamed A1->A12 corpus composition
+    # --- freshness: the WHOLE r3-aged cohort (after r10 no query's
+    # newest driver row is older than round 4) ---
+    "decontaminate_ngrams",
+    "dedup_simhash",               # also the dedup sentinel
+    "join_inner_revenue",          # also the relational-join sentinel
+    "join_theta_range",
+    "q1_pricing_summary",          # also the relational-agg sentinel
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "subquery_correlated",
+    "text_stats",                  # also the text sentinel
+    "text_tfidf_top_term",
+    "window_topk_per_group",       # also the relational-window sentinel
+    # --- category sentinels at their family's OLDEST member ---
+    "upsert_latest_state",         # upsert (r4-aged)
+    "rename_evolution_state",      # schema evolution (r8)
+    "zorder_layout_stats",         # partitioning (r7)
+    "asof_join_forward_tolerance", # as-of join (r8)
+    "tumbling_window_agg",         # streaming (r4-aged)
+    "stateful_session_machine",    # stateful (r8)
+    "mor_partial_state",           # MOR storage (r8)
+    "secondary_index_lookup",      # incremental storage (r7)
+    "cdc_before_after_images",     # CDC (r8)
+    "knn_ivf",                     # similarity (r4-aged)
+    "multimodal_dedup_store_once", # multimodal (r8)
+    "applyinpandas_user_trend",    # pandas-UDF surface (r8)
+    "graph_components_4rounds",    # graph (r7)
+    "ab_test_welch",               # statistics (r7)
+    "approx_quantile_rank_bound",  # sketches (r7)
+    # --- spare slots: oldest r4-aged headliners ---
+    "corpus_build_pipeline",
+    "dedup_minhash_lsh",
+    # r4-aged names NOT fitting this window (next round's freshness
+    # pool): agg_rollup, approx_error_bound, bm25_search,
+    # bootstrap_adopted_state, corpus_datasheet, corpus_mix_weights,
+    # dedup_groups_minhash, dedup_simhash_pairs, dq_expectations_orders,
+    # filter_predicates, interval_join_attribution, join_left_outer,
+    # join_right_outer, join_salted_skew, knn_filtered, knn_pq,
+    # map_json_ops, null_semantics, q12_ship_priority,
+    # quality_median_filter, range_join_binned, scalar_string_funcs,
+    # set_union_distinct, subquery_in, table_profile,
+    # temperature_sample_langs, text_boilerplate_lines,
+    # text_hash_embedding, text_pii_redaction, text_repetition,
+    # text_unigram_logprob, topk_orders, vocab_top_bigrams.
+]
+
+_PRIOR_WINDOW_R9: list[str] = [
     # --- changed-in-r9 rotations (invariant 2): the de-vacuated oracle
     # rows and every query migrated off a global Window/Sort this round ---
     "sql_named_parameters",        # :start_ts rebound into the data range
@@ -198,73 +283,6 @@ PRIORITY_WINDOW: list[str] = [
     # join_inner_revenue, join_theta_range,
     # q2/q4/q6-q22 TPC-H members, subquery_correlated,
     # text_stats, text_tfidf_top_term, window_topk_per_group.
-]
-
-_PRIOR_WINDOW_R7: list[str] = [
-    # --- the 39 never-driver-sampled late-r6 registrations ---
-    # storage / SQL surface
-    "insert_overwrite_state",      # also the upsert-family sentinel (replacecommit)
-    "delete_partition_state",      # also the partitioning sentinel
-    "rename_evolution_state",      # also the schema-evolution sentinel; re-checks
-                                   # the column-mapping path the OCC fix touches
-    "mv_join_incremental",         # also the incremental-storage sentinel
-    "secondary_index_lookup",
-    "recursive_cte_hierarchy",
-    "sql_udf_revenue",
-    "collation_group_caseinsensitive",  # also the relational-agg sentinel
-    "distributed_global_rank",     # also the relational-window sentinel
-    # sketches
-    "hll_sketch_union_estimate",
-    "approx_quantile_rank_bound",
-    # similarity / dedup / text / training
-    "knn_recall_eval",             # also the similarity sentinel
-    "split_leakage_minhash",       # also the dedup sentinel
-    "langid_eval_confusion",       # also the text sentinel
-    "epoch_shuffle_shards",        # also the training sentinel
-    "quality_quantile_gate",
-    "weighted_sample_ares",
-    # analytics
-    "attribution_multi_touch",
-    "forecast_backtest_daily",
-    "changepoint_mean_shift",
-    "autocorrelation_daily",
-    "revenue_concentration_gini",
-    "impute_group_median",
-    "weekday_seasonality_index",
-    # graph family (NEW category; entire family changed in r7 — the
-    # copurchase support now counts DISTINCT co-occurring orders)
-    "graph_degree_histogram",
-    "graph_triangle_count",
-    "graph_pagerank_3rounds",
-    "graph_components_4rounds",
-    "graph_jaccard_neighbors",
-    "graph_khop_reachability",
-    # statistics family (NEW category)
-    "ab_test_welch",
-    "chi_square_independence",
-    "linreg_normal_equations",
-    "woe_decile_bins",
-    "mann_whitney_u",
-    "ks_two_sample",
-    "benford_first_digit",
-    "survival_kaplan_meier",
-    "spearman_rank_corr",
-    # --- sentinels for families with no never-sampled member (all
-    # r6-green, so the slot doubles as a freshness re-check) ---
-    "asof_join_forward_tolerance", # as-of join (sole member)
-    "cdc_change_feed",             # CDC (sole member)
-    "mor_partial_state",           # MOR storage
-    "tumbling_window_offset",      # streaming windows
-    "stateful_session_machine",    # stateful streaming
-    "multimodal_dedup_store_once", # multimodal
-    "applyinpandas_user_trend",    # pandas-UDF surface
-    "join_lateral_topk",           # relational join
-    # --- changed-in-r7 queries (invariant 2: the LSH candidate scoring
-    # moved ahead of the cross-table dedup in both) ---
-    "knn_lsh",
-    "dedup_embedding_cosine",
-    # --- new r7 registration (Z-order data-skipping layout stats) ---
-    "zorder_layout_stats",
 ]
 
 # (handled) r8 rotation backlog — all 14 are in PRIORITY_WINDOW above.

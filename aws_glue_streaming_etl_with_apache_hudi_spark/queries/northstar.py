@@ -3166,3 +3166,228 @@ def kmeans_lloyd_rounds(spark, sf_dir):
         .select("cluster", "n_members", "centroid_norm", "inertia")
         .orderBy("cluster")
     )
+
+
+# ------------------------------------------------- r10: streamed corpus e2e
+
+#: shared quality-formula replica (operators/text.py quality_expr — the
+#: same CTE corpus_datasheet's oracle pins), with whitespace token count.
+_QUALITY_CTE = """
+    qual AS (
+      SELECT doc_id, len(ws) AS n_words,
+             round(0.4 * least(len(ws) / 100.0, 1.0)
+                   + 0.4 * round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+                   + 0.2 * (1 - round(CAST(len(list_filter(ws,
+                         x -> list_contains(['hash','order','table','row','batch'], x))) AS DOUBLE)
+                         / len(ws), 4)), 4) AS quality
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "corpus_stream_e2e",
+    sql=_MINHASH_SQL_BODY
+    + ","
+    + _QUALITY_CTE
+    + """
+    , dq AS (  -- quality gate first: rejected docs never reach the dedup index
+      SELECT d.doc_id, d.lang, d.source, q.quality, q.n_words,
+             d.doc_id % 3 AS b
+      FROM documents d JOIN qual q USING (doc_id)
+      WHERE q.quality >= 0.55
+    ),
+    bands AS (
+      SELECT s.doc_id, s.seed // 2 AS band,
+             md5(string_agg(CAST(s.mh AS VARCHAR), ',' ORDER BY s.seed)) AS bucket
+      FROM sigs s JOIN dq ON dq.doc_id = s.doc_id
+      GROUP BY s.doc_id, s.seed // 2
+    ),
+    -- candidate pairs: earlier batch, or same batch with lower id (the
+    -- within-batch keep-first rule of incremental_flags)
+    cand AS (
+      SELECT DISTINCT p.doc_id AS pid, c.doc_id AS cid
+      FROM bands p
+      JOIN bands c ON p.band = c.band AND p.bucket = c.bucket
+      JOIN dq pd ON pd.doc_id = p.doc_id
+      JOIN dq cd ON cd.doc_id = c.doc_id
+      WHERE cd.b < pd.b OR (cd.b = pd.b AND c.doc_id < p.doc_id)
+    ),
+    est AS (  -- signature agreement >= 0.5 (exact multiples of 1/8)
+      SELECT pid, cid
+      FROM cand
+      JOIN sigs a ON a.doc_id = pid
+      JOIN sigs bb ON bb.doc_id = cid AND bb.seed = a.seed
+      GROUP BY pid, cid
+      HAVING CAST(sum(CASE WHEN a.mh = bb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8 >= 0.5
+    ),
+    -- progressive acceptance, one unrolled stage per micro-batch: a doc
+    -- is accepted iff no >=0.5 match among docs ACCEPTED in earlier
+    -- batches or quality-passing LOWER-ID docs of its own batch
+    acc0 AS (
+      SELECT doc_id FROM dq WHERE b = 0
+        AND doc_id NOT IN (SELECT pid FROM est)
+    ),
+    flag1 AS (
+      SELECT DISTINCT e.pid FROM est e JOIN dq c ON c.doc_id = e.cid
+      WHERE c.b = 1 OR (c.b = 0 AND e.cid IN (SELECT doc_id FROM acc0))
+    ),
+    acc1 AS (
+      SELECT doc_id FROM dq WHERE b = 1
+        AND doc_id NOT IN (SELECT pid FROM flag1)
+    ),
+    flag2 AS (
+      SELECT DISTINCT e.pid FROM est e JOIN dq c ON c.doc_id = e.cid
+      WHERE c.b = 2
+         OR (c.b = 0 AND e.cid IN (SELECT doc_id FROM acc0))
+         OR (c.b = 1 AND e.cid IN (SELECT doc_id FROM acc1))
+    ),
+    acc2 AS (
+      SELECT doc_id FROM dq WHERE b = 2
+        AND doc_id NOT IN (SELECT pid FROM flag2)
+    ),
+    acc AS (
+      SELECT doc_id FROM acc0 UNION ALL
+      SELECT doc_id FROM acc1 UNION ALL
+      SELECT doc_id FROM acc2
+    ),
+    per AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_tokens,
+             round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(*), 6) AS mean_quality
+      FROM dq WHERE doc_id IN (SELECT doc_id FROM acc)
+      GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per)
+    SELECT lang, source, n_docs, n_tokens, mean_quality,
+           round(n_tokens / t, 6) AS token_share
+    FROM per CROSS JOIN tot
+    ORDER BY lang, source
+    """,
+)
+def corpus_stream_e2e(spark, sf_dir):
+    """The reference dataflow (A1->A12) carrying the north-star corpus
+    operators END TO END, as one REAL streamed pipeline (VERDICT r9
+    task 5): the documents table replays as three micro-batch files
+    through StreamingUpsertPipeline (file source, maxFilesPerTrigger=1,
+    foreachBatch) -> per-batch quality gate (operators/text.py
+    quality_score >= 0.55) -> incremental MinHash-LSH near-dup gate
+    against the growing accepted index (operators/dedup_index.py
+    LSHDedupIndex: probe in the transform, accept in post_commit — the
+    crash-safe split) -> MOR upsert (operators/mor.py, lang-partitioned,
+    O(batch) delta appends) -> datasheet refresh over the final accepted
+    corpus (the corpus_datasheet aggregate).
+
+    The oracle replays the full composition in static SQL: the quality
+    CTE, the seeded MinHash family, banding, and THREE unrolled
+    acceptance stages (batch b flags against docs accepted in batches
+    < b and lower-id quality-passing docs of batch b — exactly
+    incremental_flags' candidate rule), then the datasheet aggregate
+    over the accepted union. Batch assignment is doc_id % 3 so arrival
+    order is deterministic in both engines. The hot-bucket cap is off
+    (None) on both sides — it is pinned separately by
+    dedup_incremental_index; a stage-dependent cap would make the
+    unrolled oracle cap-order-sensitive.
+
+    Scale: each micro-batch probes as one (band, bucket) digest join
+    against an index that is k longs per ACCEPTED doc; the MOR table
+    absorbs each batch as an O(batch) delta with inline compaction;
+    the datasheet is one groupBy(lang, source) with a broadcast total.
+    Crash replay (fault points in tests/test_corpus_stream_e2e.py)
+    converges: probe passes replayed rows, the keyed upsert absorbs
+    them, accept is idempotent by id."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup_index import LSHDedupIndex
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import MergeOnReadTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    docs = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="corpus_e2e_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    # one file per micro-batch, mtimes ascending so the file source's
+    # oldest-first order and the lexicographic name order agree
+    for b in range(3):
+        stage = os.path.join(base, f"stage_{b}")
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch_{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    table = MergeOnReadTable(
+        spark,
+        os.path.join(base, "table"),
+        keys=["doc_id"],
+        precombine="doc_id",
+        partition_by=["lang"],
+        table_name=None,
+    )
+    idx = LSHDedupIndex(
+        spark,
+        os.path.join(base, "idx"),
+        id_col="doc_id",
+        text_col="text",
+        max_bucket_size=None,
+    )
+
+    def gated(df):
+        q = X.quality_score(df, "doc_id", "text")
+        df = df.join(q.filter(F.col("quality") >= 0.55).select("doc_id"), "doc_id")
+        flags = idx.probe(df)
+        return df.join(
+            flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+        )
+
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=docs.schema,
+        table=table,
+        checkpoint=os.path.join(base, "ckpt"),
+        trigger="1 seconds",
+        transform=gated,
+        post_commit=idx.accept,
+    )
+    pipe.run_available()
+
+    accepted = table.read()
+    q = X.quality_score(accepted, "doc_id", "text")
+    per = (
+        accepted.select(
+            "doc_id", "lang", "source",
+            X.token_count_whitespace("text").alias("n_words"),
+        )
+        .join(q, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            F.round(F.col("n_tokens") / F.col("_t"), 6).alias("token_share"),
+        )
+        .orderBy("lang", "source")
+    )

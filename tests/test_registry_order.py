@@ -18,31 +18,31 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-9 rotation: every sentinel points at its family's OLDEST
+    # round-10 rotation: every sentinel points at its family's OLDEST
     # driver-verified member inside the window (the slot doubles as a
-    # freshness re-check); statistics/graph point at this round's new
-    # registrations.
-    "upsert": "upsert_merge_batches",
-    "schema_evolution": "schema_evolution_union",
-    "partitioning": "partition_path_derivation",
-    "asof": "asof_join_events_orders",
-    "streaming": "sessionize_events",
-    "stateful": "stateful_running_totals",
-    "storage_mor": "mor_incremental",
-    "storage_incremental": "incremental_pull",
-    "storage_cdc": "cdc_change_feed",
-    "dedup": "dedup_exact",
-    "similarity": "knn_bruteforce",
-    "text": "text_langid",
-    "multimodal": "multimodal_binary_meta",
-    "training": "train_test_split",
-    "udf": "applyinpandas_group_rank",
-    "relational_agg": "agg_cube",
-    "relational_join": "bloom_filter_join_prune",
-    "relational_window": "window_running_sum",
-    "graph": "graph_assortativity",
-    "statistics": "anova_oneway",
-    "sketches": "heavy_hitters_cms",
+    # freshness re-check); the r3-aged cohort supplies the dedup/text/
+    # relational sentinels directly.
+    "upsert": "upsert_latest_state",
+    "schema_evolution": "rename_evolution_state",
+    "partitioning": "zorder_layout_stats",
+    "asof": "asof_join_forward_tolerance",
+    "streaming": "tumbling_window_agg",
+    "stateful": "stateful_session_machine",
+    "storage_mor": "mor_partial_state",
+    "storage_incremental": "secondary_index_lookup",
+    "storage_cdc": "cdc_before_after_images",
+    "dedup": "dedup_simhash",
+    "similarity": "knn_ivf",
+    "text": "text_stats",
+    "multimodal": "multimodal_dedup_store_once",
+    "training": "token_shard_packing",
+    "udf": "applyinpandas_user_trend",
+    "relational_agg": "q1_pricing_summary",
+    "relational_join": "join_inner_revenue",
+    "relational_window": "window_topk_per_group",
+    "graph": "graph_components_4rounds",
+    "statistics": "ab_test_welch",
+    "sketches": "approx_quantile_rank_bound",
 }
 
 
