@@ -424,6 +424,34 @@ def storage_scaling(spark) -> dict:
         mtbl.compact()
         res["mor_compact_sec"] = round(time.perf_counter() - t0, 3)
 
+        # MOR read amplification (VERDICT r9 task 4): the read-side
+        # merge (base ∪ N deltas -> max_by) is bounded by the pending
+        # delta count — the contract behind max_delta_commits. Measured
+        # at P=400 only (the rows are delta-count-driven, not
+        # partition-count-driven): read wall at 0/3/5 pending deltas,
+        # then again after compaction folds the logs.
+        if P == 400:
+            def _read_wall():
+                t0 = time.perf_counter()
+                mtbl.read().count()
+                return round(time.perf_counter() - t0, 3)
+
+            res["mor_read_0_deltas_sec"] = _read_wall()
+            d = 0
+            for target, key in ((3, "mor_read_3_deltas_sec"), (5, "mor_read_5_deltas_sec")):
+                while d < target:
+                    d += 1
+                    mtbl.upsert(spark.createDataFrame(
+                        [
+                            Row(pk=pks[j % _SS_TOUCH], k=j + (mrun + d) * P,
+                                ver=mrun + d + 1, v=f"r{d}")
+                            for j in range(_SS_TOUCH * 4)
+                        ]
+                    ))
+                res[key] = _read_wall()
+            mtbl.compact()
+            res["mor_read_post_compact_sec"] = _read_wall()
+
         out["tables"][f"partitions_{P}"] = res
     return out
 
