@@ -52,7 +52,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.schema_evolution import evolve_schema
-from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import precombine_latest
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import (
+    _hive_escape_part,
+    _part_str,
+    precombine_latest,
+)
 
 COMMIT_COL = "_commit_id"
 
@@ -70,7 +74,14 @@ _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _part_token(v) -> str:
-    return _NULL_PART if v is None else str(v)
+    # _part_str, not str() (r10, the ADVICE-r9 render class): the token
+    # is compared against Spark's cast-to-string in _partition_filter
+    # and against Spark-written directory names in the catalog sync — a
+    # Python-side render ('True', '...00.500000') would silently match
+    # NOTHING for boolean / fractional-second-timestamp partitions,
+    # excluding the stored rows from the merge (the same row-loss class
+    # _part_str fixed in the COW table).
+    return _NULL_PART if v is None else _part_str(v)
 
 
 def _has_parquet(d: str) -> bool:
@@ -775,9 +786,15 @@ class TimelineTable:
             for vals, commit in owner.items():
                 if any(v == _NULL_PART for v in vals):
                     raise ValueError("null partition value: DDL cannot spell it")
+                # tokens are already _part_str-rendered; escape exactly
+                # as Spark's Hive writer named the directories (quotes,
+                # colons, unicode — _hive_escape_part on the token)
                 d = os.path.join(
                     self._data_dir(commit, instants),
-                    *(f"{c}={v}" for c, v in zip(self.partition_by, vals)),
+                    *(
+                        f"{c}={_hive_escape_part(v)}"
+                        for c, v in zip(self.partition_by, vals)
+                    ),
                 )
                 if _has_parquet(d):  # emptied partitions drop out
                     part_locs[vals] = os.path.abspath(d)

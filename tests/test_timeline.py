@@ -469,3 +469,53 @@ def test_upsert_occ_threaded_disjoint_race(table, spark):
     assert errs == []
     assert [c["commit"] for c in table.commits()] == [1, 2, 3]
     assert _state(table.read()) == {1: ("a", "xa", 2), 2: ("b", "yb", 2)}
+
+
+# -- r10: partition-token render parity (the ADVICE-r9 _part_str class) -----
+
+
+def test_boolean_partition_merge_keeps_stored_rows(spark, tmp_path):
+    """_part_token must render booleans as Spark's cast-to-string does
+    ('true', not Python's 'True'): the merge path selects the touched
+    partitions' STORED rows via cast("string") == token — a render
+    mismatch matched nothing, excluded the stored rows from the merge,
+    and the new snapshot silently dropped them."""
+    t = TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "bool_tl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["flag"],
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, flag boolean, ver long, v string")
+
+    t.upsert(df([(1, True, 1, "a"), (2, True, 1, "b"), (3, False, 1, "c")]))
+    t.upsert(df([(2, True, 2, "b2")]))  # merge commit into flag=true
+    got = {r.k: (r.flag, r.ver, r.v) for r in t.read().collect()}
+    assert got == {1: (True, 1, "a"), 2: (True, 2, "b2"), 3: (False, 1, "c")}
+
+
+def test_fractional_timestamp_partition_merge_keeps_stored_rows(spark, tmp_path):
+    """Same law for fractional-second timestamp partitions (str(datetime)
+    renders '.500000' where Spark renders '.5')."""
+    import datetime
+
+    ts1 = datetime.datetime(2021, 1, 1, 0, 0, 0, 500000)
+    ts2 = datetime.datetime(2021, 1, 2, 6, 30, 0)
+    t = TimelineTable(
+        spark=spark,
+        path=str(tmp_path / "ts_tl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["day"],
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, day timestamp, ver long, v string")
+
+    t.upsert(df([(1, ts1, 1, "a"), (2, ts1, 1, "b"), (3, ts2, 1, "c")]))
+    t.upsert(df([(2, ts1, 2, "b2")]))
+    got = {r.k: (r.ver, r.v) for r in t.read().collect()}
+    assert got == {1: (1, "a"), 2: (2, "b2"), 3: (1, "c")}
