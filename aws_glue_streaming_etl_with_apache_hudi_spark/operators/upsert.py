@@ -1868,14 +1868,26 @@ class UpsertTable:
         for c in self.stats_columns:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
         for row in fresh.groupBy(*self.partition_by).agg(*aggs).collect():
-            key = self._stat_key(tuple(row[c] for c in self.partition_by))
-            prior[key] = {
+            values = tuple(row[c] for c in self.partition_by)
+            key = self._stat_key(values)
+            entry = {
                 c: [
                     self._jsonable(row[f"_min_{c}"]),
                     self._jsonable(row[f"_max_{c}"]),
                 ]
                 for c in self.stats_columns
             }
+            # the tokens, unambiguously (r10): read_skipping used to
+            # rebuild the partition tuple via key.split("|") — a string
+            # partition value CONTAINING "|" mis-split, the rebuilt dir
+            # never existed, and the partition silently vanished from
+            # skipped reads. The key format itself cannot change (the
+            # bloom probe matches it against a JVM concat_ws token).
+            entry["__tokens__"] = [
+                "__HIVE_DEFAULT_PARTITION__" if v is None else _part_str(v)
+                for v in values
+            ]
+            prior[key] = entry
         return prior
 
     def read_skipping(self, column: str, lower=None, upper=None) -> DataFrame:
@@ -1897,7 +1909,11 @@ class UpsertTable:
             else:
                 overlap = (lo_j is None or mx >= lo_j) and (hi_j is None or mn <= hi_j)
             if overlap:
-                keep.append(tuple(key.split("|")))
+                # prefer the stored token list ("|" inside a partition
+                # value mis-splits the key); split only for stats
+                # written before the tokens were stored
+                toks = cols.get("__tokens__")
+                keep.append(tuple(toks) if toks else tuple(key.split("|")))
         df = self._read_partition_dirs(keep)
         if lower is not None:
             df = df.filter(F.col(column) >= F.lit(lower))

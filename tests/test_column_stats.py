@@ -83,3 +83,28 @@ def test_unindexed_column_rejected(table, spark):
     table.upsert(_rows(spark, [(1, "a", 10, 1)]))
     with pytest.raises(ValueError):
         table.read_skipping("ver", 0, 1)
+
+
+def test_read_skipping_partition_value_with_pipe(spark, tmp_path):
+    """A string partition value CONTAINING the stat-key separator '|'
+    must survive read_skipping: the key split used to mis-split it and
+    the rebuilt directory never existed, silently dropping the
+    partition from skipped reads (r10, the _stat_key packing edge)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    t = UpsertTable(
+        spark,
+        str(tmp_path / "pipe_tbl"),
+        keys=["k"],
+        precombine="ver",
+        partition_by=["part"],
+        stats_columns=["v"],
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "a|b", 10, 1), (2, "plain", 100, 1)],
+            "k long, part string, v long, ver long",
+        )
+    )
+    got = {(r.k, r.part, r.v) for r in t.read_skipping("v", lower=5, upper=50).collect()}
+    assert got == {(1, "a|b", 10)}, got
