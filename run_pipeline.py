@@ -43,6 +43,7 @@ def main(argv: list[str]) -> None:
             "--window_size ('10 seconds') --source_format (parquet) "
             "--quarantine_dir --once (true|false) --infer_schema (true|false) "
             "--dedup_index_dir --dedup_text_field (text) --dedup_id_field "
+            "--quality_min (e.g. 0.55) --quality_text_field "
             "--bloom_index (true|false) --table_type (cow|mor)"
         )
         return
@@ -144,6 +145,32 @@ def main(argv: list[str]) -> None:
     # the remaining crash window (between upsert and accept) replays
     # cleanly: probe passes the rows, the keyed upsert absorbs them,
     # accept appends once.
+    # Quality gate (--quality_min 0.55): per-batch text-quality filter
+    # (operators/text.py quality_score) applied BEFORE the near-dup
+    # probe — rejected documents never enter the dedup index, the
+    # ordering the corpus_stream_e2e oracle pins. Needs --quality_text_field
+    # (defaults to the dedup text field / "text") and an id column.
+    if opts.get("quality_min"):
+        from pyspark.sql import functions as F
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.operators.text import quality_score
+
+        q_min = float(opts["quality_min"])
+        q_text = opts.get(
+            "quality_text_field", opts.get("dedup_text_field", "text")
+        )
+        q_id = opts.get("dedup_id_field", cfg.record_key)
+        q_base = transform
+
+        def quality_gated(df, _base=q_base):
+            if _base is not None:
+                df = _base(df)
+            scores = quality_score(df, q_id, q_text)
+            keep = scores.filter(F.col("quality") >= q_min).select(q_id)
+            return df.join(keep, q_id)
+
+        transform = quality_gated
+
     post_commit = None
     if opts.get("dedup_index_dir"):
         from pyspark.sql import functions as F

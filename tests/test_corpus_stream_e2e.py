@@ -172,3 +172,45 @@ def test_replay_of_identical_batch_is_noop(spark, tmp_path):
     mk_pipe().run_available()
     assert sorted((r.doc_id, r.lang) for r in table.read().collect()) == before
     assert idx.signatures().count() == n_sigs
+
+
+def test_cli_composed_corpus_pipeline(spark, tmp_path):
+    """The same composition through the reference-shaped CLI
+    (run_pipeline.py): --quality_min gates before --dedup_index_dir
+    probes, --table_type mor ingests the survivors. The crafted
+    corpus's acceptance story must come out identical to the direct
+    composition's."""
+    import run_pipeline
+
+    src = tmp_path / "src"
+    os.makedirs(src, exist_ok=True)
+    for b, rows in BATCHES.items():
+        stage = str(tmp_path / f"cli_stage_{b}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"batch_{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    run_pipeline.main(
+        [
+            "--source_dir", str(src),
+            "--table_path", str(tmp_path / "cli_tbl"),
+            "--checkpoint_path", str(tmp_path / "cli_ckpt"),
+            "--record_key", "doc_id",
+            "--precombine", "doc_id",
+            "--partition_fields", "lang",
+            "--table_name", "corpus_cli_tbl",
+            "--once", "true",
+            "--infer_schema", "true",
+            "--quality_min", "0.55",
+            "--quality_text_field", "text",
+            "--dedup_index_dir", str(tmp_path / "cli_idx"),
+            "--dedup_text_field", "text",
+            "--table_type", "mor",
+        ]
+    )
+    got = {r.doc_id for r in spark.table("corpus_cli_tbl").select("doc_id").collect()}
+    assert got == EXPECT_ACCEPTED
