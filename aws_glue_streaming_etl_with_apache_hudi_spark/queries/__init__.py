@@ -30,6 +30,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import training  # no
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import analytics  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import graphstats  # noqa: F401
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import warehouse  # noqa: F401
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries import geo  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering.
@@ -216,6 +217,10 @@ PRIORITY_WINDOW: list[str] = [
     # temperature_sample_langs, text_boilerplate_lines,
     # text_hash_embedding, text_pii_redaction, text_repetition,
     # text_unigram_logprob, topk_orders, vocab_top_bigrams.
+    # Plus the geo family registered AFTER this window froze (r10):
+    # geo_grid_density, geo_nearest_site, geo_radius_pairs — rotate
+    # them in next round (invariant 2), covered meanwhile by the local
+    # whole-registry DuckDB gate.
 ]
 
 _PRIOR_WINDOW_R9: list[str] = [

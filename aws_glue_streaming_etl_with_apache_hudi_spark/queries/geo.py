@@ -1,0 +1,259 @@
+"""Geospatial query family (round-10 surface).
+
+Coordinates are derived deterministically from integer keys
+(operators/geo.py — exact modular arithmetic, bit-identical in both
+engines); supplier sites use a +500000 key offset so the two layers
+don't trivially coincide. Every distance that crosses an oracle
+boundary (a filter or an ordering) is rounded to 4 decimals (~10 cm)
+BEFORE the boundary, so ~1-ulp libm-vs-JVM trig differences cannot
+flip a comparison.
+
+Scale design per query (the 100 TB story):
+
+- ``geo_grid_density``: one map-side-combinable aggregation on the
+  grid-cell key, then TakeOrdered for the top cells — no window, no
+  join; partition count grows with data.
+- ``geo_nearest_site``: the knn_bruteforce shape — the bounded query
+  side (20 points) broadcasts, the big site table streams map-side,
+  and the argmin is a lexicographic ``min(struct(dist, key))``
+  aggregation (ties key-deterministic). No window over the big side.
+- ``geo_radius_pairs``: NEVER a cross join at scale — suppliers keep
+  their single 1-degree latitude band, customers explode the +/-5
+  band neighborhood (500 km / 111.19 km-per-degree < 5 bands), and
+  the join is a plain equi-shuffle on the band key. Completeness:
+  great-circle distance >= meridian distance, so every pair within
+  500 km is within 5 band ids (operators/geo.py band_reach). The
+  oracle is the brute-force cross join — feasible at fixture scale
+  only, which is exactly the point.
+
+Reference anchor: transform-stage enrichment over the streamed rows,
+the slot glue_job_script.py:87-101 leaves to the user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import (
+    haversine_km,
+    haversine_sql,
+    lat_band,
+    neighbor_bands,
+    synth_lat_sql,
+    synth_lon_sql,
+    synthetic_lat,
+    synthetic_lon,
+)
+from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import register, t
+
+#: Supplier-site key offset — keeps the site layer's modular sequence
+#: from trivially coinciding with customer keys (same derivation, same
+#: key value => same point; see operators/geo.py docstring).
+_SITE_OFFSET = 500000
+
+_RADIUS_KM = 500.0
+
+_HAV_CS = haversine_sql("c.lat", "c.lon", "s.lat", "s.lon")
+
+_CUST_PTS_SQL = f"""
+  SELECT c_custkey, c_nationkey,
+         {synth_lat_sql('c_custkey')} AS lat,
+         {synth_lon_sql('c_custkey')} AS lon
+  FROM customer
+"""
+
+_SITE_PTS_SQL = f"""
+  SELECT s_suppkey,
+         {synth_lat_sql(f's_suppkey + {_SITE_OFFSET}')} AS lat,
+         {synth_lon_sql(f's_suppkey + {_SITE_OFFSET}')} AS lon
+  FROM supplier
+"""
+
+
+def _cust_pts(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        synthetic_lat(key).alias("lat"),
+        synthetic_lon(key).alias("lon"),
+    )
+
+
+def _site_pts(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    key = F.col("s_suppkey") + F.lit(_SITE_OFFSET)
+    return s.select(
+        "s_suppkey",
+        synthetic_lat(key).alias("lat"),
+        synthetic_lon(key).alias("lon"),
+    )
+
+
+@register(
+    "geo_grid_density",
+    sql=f"""
+    WITH pts AS (
+      SELECT user_id, value,
+             {synth_lat_sql('user_id')} AS lat,
+             {synth_lon_sql('user_id')} AS lon
+      FROM events
+    )
+    SELECT CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+           CAST(floor(lon / 10) AS BIGINT) AS cell_lon,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS avg_value
+    FROM pts
+    GROUP BY cell_lat, cell_lon
+    ORDER BY n_events DESC, cell_lat, cell_lon
+    LIMIT 20
+    """,
+)
+def geo_grid_density(spark, sf_dir):
+    """Spatial density grid: events bucketed into 10-degree cells —
+    the heatmap/tile aggregation every geo dashboard starts from.
+    Per cell: event count, distinct users, exact-decimal mean value.
+
+    Scale: a single map-side-combinable aggregation on the cell key
+    plus TakeOrdered(20) — no join, no window. Cell keys are exact
+    longs (floor of exact coordinates), the mean is a DECIMAL sum
+    divided by the count (identical IEEE division both engines)."""
+    e = t(spark, sf_dir, "events")
+    key = F.col("user_id")
+    pts = e.select(
+        "user_id",
+        "value",
+        synthetic_lat(key).alias("lat"),
+        synthetic_lon(key).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / 10).cast("long").alias("cell_lat"),
+        F.floor(F.col("lon") / 10).cast("long").alias("cell_lon"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    return cells.orderBy(
+        F.desc("n_events"), "cell_lat", "cell_lon"
+    ).limit(20)
+
+
+@register(
+    "geo_nearest_site",
+    sql=f"""
+    WITH c AS (
+      SELECT * FROM ({_CUST_PTS_SQL}) WHERE c_custkey <= 20
+    ), s AS ({_SITE_PTS_SQL}),
+    j AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round({_HAV_CS}, 4) AS d
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, d AS dist_km
+    FROM j
+    QUALIFY row_number() OVER (
+      PARTITION BY c_custkey ORDER BY d, s_suppkey) = 1
+    ORDER BY c_custkey
+    """,
+)
+def geo_nearest_site(spark, sf_dir):
+    """Nearest-site lookup: for 20 fixed query points, the closest
+    supplier site by great-circle distance — store-locator /
+    assign-to-nearest-facility semantics.
+
+    Scale: the knn_bruteforce shape — broadcast the bounded query
+    side, stream the big site table map-side, reduce with ONE
+    lexicographic ``min(struct(dist, key))`` aggregation (partial
+    aggregation combines per partition; ties break on the smaller
+    key, matching the oracle's ``ORDER BY d, s_suppkey`` exactly).
+    No window touches the big side; the oracle's QUALIFY window is
+    DuckDB-side only."""
+    qpts = _cust_pts(spark, sf_dir).filter(F.col("c_custkey") <= 20)
+    sites = _site_pts(spark, sf_dir)
+    d = F.round(
+        haversine_km(
+            F.col("q.lat"), F.col("q.lon"), F.col("s.lat"), F.col("s.lon")
+        ),
+        4,
+    )
+    j = sites.alias("s").join(F.broadcast(qpts.alias("q")))
+    best = (
+        j.select(F.col("q.c_custkey").alias("c_custkey"),
+                 F.struct(d.alias("d"), F.col("s.s_suppkey").alias("k")).alias("cand"))
+        .groupBy("c_custkey")
+        .agg(F.min("cand").alias("m"))
+    )
+    return best.select(
+        "c_custkey",
+        F.col("m.k").alias("nearest_suppkey"),
+        F.col("m.d").alias("dist_km"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "geo_radius_pairs",
+    sql=f"""
+    WITH c AS ({_CUST_PTS_SQL}), s AS ({_SITE_PTS_SQL}),
+    pairs AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             round({_HAV_CS}, 4) AS d
+      FROM c CROSS JOIN s
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_near_customers,
+           min(d) AS min_km
+    FROM pairs
+    WHERE d <= {_RADIUS_KM}
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def geo_radius_pairs(spark, sf_dir):
+    """Distributed radius join: (customer, site) pairs within 500 km,
+    rolled up per customer nation — the spatial-proximity join behind
+    geofencing, catchment analysis, and POI matching.
+
+    Scale: latitude-band bucketing instead of the oracle's cross
+    join — sites keep their single 1-degree band, customers explode
+    the +/-5 neighborhood (500 km < 5 * 111.19 km-per-degree), and
+    the join is an equi-shuffle on the band key; the exact haversine
+    filter runs only on band-colocated candidates. Completeness is a
+    theorem (great-circle >= meridian distance, operators/geo.py
+    band_reach); no pair is produced twice because each site sits in
+    exactly one band."""
+    cust = _cust_pts(spark, sf_dir).withColumn(
+        "band", F.explode(neighbor_bands(F.col("lat"), _RADIUS_KM))
+    )
+    sites = _site_pts(spark, sf_dir).withColumn("band", lat_band(F.col("lat")))
+    d = F.round(
+        haversine_km(
+            F.col("c.lat"), F.col("c.lon"), F.col("s.lat"), F.col("s.lon")
+        ),
+        4,
+    )
+    pairs = (
+        cust.alias("c")
+        .join(sites.alias("s"), on="band")
+        .select(
+            F.col("c.c_nationkey").alias("c_nationkey"),
+            F.col("c.c_custkey").alias("c_custkey"),
+            d.alias("d"),
+        )
+        .filter(F.col("d") <= F.lit(_RADIUS_KM))
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("c_custkey").cast("long").alias("n_near_customers"),
+            F.min("d").alias("min_km"),
+        )
+        .orderBy("c_nationkey")
+    )

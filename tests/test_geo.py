@@ -1,0 +1,123 @@
+"""Laws for the geospatial primitives (operators/geo.py).
+
+The registry-wide oracle gate (tests/test_queries_oracle.py) already
+value-hash-checks the three geo queries against DuckDB; this file pins
+the operator-level invariants the queries' scale design rests on —
+above all band-pruning COMPLETENESS (the band join must equal the
+brute-force cross join, or the distributed plan silently drops pairs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import (
+    EARTH_RADIUS_KM,
+    KM_PER_LAT_DEG,
+    band_reach,
+    haversine_km,
+    lat_band,
+    neighbor_bands,
+    synthetic_lat,
+    synthetic_lon,
+)
+
+
+def test_haversine_identity_symmetry_and_known_value(spark):
+    df = spark.range(1).select(
+        haversine_km(F.lit(12.5), F.lit(-33.25), F.lit(12.5), F.lit(-33.25)).alias("zero"),
+        haversine_km(F.lit(10.0), F.lit(20.0), F.lit(-40.0), F.lit(75.0)).alias("ab"),
+        haversine_km(F.lit(-40.0), F.lit(75.0), F.lit(10.0), F.lit(20.0)).alias("ba"),
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(90.0)).alias("quarter"),
+        # antipodal: asin argument rounds past 1 without the clamp
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(180.0)).alias("anti"),
+    )
+    r = df.collect()[0]
+    assert r["zero"] == 0.0
+    assert r["ab"] == r["ba"]
+    assert abs(r["quarter"] - math.pi / 2 * EARTH_RADIUS_KM) < 1e-6
+    assert abs(r["anti"] - math.pi * EARTH_RADIUS_KM) < 1e-6
+
+
+def test_synthetic_coords_in_range(spark):
+    stats = (
+        spark.range(0, 200000)
+        .select(
+            synthetic_lat(F.col("id")).alias("lat"),
+            synthetic_lon(F.col("id")).alias("lon"),
+        )
+        .agg(
+            F.min("lat").alias("lat_lo"),
+            F.max("lat").alias("lat_hi"),
+            F.min("lon").alias("lon_lo"),
+            F.max("lon").alias("lon_hi"),
+        )
+        .collect()[0]
+    )
+    assert -90.0 <= stats["lat_lo"] and stats["lat_hi"] < 90.0
+    assert -180.0 <= stats["lon_lo"] and stats["lon_hi"] < 180.0
+
+
+def test_band_reach_values():
+    # 500 km / 111.19 km-per-deg = 4.497 deg -> at most 5 band ids apart
+    assert band_reach(500.0) == 5
+    assert band_reach(100.0) == 1
+    assert band_reach(KM_PER_LAT_DEG * 3 + 1) == 4
+
+
+def test_neighbor_bands_cover_own_band(spark):
+    df = spark.range(1).select(
+        lat_band(F.lit(37.4)).alias("own"),
+        neighbor_bands(F.lit(37.4), 500.0).alias("nb"),
+    )
+    r = df.collect()[0]
+    assert len(r["nb"]) == 2 * band_reach(500.0) + 1
+    assert r["own"] in r["nb"]
+    assert r["nb"] == sorted(r["nb"])
+
+
+@pytest.mark.parametrize("radius_km", [250.0, 500.0, 1000.0])
+def test_band_join_completeness(spark, sf_dir, radius_km):
+    """The latitude-band equi-join must reproduce the brute-force
+    cross-join radius filter EXACTLY — pairs, not just counts. This is
+    the theorem the geo_radius_pairs 100 TB plan stands on
+    (great-circle distance >= meridian distance)."""
+    a = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("ak"),
+            synthetic_lat(F.col("id") * 13 + 5).alias("lat"),
+            synthetic_lon(F.col("id") * 13 + 5).alias("lon"),
+        )
+    )
+    b = (
+        spark.range(0, 300)
+        .select(
+            F.col("id").alias("bk"),
+            synthetic_lat(F.col("id") * 29 + 11).alias("lat"),
+            synthetic_lon(F.col("id") * 29 + 11).alias("lon"),
+        )
+    )
+    d = F.round(
+        haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")), 4
+    )
+    brute = (
+        a.alias("a")
+        .crossJoin(b.alias("b"))
+        .select("ak", "bk", d.alias("d"))
+        .filter(F.col("d") <= radius_km)
+    )
+    banded = (
+        a.withColumn("band", F.explode(neighbor_bands(F.col("lat"), radius_km)))
+        .alias("a")
+        .join(b.withColumn("band", lat_band(F.col("lat"))).alias("b"), on="band")
+        .select("ak", "bk", d.alias("d"))
+        .filter(F.col("d") <= radius_km)
+    )
+    got = sorted(map(tuple, banded.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want
+    assert len(want) > 0, "vacuous completeness check — widen the key spread"
