@@ -217,10 +217,11 @@ PRIORITY_WINDOW: list[str] = [
     # temperature_sample_langs, text_boilerplate_lines,
     # text_hash_embedding, text_pii_redaction, text_repetition,
     # text_unigram_logprob, topk_orders, vocab_top_bigrams.
-    # Plus the geo family registered AFTER this window froze (r10):
-    # geo_grid_density, geo_nearest_site, geo_radius_pairs — rotate
-    # them in next round (invariant 2), covered meanwhile by the local
-    # whole-registry DuckDB gate.
+    # Plus the families registered AFTER this window froze (r10):
+    # geo_grid_density, geo_nearest_site, geo_radius_pairs,
+    # url_parse_profile, try_safe_parsing — rotate them in next round
+    # (invariant 2), covered meanwhile by the local whole-registry
+    # DuckDB gate.
 ]
 
 _PRIOR_WINDOW_R9: list[str] = [

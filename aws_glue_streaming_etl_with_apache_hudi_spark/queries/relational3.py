@@ -1483,3 +1483,142 @@ def map_hof_event_shares(spark, sf_dir):
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "url_parse_profile",
+    sql="""
+    WITH parsed AS (
+      SELECT 'www.' || source || '.example.org' AS host,
+             '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+             lang AS ref, n_chars
+      FROM documents)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT ref) AS BIGINT) AS n_ref_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN ref = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(max(length(path)) AS BIGINT) AS max_path_len
+    FROM parsed GROUP BY host ORDER BY host
+    """,
+)
+def url_parse_profile(spark, sf_dir):
+    """URL component extraction via the ``parse_url`` built-in — the
+    per-domain profiling pass a web-corpus curation pipeline runs
+    before domain capping (CCNet/RefinedWeb-style): synthesize each
+    document's canonical URL deterministically, then extract HOST,
+    PATH, and the ``ref`` QUERY parameter with ``parse_url`` and roll
+    up per host. The oracle constructs the same components with plain
+    string algebra, so the value hash pins the extractor's semantics
+    (host casing, path boundary, query-param lookup).
+
+    Scale: parse_url is a row-local JVM expression; one map-side
+    combinable aggregation on the host key. Per-host CAPPING at scale
+    composes with quota_sample_per_source (the registered quota
+    sampler) — this query is the census that sizes those quotas."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        "n_chars",
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("ref").cast("long").alias("n_ref_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("ref") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+            F.max(F.length("path")).cast("long").alias("max_path_len"),
+        )
+        .orderBy("host")
+    )
+
+
+@register(
+    "try_safe_parsing",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN TRY_CAST(CASE WHEN event_id % 5 = 0
+                     THEN 'u' || CAST(user_id AS VARCHAR)
+                     ELSE CAST(user_id AS VARCHAR) END AS BIGINT) IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_int,
+           CAST(sum(COALESCE(TRY_CAST(CASE WHEN event_id % 5 = 0
+                     THEN 'u' || CAST(user_id AS VARCHAR)
+                     ELSE CAST(user_id AS VARCHAR) END AS BIGINT), 0))
+                 AS BIGINT) AS sum_parsed,
+           CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_div_null,
+           max(CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(user_id AS DOUBLE)
+                         / CAST(event_id % 7 AS DOUBLE) END) AS max_ratio,
+           CAST(sum(CASE WHEN TRY_CAST(CASE WHEN user_id % 3 = 0
+                     THEN '2024-13-01' ELSE '2024-01-15' END AS DATE)
+                 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_good_date
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def try_safe_parsing(spark, sf_dir):
+    """The ANSI error-safe ``try_*`` family end to end — dirty-input
+    cleansing without a job-killing exception OR a silent wrong value:
+    ``try_cast`` on a corrupted integer column (every 5th row carries a
+    'u' prefix), ``try_divide`` across planted zero denominators, and
+    ``try_cast`` to DATE on an invalid calendar string (month 13).
+    Reports per-type parse-failure census, the exact integer sum of the
+    rows that DID parse, and the max clean ratio. The oracle spells the
+    same semantics with TRY_CAST and NULL-guarding CASE, pinning that
+    try_divide-by-zero is NULL (not Infinity, not an error) and that
+    the bad date is rejected, not clamped.
+
+    Scale: all row-local JVM expressions inside one map-side-combinable
+    aggregation on event_type."""
+    e = t(spark, sf_dir, "events")
+    dirty_int = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(F.lit("u"), F.col("user_id").cast("string")),
+    ).otherwise(F.col("user_id").cast("string"))
+    parsed_int = dirty_int.try_cast("bigint")
+    denom = F.col("event_id") % 7
+    ratio = F.try_divide(F.col("user_id").cast("double"), denom.cast("double"))
+    dirty_date = F.when(
+        F.col("user_id") % 3 == 0, F.lit("2024-13-01")
+    ).otherwise(F.lit("2024-01-15"))
+    parsed_date = dirty_date.try_cast("date")
+    return (
+        e.select(
+            "event_type",
+            parsed_int.alias("pi"),
+            ratio.alias("ratio"),  # try_divide itself yields NULL at denom=0
+            parsed_date.alias("pd"),
+            denom.alias("denom"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("pi").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad_int"),
+            F.sum(F.coalesce(F.col("pi"), F.lit(0))).cast("long").alias("sum_parsed"),
+            F.sum(F.when(F.col("denom") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_div_null"),
+            F.max("ratio").alias("max_ratio"),
+            F.sum(F.when(F.col("pd").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_good_date"),
+        )
+        .orderBy("event_type")
+    )
