@@ -121,3 +121,48 @@ def test_band_join_completeness(spark, sf_dir, radius_km):
     want = sorted(map(tuple, brute.collect()))
     assert got == want
     assert len(want) > 0, "vacuous completeness check — widen the key spread"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_lat = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+_lon = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+
+
+@given(
+    pts_a=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=25),
+    pts_b=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=25),
+    radius_km=st.sampled_from([50.0, 500.0, 2000.0]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_band_join_completeness_adversarial(spark, pts_a, pts_b, radius_km):
+    """Band pruning must stay pairs-exact for ADVERSARIAL coordinates —
+    poles (where every longitude is close), the dateline, band-boundary
+    floats — not just the fixture's lattice points. Hypothesis drives
+    the corners the deterministic test can't reach."""
+    # pin the corners into every run alongside the random draw
+    pts_a = pts_a + [(90.0, 0.0), (-90.0, 179.99), (0.0, -180.0)]
+    pts_b = pts_b + [(89.5, -179.0), (-90.0, 0.0), (0.0, 180.0)]
+    a = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts_a)], "ak int, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts_b)], "bk int, lat double, lon double"
+    )
+    d = F.round(
+        haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")), 4
+    )
+    brute = (
+        a.alias("a").crossJoin(b.alias("b"))
+        .select("ak", "bk", d.alias("d")).filter(F.col("d") <= radius_km)
+    )
+    banded = (
+        a.withColumn("band", F.explode(neighbor_bands(F.col("lat"), radius_km)))
+        .alias("a")
+        .join(b.withColumn("band", lat_band(F.col("lat"))).alias("b"), on="band")
+        .select("ak", "bk", d.alias("d")).filter(F.col("d") <= radius_km)
+    )
+    got = sorted(map(tuple, banded.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want
