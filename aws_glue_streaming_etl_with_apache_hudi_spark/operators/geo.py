@@ -134,3 +134,133 @@ def neighbor_bands(lat: Column, radius_km: float, band_deg: float = 1.0) -> Colu
     k = band_reach(radius_km, band_deg)
     base = lat_band(lat, band_deg)
     return F.array(*[base + F.lit(i) for i in range(-k, k + 1)])
+
+
+# ---------------------------------------------------------------------------
+# 2D adaptive grid — the skew-safe refinement of latitude bands.
+#
+# A 1D band join is complete and shuffle-parallel, but a dataset
+# concentrated at one latitude (one metro area — the common case) lands
+# in ONE band and funnels the whole join through ~(2k+1) tasks. The 2D
+# grid splits every band into longitude cells sized so that +/-1 cell
+# still provably covers the radius:
+#
+#   haversine identity:  sin^2(d/2R) = sin^2(dphi/2)
+#                          + cos(phi1) cos(phi2) sin^2(dlmb/2)
+#   =>  sin(d/2R) >= cos(phi_max) * sin(dlmb/2)        (drop the dphi term)
+#   =>  d >= (2/pi) * R * cos(phi_max) * dlmb          (Jordan's inequality)
+#   =>  dlmb_deg <= d_km * (pi/2) / (KM_PER_LAT_DEG * cos(phi_max))
+#
+# phi_max is the larger |latitude| of the PAIR, and the probe may sit up
+# to `reach` bands away from the keyed band, so each band's cell width
+# uses the worst |latitude| within the whole reach window. Near the
+# poles cos -> 0 makes the width exceed 360 degrees and the band
+# degenerates to ONE cell — the 1D fallback, exactly where longitude
+# stops meaning distance. Cells wrap modulo the band's cell count, so
+# the dateline needs no special case (lon −180 and +180 share a cell).
+# ---------------------------------------------------------------------------
+
+
+def _cells_in_band(band: Column, radius_km: float, band_deg: float) -> Column:
+    """Longitude cell count for a band id — pure column arithmetic.
+
+    Width per the completeness bound above, evaluated at the worst
+    |latitude| reachable from this band (band edges +/- reach); the
+    actual width 360/n only ever ROUNDS UP from the bound (floor on n),
+    which preserves completeness."""
+    k = band_reach(radius_km, band_deg)
+    phi_w = F.least(
+        F.lit(90.0),
+        F.greatest(
+            F.abs(band.cast("double") * F.lit(band_deg)),
+            F.abs((band.cast("double") + F.lit(1.0)) * F.lit(band_deg)),
+        )
+        + F.lit(float(k) * band_deg),
+    )
+    import math
+
+    w_deg = F.lit(radius_km * (math.pi / 2.0) / KM_PER_LAT_DEG) / F.cos(
+        F.radians(phi_w)
+    )
+    return F.greatest(F.lit(1), F.floor(F.lit(360.0) / w_deg).cast("int"))
+
+
+def _lon_cell(lon: Column, n: Column) -> Column:
+    """Cell index of a longitude given the band's cell count (wraps)."""
+    return (
+        F.floor((lon + F.lit(180.0)) / (F.lit(360.0) / n.cast("double")))
+        .cast("int")
+        % n
+    )
+
+
+def grid_keys_build(lat: Column, lon: Column, radius_km: float,
+                    band_deg: float = 1.0) -> tuple[Column, Column]:
+    """(band, cell) key for the BUILD side — one key per row."""
+    band = lat_band(lat, band_deg)
+    n = _cells_in_band(band, radius_km, band_deg)
+    return band, _lon_cell(lon, n)
+
+
+def grid_keys_probe(lat: Column, lon: Column, radius_km: float,
+                    band_deg: float = 1.0) -> Column:
+    """Array of candidate (band, cell) structs for the PROBE side.
+
+    For each band within reach, the probe's own cell +/-1 at THAT
+    band's cell count, wrapped modulo n and deduplicated (a 1-cell
+    polar band contributes one key, not three)."""
+    k = band_reach(radius_km, band_deg)
+    own = lat_band(lat, band_deg)
+
+    def _key_maker(bb: Column):
+        # single-arg lambda ONLY: a two-arg lambda makes Spark pass the
+        # array INDEX as the second argument, silently shadowing any
+        # Python default-bound column (bit us: bands came out 0,1,2)
+        return lambda cc: F.struct(bb.alias("band"), cc.alias("cell"))
+
+    per_band = []
+    for i in range(-k, k + 1):
+        b = own + F.lit(i)
+        n = _cells_in_band(b, radius_km, band_deg)
+        c = _lon_cell(lon, n)
+        cells = F.array_distinct(
+            F.array((c - 1 + n) % n, c, (c + 1) % n)
+        )
+        per_band.append(F.transform(cells, _key_maker(b)))
+    return F.flatten(F.array(*per_band))
+
+
+def grid_radius_join(a, b, radius_km: float, band_deg: float = 1.0,
+                     dist_col: str = "dist_km"):
+    """All (a, b) row pairs within ``radius_km`` — 2D-grid bucketed.
+
+    ``a`` must carry ``lat``/``lon``; ``b`` must carry ``b_lat``/
+    ``b_lon``; all other column names must be disjoint. Returns the
+    joined pairs with ``dist_col`` = haversine rounded to 4 decimals,
+    filtered to the radius. The join is a plain equi-shuffle on
+    (band, cell); each build row holds exactly ONE key, so no pair is
+    ever produced twice; probe rows explode into at most
+    (2*reach+1)*3 keys. Completeness per the module-level theorem;
+    pinned pairs-exact against the brute-force cross join in
+    tests/test_geo.py (fixture lattice + adversarial hypothesis
+    coordinates, poles and dateline included)."""
+    pk = grid_keys_probe(F.col("lat"), F.col("lon"), radius_km, band_deg)
+    probe = (
+        a.withColumn("_gk", F.explode(pk))
+        .withColumn("band", F.col("_gk.band"))
+        .withColumn("cell", F.col("_gk.cell"))
+        .drop("_gk")
+    )
+    bband, bcell = grid_keys_build(
+        F.col("b_lat"), F.col("b_lon"), radius_km, band_deg
+    )
+    build = b.withColumn("band", bband).withColumn("cell", bcell)
+    d = F.round(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("b_lat"), F.col("b_lon")), 4
+    )
+    return (
+        probe.join(build, on=["band", "cell"])
+        .withColumn(dist_col, d)
+        .filter(F.col(dist_col) <= F.lit(radius_km))
+        .drop("band", "cell")
+    )

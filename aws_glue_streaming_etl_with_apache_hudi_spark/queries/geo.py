@@ -17,14 +17,16 @@ Scale design per query (the 100 TB story):
   side (20 points) broadcasts, the big site table streams map-side,
   and the argmin is a lexicographic ``min(struct(dist, key))``
   aggregation (ties key-deterministic). No window over the big side.
-- ``geo_radius_pairs``: NEVER a cross join at scale — suppliers keep
-  their single 1-degree latitude band, customers explode the +/-5
-  band neighborhood (500 km / 111.19 km-per-degree < 5 bands), and
-  the join is a plain equi-shuffle on the band key. Completeness:
-  great-circle distance >= meridian distance, so every pair within
-  500 km is within 5 band ids (operators/geo.py band_reach). The
-  oracle is the brute-force cross join — feasible at fixture scale
-  only, which is exactly the point.
+- ``geo_radius_pairs``: NEVER a cross join at scale — the 2D
+  adaptive grid (operators/geo.py grid_radius_join): suppliers keep
+  ONE (lat-band, lon-cell) key, customers explode the candidate
+  neighborhood, and the join is a plain equi-shuffle on the grid
+  key; cells are ~radius-sized wherever longitude means distance and
+  degenerate to the pure band at the poles, so even a single-metro
+  dataset keeps its shuffle parallel. Completeness is a theorem
+  (module docstring in operators/geo.py) and pairs-exactness is
+  property-tested. The oracle is the brute-force cross join —
+  feasible at fixture scale only, which is exactly the point.
 
 Reference anchor: transform-stage enrichment over the streamed rows,
 the slot glue_job_script.py:87-101 leaves to the user.
@@ -35,10 +37,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import (
+    grid_radius_join,
     haversine_km,
     haversine_sql,
-    lat_band,
-    neighbor_bands,
     synth_lat_sql,
     synth_lon_sql,
     synthetic_lat,
@@ -220,33 +221,27 @@ def geo_radius_pairs(spark, sf_dir):
     rolled up per customer nation — the spatial-proximity join behind
     geofencing, catchment analysis, and POI matching.
 
-    Scale: latitude-band bucketing instead of the oracle's cross
-    join — sites keep their single 1-degree band, customers explode
-    the +/-5 neighborhood (500 km < 5 * 111.19 km-per-degree), and
-    the join is an equi-shuffle on the band key; the exact haversine
-    filter runs only on band-colocated candidates. Completeness is a
-    theorem (great-circle >= meridian distance, operators/geo.py
-    band_reach); no pair is produced twice because each site sits in
-    exactly one band."""
-    cust = _cust_pts(spark, sf_dir).withColumn(
-        "band", F.explode(neighbor_bands(F.col("lat"), _RADIUS_KM))
+    Scale: 2D adaptive-grid bucketing instead of the oracle's cross
+    join (operators/geo.py grid_radius_join) — sites keep ONE
+    (lat-band, lon-cell) key, customers explode the candidate
+    neighborhood, and the join is an equi-shuffle on the grid key;
+    the exact haversine filter runs only on cell-colocated
+    candidates. Longitude cells are sized per band from the
+    completeness bound (sin(d/2R) >= cos(phi_max) sin(dlmb/2) +
+    Jordan), degenerating to the pure latitude band at the poles —
+    so a single-metro dataset spreads over ~radius-sized cells
+    instead of funneling one latitude band through (2k+1) tasks.
+    Pairs-exact vs brute force is property-tested (tests/test_geo.py,
+    adversarial coordinates included); no pair is produced twice
+    because each site holds exactly one key."""
+    cust = _cust_pts(spark, sf_dir)
+    sites = (
+        _site_pts(spark, sf_dir)
+        .withColumnRenamed("lat", "b_lat")
+        .withColumnRenamed("lon", "b_lon")
     )
-    sites = _site_pts(spark, sf_dir).withColumn("band", lat_band(F.col("lat")))
-    d = F.round(
-        haversine_km(
-            F.col("c.lat"), F.col("c.lon"), F.col("s.lat"), F.col("s.lon")
-        ),
-        4,
-    )
-    pairs = (
-        cust.alias("c")
-        .join(sites.alias("s"), on="band")
-        .select(
-            F.col("c.c_nationkey").alias("c_nationkey"),
-            F.col("c.c_custkey").alias("c_custkey"),
-            d.alias("d"),
-        )
-        .filter(F.col("d") <= F.lit(_RADIUS_KM))
+    pairs = grid_radius_join(cust, sites, _RADIUS_KM, dist_col="d").select(
+        "c_nationkey", "c_custkey", "d"
     )
     return (
         pairs.groupBy("c_nationkey")

@@ -166,3 +166,72 @@ def test_band_join_completeness_adversarial(spark, pts_a, pts_b, radius_km):
     got = sorted(map(tuple, banded.collect()))
     want = sorted(map(tuple, brute.collect()))
     assert got == want
+
+
+def _grid_vs_brute(spark, pts_a, pts_b, radius_km):
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import grid_radius_join
+
+    a = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts_a)], "ak int, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts_b)],
+        "bk int, b_lat double, b_lon double",
+    )
+    d = F.round(
+        haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.b_lat"), F.col("b.b_lon")), 4
+    )
+    brute = (
+        a.alias("a").crossJoin(b.alias("b"))
+        .select("ak", "bk", d.alias("dist_km")).filter(F.col("dist_km") <= radius_km)
+    )
+    grid = grid_radius_join(a, b, radius_km).select("ak", "bk", "dist_km")
+    got = sorted(map(tuple, grid.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want  # pairs-exact: complete AND duplicate-free
+
+
+@pytest.mark.parametrize("radius_km", [50.0, 500.0, 2000.0])
+def test_grid_radius_join_completeness(spark, radius_km):
+    pts_a = [
+        (0.0, 0.0), (0.3, 179.9), (0.3, -179.9), (89.9, 10.0), (-89.9, -120.0),
+        (45.0, 45.0), (45.2, 45.4), (44.8, 44.6), (60.0, 0.0), (60.0, 3.0),
+        (90.0, 0.0), (-90.0, 55.0), (10.0, -180.0), (10.0, 180.0),
+    ]
+    pts_b = [
+        (0.1, 0.2), (0.2, -179.95), (89.5, -170.0), (-89.7, 60.0),
+        (45.1, 45.2), (45.05, 44.9), (59.8, 1.5), (60.4, 358.0 - 360.0),
+        (90.0, 123.0), (-90.0, -7.0), (9.7, 179.8),
+    ]
+    _grid_vs_brute(spark, pts_a, pts_b, radius_km)
+
+
+@given(
+    pts_a=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=20),
+    pts_b=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=20),
+    radius_km=st.sampled_from([50.0, 500.0, 2000.0]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_grid_radius_join_completeness_adversarial(spark, pts_a, pts_b, radius_km):
+    pts_a = pts_a + [(90.0, 0.0), (-90.0, 179.99), (0.0, -180.0)]
+    pts_b = pts_b + [(89.5, -179.0), (-90.0, 0.0), (0.0, 180.0)]
+    _grid_vs_brute(spark, pts_a, pts_b, radius_km)
+
+
+def test_grid_spreads_single_metro_skew(spark):
+    """The scale rationale for the 2D grid: a dataset concentrated at ONE
+    latitude lands in ~1 band (1D join funnels through ~3 tasks), but
+    spreads across many longitude cells — the shuffle parallelism a
+    single-metro corpus actually gets."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import grid_keys_build
+
+    metro = spark.range(0, 2000).select(
+        (F.lit(47.3) + (F.col("id") % 100) / F.lit(1000.0)).alias("b_lat"),
+        (F.lit(8.0) + (F.col("id") % 400) / F.lit(20.0)).alias("b_lon"),
+    )
+    band, cell = grid_keys_build(F.col("b_lat"), F.col("b_lon"), 50.0)
+    keys = metro.select(band.alias("band"), cell.alias("cell")).distinct()
+    n_bands = keys.select("band").distinct().count()
+    n_keys = keys.count()
+    assert n_bands == 1          # the 1D funnel this metro would hit
+    assert n_keys >= 10          # the 2D grid's actual spread
