@@ -252,3 +252,60 @@ def geo_radius_pairs(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+_KNN_RADIUS_KM = 2000.0
+
+
+@register(
+    "geo_knn_sites",
+    sql=f"""
+    WITH c AS ({_CUST_PTS_SQL}), s AS ({_SITE_PTS_SQL}),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round({_HAV_CS}, 4) AS dist_km
+      FROM c CROSS JOIN s
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, dist_km,
+             CAST(row_number() OVER (
+               PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS INT)
+               AS rn
+      FROM pairs WHERE dist_km <= {_KNN_RADIUS_KM}
+    )
+    SELECT c_custkey, s_suppkey, dist_km, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY c_custkey, rn
+    """,
+)
+def geo_knn_sites(spark, sf_dir):
+    """Spatial kNN JOIN: every customer's 3 nearest sites within a
+    2000 km service radius — the assign-to-k-nearest-facilities /
+    store-catchment join, where BOTH sides are large (unlike
+    geo_nearest_site's 20 broadcast query points).
+
+    Scale: grid_radius_join prunes candidates to grid-colocated pairs
+    (2000 km cells — no cross join), then a row_number window
+    partitioned by the DATA-KEYED c_custkey (unbounded domain, shuffle
+    parallel) keeps the top-3 by (distance, site key) — tie-safe and
+    identical to the oracle's ordering. The radius cap is what makes a
+    distributed kNN join well-posed: an uncapped kNN needs ring
+    expansion for isolated points; capped, completeness follows from
+    the grid theorem."""
+    cust = _cust_pts(spark, sf_dir)
+    sites = (
+        _site_pts(spark, sf_dir)
+        .withColumnRenamed("lat", "b_lat")
+        .withColumnRenamed("lon", "b_lon")
+    )
+    pairs = grid_radius_join(cust, sites, _KNN_RADIUS_KM, dist_col="dist_km")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    )
+    return (
+        pairs.select("c_custkey", "s_suppkey", "dist_km")
+        .withColumn("rn", rn.cast("int"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
