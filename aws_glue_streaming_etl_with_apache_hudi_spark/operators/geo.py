@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Mean Earth radius (km) — IUGG value used by both sides of every oracle.
+#: Mean Earth radius (km) — same constant on both sides of every oracle.
 EARTH_RADIUS_KM = 6371.0
 
 #: km per degree of latitude at the mean radius (pi/180 * R). Used to
@@ -217,6 +217,13 @@ def grid_probe_explode(df, radius_km: float, band_deg: float = 1.0,
     whole-stage codegen, and the first cut cost ~100 us/row; this
     shape is ~10x cheaper and every expression stays codegen'd except
     one 3-element array_distinct."""
+    clash = {"band", "cell"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"grid_probe_explode writes columns {sorted(clash)} that the "
+            "input already carries — rename them first (withColumn would "
+            "silently overwrite)"
+        )
     k = band_reach(radius_km, band_deg)
     own = lat_band(F.col(lat_col), band_deg)
     out = df.withColumn(
@@ -248,6 +255,12 @@ def grid_radius_join(a, b, radius_km: float, band_deg: float = 1.0,
     bband, bcell = grid_keys_build(
         F.col("b_lat"), F.col("b_lon"), radius_km, band_deg
     )
+    clash = {"band", "cell"} & set(b.columns)
+    if clash:
+        raise ValueError(
+            f"grid_radius_join's build side already carries {sorted(clash)} "
+            "— rename them first"
+        )
     build = b.withColumn("band", bband).withColumn("cell", bcell)
     d = F.round(
         haversine_km(F.col("lat"), F.col("lon"), F.col("b_lat"), F.col("b_lon")), 4
