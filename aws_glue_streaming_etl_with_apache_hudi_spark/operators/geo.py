@@ -50,7 +50,7 @@ def synthetic_lat(key: Column) -> Column:
 
     ``((key * 7919) % 18000) / 100 - 90`` — 7919 is coprime to 18000 so
     consecutive keys spread over the full range. Exact integer math both
-    engines; the SQL twin is :data:`SYNTH_LAT_SQL`.
+    engines; the SQL twin is :func:`synth_lat_sql`.
     """
     return ((key * F.lit(7919)) % F.lit(18000)) / F.lit(100.0) - F.lit(90.0)
 
