@@ -219,8 +219,9 @@ PRIORITY_WINDOW: list[str] = [
     # text_unigram_logprob, topk_orders, vocab_top_bigrams.
     # Plus the families registered AFTER this window froze (r10):
     # geo_grid_density, geo_nearest_site, geo_radius_pairs,
-    # geo_knn_sites, url_parse_profile, try_safe_parsing — rotate them
-    # in next round
+    # geo_knn_sites, url_parse_profile, try_safe_parsing,
+    # bitmap_exact_distinct, content_sha_manifest — rotate them in
+    # next round
     # (invariant 2), covered meanwhile by the local whole-registry
     # DuckDB gate.
 ]

@@ -1622,3 +1622,80 @@ def try_safe_parsing(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "bitmap_exact_distinct",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    """EXACT distinct counting via the Spark 3.5+ ``bitmap_*`` family —
+    the warehouse pattern that beats shuffling raw values: user ids
+    bucket into fixed 4KB bitmaps (``bitmap_bucket_number`` /
+    ``bitmap_bit_position``), each (group, bucket) OR-aggregates its
+    bit positions map-side (``bitmap_construct_agg``), and the final
+    count is the sum of per-bucket popcounts (``bitmap_count``). The
+    oracle is the plain COUNT(DISTINCT) — the bitmap algebra must
+    reproduce it exactly, unlike the HLL sketch family
+    (hll_sketch_union_estimate) which trades exactness for one pass.
+
+    Scale: two map-side-combinable aggregations; bitmap merge is
+    associative and each partial is a bounded 4KB value, so the
+    shuffle carries O(groups x touched-buckets) bitmaps instead of
+    O(rows) user ids."""
+    e = t(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type", F.bitmap_bucket_number(F.col("user_id")).alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("bm")
+    )
+    return (
+        buckets.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "content_sha_manifest",
+    sql="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+           min(sha256(text)) AS min_sha,
+           max(sha256(text)) AS max_sha
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def content_sha_manifest(spark, sf_dir):
+    """Content-addressed manifest via cross-engine SHA-256 — the
+    integrity record a corpus release ships (and the store-once
+    multimodal ledger keys on): per source, doc count, EXACT distinct
+    content count (byte-level dedup census), and the min/max content
+    hash as a spot-checkable manifest signature. Spark's
+    ``sha2(text, 256)`` and DuckDB's ``sha256`` must agree on every
+    row (same UTF-8 bytes, same lowercase hex) for the value hash to
+    match — pinning that content addresses are portable across
+    engines, which is what makes a hash manifest trustworthy.
+
+    Scale: row-local hashing inside codegen + one map-side-combinable
+    aggregation on the source key."""
+    d = t(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text"), 256)
+    return (
+        d.select("source", sha.alias("sha"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("sha").cast("long").alias("n_unique"),
+            F.min("sha").alias("min_sha"),
+            F.max("sha").alias("max_sha"),
+        )
+        .orderBy("source")
+    )
