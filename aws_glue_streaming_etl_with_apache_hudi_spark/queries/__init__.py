@@ -134,21 +134,88 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import geo  # noqa: F
 # New r8 registrations displace freshness fillers (never sentinels or
 # backlog names), newest-listed first.
 
-# Round-10 rotation (VERDICT r9 task 3): the freshness floor rises to
-# round 4 — the ENTIRE r3-aged cohort (27 queries, the oldest driver
-# coverage left) rotates in. Changed-in-r10 queries rotate in per
-# invariant 2: cume_dist_spend_curve (migrated onto the new
-# distributed_cume_dist sub-bucketed primitive), xml_source_roundtrip
-# (content-fingerprint render cache), and the three
-# distributed_running_agg consumers (the offset fold gained the fsum
-# float path): ks_two_sample, pareto_frontier_orders,
-# token_shard_packing. corpus_stream_e2e (new this round — the streamed
-# quality->LSH-dedup->MOR->datasheet composition) enters the window the
-# round it registers. Category sentinels point at their family's OLDEST
-# driver-verified member (the slot doubles as a freshness re-check);
-# the two spare slots take the oldest r4-aged headliners
-# (corpus_build_pipeline, dedup_minhash_lsh).
+# Round-11 rotation (VERDICT r10 task 1): the freshness floor rises to
+# round 5. Two mandatory cohorts fill 41 of the 50 slots: the 8
+# post-r10-window registrations (geo x4, url_parse_profile,
+# try_safe_parsing, bitmap_exact_distinct, content_sha_manifest — the
+# documented backlog, local-gate green since r10) and the ENTIRE
+# r4-aged cohort (33 queries, the oldest driver coverage left). The 9
+# remaining slots are category sentinels (invariant 1); three of them
+# legitimately cover two categories each so every SURVEY §2 family
+# keeps a member inside the window:
+#   - stateful_running_totals: a real checkpointed STREAMING query
+#     running the applyInPandasWithState STATEFUL operator;
+#   - mor_incremental: the MOR storage table read through the
+#     INCREMENTAL pull path (both storage families in one plan);
+#   - graph_assortativity: the GRAPH degree-mixing query whose output
+#     is a Pearson correlation — the STATISTICS family computation
+#     (both families live in queries/graphstats.py; r9 precedent).
+# Pool members double as sentinels where the family overlaps
+# (bootstrap_adopted_state = upsert, interval_join_attribution = asof,
+# dedup_groups_minhash = dedup, ... — see tests/test_registry_order.py).
 PRIORITY_WINDOW: list[str] = [
+    # --- the 8 post-r10-window registrations (invariant 2) ---
+    "geo_grid_density",
+    "geo_nearest_site",
+    "geo_radius_pairs",            # also the geo sentinel
+    "geo_knn_sites",
+    "url_parse_profile",           # also the sql-surface sentinel
+    "try_safe_parsing",
+    "bitmap_exact_distinct",
+    "content_sha_manifest",
+    # --- freshness: the WHOLE r4-aged cohort (after r11 no query's
+    # newest driver row is older than round 5) ---
+    "agg_rollup",                  # also the relational-agg sentinel
+    "approx_error_bound",          # also the sketches sentinel
+    "bm25_search",
+    "bootstrap_adopted_state",     # also the upsert sentinel (bootstrap->upsert state)
+    "corpus_datasheet",
+    "corpus_mix_weights",
+    "dedup_groups_minhash",        # also the dedup sentinel
+    "dedup_simhash_pairs",
+    "dq_expectations_orders",
+    "filter_predicates",
+    "interval_join_attribution",   # also the as-of/interval-join sentinel
+    "join_left_outer",             # also the relational-join sentinel
+    "join_right_outer",
+    "join_salted_skew",
+    "knn_filtered",                # also the similarity sentinel
+    "knn_pq",
+    "map_json_ops",
+    "null_semantics",
+    "q12_ship_priority",
+    "quality_median_filter",
+    "range_join_binned",
+    "scalar_string_funcs",
+    "set_union_distinct",
+    "subquery_in",
+    "table_profile",
+    "temperature_sample_langs",    # also the training sentinel
+    "text_boilerplate_lines",      # also the text sentinel
+    "text_hash_embedding",
+    "text_pii_redaction",
+    "text_repetition",
+    "text_unigram_logprob",
+    "topk_orders",
+    "vocab_top_bigrams",
+    # --- category sentinels (each slot doubles as a freshness
+    # re-check of an r7-r9-aged member) ---
+    "schema_evolution_union",      # schema evolution (r9)
+    "partition_path_derivation",   # partitioning (r9)
+    "stateful_running_totals",     # streaming + stateful (r9)
+    "mor_incremental",             # MOR + incremental storage (r9)
+    "cdc_change_feed",             # CDC (r9; incremental_view + cdc_view)
+    "multimodal_binary_meta",      # multimodal (r9)
+    "udtf_sentence_split",         # UDF/UDTF surface (r8)
+    "graph_assortativity",         # graph + statistics (r9)
+    "window_running_sum",          # relational-window (r9)
+    # Queries registered AFTER this window froze (r11):
+    # geo_knn_uncapped, domain_cap_sample, bitmap_distinct_mv_merge —
+    # rotate them in next round (invariant 2), covered meanwhile by the
+    # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
+]
+
+_PRIOR_WINDOW_R10: list[str] = [
     # --- changed-in-r10 rotations (invariant 2) ---
     "cume_dist_spend_curve",       # -> distributed_cume_dist (VERDICT r9 #1)
     "xml_source_roundtrip",        # content-fingerprint cache (ADVICE r9)
@@ -205,25 +272,6 @@ PRIORITY_WINDOW: list[str] = [
     # --- spare slots: oldest r4-aged headliners ---
     "corpus_build_pipeline",
     "dedup_minhash_lsh",
-    # r4-aged names NOT fitting this window (next round's freshness
-    # pool): agg_rollup, approx_error_bound, bm25_search,
-    # bootstrap_adopted_state, corpus_datasheet, corpus_mix_weights,
-    # dedup_groups_minhash, dedup_simhash_pairs, dq_expectations_orders,
-    # filter_predicates, interval_join_attribution, join_left_outer,
-    # join_right_outer, join_salted_skew, knn_filtered, knn_pq,
-    # map_json_ops, null_semantics, q12_ship_priority,
-    # quality_median_filter, range_join_binned, scalar_string_funcs,
-    # set_union_distinct, subquery_in, table_profile,
-    # temperature_sample_langs, text_boilerplate_lines,
-    # text_hash_embedding, text_pii_redaction, text_repetition,
-    # text_unigram_logprob, topk_orders, vocab_top_bigrams.
-    # Plus the families registered AFTER this window froze (r10):
-    # geo_grid_density, geo_nearest_site, geo_radius_pairs,
-    # geo_knn_sites, url_parse_profile, try_safe_parsing,
-    # bitmap_exact_distinct, content_sha_manifest — rotate them in
-    # next round
-    # (invariant 2), covered meanwhile by the local whole-registry
-    # DuckDB gate.
 ]
 
 _PRIOR_WINDOW_R9: list[str] = [

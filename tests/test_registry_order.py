@@ -18,31 +18,34 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-10 rotation: every sentinel points at its family's OLDEST
-    # driver-verified member inside the window (the slot doubles as a
-    # freshness re-check); the r3-aged cohort supplies the dedup/text/
-    # relational sentinels directly.
-    "upsert": "upsert_latest_state",
-    "schema_evolution": "rename_evolution_state",
-    "partitioning": "zorder_layout_stats",
-    "asof": "asof_join_forward_tolerance",
-    "streaming": "tumbling_window_agg",
-    "stateful": "stateful_session_machine",
-    "storage_mor": "mor_partial_state",
-    "storage_incremental": "secondary_index_lookup",
-    "storage_cdc": "cdc_before_after_images",
-    "dedup": "dedup_simhash",
-    "similarity": "knn_ivf",
-    "text": "text_stats",
-    "multimodal": "multimodal_dedup_store_once",
-    "training": "token_shard_packing",
-    "udf": "applyinpandas_user_trend",
-    "relational_agg": "q1_pricing_summary",
-    "relational_join": "join_inner_revenue",
-    "relational_window": "window_topk_per_group",
-    "graph": "graph_components_4rounds",
-    "statistics": "ab_test_welch",
-    "sketches": "approx_quantile_rank_bound",
+    # round-11 rotation: the r4-aged freshness cohort supplies most
+    # sentinels directly; three explicit slots each cover two
+    # overlapping families (streaming+stateful, MOR+incremental,
+    # graph+statistics — see queries/__init__.py for the rationale).
+    "upsert": "bootstrap_adopted_state",  # bootstrap commit -> upsert commit state
+    "schema_evolution": "schema_evolution_union",
+    "partitioning": "partition_path_derivation",
+    "asof": "interval_join_attribution",  # the as-of/interval join family
+    "streaming": "stateful_running_totals",  # real checkpointed stream...
+    "stateful": "stateful_running_totals",   # ...running applyInPandasWithState
+    "storage_mor": "mor_incremental",        # MOR table read through...
+    "storage_incremental": "mor_incremental",  # ...the incremental pull path
+    "storage_cdc": "cdc_change_feed",
+    "dedup": "dedup_groups_minhash",
+    "similarity": "knn_filtered",
+    "text": "text_boilerplate_lines",
+    "multimodal": "multimodal_binary_meta",
+    "training": "temperature_sample_langs",
+    "udf": "udtf_sentence_split",
+    "relational_agg": "agg_rollup",
+    "relational_join": "join_left_outer",
+    "relational_window": "window_running_sum",
+    "graph": "graph_assortativity",       # degree-mixing query whose...
+    "statistics": "graph_assortativity",  # ...output IS a Pearson correlation
+    "sketches": "approx_error_bound",
+    # new SURVEY §2 rows (r10) get standing sentinels of their own:
+    "geo": "geo_radius_pairs",
+    "sql_surface": "url_parse_profile",
 }
 
 
