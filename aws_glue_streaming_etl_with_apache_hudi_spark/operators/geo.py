@@ -34,6 +34,8 @@ expressions.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -270,4 +272,78 @@ def grid_radius_join(a, b, radius_km: float, band_deg: float = 1.0,
         .withColumn(dist_col, d)
         .filter(F.col(dist_col) <= F.lit(radius_km))
         .drop("band", "cell")
+    )
+
+
+#: Ring-expansion radius ladder: starts local, quadruples, and ends past
+#: the maximal great-circle distance (pi * R_earth = 20015.086 km), so
+#: the last ring ALWAYS resolves every remaining probe.
+KNN_RING_RADII_KM = (500.0, 2000.0, 8000.0, 20016.0)
+
+
+def knn_ring_join(a, b, probe_key: str, k: int,
+                  radii: tuple[float, ...] = KNN_RING_RADII_KM,
+                  band_deg: float = 1.0, dist_col: str = "dist_km"):
+    """UNCAPPED kNN join — every probe row's k nearest build rows, no
+    service-radius assumption — via bounded-round ring expansion
+    (the lazily-unrolled iterative shape of operators/graph.py).
+
+    Correctness invariant per round: :func:`grid_radius_join` at radius
+    R returns ALL pairs within R (the module-level completeness
+    theorem), so a probe with >= k candidates inside R already holds
+    its TRUE global top-k — any unseen build row sits at distance > R,
+    beyond the k-th found neighbor. Probes with fewer than k candidates
+    escalate to the next (4x) ring; the final ring exceeds the maximal
+    great-circle distance, so every probe terminates (a build table
+    with < k rows total yields all of them).
+
+    Scale: round r joins ONLY the probes still unresolved after round
+    r-1 — the overwhelming majority resolve in the first ring at
+    real-data densities, so the expensive wide rings see a vanishing
+    probe set. Each round is a plain (band, cell) equi-shuffle; the
+    candidate sets are disjoint across rounds BY KEY (a probe finalizes
+    in exactly one round), so the union needs no dedup. The final
+    top-k is one row_number window partitioned by the data-keyed
+    ``probe_key`` (unbounded domain, shuffle parallel). Per-round
+    frames land in bounded session persist slots (operators/dedup.py)
+    so repeated registry runs can't accumulate executor storage.
+
+    ``a``/``b`` column contract matches :func:`grid_radius_join`;
+    ``probe_key`` must uniquely key ``a``'s rows."""
+    from pyspark.sql import Window as W
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    if radii[-1] < math.pi * EARTH_RADIUS_KM:
+        raise ValueError(
+            f"final ring {radii[-1]} km does not cover the sphere "
+            f"(needs >= {math.pi * EARTH_RADIUS_KM:.3f})"
+        )
+    active = a
+    resolved = []
+    for i, r_km in enumerate(radii):
+        pairs = _persist_slot(
+            grid_radius_join(active, b, r_km, band_deg, dist_col),
+            f"geo.knn_ring.pairs.{i}",
+        )
+        if i + 1 < len(radii):
+            done_keys = (
+                pairs.groupBy(probe_key)
+                .agg(F.count(F.lit(1)).alias("_n_cand"))
+                .filter(F.col("_n_cand") >= k)
+                .select(probe_key)
+            )
+            resolved.append(pairs.join(done_keys, on=probe_key))
+            active = active.join(done_keys, on=probe_key, how="left_anti")
+        else:
+            resolved.append(pairs)  # terminal ring: everyone resolves
+    allp = resolved[0]
+    for p in resolved[1:]:
+        allp = allp.unionByName(p)
+    rn = F.row_number().over(
+        W.partitionBy(probe_key).orderBy(dist_col, *[c for c in b.columns
+                                                     if c not in ("b_lat", "b_lon")])
+    )
+    return allp.withColumn("knn_rank", rn.cast("int")).filter(
+        F.col("knn_rank") <= k
     )

@@ -40,6 +40,7 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import (
     grid_radius_join,
     haversine_km,
     haversine_sql,
+    knn_ring_join,
     synth_lat_sql,
     synth_lon_sql,
     synthetic_lat,
@@ -165,7 +166,8 @@ def geo_grid_density(spark, sf_dir):
     """,
 )
 def geo_nearest_site(spark, sf_dir):
-    """Nearest-site lookup: for 20 fixed query points, the closest
+    """Nearest-site lookup: for 21 fixed query points (custkeys 0-20,
+    0-based fixture keys), the closest
     supplier site by great-circle distance — store-locator /
     assign-to-nearest-facility semantics.
 
@@ -308,4 +310,58 @@ def geo_knn_sites(spark, sf_dir):
         .withColumn("rn", rn.cast("int"))
         .filter(F.col("rn") <= 3)
         .orderBy("c_custkey", "rn")
+    )
+
+
+#: Uncapped-kNN demonstration belt: sites restricted to |lat| <= 20 so
+#: high-latitude customers are ISOLATED (nearest site >= ~7800 km away)
+#: and the ring expansion's wide rounds actually fire.
+_BELT_LAT = 20.0
+
+
+@register(
+    "geo_knn_uncapped",
+    sql=f"""
+    WITH c AS ({_CUST_PTS_SQL}),
+    s AS (SELECT * FROM ({_SITE_PTS_SQL}) WHERE abs(lat) <= {_BELT_LAT}),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round({_HAV_CS}, 4) AS dist_km
+      FROM c CROSS JOIN s
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, dist_km,
+             CAST(row_number() OVER (
+               PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS INT)
+               AS knn_rank
+      FROM pairs
+    )
+    SELECT c_custkey, s_suppkey, dist_km, knn_rank
+    FROM ranked WHERE knn_rank <= 2
+    ORDER BY c_custkey, knn_rank
+    """,
+)
+def geo_knn_uncapped(spark, sf_dir):
+    """UNCAPPED spatial kNN join (VERDICT r10 task 5): every customer's
+    2 nearest sites with NO service-radius assumption, against a site
+    layer confined to the |lat| <= 20 belt — so polar customers sit
+    thousands of km from their nearest site and a fixed-radius plan
+    (geo_knn_sites) would silently drop them.
+
+    Scale: operators/geo.py ``knn_ring_join`` — bounded-round ring
+    expansion (500 -> 2000 -> 8000 -> 20016 km, the last past the
+    antipodal bound). Each round joins only the still-unresolved
+    probes on the (band, cell) grid; a probe holding >= k candidates
+    inside ring R owns its true global top-k by the grid completeness
+    theorem. The oracle is the definitional uncapped cross-join kNN —
+    feasible at fixture scale only, which is the point."""
+    cust = _cust_pts(spark, sf_dir)
+    sites = (
+        _site_pts(spark, sf_dir)
+        .filter(F.abs(F.col("lat")) <= _BELT_LAT)
+        .withColumnRenamed("lat", "b_lat")
+        .withColumnRenamed("lon", "b_lon")
+    )
+    out = knn_ring_join(cust, sites, probe_key="c_custkey", k=2)
+    return out.select("c_custkey", "s_suppkey", "dist_km", "knn_rank").orderBy(
+        "c_custkey", "knn_rank"
     )

@@ -1516,7 +1516,14 @@ def url_parse_profile(spark, sf_dir):
     Scale: parse_url is a row-local JVM expression; one map-side
     combinable aggregation on the host key. Per-host CAPPING at scale
     composes with quota_sample_per_source (the registered quota
-    sampler) — this query is the census that sizes those quotas."""
+    sampler) — this query is the census that sizes those quotas.
+
+    Oracle-equivalence precondition: ``documents.source`` and ``lang``
+    must contain only URL-safe characters ([A-Za-z0-9-]) — Spark's
+    ``parse_url`` (java.net.URI) returns NULL host for a URL containing
+    '_' or spaces while the oracle's string algebra would still build
+    one. tests/test_relational3_pins.py::test_url_parse_fixture_is_url_safe
+    fails loudly if a future fixture breaks this."""
     d = t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://www."),

@@ -1,7 +1,8 @@
 """Laws for the geospatial primitives (operators/geo.py).
 
 The registry-wide oracle gate (tests/test_queries_oracle.py) already
-value-hash-checks the three geo queries against DuckDB; this file pins
+value-hash-checks the geo queries (grid density, nearest site, radius
+pairs, capped kNN, uncapped kNN) against DuckDB; this file pins
 the operator-level invariants the queries' scale design rests on —
 above all band-pruning COMPLETENESS (the band join must equal the
 brute-force cross join, or the distributed plan silently drops pairs).
@@ -135,7 +136,7 @@ _lon = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
     pts_b=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=25),
     radius_km=st.sampled_from([50.0, 500.0, 2000.0]),
 )
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_band_join_completeness_adversarial(spark, pts_a, pts_b, radius_km):
     """Band pruning must stay pairs-exact for ADVERSARIAL coordinates —
     poles (where every longitude is close), the dateline, band-boundary
@@ -211,7 +212,7 @@ def test_grid_radius_join_completeness(spark, radius_km):
     pts_b=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=20),
     radius_km=st.sampled_from([50.0, 500.0, 2000.0]),
 )
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_grid_radius_join_completeness_adversarial(spark, pts_a, pts_b, radius_km):
     pts_a = pts_a + [(90.0, 0.0), (-90.0, 179.99), (0.0, -180.0)]
     pts_b = pts_b + [(89.5, -179.0), (-90.0, 0.0), (0.0, 180.0)]
@@ -235,3 +236,75 @@ def test_grid_spreads_single_metro_skew(spark):
     n_keys = keys.count()
     assert n_bands == 1          # the 1D funnel this metro would hit
     assert n_keys >= 10          # the 2D grid's actual spread
+
+
+# -- uncapped kNN ring expansion (VERDICT r10 task 5) -----------------------
+
+
+def _ring_vs_brute_knn(spark, pts_a, pts_b, k):
+    """knn_ring_join must equal the definitional cross-join top-k —
+    pairs AND ranks — including probes whose k-th neighbor is rings
+    away and build tables with fewer than k rows."""
+    from pyspark.sql import Window as W
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import knn_ring_join
+
+    a = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts_a)], "ak int, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts_b)],
+        "bk int, b_lat double, b_lon double",
+    )
+    d = F.round(
+        haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.b_lat"), F.col("b.b_lon")), 4
+    )
+    brute = (
+        a.alias("a").crossJoin(b.alias("b"))
+        .select("ak", "bk", d.alias("dist_km"))
+        .withColumn(
+            "knn_rank",
+            F.row_number().over(W.partitionBy("ak").orderBy("dist_km", "bk")).cast("int"),
+        )
+        .filter(F.col("knn_rank") <= k)
+    )
+    ring = knn_ring_join(a, b, probe_key="ak", k=k).select(
+        "ak", "bk", "dist_km", "knn_rank"
+    )
+    got = sorted(map(tuple, ring.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want
+    assert len(want) > 0, "vacuous kNN check"
+
+
+def test_knn_ring_join_isolated_points(spark):
+    """Polar probes against an equatorial-belt build side: nearest
+    neighbors are ~7800-10000 km away, unreachable by the first two
+    rings — the exact case a capped radius join silently drops."""
+    probes = [
+        (89.9, 10.0), (-89.9, -120.0),          # poles: need ring 3-4
+        (0.1, 20.0), (0.2, -179.9),              # belt locals: ring 1
+        (45.0, 100.0),                           # mid-latitude: ring 2-3
+    ]
+    belt = [(lat, -180.0 + 7.3 * i) for i, lat in enumerate(
+        [0.0, 3.5, -2.0, 7.9, -9.3, 1.1, -0.4, 5.5, -6.6, 2.2] * 3
+    )]
+    _ring_vs_brute_knn(spark, probes, belt, k=3)
+
+
+def test_knn_ring_join_build_smaller_than_k(spark):
+    """k exceeding the build-table size must return ALL build rows per
+    probe (ranks 1..n), not fail or pad."""
+    _ring_vs_brute_knn(spark, [(89.0, 0.0), (0.0, 0.0)], [(10.0, 50.0), (-5.0, -90.0)], k=5)
+
+
+@given(
+    pts_a=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=12),
+    pts_b=st.lists(st.tuples(_lat, _lon), min_size=1, max_size=12),
+    k=st.sampled_from([1, 3]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_knn_ring_join_adversarial(spark, pts_a, pts_b, k):
+    pts_a = pts_a + [(90.0, 0.0), (0.0, -180.0)]
+    pts_b = pts_b + [(-90.0, 0.0), (0.3, 179.9)]
+    _ring_vs_brute_knn(spark, pts_a, pts_b, k)
