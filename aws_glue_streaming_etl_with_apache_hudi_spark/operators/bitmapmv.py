@@ -1,0 +1,66 @@
+"""Incremental exact-distinct maintenance via persisted bitmap state.
+
+The pattern that makes ``bitmap_*`` exact-distinct worth running at
+100 TB (VERDICT r10 task 7): COUNT(DISTINCT) over a growing fact table
+costs a full rescan per refresh, but the per-(group, bucket) bitmaps of
+``bitmap_exact_distinct`` (queries/relational3.py) are an ASSOCIATIVE,
+bounded-size (4 KB) summary — persist them as a materialized-view table
+and each refresh only (1) aggregates the DELTA batch to its own bitmaps
+and (2) OR-merges them into the stored state (``bitmap_or_agg``). The
+fact table's base rows are never read again; refresh cost is
+O(delta rows + touched (group, bucket) state), not O(table).
+
+Contrast with the sketch family (operators/sketches.py HLL): identical
+merge algebra, but the bitmap state is EXACT — the oracle is plain
+COUNT(DISTINCT) over base UNION delta, bit-for-bit.
+
+Reference anchor: the same incremental-state shape as the reference's
+foreachBatch upsert loop (glue_job_script.py:111-118) — each micro-batch
+folds into keyed persistent state instead of recomputing from history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: persisted MV state schema: group cols + ``bkt`` (long) + ``bm`` (binary)
+STATE_BUCKET_COL = "bkt"
+STATE_BITMAP_COL = "bm"
+
+
+def bitmap_mv_build(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Aggregate rows to per-(group, bucket) bitmap state — the frame a
+    base build WRITES as the MV table, and a delta batch feeds into
+    :func:`bitmap_mv_merge`. One map-side-combinable aggregation; the
+    shuffle carries bounded 4 KB bitmaps, not raw values."""
+    v = F.col(value_col)
+    return df.groupBy(
+        *group_cols, F.bitmap_bucket_number(v).alias(STATE_BUCKET_COL)
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(v)).alias(STATE_BITMAP_COL))
+
+
+def bitmap_mv_merge(state: DataFrame, delta: DataFrame, group_cols: list[str],
+                    value_col: str) -> DataFrame:
+    """OR-merge a delta batch into persisted bitmap state, returning the
+    NEW state. Reads only ``state`` (the MV table) and ``delta`` — never
+    the base fact rows; tests/test_bitmapmv.py pins that the executed
+    plan scans no other source. Untouched (group, bucket) state rows
+    pass through the merge unchanged (bitmap_or_agg of one operand)."""
+    keys = [*group_cols, STATE_BUCKET_COL]
+    delta_bm = bitmap_mv_build(delta, group_cols, value_col)
+    return (
+        state.unionByName(delta_bm)
+        .groupBy(*keys)
+        .agg(F.bitmap_or_agg(F.col(STATE_BITMAP_COL)).alias(STATE_BITMAP_COL))
+    )
+
+
+def bitmap_mv_count(state: DataFrame, group_cols: list[str],
+                    out_col: str = "n_distinct") -> DataFrame:
+    """Exact distinct count per group from bitmap state: the sum of
+    per-bucket popcounts (buckets partition the value domain, so the
+    popcounts add)."""
+    return state.groupBy(*group_cols).agg(
+        F.sum(F.bitmap_count(F.col(STATE_BITMAP_COL))).cast("long").alias(out_col)
+    )

@@ -1670,6 +1670,65 @@ def bitmap_exact_distinct(spark, sf_dir):
 
 
 @register(
+    "bitmap_distinct_mv_merge",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-03 00:00:00'
+                     THEN user_id END) AS BIGINT) AS n_users_base
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitmap_distinct_mv_merge(spark, sf_dir):
+    """INCREMENTAL exact-distinct maintenance (VERDICT r10 task 7) —
+    the MV pattern that makes bitmap_exact_distinct worth it at 100 TB:
+    the pre-cut events build per-(event_type, bucket) bitmap state that
+    is PERSISTED as a parquet MV table; the post-cut delta batch then
+    folds in via ``bitmap_or_agg`` and the refreshed count reads ONLY
+    the stored state + delta rows — the base fact rows are never
+    rescanned (plan-pinned in tests/test_bitmapmv.py). The oracle
+    recomputes both counts from raw history: ``n_users`` must equal
+    COUNT(DISTINCT) over base UNION delta, exactly — no sketch error.
+
+    Scale: refresh cost is O(delta + touched state); state is bounded
+    4 KB per (group, bucket); both aggregations map-side combine.
+
+    Reference anchor: glue_job_script.py:111-118 — per-batch fold into
+    keyed persistent state instead of recompute-from-history."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.bitmapmv import (
+        bitmap_mv_build,
+        bitmap_mv_count,
+        bitmap_mv_merge,
+    )
+
+    cut = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    e = t(spark, sf_dir, "events")
+    mv_path = tempfile.mkdtemp(prefix="bitmap_mv_") + "/state"
+    # base build: one full pass over pre-cut history, persisted as the MV
+    bitmap_mv_build(
+        e.filter(F.col("ts") < cut), ["event_type"], "user_id"
+    ).write.mode("overwrite").parquet(mv_path)
+    state = spark.read.parquet(mv_path)
+    base_counts = bitmap_mv_count(state, ["event_type"], out_col="n_users_base")
+    # incremental refresh: ONLY the stored state + the delta batch
+    merged = bitmap_mv_merge(
+        state, e.filter(F.col("ts") >= cut), ["event_type"], "user_id"
+    )
+    return (
+        bitmap_mv_count(merged, ["event_type"], out_col="n_users")
+        .join(base_counts, on="event_type", how="left")  # delta-only groups
+        .select(
+            "event_type",
+            "n_users",
+            F.coalesce(F.col("n_users_base"), F.lit(0)).cast("long").alias("n_users_base"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "content_sha_manifest",
     sql="""
     SELECT source,

@@ -1,0 +1,78 @@
+"""Laws for incremental bitmap-distinct state (operators/bitmapmv.py).
+
+The whole-registry oracle gate already value-hash-checks the
+bitmap_distinct_mv_merge query; this file pins the operator contract
+that justifies it at scale — above all that the REFRESH path never
+rescans the base fact table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.bitmapmv import (
+    bitmap_mv_build,
+    bitmap_mv_count,
+    bitmap_mv_merge,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_merge_equals_rebuild(spark):
+    """Folding a delta into stored state must equal building state from
+    base UNION delta — associativity of the bitmap OR — including
+    overlapping values, delta-only groups, and bucket-boundary values
+    (bitmap buckets span 32768 bits)."""
+    base = _mk(spark, [("a", 1), ("a", 2), ("b", 5), ("a", 32767), ("a", 32768)])
+    delta = _mk(
+        spark, [("a", 2), ("a", 99), ("b", 5), ("c", 7), ("a", 65536), ("c", -3)]
+    )
+    merged = bitmap_mv_merge(bitmap_mv_build(base, ["g"], "v"), delta, ["g"], "v")
+    rebuilt = bitmap_mv_build(base.unionByName(delta), ["g"], "v")
+    got = sorted(map(tuple, bitmap_mv_count(merged, ["g"]).collect()))
+    want = sorted(map(tuple, bitmap_mv_count(rebuilt, ["g"]).collect()))
+    assert got == want
+    truth = sorted(
+        map(tuple, base.unionByName(delta).groupBy("g")
+            .agg(F.countDistinct("v").cast("long").alias("n_distinct")).collect())
+    )
+    assert got == truth
+
+
+def test_refresh_never_rescans_base(spark):
+    """THE contract: the merge leg's executed plan scans the MV parquet
+    and nothing else — no path of the base fact table appears. This is
+    what turns COUNT(DISTINCT) maintenance from O(table) to O(delta)."""
+    with tempfile.TemporaryDirectory(prefix="bitmap_mv_test_") as tmp:
+        base_path = os.path.join(tmp, "facts")
+        mv_path = os.path.join(tmp, "state")
+        _mk(spark, [("a", i) for i in range(100)] + [("b", i) for i in range(50)]) \
+            .write.parquet(base_path)
+        facts = spark.read.parquet(base_path)
+        bitmap_mv_build(facts, ["g"], "v").write.parquet(mv_path)
+
+        delta = _mk(spark, [("a", 1000), ("b", 3), ("c", 1)])
+        refreshed = bitmap_mv_count(
+            bitmap_mv_merge(spark.read.parquet(mv_path), delta, ["g"], "v"), ["g"]
+        )
+        plan = refreshed._jdf.queryExecution().executedPlan().toString()
+        assert "state" in plan  # the MV scan is there...
+        assert "facts" not in plan  # ...the base fact scan is NOT
+        got = {r.g: r.n_distinct for r in refreshed.collect()}
+        assert got == {"a": 101, "b": 50, "c": 1}
+
+
+def test_untouched_state_passes_through(spark):
+    """A delta touching one group must leave other groups' counts
+    unchanged (their state rows ride through bitmap_or_agg unmerged)."""
+    base = _mk(spark, [("a", 1), ("b", 2), ("b", 3)])
+    state = bitmap_mv_build(base, ["g"], "v")
+    merged = bitmap_mv_merge(state, _mk(spark, [("a", 9)]), ["g"], "v")
+    got = {r.g: r.n_distinct for r in bitmap_mv_count(merged, ["g"]).collect()}
+    assert got == {"a": 2, "b": 2}
