@@ -552,12 +552,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     names = sorted(n for n, q in QUERIES.items() if q.headline)
 
-    # warmup: one full execution per query (codegen compilation, shuffle
+    # warmup: TWO full executions per query (codegen compilation, shuffle
     # file creation, operator-level materializations) — not timed; also
-    # primes the calibration probe's footer cache
+    # primes the calibration probe's footer cache. Two, not one: C2
+    # tier-up of generated code takes ~3 executions on the string-heavy
+    # plans, and with a single warmup min-of-3 straddles the JIT
+    # boundary — text_tfidf_top_term measured bimodal 0.77/1.11 s across
+    # r7-r10 with UNTOUCHED code (isolated 10-run profile: 9.7 cold ->
+    # 1.2 -> 0.93 -> steady ~0.78; VERDICT r10 task 4).
     calibration(spark)
-    for name in names:
-        QUERIES[name].fn(spark, SF_DIR).count()
+    for _ in range(2):
+        for name in names:
+            QUERIES[name].fn(spark, SF_DIR).count()
 
     # steady state: 3 runs per query; report min (capability) AND median
     # (variance). Calibration probes interleave with the suite so they
