@@ -210,7 +210,8 @@ PRIORITY_WINDOW: list[str] = [
     "graph_assortativity",         # graph + statistics (r9)
     "window_running_sum",          # relational-window (r9)
     # Queries registered AFTER this window froze (r11):
-    # geo_knn_uncapped, domain_cap_sample, bitmap_distinct_mv_merge —
+    # geo_knn_uncapped, domain_cap_sample, bitmap_distinct_mv_merge,
+    # savepoint_restore_state, embedding_matryoshka_eval —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

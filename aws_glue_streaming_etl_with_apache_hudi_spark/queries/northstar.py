@@ -3391,3 +3391,115 @@ def corpus_stream_e2e(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+def _matryoshka_leg_sql(d: int) -> str:
+    """DuckDB leg: top non-self cosine neighbor in the d-dim PREFIX
+    space (v[1:d] is 1-based inclusive — exactly Spark's slice(v, 1, d));
+    sim rounds to 4dp BEFORE ranking, the cross-engine float contract
+    shared with knn_bruteforce."""
+    v_q = f"q.v[1:{d}]" if d < 64 else "q.v"
+    v_c = f"c.v[1:{d}]" if d < 64 else "c.v"
+    return f"""
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product({v_q}, {v_c})
+                         / (sqrt(list_dot_product({v_q}, {v_q}))
+                            * sqrt(list_dot_product({v_c}, {v_c}))), 4) AS sim
+            FROM q, e c WHERE c.vec_id <> q.vec_id) p) r
+    WHERE rn = 1
+    """
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+@register(
+    "embedding_matryoshka_eval",
+    sql=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        "q AS (SELECT * FROM e WHERE vec_id % 40 = 0),\n"
+        + ",\n".join(
+            f"t{d} AS ({_matryoshka_leg_sql(d)})" for d in _MATRYOSHKA_DIMS
+        )
+        + "\n"
+        + " UNION ALL ".join(
+            f"""
+            SELECT {d} AS dim,
+                   CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(CASE WHEN t{d}.neighbor_id = ref.neighbor_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+                   {'{davg}'} AS avg_sim
+            FROM t{d} JOIN t64 AS ref USING (query_id)
+            """.replace(
+                "{davg}",
+                f"round(CAST(sum(CAST(t{d}.sim AS DECIMAL(18,4))) AS DOUBLE)"
+                f" / count(*), 4)",
+            )
+            for d in _MATRYOSHKA_DIMS
+        )
+        + " ORDER BY dim"
+    ),
+)
+def embedding_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-style truncation evaluation: how much retrieval
+    quality survives when embeddings are cut to a prefix of their
+    dimensions (the MRL deployment trade — store/serve 8 or 16 dims,
+    fall back to the full vector only when needed). For each prefix
+    width d, the top NON-SELF cosine neighbor in the d-dim space is
+    compared against the full-width space over a deterministic query
+    subset (vec_id % 40 = 0): top-1 agreement counts + the mean
+    truncated similarity (decimal-summed — engine-order-proof). The
+    d = 64 row is the self-consistency control (agreement must be
+    total).
+
+    Scale: each leg is the knn_bruteforce shape — bounded query side
+    broadcasts, corpus streams map-side, per-query top-k; prefixes
+    SLICE the stored vector (no re-embedding, no extra table). The
+    production decision this feeds: pick the smallest d whose
+    agreement clears a target and route the ANN index (knn_ivf /
+    knn_lsh) at that width.
+
+    Reference anchor: transform-stage enrichment over streamed rows
+    (glue_job_script.py:87-101), here over the embeddings table."""
+    emb = t(spark, sf_dir, "embeddings")
+    legs = {}
+    for d in _MATRYOSHKA_DIMS:
+        e_d = (
+            emb if d == 64
+            else emb.withColumn("embedding", F.slice("embedding", 1, d))
+        )
+        top = S.knn_bruteforce(
+            e_d, e_d.filter(F.col("vec_id") % 40 == 0), k=2
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
+        legs[d] = (
+            top.groupBy("query_id")
+            .agg(F.min(F.struct("rnk", "neighbor_id", "sim")).alias("m"))
+            .select(
+                "query_id",
+                F.col("m.neighbor_id").alias(f"n{d}"),
+                F.col("m.sim").alias(f"s{d}"),
+            )
+        )
+    out = None
+    for d in _MATRYOSHKA_DIMS:
+        row = (
+            legs[d].join(legs[64].select("query_id", F.col("n64").alias("_ref")),
+                         on="query_id")
+            .agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum(
+                    F.when(F.col(f"n{d}") == F.col("_ref"), 1).otherwise(0)
+                ).cast("long").alias("n_top1_match"),
+                F.round(
+                    F.sum(F.col(f"s{d}").cast("decimal(18,4)")).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("avg_sim"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")

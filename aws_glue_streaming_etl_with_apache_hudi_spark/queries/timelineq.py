@@ -233,6 +233,83 @@ def mor_incremental(spark, sf_dir):
 
 
 @register(
+    "savepoint_restore_state",
+    sql=f"""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_id, event_type, round(value, 2) AS value
+    FROM (SELECT user_id, ts, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts < TIMESTAMP '{_CUT2}') x
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def savepoint_restore_state(spark, sf_dir):
+    """Savepoint -> aggressive clean -> restore, through the production
+    read path (operators/timeline.py savepoint/clean/restore): commit 2
+    is savepointed, commit 3 lands, the cleaner is asked to retain only
+    ONE instant (the savepoint clamps the horizon, so commit 2's read
+    closure survives), and restore(2) rolls the table back — the
+    snapshot read must equal the latest-state algebra over the
+    pre-cut2 events, as if commit 3 never happened. This is the
+    operational recover-from-bad-batch story: pin a known-good instant,
+    vacuum hard, and still be able to walk back to it.
+
+    Scale: restore is O(dropped commits) metadata+file deletions — no
+    data rewrite; the savepoint pin is one JSON marker; clean retains
+    O(live table + keep_last deltas) bytes regardless of history
+    length. Reference anchor: the checkpoint/restart recovery slot
+    (glue_job_script.py:116), extended to table-state recovery."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    cut1, cut2 = F.lit(_CUT1).cast("timestamp"), F.lit(_CUT2).cast("timestamp")
+    thirds = [
+        precombine_latest(f, ["user_id"], "ts", tie_breakers=["event_id"])
+        for f in (
+            e.filter(F.col("ts") < cut1),
+            e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+            e.filter(F.col("ts") >= cut2),
+        )
+    ]
+    build_sig = "|".join(
+        [sf_dir, ",".join(_EVENT_COLS), _CUT1, _CUT2, "savepoint:user_id:ts:v1"]
+    )
+    path = Path(tempfile.gettempdir()) / (
+        "spark_graft_savepoint_" + hashlib.md5(build_sig.encode()).hexdigest()[:12]
+    )
+    tbl = TimelineTable(spark, str(path), keys=["user_id"], precombine="ts")
+    # end state after a full build: commits [1, 2] (3 restored away),
+    # savepoint at 2 — reuse the cached table only in exactly that state
+    commits = tbl.commits()
+    ok = (
+        [c["commit"] for c in commits] == [1, 2]
+        and {s["commit"] for s in tbl.savepoints()} == {2}
+    )
+    if not ok:
+        shutil.rmtree(path, ignore_errors=True)
+        tbl.upsert(thirds[0])      # commit 1: known-good bootstrap
+        tbl.upsert(thirds[1])      # commit 2: known-good increment
+        tbl.savepoint(2)           # pin it
+        tbl.upsert(thirds[2])      # commit 3: the "bad batch"
+        tbl.clean(keep_last=1)     # savepoint clamps the horizon to 2
+        tbl.restore(2)             # walk back; commit 3's files dropped
+    return tbl.read().select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
+
+
+@register(
     "bootstrap_adopted_state",
     sql=f"""
     SELECT event_type, user_id,
