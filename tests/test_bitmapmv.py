@@ -76,3 +76,66 @@ def test_untouched_state_passes_through(spark):
     merged = bitmap_mv_merge(state, _mk(spark, [("a", 9)]), ["g"], "v")
     got = {r.g: r.n_distinct for r in bitmap_mv_count(merged, ["g"]).collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def test_streamed_foreachbatch_refresh_and_replay_idempotence(spark, tmp_path):
+    """BitmapMVStore in the production streaming loop: three micro-batch
+    files flow through StreamingUpsertPipeline, each folding into the
+    store from the post_commit hook AFTER the upsert commits. Final
+    counts must equal COUNT(DISTINCT) over everything streamed — and
+    re-folding the last batch (the crash-replay window between data
+    commit and pointer swap) must change NOTHING: the bitmap OR is
+    idempotent, which is what makes the hook exactly-once-in-effect."""
+    import os
+
+    from pyspark.sql import Row
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.bitmapmv import BitmapMVStore
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [Row(k=1, g="a", v=10, ver=1), Row(k=2, g="a", v=11, ver=1)],
+        [Row(k=3, g="b", v=10, ver=1), Row(k=1, g="a", v=10, ver=2)],  # v=10 repeats
+        [Row(k=4, g="a", v=12, ver=1), Row(k=5, g="b", v=99, ver=1)],
+    ]
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    table = UpsertTable(
+        spark, str(tmp_path / "tbl"), keys=["k"], precombine="ver"
+    )
+    store = BitmapMVStore(
+        spark, str(tmp_path / "mv"), group_cols=["g"], value_col="v"
+    )
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=spark.createDataFrame(batches[0]).schema,
+        table=table,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger="1 seconds",
+        post_commit=lambda batch: store.fold(batch),
+    )
+    pipe.run_available()
+    assert len(pipe.batches_seen) >= 1
+    got = {r.g: r.n_distinct for r in store.counts().collect()}
+    # distinct v per g over ALL streamed rows: a={10,11,12}, b={10,99}
+    assert got == {"a": 3, "b": 2}
+
+    # crash-replay window: re-fold the final batch verbatim
+    v_before = store.version()
+    store.fold(spark.createDataFrame(batches[2]))
+    assert store.version() == v_before + 1  # a new version was written...
+    got2 = {r.g: r.n_distinct for r in store.counts().collect()}
+    assert got2 == got  # ...but the counts are bit-for-bit unchanged
