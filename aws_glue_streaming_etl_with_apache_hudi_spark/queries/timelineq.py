@@ -152,6 +152,107 @@ def sessionize_events(spark, sf_dir):
     ).orderBy("user_id", "session_id")
 
 
+def _mor_fixture_table(spark, sf_dir):
+    """The shared on-disk MOR fixture: events as three delta commits
+    with a compaction after commit 2 (base = state through cut2,
+    commit 3 pending in the log). Cache key = every input the build
+    depends on (fixture dir, column list, commit cuts, key/precombine
+    config) — a definition change lands at a NEW path, so a stale /tmp
+    table can never be served. A table already in the exact expected
+    end state — 3 commits, commit 2 folded — is reused instead of
+    rebuilt: harnesses that invoke a consumer query several times
+    (oracle compare runs it twice) pay the upsert/compact cost once."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    cut1, cut2 = F.lit(_CUT1).cast("timestamp"), F.lit(_CUT2).cast("timestamp")
+    # pre-precombine each commit batch with the event_id tie-breaker so
+    # within-batch same-timestamp winners are deterministic (the thirds
+    # partition on ts, so CROSS-commit precombine ties cannot occur)
+    thirds = [
+        precombine_latest(f, ["user_id"], "ts", tie_breakers=["event_id"])
+        for f in (
+            e.filter(F.col("ts") < cut1),
+            e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+            e.filter(F.col("ts") >= cut2),
+        )
+    ]
+    build_sig = "|".join([sf_dir, ",".join(_EVENT_COLS), _CUT1, _CUT2, "user_id:ts:v2"])
+    path = Path(tempfile.gettempdir()) / (
+        "spark_graft_mor_inc_" + hashlib.md5(build_sig.encode()).hexdigest()[:12]
+    )
+    tbl = MergeOnReadTable(
+        spark, str(path), keys=["user_id"], precombine="ts",
+        policy=CompactionPolicy(max_delta_commits=100),
+    )
+    expected = {"next_seq": 4, "compacted_through": 2}
+    meta = tbl._meta() if tbl.exists() else {}
+    if not all(meta.get(k) == v for k, v in expected.items()):
+        shutil.rmtree(path, ignore_errors=True)
+        tbl.upsert(thirds[0])  # commit 1 (bootstrap)
+        tbl.upsert(thirds[1])  # commit 2
+        tbl.compact()          # folds commit 2 — history must survive this
+        tbl.upsert(thirds[2])  # commit 3
+    return tbl
+
+
+@register(
+    "mor_read_optimized_state",
+    sql=f"""
+    WITH ro AS (
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_CUT2}') x WHERE rn = 1),
+    rt AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) y WHERE rn = 1)
+    SELECT ro.user_id, ro.event_id, ro.event_type,
+           round(ro.value, 2) AS value,
+           rt.event_id AS rt_event_id,
+           CAST(ro.event_id <> rt.event_id AS BOOLEAN) AS is_stale
+    FROM ro JOIN rt USING (user_id) ORDER BY user_id
+    """,
+)
+def mor_read_optimized_state(spark, sf_dir):
+    """The MOR read-optimized view (Hudi `_ro` table) against the real
+    on-disk MergeOnReadTable: base files only, NO log merge — the
+    cheap-but-stale side of the MOR trade. With the fixture compacted
+    through commit 2 and commit 3 pending in the log, read_optimized()
+    must equal the latest state over the pre-cut2 events, and each
+    row's ``is_stale`` flag (does the real-time view disagree?) makes
+    the freshness lag itself part of the value hash — the oracle
+    derives both views from raw history and diffs them.
+
+    Scale: read_optimized is a plain parquet scan of the base — no
+    per-row merge CPU, no log read amplification (the trade measured
+    in bench.py's mor_read_N_deltas rows); the real-time join here is
+    eval-only, keyed on user_id, shuffle-parallel."""
+    tbl = _mor_fixture_table(spark, sf_dir)
+    ro = tbl.read_optimized().select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    rt = tbl.read().select("user_id", F.col("event_id").alias("_rt_event_id"))
+    return (
+        ro.join(rt, on="user_id")
+        .select(
+            "user_id", "event_id", "event_type", "value",
+            F.col("_rt_event_id").alias("rt_event_id"),
+            (F.col("event_id") != F.col("_rt_event_id")).alias("is_stale"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @register(
     "mor_incremental",
     sql=f"""
@@ -178,50 +279,7 @@ def mor_incremental(spark, sf_dir):
 
     Scale: the pull scans only the two in-range delta directories —
     never the base, never untouched history."""
-    import hashlib
-    import shutil
-    import tempfile
-    from pathlib import Path
-
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
-
-    e = t(spark, sf_dir, "events").select(*_EVENT_COLS)
-    cut1, cut2 = F.lit(_CUT1).cast("timestamp"), F.lit(_CUT2).cast("timestamp")
-    # pre-precombine each commit batch with the event_id tie-breaker so
-    # within-batch same-timestamp winners are deterministic (the thirds
-    # partition on ts, so CROSS-commit precombine ties cannot occur)
-    thirds = [
-        precombine_latest(f, ["user_id"], "ts", tie_breakers=["event_id"])
-        for f in (
-            e.filter(F.col("ts") < cut1),
-            e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
-            e.filter(F.col("ts") >= cut2),
-        )
-    ]
-    # Cache key = every input the build depends on (fixture dir, column
-    # list, commit cuts, key/precombine config) — a definition change
-    # lands at a NEW path, so a stale /tmp table can never be served.
-    build_sig = "|".join([sf_dir, ",".join(_EVENT_COLS), _CUT1, _CUT2, "user_id:ts:v2"])
-    path = Path(tempfile.gettempdir()) / (
-        "spark_graft_mor_inc_" + hashlib.md5(build_sig.encode()).hexdigest()[:12]
-    )
-    tbl = MergeOnReadTable(
-        spark, str(path), keys=["user_id"], precombine="ts",
-        policy=CompactionPolicy(max_delta_commits=100),
-    )
-    # The build is deterministic per signature (the path encodes it), so
-    # a table already in the exact expected end state — 3 commits, commit
-    # 2 folded — is reused instead of rebuilt: harnesses that invoke the
-    # query several times (oracle compare runs it twice) pay the
-    # upsert/compact cost once.
-    expected = {"next_seq": 4, "compacted_through": 2}
-    meta = tbl._meta() if tbl.exists() else {}
-    if not all(meta.get(k) == v for k, v in expected.items()):
-        shutil.rmtree(path, ignore_errors=True)
-        tbl.upsert(thirds[0])  # commit 1 (bootstrap)
-        tbl.upsert(thirds[1])  # commit 2
-        tbl.compact()          # folds commit 2 — history must survive this
-        tbl.upsert(thirds[2])  # commit 3
+    tbl = _mor_fixture_table(spark, sf_dir)
     inc = tbl.read_incremental(begin=1)
     return inc.select(
         "user_id",
