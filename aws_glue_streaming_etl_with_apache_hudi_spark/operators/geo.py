@@ -283,7 +283,8 @@ KNN_RING_RADII_KM = (500.0, 2000.0, 8000.0, 20016.0)
 
 def knn_ring_join(a, b, probe_key: str, k: int,
                   radii: tuple[float, ...] = KNN_RING_RADII_KM,
-                  band_deg: float = 1.0, dist_col: str = "dist_km"):
+                  band_deg: float = 1.0, dist_col: str = "dist_km",
+                  diagnostics: list | None = None):
     """UNCAPPED kNN join — every probe row's k nearest build rows, no
     service-radius assumption — via bounded-round ring expansion
     (the lazily-unrolled iterative shape of operators/graph.py).
@@ -322,6 +323,11 @@ def knn_ring_join(a, b, probe_key: str, k: int,
     active = a
     resolved = []
     for i, r_km in enumerate(radii):
+        if diagnostics is not None:
+            # efficiency pin for tests: the probe frame each ring
+            # actually joins — ring r must see ONLY the probes rings
+            # < r could not resolve (tests/test_geo.py)
+            diagnostics.append((r_km, active))
         pairs = _persist_slot(
             grid_radius_join(active, b, r_km, band_deg, dist_col),
             f"geo.knn_ring.pairs.{i}",

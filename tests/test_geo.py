@@ -308,3 +308,51 @@ def test_knn_ring_join_adversarial(spark, pts_a, pts_b, k):
     pts_a = pts_a + [(90.0, 0.0), (0.0, -180.0)]
     pts_b = pts_b + [(-90.0, 0.0), (0.3, 179.9)]
     _ring_vs_brute_knn(spark, pts_a, pts_b, k)
+
+
+def test_knn_ring_join_escalates_only_unresolved_probes(spark):
+    """The efficiency contract behind the ring ladder: ring r joins
+    EXACTLY the probes that rings < r could not resolve (fewer than k
+    candidates within that radius, by brute-force ground truth) — the
+    wide near-cross-join rings see only the isolated tail, never the
+    whole probe set."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.geo import knn_ring_join
+
+    # probes: 2 belt locals (resolve in ring 1), 1 mid-latitude
+    # (ring 2-3), 2 polar (ring 3-4)
+    probes = [(0.1, 20.0), (0.3, 21.0), (45.0, 100.0), (89.9, 10.0), (-89.9, -120.0)]
+    belt = [(lat, 15.0 + 2.0 * i) for i, lat in enumerate([0.0, 1.5, -2.0, 3.0])]
+    a = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(probes)], "ak int, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(belt)],
+        "bk int, b_lat double, b_lon double",
+    )
+    diag: list = []
+    got = knn_ring_join(a, b, probe_key="ak", k=2, diagnostics=diag).collect()
+    assert len(got) == len(probes) * 2  # every probe fully resolved
+
+    import math as _m
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(_m.radians, (p[0], p[1], q[0], q[1]))
+        s = _m.sin((la2 - la1) / 2) ** 2 + _m.cos(la1) * _m.cos(la2) * _m.sin(
+            (lo2 - lo1) / 2
+        ) ** 2
+        return 2 * 6371.0 * _m.asin(min(1.0, _m.sqrt(s)))
+
+    radii = [r for r, _ in diag]
+    for r_km, active in diag:
+        # unresolved before THIS ring: fewer than k=2 sites within every
+        # smaller ring (ring 1 sees everyone — no smaller ring exists)
+        want_active = set()
+        for i, p in enumerate(probes):
+            smaller = [r for r in radii if r < r_km]
+            if all(
+                sum(1 for q in belt if round(hav(p, q), 4) <= r) < 2
+                for r in smaller
+            ):
+                want_active.add(i)
+        got_active = {r.ak for r in active.select("ak").collect()}
+        assert got_active == want_active, f"ring {r_km}: {got_active} != {want_active}"
