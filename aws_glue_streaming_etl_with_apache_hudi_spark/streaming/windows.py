@@ -85,3 +85,20 @@ def stream_dedup(
     """Streaming dropDuplicates: keeps the first arrival per key; the
     watermark lets Spark expire per-key state."""
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stream_dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Spark 3.5+ ``dropDuplicatesWithinWatermark``: dedup for
+    at-least-once sources whose duplicates arrive CLOSE IN TIME (broker
+    redelivery, producer retries). Unlike ``dropDuplicates(keys)`` —
+    whose per-key state never expires when the event-time column is not
+    part of the key — state here drops once the watermark passes the
+    first occurrence's event time + delay, so state size is bounded by
+    the redelivery window instead of growing with lifetime key
+    cardinality (the 100 TB streaming-state story). The trade, pinned
+    in tests/test_streaming_windows.py: a genuine re-occurrence AFTER
+    the window is emitted again — exactly-once per window, not per
+    lifetime."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

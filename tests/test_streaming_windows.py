@@ -201,3 +201,54 @@ def test_stream_stream_join_within_interval(spark, tmp_path):
     got = sorted((r.p_user, r.value) for r in rows)
     # only user 1's purchase joins (within the hour); user 2's is outside
     assert got == [(1, 9.0)]
+
+
+def test_stream_dedup_within_watermark_bounds_state_by_window(spark, tmp_path):
+    """dropDuplicatesWithinWatermark vs dropDuplicates — the semantics
+    that differ are exactly the scale contract: duplicates inside the
+    redelivery window are dropped, but once the watermark passes the
+    first occurrence's ts + delay the key's state is GONE, so a genuine
+    re-occurrence later re-emits. Plain dropDuplicates (event time not
+    in the key) keeps the key's state forever — it suppresses the late
+    re-occurrence AND its state grows with lifetime key cardinality."""
+    b0 = _mk_events(
+        spark,
+        [
+            (_ts(10, 0), 1, "click", 1.0),
+            (_ts(10, 5), 1, "click", 2.0),  # in-batch redelivery: dropped
+        ],
+    )
+    b1 = _mk_events(
+        spark,
+        [
+            (_ts(10, 10), 1, "click", 3.0),  # still inside the 1h window: dropped
+            (_ts(13, 0), 9, "view", 0.0),    # watermark pusher -> 12:00
+        ],
+    )
+    b2 = _mk_events(
+        spark,
+        [
+            (_ts(12, 30), 1, "click", 4.0),  # state expired (wm 12:00 > 11:00)
+            (_ts(20, 0), 8, "view", 0.0),    # flush
+        ],
+    )
+    rows = _run_stream(
+        spark,
+        tmp_path / "within",
+        [b0, b1, b2],
+        lambda s: SW.stream_dedup_within_watermark(s, ["user_id", "event_type"]),
+        "append",
+    )
+    clicks = sorted((r.ts, r.value) for r in rows if r.user_id == 1)
+    assert clicks == [(_ts(10, 0), 1.0), (_ts(12, 30), 4.0)], clicks
+
+    # contrast: plain dropDuplicates suppresses the 12:30 re-occurrence
+    rows_plain = _run_stream(
+        spark,
+        tmp_path / "plain",
+        [b0, b1, b2],
+        lambda s: SW.stream_dedup(s, ["user_id", "event_type"]),
+        "append",
+    )
+    clicks_plain = sorted((r.ts, r.value) for r in rows_plain if r.user_id == 1)
+    assert clicks_plain == [(_ts(10, 0), 1.0)], clicks_plain
