@@ -106,13 +106,21 @@ class BitmapMVStore:
         return os.path.join(self.path, "_CURRENT")
 
     def version(self) -> int:
-        import os
-
         try:
             with open(self._pointer) as f:
                 return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return 0
+        except FileNotFoundError:
+            return 0  # never folded: bootstrap is correct
+        except ValueError as exc:
+            # A pointer that EXISTS but does not parse is corruption, not
+            # absence — resetting to 0 here would silently rebuild state
+            # from the next delta alone and serve exact-looking but
+            # too-small counts. Fail loudly; state_v* dirs are intact for
+            # manual repair (point _CURRENT at the newest complete one).
+            raise RuntimeError(
+                f"corrupt bitmap MV pointer {self._pointer!r}: refusing to "
+                "reset to empty state"
+            ) from exc
 
     def _state_dir(self, version: int) -> str:
         import os

@@ -346,9 +346,15 @@ def knn_ring_join(a, b, probe_key: str, k: int,
     allp = resolved[0]
     for p in resolved[1:]:
         allp = allp.unionByName(p)
+    # rank ties break on the build payload columns, with the coordinates
+    # as FINAL tie-breakers so the order is total (deterministic) even
+    # when build rows share every payload value
     rn = F.row_number().over(
-        W.partitionBy(probe_key).orderBy(dist_col, *[c for c in b.columns
-                                                     if c not in ("b_lat", "b_lon")])
+        W.partitionBy(probe_key).orderBy(
+            dist_col,
+            *[c for c in b.columns if c not in ("b_lat", "b_lon")],
+            "b_lat", "b_lon",
+        )
     )
     return allp.withColumn("knn_rank", rn.cast("int")).filter(
         F.col("knn_rank") <= k

@@ -3471,17 +3471,15 @@ def embedding_matryoshka_eval(spark, sf_dir):
             emb if d == 64
             else emb.withColumn("embedding", F.slice("embedding", 1, d))
         )
-        top = S.knn_bruteforce(
-            e_d, e_d.filter(F.col("vec_id") % 40 == 0), k=2
-        ).filter(F.col("neighbor_id") != F.col("query_id"))
-        legs[d] = (
-            top.groupBy("query_id")
-            .agg(F.min(F.struct("rnk", "neighbor_id", "sim")).alias("m"))
-            .select(
-                "query_id",
-                F.col("m.neighbor_id").alias(f"n{d}"),
-                F.col("m.sim").alias(f"s{d}"),
-            )
+        # knn_bruteforce already excludes self-matches before ranking
+        # (operators/similarity.py), so k=1 returns exactly the top
+        # non-self neighbor per query
+        legs[d] = S.knn_bruteforce(
+            e_d, e_d.filter(F.col("vec_id") % 40 == 0), k=1
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias(f"n{d}"),
+            F.col("sim").alias(f"s{d}"),
         )
     out = None
     for d in _MATRYOSHKA_DIMS:

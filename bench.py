@@ -189,12 +189,20 @@ def _sf1_subprocess() -> dict:
         [sys.executable, os.path.abspath(__file__), "--sf1-child"],
         capture_output=True, text=True, env=env, timeout=3600,
     )
-    tail = proc.stdout.strip().rsplit("\n", 1)[-1] if proc.stdout.strip() else ""
-    if proc.returncode != 0 or not tail:
-        raise RuntimeError(
-            f"sf1 child rc={proc.returncode}: {proc.stderr.strip()[-300:]}"
-        )
-    return json.loads(tail)
+    # Scan stdout bottom-up for the record instead of trusting the last
+    # line / the exit code: a JVM teardown crash or a stray shutdown line
+    # after the JSON must not discard a completed ~30 min measurement.
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise RuntimeError(
+        f"sf1 child rc={proc.returncode}, no JSON record in stdout: "
+        f"{proc.stderr.strip()[-300:]}"
+    )
 
 
 def _sf1_child_main() -> None:
@@ -376,7 +384,14 @@ def storage_scaling(spark) -> dict:
     }
     samples: dict[str, dict[str, list[float]]] = {}
     for rep in range(3):
-        for P in STORAGE_SCALE_PARTITIONS:
+        # rotate the table order per pass so no cell is ALWAYS measured
+        # with the same preceding heap history (pass 0: 40,400,4000;
+        # pass 1: 400,4000,40; ...)
+        order = (
+            STORAGE_SCALE_PARTITIONS[rep % 3:]
+            + STORAGE_SCALE_PARTITIONS[: rep % 3]
+        )
+        for P in order:
             res = _storage_scaling_cell(spark, P)
             cell = samples.setdefault(f"partitions_{P}", {})
             for op, w in res.items():

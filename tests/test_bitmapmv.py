@@ -46,26 +46,52 @@ def test_merge_equals_rebuild(spark):
 
 
 def test_refresh_never_rescans_base(spark):
-    """THE contract: the merge leg's executed plan scans the MV parquet
-    and nothing else — no path of the base fact table appears. This is
-    what turns COUNT(DISTINCT) maintenance from O(table) to O(delta)."""
+    """THE contract: the refresh's executed plan scans the MV parquet
+    and the on-disk delta — and NOT the base fact table, even though
+    all three live on disk and the facts would be the 'obvious' source
+    to recount from. This is what turns COUNT(DISTINCT) maintenance
+    from O(table) to O(delta)."""
     with tempfile.TemporaryDirectory(prefix="bitmap_mv_test_") as tmp:
         base_path = os.path.join(tmp, "facts")
         mv_path = os.path.join(tmp, "state")
+        delta_path = os.path.join(tmp, "delta")
         _mk(spark, [("a", i) for i in range(100)] + [("b", i) for i in range(50)]) \
             .write.parquet(base_path)
         facts = spark.read.parquet(base_path)
         bitmap_mv_build(facts, ["g"], "v").write.parquet(mv_path)
+        _mk(spark, [("a", 1000), ("b", 3), ("c", 1)]).write.parquet(delta_path)
 
-        delta = _mk(spark, [("a", 1000), ("b", 3), ("c", 1)])
         refreshed = bitmap_mv_count(
-            bitmap_mv_merge(spark.read.parquet(mv_path), delta, ["g"], "v"), ["g"]
+            bitmap_mv_merge(
+                spark.read.parquet(mv_path),
+                spark.read.parquet(delta_path),
+                ["g"], "v",
+            ),
+            ["g"],
         )
         plan = refreshed._jdf.queryExecution().executedPlan().toString()
-        assert "state" in plan  # the MV scan is there...
-        assert "facts" not in plan  # ...the base fact scan is NOT
+        assert "state" in plan and "delta" in plan  # both inputs scanned...
+        assert "facts" not in plan  # ...the base facts are NOT
         got = {r.g: r.n_distinct for r in refreshed.collect()}
         assert got == {"a": 101, "b": 50, "c": 1}
+
+
+def test_query_refresh_scans_events_exactly_once(spark):
+    """Query-level pin for bitmap_distinct_mv_merge
+    (queries/relational3.py): the RETURNED plan may scan the events
+    fixture exactly once — the delta leg. The base history enters only
+    through the persisted MV parquet (its build ran eagerly, outside
+    this plan); a regression that re-derives either count from base
+    events would show up as a second events scan here."""
+    import re
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    df = QUERIES["bitmap_distinct_mv_merge"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_events_scans = len(re.findall(r"events\.parquet", plan))
+    assert n_events_scans == 1, f"expected 1 events scan, saw {n_events_scans}"
+    assert "spark_graft_bitmapmv_" in plan  # the persisted MV is the other source
 
 
 def test_untouched_state_passes_through(spark):
