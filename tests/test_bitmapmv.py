@@ -165,3 +165,23 @@ def test_streamed_foreachbatch_refresh_and_replay_idempotence(spark, tmp_path):
     assert store.version() == v_before + 1  # a new version was written...
     got2 = {r.g: r.n_distinct for r in store.counts().collect()}
     assert got2 == got  # ...but the counts are bit-for-bit unchanged
+
+
+def test_store_corrupt_pointer_fails_loudly(spark, tmp_path):
+    """A pointer file that EXISTS but does not parse is corruption, not
+    absence: fold()/counts() must refuse rather than silently bootstrap
+    from the next delta alone (which would serve exact-looking but
+    too-small counts)."""
+    import pytest
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.bitmapmv import BitmapMVStore
+
+    store = BitmapMVStore(spark, str(tmp_path / "mv"), ["g"], "v")
+    store.fold(_mk(spark, [("a", 1), ("a", 2)]))
+    assert {r.g: r.n_distinct for r in store.counts().collect()} == {"a": 2}
+    with open(store._pointer, "w") as f:
+        f.write("")  # truncation / garbled write
+    with pytest.raises(RuntimeError, match="corrupt bitmap MV pointer"):
+        store.fold(_mk(spark, [("a", 3)]))
+    with pytest.raises(RuntimeError, match="corrupt bitmap MV pointer"):
+        store.counts()
