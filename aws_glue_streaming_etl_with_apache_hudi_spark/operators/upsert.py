@@ -185,6 +185,21 @@ class UpsertTable:
     # read-merge, no rewrite) — Hudi's "upsert degrades to insert for
     # fresh keys" behavior, the dominant case for append-mostly streams.
     bloom_index: bool = False
+    # Hudi 1.0 functional (expression) index analogue: name -> SQL
+    # expression over the row (e.g. {"hour": "hour(ts)"}). Per partition
+    # the sidecar stores the expression's DISTINCT values while their
+    # count stays under `fidx_max_values` (exact membership — Hudi's
+    # expression index with bloom_filters), collapsing to a min/max pair
+    # above the cap (Hudi's expression index with column_stats). An
+    # equality or range predicate on the EXPRESSION then prunes the scan
+    # to the partitions that can contain matches — `hour(ts) = 2` on a
+    # day-partitioned table skips the days with no hour-2 traffic,
+    # without materializing an hour column or redesigning partitioning.
+    functional_indexes: dict[str, str] = field(default_factory=dict)
+    # per-partition distinct-value cap before a functional index entry
+    # degrades from exact membership to min/max stats — bounds sidecar
+    # size at O(partitions x cap) regardless of expression cardinality
+    fidx_max_values: int = 1024
 
     def __post_init__(self) -> None:
         if self.record_index and not (self.global_index and self.partition_by):
@@ -203,6 +218,13 @@ class UpsertTable:
                 "secondary_index_columns requires partition_by (the index "
                 "maps values to partition paths)"
             )
+        if self.functional_indexes and not self.partition_by:
+            raise ValueError(
+                "functional_indexes requires partition_by (the index maps "
+                "expression values to partition paths)"
+            )
+        if self.fidx_max_values < 1:
+            raise ValueError("fidx_max_values must be >= 1")
 
     @property
     def _meta_path(self) -> str:
@@ -315,10 +337,12 @@ class UpsertTable:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_path)
         if emptied:
-            self._sidx_remove_partitions(sorted(
+            emptied_sorted = sorted(
                 emptied,
                 key=lambda t: tuple((v is None, str(v)) for v in t),
-            ))
+            )
+            self._sidx_remove_partitions(emptied_sorted)
+            self._fidx_remove_partitions(emptied_sorted)
             # _write registered them moments ago; de-register so a
             # partition-aware catalog scan never lists a vanished dir
             self._sync_catalog(dropped=list(emptied))
@@ -461,6 +485,7 @@ class UpsertTable:
                     merged, self._updated_stats(merged, False, insert_parts)
                 )
                 self._sidx_update(touched=insert_parts)
+                self._fidx_update(touched=insert_parts)
                 self._sync_catalog(touched=insert_parts)
 
     def _bloom_insert_parts(self, batch: DataFrame, touched: list[tuple]) -> list[tuple]:
@@ -1266,6 +1291,7 @@ class UpsertTable:
             self._rli_delete(raw.select(*self.keys).distinct())
         shutil.rmtree(target, ignore_errors=True)
         self._sidx_remove_partitions([values])
+        self._fidx_remove_partitions([values])
         self._bloom_remove_partitions([values])
         if self.stats_columns and self.exists():
             with open(self._meta_path) as f:
@@ -1308,6 +1334,7 @@ class UpsertTable:
         writer.parquet(self.path)
         self._save_meta(df, self._updated_stats(df, overwrite_all, touched))
         self._sidx_update(touched=None if overwrite_all else touched)
+        self._fidx_update(touched=None if overwrite_all else touched)
         self._sync_catalog(touched=None if overwrite_all else touched)
 
     # -- secondary index (Hudi 1.0 parity) -----------------------------------
@@ -1395,6 +1422,174 @@ class UpsertTable:
             if os.path.isdir(os.path.join(self.path, *sub)):
                 live.append(values)
         return live
+
+    # -- functional / expression index (Hudi 1.0 parity) ----------------------
+    #
+    # Layout: `<path>/_fidx/<name>/` — Parquet Hive-partitioned by the
+    # table's partition columns (the `_sidx` layout), rows
+    # (fval, fexact). While a partition's expression cardinality stays
+    # under `fidx_max_values`, every distinct value is stored with
+    # fexact=true (exact membership). Above the cap the entry collapses
+    # to TWO rows — the expression's min and max with fexact=false —
+    # so the sidecar is O(partitions x cap) no matter how wild the
+    # expression. Lookups treat inexact entries conservatively: a
+    # partition is kept whenever [min, max] could contain the probe.
+    # Maintenance rides the same commit paths as `_sidx`: dynamic
+    # partition overwrite rewrites exactly the touched partitions' index
+    # entries from a re-read of the freshly written files, so index and
+    # data cannot desynchronize within a commit, and index write cost is
+    # O(touched partitions), never O(table). Hudi stores these per FILE
+    # under the metadata table (`expr_index_<name>`); partition paths
+    # are this engine's pruning granule (timeline.py:35-37).
+
+    def _fidx_dir(self, name: str) -> str:
+        return os.path.join(self.path, "_fidx", name)
+
+    def _fidx_update(self, touched: list[tuple] | None = None) -> None:
+        """Refresh functional-index entries from the FRESHLY WRITTEN
+        table files (re-read, not the merged frame's lineage — see
+        `_sidx_update`). One distinct + one bounded aggregate per index,
+        both shuffling only the touched partitions' (value, path) pairs."""
+        if not self.functional_indexes:
+            return
+        src = self.read_partitions(touched) if touched else self.read()
+        pb = self.partition_by
+        for name, expr in self.functional_indexes.items():
+            vals = src.select(
+                F.expr(expr).alias("fval"), *pb
+            ).distinct()
+            counts = vals.groupBy(*pb).agg(
+                F.count("*").alias("_n"),
+                F.min("fval").alias("_mn"),
+                F.max("fval").alias("_mx"),
+            )
+            exact = (
+                vals.join(
+                    counts.filter(F.col("_n") <= self.fidx_max_values).select(*pb),
+                    pb,
+                    "semi",
+                )
+                .withColumn("fexact", F.lit(True))
+            )
+            over = counts.filter(F.col("_n") > self.fidx_max_values)
+            collapsed = (
+                over.select(F.col("_mn").alias("fval"), *pb)
+                .unionByName(over.select(F.col("_mx").alias("fval"), *pb))
+                .distinct()
+                .withColumn("fexact", F.lit(False))
+            )
+            (
+                exact.unionByName(collapsed)
+                .write.mode("overwrite")
+                .partitionBy(*pb)
+                .parquet(self._fidx_dir(name))
+            )
+
+    def _fidx_remove_partitions(self, parts: list[tuple]) -> None:
+        import shutil
+
+        for name in self.functional_indexes:
+            root = self._fidx_dir(name)
+            if not os.path.isdir(root):
+                continue
+            for values in parts:
+                sub = [
+                    f"{c}={_hive_escape_part(v)}"
+                    for c, v in zip(self.partition_by, values)
+                ]
+                shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
+
+    def build_functional_index(self, name: str, expr: str) -> None:
+        """(Re)build the functional index ``name`` on SQL expression
+        ``expr`` from current state — the backfill path for tables
+        created before the index was declared (Hudi's CREATE INDEX ...
+        USING column_stats(expr)). Subsequent commits maintain it
+        incrementally."""
+        self.functional_indexes[name] = expr
+        self._fidx_update()
+
+    def _fidx_candidates(self, name: str, lo, hi) -> list[tuple] | None:
+        """Partitions whose indexed expression can take a value in
+        [lo, hi] (either bound None = unbounded); None when the index
+        does not exist on disk (caller falls back to a full scan).
+        Exact entries answer membership precisely; collapsed (inexact)
+        entries keep the partition whenever [min, max] overlaps."""
+        root = self._fidx_dir(name)
+        if not os.path.isdir(root):
+            return None
+        pb = self.partition_by
+        schema = {f.name: f.dataType for f in self._load_schema().fields}
+        idx = self.spark.read.parquet(root)
+        for p in pb:
+            if p in schema:
+                idx = idx.withColumn(p, F.col(p).cast(schema[p]))
+        in_range = F.lit(True)
+        if lo is not None:
+            in_range = in_range & (F.col("fval") >= F.lit(lo))
+        if hi is not None:
+            in_range = in_range & (F.col("fval") <= F.lit(hi))
+        # exact rows: some stored value falls in the probe range.
+        # inexact rows (per partition: its min and its max): the range
+        # [min, max] overlaps [lo, hi]  <=>  max >= lo AND min <= hi.
+        exact_hit = F.col("fexact") & in_range
+        over_lo = F.lit(True) if lo is None else (F.col("fval") >= F.lit(lo))
+        under_hi = F.lit(True) if hi is None else (F.col("fval") <= F.lit(hi))
+        keep = (
+            idx.groupBy(*pb)
+            .agg(
+                (
+                    F.max(F.when(exact_hit, True).otherwise(False))
+                    | (
+                        F.max(F.when(~F.col("fexact"), over_lo))
+                        & F.max(F.when(~F.col("fexact"), under_hi))
+                    )
+                ).alias("_keep")
+            )
+            .filter(F.col("_keep"))
+            .select(*pb)
+        )
+        parts = [tuple(r) for r in keep.collect()]
+        # stale-entry guard: only partitions whose data dirs still exist
+        live = []
+        for values in parts:
+            sub = [
+                f"{c}={_hive_escape_part(v)}"
+                for c, v in zip(self.partition_by, values)
+            ]
+            if os.path.isdir(os.path.join(self.path, *sub)):
+                live.append(values)
+        return live
+
+    def read_for_expr(self, name: str, value=None, between=None) -> DataFrame:
+        """Predicate on an INDEXED EXPRESSION served through the
+        functional index: `value=` is an equality probe, `between=` an
+        inclusive (lo, hi) range (either bound None = open). Prunes to
+        the candidate partitions, then applies the row-level residual
+        filter on the expression — candidates are a superset by
+        construction, the residual makes the answer exact."""
+        if name not in self.functional_indexes:
+            raise ValueError(f"{name!r} is not a functional index")
+        if (value is None) == (between is None):
+            raise ValueError("pass exactly one of value= / between=")
+        expr = self.functional_indexes[name]
+        lo, hi = (value, value) if between is None else between
+        parts = self._fidx_candidates(name, lo, hi)
+        if parts is None:
+            df = self.read()  # index not built yet — full scan fallback
+        elif not parts:
+            fields = sorted(
+                self._load_schema().fields,
+                key=lambda f: f.name in (self.partition_by or []),
+            )
+            return self.spark.createDataFrame([], T.StructType(fields))
+        else:
+            df = self._read_partition_dirs(parts)
+        e = F.expr(expr)
+        if lo is not None:
+            df = df.filter(e >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(e <= F.lit(hi))
+        return df
 
     # -- partition key blooms (Hudi BLOOM index analogue) ---------------------
     #

@@ -212,7 +212,7 @@ PRIORITY_WINDOW: list[str] = [
     # Queries registered AFTER this window froze (r11):
     # geo_knn_uncapped, domain_cap_sample, bitmap_distinct_mv_merge,
     # savepoint_restore_state, embedding_matryoshka_eval,
-    # mor_read_optimized_state —
+    # mor_read_optimized_state, functional_index_prune —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

@@ -352,6 +352,75 @@ def secondary_index_lookup(spark, sf_dir):
 
 
 @register(
+    "functional_index_prune",
+    sql="""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             extract(hour FROM ts) AS hr, value
+      FROM events)
+    SELECT leg, day, n_events, sum_value FROM (
+      SELECT 'hour_eq_2' AS leg, day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e WHERE hr = 2 GROUP BY day
+      UNION ALL
+      SELECT 'hour_21_23' AS leg, day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e WHERE hr BETWEEN 21 AND 23 GROUP BY day)
+    ORDER BY leg, day
+    """,
+)
+def functional_index_prune(spark, sf_dir):
+    """Predicates on an EXPRESSION served through the functional index
+    (operators/upsert.py read_for_expr — Hudi 1.0 `CREATE INDEX ...
+    USING column_stats/bloom_filters(expr)` parity): events upsert into
+    a day-partitioned table with `hour(ts)` expression-indexed; an
+    equality probe (hour = 2) and a range probe (hour BETWEEN 21 AND 23)
+    each read ONLY the day partitions whose index entries say the hour
+    can occur there — no materialized hour column, no partition
+    redesign. The residual filter on the survivors makes the superset
+    exact, so both legs must equal the direct SQL over the raw stream.
+
+    Scale: the index sidecar is O(partitions x min(cardinality, cap))
+    — at 100 TB with years of day partitions, an hour-of-day lookup
+    prunes by metadata before any data file is listed; maintenance
+    rides each commit's dynamic partition overwrite and touches only
+    the committed partitions' entries (tests/test_functional_index.py
+    pins pruning via inputFiles, cap collapse, and commit-follows)."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import dsum
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    e = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    path = tempfile.mkdtemp(prefix="fidx_tbl_")
+    tbl = UpsertTable(
+        spark, path, keys=["event_id"], precombine="ts",
+        partition_by=["day"], functional_indexes={"hour": "hour(ts)"},
+    )
+    tbl.upsert(e)
+
+    def leg(df, name):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        ).withColumn("leg", F.lit(name))
+
+    eq = leg(tbl.read_for_expr("hour", value=2), "hour_eq_2")
+    rng = leg(tbl.read_for_expr("hour", between=(21, 23)), "hour_21_23")
+    return (
+        eq.unionByName(rng)
+        .select("leg", "day", "n_events", "sum_value")
+        .orderBy("leg", "day")
+    )
+
+
+@register(
     "insert_overwrite_state",
     sql="""
     WITH full_latest AS (

@@ -1,0 +1,180 @@
+"""Functional / expression index (operators/upsert.py, Hudi 1.0
+parity — `CREATE INDEX ... USING column_stats|bloom_filters(expr)`):
+per-partition distinct values of a SQL EXPRESSION over the row, capped
+to min/max stats above `fidx_max_values`, maintained with every commit
+and used by read_for_expr to prune equality/range predicates on the
+expression to the partitions that can contain matches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+SCHEMA = "k long, day string, ts timestamp, ver long"
+
+
+def _tbl(spark, path, **kw):
+    kw.setdefault("functional_indexes", {"hour": "hour(ts)"})
+    return UpsertTable(
+        spark, path, keys=["k"], precombine="ver", partition_by=["day"], **kw,
+    )
+
+
+def _mk(spark, rows):
+    # rows: (k, day, hour, ver) -> ts inside that day at that hour
+    return spark.createDataFrame(
+        [(k, d, f"2024-01-{int(d[1:]):02d} {h:02d}:30:00", v) for k, d, h, v in rows],
+        "k long, day string, ts string, ver long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _keys(df):
+    return sorted(r.k for r in df.collect())
+
+
+def test_requires_partitioning():
+    with pytest.raises(ValueError, match="functional_indexes"):
+        UpsertTable(None, "/tmp/x", keys=["k"], precombine="v",
+                    functional_indexes={"h": "hour(ts)"})
+
+
+def test_equality_matches_full_scan(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 2, 1), (2, "d1", 5, 1),
+        (3, "d2", 2, 1), (4, "d3", 7, 1),
+    ]))
+    got = _keys(t.read_for_expr("hour", value=2))
+    want = _keys(t.read().filter(F.expr("hour(ts)") == 2))
+    assert got == want == [1, 3]
+
+
+def test_equality_prunes_to_containing_partitions(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 2, 1), (2, "d2", 5, 1), (3, "d3", 5, 1),
+    ]))
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d1",)]
+    assert sorted(t._fidx_candidates("hour", 5, 5)) == [("d2",), ("d3",)]
+    assert t._fidx_candidates("hour", 9, 9) == []
+    # absent value: empty frame with the table schema, no scan
+    out = t.read_for_expr("hour", value=9)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "day", "ts", "ver"}
+
+
+def test_range_probe(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 2, 1), (2, "d1", 23, 1),
+        (3, "d2", 10, 1), (4, "d3", 21, 1),
+    ]))
+    got = _keys(t.read_for_expr("hour", between=(20, 23)))
+    want = _keys(t.read().filter(F.expr("hour(ts)").between(20, 23)))
+    assert got == want == [2, 4]
+    # d2 (only hour 10) must not even be a candidate
+    assert sorted(t._fidx_candidates("hour", 20, 23)) == [("d1",), ("d3",)]
+    # open-ended range
+    assert _keys(t.read_for_expr("hour", between=(21, None))) == [2, 4]
+
+
+def test_residual_filter_inside_kept_partition(spark, tmp_path):
+    """Pruning is partition-granular; rows of a kept partition that miss
+    the predicate must still be filtered out by the residual."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d1", 6, 1)]))
+    assert _keys(t.read_for_expr("hour", value=2)) == [1]
+
+
+def test_scan_reads_only_candidate_dirs(spark, tmp_path):
+    """The pruned read lists ONLY the candidate partition directories —
+    inputFiles() of the returned plan never touches pruned days."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 2, 1), (2, "d2", 5, 1), (3, "d3", 5, 1),
+    ]))
+    files = t.read_for_expr("hour", value=2).inputFiles()
+    assert files and all("day=d1" in f for f in files)
+
+
+def test_cap_overflow_degrades_to_stats(spark, tmp_path):
+    """A partition past fidx_max_values collapses to a min/max pair:
+    still answers correctly (conservatively kept on overlap, pruned on
+    disjoint ranges)."""
+    t = _tbl(spark, str(tmp_path / "t"), fidx_max_values=2)
+    t.upsert(_mk(spark, [
+        # d1 has 4 distinct hours (2,5,8,11) > cap 2 -> collapsed [2, 11]
+        (1, "d1", 2, 1), (2, "d1", 5, 1), (3, "d1", 8, 1), (4, "d1", 11, 1),
+        # d2 exact with hour 20
+        (5, "d2", 20, 1),
+    ]))
+    idx = spark.read.parquet(t._fidx_dir("hour"))
+    d1 = idx.filter(F.col("day") == "d1").collect()
+    assert sorted(r.fval for r in d1) == [2, 11]
+    assert all(not r.fexact for r in d1)
+    # inside the collapsed range but not a stored value: kept (superset),
+    # residual filters to the true rows
+    assert ("d1",) in t._fidx_candidates("hour", 7, 7)
+    assert _keys(t.read_for_expr("hour", value=8)) == [3]
+    assert _keys(t.read_for_expr("hour", value=7)) == []
+    # disjoint from [2, 11]: pruned despite the collapse
+    assert t._fidx_candidates("hour", 12, 19) == []
+    # exact partition unaffected
+    assert _keys(t.read_for_expr("hour", value=20)) == [5]
+
+
+def test_index_follows_commits(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    # re-key k=1 to hour 9 (same day): hour 2 must drain from the index
+    t.upsert(_mk(spark, [(1, "d1", 9, 2)]))
+    assert t._fidx_candidates("hour", 2, 2) == []
+    assert sorted(t._fidx_candidates("hour", 9, 9)) == [("d1",)]
+    # new day via the insert fast path keeps the index fresh too
+    t.upsert(_mk(spark, [(3, "d4", 2, 1)]))
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d4",)]
+    assert _keys(t.read_for_expr("hour", value=2)) == [3]
+
+
+def test_delete_partition_drops_index_entries(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    t.delete_partition(("d1",))
+    assert t._fidx_candidates("hour", 2, 2) == []
+    assert not os.path.isdir(os.path.join(t._fidx_dir("hour"), "day=d1"))
+
+
+def test_backfill_build(spark, tmp_path):
+    """build_functional_index backfills a table created without the
+    declaration (Hudi's CREATE INDEX on an existing table)."""
+    t = UpsertTable(spark, str(tmp_path / "t"), keys=["k"],
+                    precombine="ver", partition_by=["day"])
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    t.build_functional_index("hour", "hour(ts)")
+    assert sorted(t._fidx_candidates("hour", 5, 5)) == [("d2",)]
+    assert _keys(t.read_for_expr("hour", value=5)) == [2]
+
+
+def test_unbuilt_index_falls_back_to_full_scan(spark, tmp_path):
+    """Declared but never committed/built: read_for_expr still answers
+    (full scan + residual), never errors."""
+    t = UpsertTable(spark, str(tmp_path / "t"), keys=["k"],
+                    precombine="ver", partition_by=["day"])
+    t.upsert(_mk(spark, [(1, "d1", 2, 1)]))
+    t.functional_indexes["hour"] = "hour(ts)"  # declared late, no build
+    assert _keys(t.read_for_expr("hour", value=2)) == [1]
+
+
+def test_probe_argument_validation(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1)]))
+    with pytest.raises(ValueError, match="not a functional index"):
+        t.read_for_expr("nope", value=1)
+    with pytest.raises(ValueError, match="exactly one"):
+        t.read_for_expr("hour")
+    with pytest.raises(ValueError, match="exactly one"):
+        t.read_for_expr("hour", value=1, between=(1, 2))
