@@ -162,31 +162,86 @@ class MergeOnReadTable:
             if d.startswith("commit=")
         )
 
+    # -- instant states (NBCC visibility) -------------------------------------
+    #
+    # Single-writer commits are made visible by the meta ``next_seq``
+    # line alone (the original design). Multi-writer (NBCC) commits
+    # carry explicit instant-state marker files under ``log/_instants/``
+    # — ``<seq>.inflight`` written atomically at claim time,
+    # ``<seq>.completed`` at publish — because with concurrent writers a
+    # HIGHER seq can complete before a LOWER one, and a single watermark
+    # cannot express that. Visibility rule, uniform for readers:
+    #   completed marker        -> visible (regardless of next_seq)
+    #   inflight-only marker    -> INVISIBLE (claimed, not yet published
+    #                              — or a crashed writer; fsck rolls back)
+    #   no markers (legacy)     -> visible iff seq < next_seq
+    @property
+    def _instants(self) -> str:
+        return os.path.join(self._log, "_instants")
+
+    def _inflight_path(self, seq: int) -> str:
+        return os.path.join(self._instants, f"{seq}.inflight")
+
+    def _done_path(self, seq: int) -> str:
+        return os.path.join(self._instants, f"{seq}.completed")
+
+    def _has_done(self, seq: int) -> bool:
+        return os.path.exists(self._done_path(seq))
+
+    def _has_inflight(self, seq: int) -> bool:
+        return os.path.exists(self._inflight_path(seq))
+
+    def _remove_markers(self, seq: int) -> None:
+        for p in (self._inflight_path(seq), self._done_path(seq)):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    def _inflight_claims(self) -> list[int]:
+        """Claimed-but-unpublished slots, read from the instant markers
+        (the claim exists before the data dir does)."""
+        if not os.path.isdir(self._instants):
+            return []
+        return sorted(
+            int(n[: -len(".inflight")])
+            for n in os.listdir(self._instants)
+            if n.endswith(".inflight")
+            and not os.path.exists(
+                os.path.join(self._instants, n[: -len(".inflight")] + ".completed")
+            )
+        )
+
+    def _visible(self, seq: int, next_seq: int | None) -> bool:
+        if self._has_done(seq):
+            return True
+        if self._has_inflight(seq):
+            return False
+        return next_seq is None or seq < next_seq
+
     def _log_commits(self) -> list[int]:
         """PENDING delta commits: on disk, newer than the last
-        compaction, and BELOW ``next_seq`` — the set a snapshot read must
-        merge over the base. The upper bound is the atomicity line: a
-        crash between the delta write and the meta save leaves a
-        commit-numbered dir at/above ``next_seq`` that no reader may see
-        (it was never committed; fsck sweeps it)."""
+        compaction, and VISIBLE — below ``next_seq`` for single-writer
+        commits, completed-marked for NBCC commits (see the instant-state
+        rule above). A crash between the delta write and the publish
+        step leaves a dir no reader may see (it was never committed;
+        fsck sweeps it)."""
         through = self._compacted_through()
         next_seq = self._meta().get("next_seq") if self.exists() else 1
         return [
             c
             for c in self._log_commits_on_disk()
-            if c > through and (next_seq is None or c < next_seq)
+            if c > through and self._visible(c, next_seq)
         ]
 
     def _committed_on_disk(self) -> list[int]:
-        """On-disk delta commits below the ``next_seq`` atomicity line —
-        the full COMMITTED history (read_incremental / time travel scan
-        these; a crashed, never-committed dir at/above next_seq is
-        invisible here exactly as in ``_log_commits``)."""
+        """On-disk delta commits past the visibility rule — the full
+        COMMITTED history (read_incremental / time travel scan these; a
+        crashed, never-published dir is invisible here exactly as in
+        ``_log_commits``)."""
         next_seq = self._meta().get("next_seq") if self.exists() else 1
         return [
-            c
-            for c in self._log_commits_on_disk()
-            if next_seq is None or c < next_seq
+            c for c in self._log_commits_on_disk() if self._visible(c, next_seq)
         ]
 
     def _compacted_through(self) -> int:
@@ -261,6 +316,12 @@ class MergeOnReadTable:
 
         meta = self._meta()
         seq = meta["next_seq"]
+        # never clobber an NBCC-published commit sitting at/above the
+        # single-writer line; a crashed claim (inflight-only) or a plain
+        # crashed dir at this slot is invisible garbage — overwrite heals
+        while self._has_done(seq):
+            seq += 1
+        self._remove_markers(seq)
         batch.write.mode("overwrite").parquet(
             os.path.join(self._log, f"commit={seq}")
         )
@@ -273,6 +334,162 @@ class MergeOnReadTable:
             self.compact()
         self._sync_catalog()
 
+    # -- non-blocking concurrency control (Hudi 1.0 NBCC) ---------------------
+    #
+    # Concurrent writers to the SAME keys, and neither aborts — the MOR
+    # delta log makes it possible because writers never rewrite shared
+    # files: each claims its own commit slot and appends its own
+    # directory; the read-side precombine (event time, then commit seq)
+    # resolves key overlaps at merge time. Contrast `TimelineTable`'s
+    # OCC, where an overlapping writer gets CommitConflict and retries —
+    # here the data path never conflicts at all (Hudi 1.0's
+    # NON_BLOCKING_CONCURRENCY_CONTROL on MOR, vs its OCC lock-provider
+    # mode). What still serializes, exactly as in Hudi's timeline
+    # server: the CLAIM of a slot (one atomic O_EXCL file create) and
+    # the tiny metadata merge at publish (schema union + timeline
+    # append, micro-seconds under `_meta_lock`). Data writes — the
+    # O(batch) parquet appends that dominate wall time — run fully in
+    # parallel. Table services (compact/clean/restore/fsck) remain
+    # offline operations run beside, not inside, the writer pool;
+    # compact() additionally refuses to fold past an unpublished claim
+    # so a slow writer is never stranded below the compaction line.
+
+    def _meta_lock(self, timeout: float = 30.0):
+        """Spin lock for the metadata micro-section (O_EXCL file create).
+        A crashed holder is cleared by fsck(); contention is bounded by
+        the section being two JSON writes."""
+        from contextlib import contextmanager
+
+        os.makedirs(self.path, exist_ok=True)  # bootstrap takes it first
+        lock = os.path.join(self.path, "_meta.lock")
+
+        @contextmanager
+        def _held():
+            deadline = time.monotonic() + timeout
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"metadata lock {lock} held > {timeout}s — "
+                            "crashed writer? run fsck() offline to clear"
+                        )
+                    time.sleep(0.01)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+
+        return _held()
+
+    def _nbcc_claim(self, writer: str) -> int:
+        """Atomically claim the next free commit slot: the O_EXCL create
+        of ``<seq>.inflight`` IS the claim — two racers on the same seq
+        cannot both win, the loser probes seq+1. O(1) filesystem ops per
+        writer, no scan of the table."""
+        os.makedirs(self._instants, exist_ok=True)
+        seq = max(
+            self._meta()["next_seq"],
+            max(self._log_commits_on_disk(), default=0) + 1,
+        )
+        while True:
+            try:
+                fd = os.open(
+                    self._inflight_path(seq), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(fd, json.dumps({"writer": writer}).encode())
+                os.close(fd)
+                return seq
+            except FileExistsError:
+                seq += 1
+
+    def _nbcc_write(self, seq: int, batch: DataFrame) -> None:
+        """The parallel part: append this writer's delta directory.
+        Invisible to every reader until `_nbcc_complete` publishes."""
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self._log, f"commit={seq}")
+        )
+
+    def _nbcc_complete(self, seq: int, batch: DataFrame, writer: str) -> None:
+        """Publish: flip the instant to completed (atomic rename — readers
+        see the commit entirely or not at all), then merge the metadata
+        under the micro-lock. ``next_seq`` advances only across the
+        fully-published prefix, so it never exposes a lower unpublished
+        claim; commits published above it are visible via their markers."""
+        tmp = self._done_path(seq) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"writer": writer}, f)
+        os.replace(tmp, self._done_path(seq))
+        with self._meta_lock():
+            meta = self._meta()
+            meta["schema"] = self._evolved_schema_json(batch)
+            meta.setdefault("timeline", []).append(
+                # append order = COMPLETION order (Hudi 1.0's completion-
+                # time semantics); seq records the claim order
+                {"seq": seq, "action": "deltacommit", "writer": writer}
+            )
+            nxt = meta["next_seq"]
+            while self._has_done(nxt):
+                nxt += 1
+            meta["next_seq"] = nxt
+            self._save_meta(meta)
+
+    def nbcc_upsert(self, batch: DataFrame, writer: str = "w0") -> int:
+        """Multi-writer upsert: claim a slot, append the delta in
+        parallel with other writers, publish. Returns the commit seq.
+        Key overlaps with concurrent writers NEVER abort (no
+        CommitConflict): the read-side precombine picks the event-time
+        winner whatever the completion interleaving — pinned by
+        tests/test_nbcc.py including a stale-writer-completes-last race.
+
+        Table bootstrap is the one serialized write (first writer in
+        creates the table under the meta lock; Hudi serializes the first
+        commit the same way). Auto-compaction is deliberately NOT
+        triggered here — table services run beside the writer pool."""
+        if not self.exists():
+            with self._meta_lock():
+                if not self.exists():
+                    self.upsert(batch)  # bootstrap: base + commit 1
+                    os.makedirs(self._instants, exist_ok=True)
+                    with open(self._done_path(1) + ".tmp", "w") as f:
+                        json.dump({"writer": writer}, f)
+                    os.replace(self._done_path(1) + ".tmp", self._done_path(1))
+                    return 1
+        if self.merge_mode == "partial":
+            batch = partial_merge(None, batch, self._identity, self.precombine)
+        else:
+            batch = precombine_latest(batch, self._identity, self.precombine)
+        seq = self._nbcc_claim(writer)
+        self._nbcc_write(seq, batch)
+        self._nbcc_complete(seq, batch, writer)
+        return seq
+
+    def nbcc_begin(self, writer: str = "w0") -> int:
+        """Two-phase surface, claim half: reserve a commit slot now,
+        publish later — what an orchestrator (or a test) uses to hold a
+        claim open across other writers' publishes. The table must
+        already exist (bootstrap goes through ``nbcc_upsert``)."""
+        if not self.exists():
+            raise ValueError("nbcc_begin needs an existing table; bootstrap via nbcc_upsert")
+        return self._nbcc_claim(writer)
+
+    def nbcc_publish(self, seq: int, batch: DataFrame, writer: str = "w0") -> None:
+        """Two-phase surface, publish half: write the claimed slot's
+        delta and flip it visible. Order relative to OTHER slots'
+        publishes is free — that is the point of NBCC."""
+        if self.merge_mode == "partial":
+            batch = partial_merge(None, batch, self._identity, self.precombine)
+        else:
+            batch = precombine_latest(batch, self._identity, self.precombine)
+        self._nbcc_write(seq, batch)
+        self._nbcc_complete(seq, batch, writer)
+
     # -- timeline ------------------------------------------------------------
     def timeline(self) -> list[dict]:
         """Ordered instant metadata — deltacommits, compactions, cleans
@@ -280,7 +497,10 @@ class MergeOnReadTable:
         return list(self._meta().get("timeline", [])) if self.exists() else []
 
     def latest_commit(self) -> int:
-        return self._meta()["next_seq"] - 1 if self.exists() else 0
+        if not self.exists():
+            return 0
+        # NBCC commits can be published ABOVE the single-writer line
+        return max(self._meta()["next_seq"] - 1, *self._committed_on_disk(), 0)
 
     # -- savepoints ----------------------------------------------------------
     #
@@ -420,6 +640,7 @@ class MergeOnReadTable:
                 shutil.rmtree(
                     os.path.join(self._log, f"commit={seq}"), ignore_errors=True
                 )
+                self._remove_markers(seq)
         meta = self._meta()
         meta["next_seq"] = commit + 1
         if rebuild or meta.get("compacted_through", 0) > commit:
@@ -649,6 +870,14 @@ class MergeOnReadTable:
         skip most files via row-group stats.
         """
         commits = self._log_commits()
+        # NBCC guard: never fold past an unpublished claim — a writer
+        # completing seq 5 after compaction folded through 6 would land
+        # BELOW the compaction line and be excluded from every merge.
+        # A crashed claim blocks compaction until fsck rolls it back —
+        # exactly Hudi's failed-writer-rollback-before-compaction rule.
+        inflight = self._inflight_claims()
+        if inflight:
+            commits = [c for c in commits if c < min(inflight)]
         if not commits:
             return 0
 
@@ -739,6 +968,7 @@ class MergeOnReadTable:
                 shutil.rmtree(
                     os.path.join(self._log, f"commit={seq}"), ignore_errors=True
                 )
+                self._remove_markers(seq)
                 removed += 1
         return removed
 
@@ -756,10 +986,35 @@ class MergeOnReadTable:
             shutil.rmtree(self._base, ignore_errors=True)
             removed["dirs"].append(self._base)
         for seq in self._log_commits_on_disk():
-            if seq >= next_seq:
+            if self._has_done(seq):
+                continue  # NBCC-published (possibly above next_seq): live
+            if self._has_inflight(seq) or seq >= next_seq:
+                # crashed NBCC claim (fsck runs offline — no live writers)
+                # or a crashed single-writer delta: roll it back
                 full = os.path.join(self._log, f"commit={seq}")
                 shutil.rmtree(full, ignore_errors=True)
+                self._remove_markers(seq)
                 removed["dirs"].append(full)
+        # orphan instant markers (dir already gone) + a crashed writer's
+        # metadata lock
+        if os.path.isdir(self._instants):
+            live = set(self._log_commits_on_disk())
+            for name in os.listdir(self._instants):
+                stem = name.split(".", 1)[0]
+                if stem.isdigit() and int(stem) not in live:
+                    p = os.path.join(self._instants, name)
+                    try:
+                        os.remove(p)
+                        removed["tmp_files"].append(p)
+                    except OSError:
+                        pass
+        meta_lock = os.path.join(self.path, "_meta.lock")
+        if os.path.exists(meta_lock):
+            try:
+                os.remove(meta_lock)
+                removed["tmp_files"].append(meta_lock)
+            except OSError:
+                pass
         # Interrupted restore. The intent marker written by restore() is
         # the authority on which repair is correct (a base-present check
         # alone cannot distinguish "swap never started" from "swap done,

@@ -212,7 +212,8 @@ PRIORITY_WINDOW: list[str] = [
     # Queries registered AFTER this window froze (r11):
     # geo_knn_uncapped, domain_cap_sample, bitmap_distinct_mv_merge,
     # savepoint_restore_state, embedding_matryoshka_eval,
-    # mor_read_optimized_state, functional_index_prune —
+    # mor_read_optimized_state, functional_index_prune,
+    # bootstrap_ci_mean, nbcc_multiwriter_state —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

@@ -1690,3 +1690,124 @@ def graph_assortativity(spark, sf_dir):
         c("n").cast("long").alias("n_endpoints"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+# -- Poisson bootstrap -------------------------------------------------------
+#
+# Inverse-CDF thresholds for Poisson(1): cumulative P(K <= k) for
+# k = 0..7 (past that the tail is < 1.1e-5; draws cap at 8). Computed
+# once and rendered with repr() into BOTH engines' expressions, so the
+# piecewise constants — and therefore every draw — are bit-identical.
+import math as _math
+
+_POIS_CUM: list[float] = []
+_acc, _term = 0.0, _math.exp(-1.0)
+for _k in range(8):
+    _acc += _term
+    _POIS_CUM.append(_acc)
+    _term /= _k + 1
+
+_BOOT_R = 40  # replicates; nearest-rank 2.5% -> index 1, 97.5% -> index 39
+_TWO60 = float(1 << 60)
+
+
+def _boot_sql() -> str:
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import davg_sql
+
+    h = stable_hash64_sql(
+        "concat_ws('|', CAST(event_id AS VARCHAR), CAST(r AS VARCHAR))",
+        seed="boot",
+    )
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    ) + " ELSE 8 END"
+    return f"""
+    WITH draws AS (
+      SELECT event_type, value, r,
+             {h} / {_TWO60!r} AS u
+      FROM events CROSS JOIN generate_series(0, {_BOOT_R - 1}) AS g(r)),
+    reps AS (
+      SELECT event_type, r,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE)
+               / CAST(sum(w) AS DOUBLE) AS rep_mean
+      FROM (SELECT event_type, value, r, {case} AS w FROM draws) x
+      GROUP BY event_type, r),
+    ci AS (
+      SELECT event_type,
+             (array_agg(rep_mean ORDER BY rep_mean))[1]  AS boot_p025,
+             (array_agg(rep_mean ORDER BY rep_mean))[{_BOOT_R - 1}] AS boot_p975
+      FROM reps GROUP BY event_type),
+    base AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             {davg_sql('value', 2)} AS point_mean
+      FROM events GROUP BY event_type)
+    SELECT base.event_type, n_rows, point_mean, boot_p025, boot_p975
+    FROM base JOIN ci USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register("bootstrap_ci_mean", sql=_boot_sql())
+def bootstrap_ci_mean(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the per-event-type mean
+    value — the one-pass resampling scheme for data too large to
+    resample (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"; the classical bootstrap's multinomial row counts need N
+    known and a pass per replicate, Poisson(1) weights need neither).
+    Each row draws its replicate-r multiplicity from a DETERMINISTIC
+    hash of (event_id, r) through the Poisson(1) inverse CDF, so both
+    engines materialize the identical resamples: replicate means, then
+    nearest-rank 2.5%/97.5% bounds over the R=40 means per group.
+
+    Scale: the R-way explode happens map-side and partial aggregation
+    collapses it before the exchange — the shuffle carries
+    O(groups x R) partial sums, never O(rows x R); the CI step sorts
+    R=40 doubles per group. No data pass is repeated: one scan total,
+    which is the entire point of the Poisson trick at 100 TB."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import davg, dsum
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    draws = e.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
+    ).withColumn(
+        "u",
+        stable_hash64(
+            F.concat_ws(
+                "|", F.col("event_id").cast("string"), F.col("r").cast("string")
+            ),
+            seed="boot",
+        )
+        / F.lit(_TWO60),
+    )
+    w = F.when(F.col("u") < _POIS_CUM[0], 0)
+    for k in range(1, 8):
+        w = w.when(F.col("u") < _POIS_CUM[k], k)
+    w = w.otherwise(8)
+    reps = (
+        draws.withColumn("w", w)
+        .groupBy("event_type", "r")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("w")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("rep_mean")
+        )
+    )
+    ci = (
+        reps.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("rep_mean")).alias("ms"))
+        .select(
+            "event_type",
+            F.element_at("ms", 1).alias("boot_p025"),
+            F.element_at("ms", _BOOT_R - 1).alias("boot_p975"),
+        )
+    )
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        davg(F.col("value"), 2).alias("point_mean"),
+    )
+    return base.join(ci, "event_type").select(
+        "event_type", "n_rows", "point_mean", "boot_p025", "boot_p975"
+    ).orderBy("event_type")

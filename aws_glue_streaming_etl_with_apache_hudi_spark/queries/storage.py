@@ -421,6 +421,76 @@ def functional_index_prune(spark, sf_dir):
 
 
 @register(
+    "nbcc_multiwriter_state",
+    sql="""
+    SELECT event_type, user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value
+    FROM (
+      SELECT event_type, user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x
+    WHERE rn = 1
+    ORDER BY event_type, user_id
+    """,
+)
+def nbcc_multiwriter_state(spark, sf_dir):
+    """Two uncoordinated writers upsert OVERLAPPING keys into one MOR
+    table and neither aborts — Hudi 1.0's non-blocking concurrency
+    control (operators/mor.py nbcc_upsert/nbcc_begin/nbcc_publish), vs
+    the OCC path where the loser gets CommitConflict and retries
+    (operators/timeline.py; the reference's single-writer COW,
+    glue_job_script.py:50-62, never faces this). The stream splits into
+    time quarters: writer A ingests Q1/Q3, writer B ingests Q2/Q4, and
+    the middle two commits are deliberately published OUT OF CLAIM
+    ORDER (A claims first, B publishes first) — the read-side
+    precombine (event time, then commit seq) must still produce exactly
+    latest-state-per-key, which the oracle computes directly from the
+    raw stream. Same-key writes landing in different writers' deltas is
+    the exact scenario OCC would serialize; NBCC's delta log absorbs
+    both and resolves at merge.
+
+    Scale: each writer's commit is an O(batch) parquet append — no
+    shared-file rewrite, so writer parallelism is free; the claim and
+    the publish metadata merge are O(1) filesystem ops. Race mechanics
+    (thread pools, crashed claims, compaction horizons) are pinned in
+    tests/test_nbcc.py."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor import CompactionPolicy, MergeOnReadTable
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    c = [F.lit(s).cast("timestamp") for s in cuts]
+    q1 = e.filter(F.col("ts") < c[0])
+    q2 = e.filter((F.col("ts") >= c[0]) & (F.col("ts") < c[1]))
+    q3 = e.filter((F.col("ts") >= c[1]) & (F.col("ts") < c[2]))
+    q4 = e.filter(F.col("ts") >= c[2])
+    path = tempfile.mkdtemp(prefix="nbcc_tbl_")
+    tbl = MergeOnReadTable(
+        spark, path, keys=["user_id"], precombine="ts",
+        partition_by=["event_type"],
+        policy=CompactionPolicy(max_delta_commits=10_000),
+    )
+    tbl.nbcc_upsert(q1, writer="A")            # bootstrap commit
+    s_a = tbl.nbcc_begin(writer="A")           # A claims the lower slot...
+    s_b = tbl.nbcc_begin(writer="B")
+    tbl.nbcc_publish(s_b, q2, writer="B")      # ...but B publishes first
+    tbl.nbcc_publish(s_a, q3, writer="A")
+    tbl.nbcc_upsert(q4, writer="B")
+    return tbl.read().select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_type", "user_id")
+
+
+@register(
     "insert_overwrite_state",
     sql="""
     WITH full_latest AS (
