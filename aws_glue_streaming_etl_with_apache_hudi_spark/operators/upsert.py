@@ -1142,9 +1142,13 @@ class UpsertTable:
         # 4. full scan — Catalyst pushes the filter to the parquet readers
         return residual(self.read())
 
-    def cluster(self, cols: list[str], n_files: int = 8, bits: int = 8) -> None:
+    def cluster(
+        self, cols: list[str], n_files: int = 8, bits: int = 8,
+        curve: str = "zorder",
+    ) -> None:
         """Clustering table service (Hudi ``hoodie.layout.optimize``):
-        rewrite the table's files Z-ordered on ``cols`` so parquet
+        rewrite the table's files curve-ordered on ``cols`` (``curve`` =
+        "zorder" or "hilbert", Hudi's two layout strategies) so parquet
         row-group min/max stats skip files for predicates on ANY
         clustered column. Row content, partitioning, key semantics, and
         the partition-level stats index are all invariant — only file
@@ -1163,7 +1167,10 @@ class UpsertTable:
         df = self.read()
         tmp = self.path.rstrip("/") + ".clustering"
         shutil.rmtree(tmp, ignore_errors=True)
-        cluster_write(df, tmp, cols, n_files, bits=bits, partition_by=self.partition_by)
+        cluster_write(
+            df, tmp, cols, n_files, bits=bits,
+            partition_by=self.partition_by, curve=curve,
+        )
 
         # Declare the swap before destroying anything: the manifest names
         # the staged data entries, so a crash anywhere in the

@@ -186,6 +186,119 @@ _Z_CTES = f"""
 """
 
 
+def _hilbert_layout_sql() -> str:
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering import hilbert_sql_ctes
+
+    hctes, final = hilbert_sql_ctes("b", bits=_ZBITS)
+    return f"""
+    WITH {_Z_CTES},
+    {hctes},
+    hfiled AS (
+      SELECT x, y, qxlo, qxhi, qylo, qyhi, hd // 1024 AS hfile FROM {final}
+    ),
+    hstats AS (
+      SELECT hfile, min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo,
+             max(y) AS y_hi, any_value(qxlo) AS qxlo, any_value(qxhi) AS qxhi,
+             any_value(qylo) AS qylo, any_value(qyhi) AS qyhi
+      FROM hfiled GROUP BY hfile
+    ),
+    hsum AS (
+      SELECT CAST(count(*) AS BIGINT) AS files_h,
+             CAST(sum(CASE WHEN x_lo <= qxhi AND x_hi >= qxlo
+                            AND y_lo <= qyhi AND y_hi >= qylo
+                       THEN 1 ELSE 0 END) AS BIGINT) AS scanned_h
+      FROM hstats
+    )
+    SELECT files_h, scanned_h, scanned_z, scanned_lin, rows_matched
+    FROM hsum CROSS JOIN zsum CROSS JOIN lsum CROSS JOIN hits
+    """
+
+
+@register("hilbert_layout_stats", sql=_hilbert_layout_sql())
+def hilbert_layout_stats(spark, sf_dir):
+    """Data-skipping yield of HILBERT clustering vs Z-order vs linear —
+    Hudi's second space-filling-curve strategy
+    (hoodie.layout.optimize.strategy=hilbert; operators/clustering.py
+    hilbert_index). Same experiment as zorder_layout_stats: bucket
+    (o_custkey, order-day) to 8 bits, carve 64 curve-contiguous files,
+    count the files a centered 2-D box predicate must scan given
+    per-file min/max stats. Hilbert's unit-step adjacency (consecutive
+    indices are always grid neighbors — no Z-shaped jumps across the
+    plane) gives per-file bounding boxes at least as tight as Morton's,
+    so scanned_h <= scanned_z is the expected (and observed) ordering.
+
+    The index itself is a chain of 8 narrow projections (reflect-and-
+    swap per bit) — integer CASE/shift/mask ops, no UDF, one codegen
+    span; the oracle replays the identical chain as stacked
+    `SELECT * REPLACE` CTEs, so both engines compute the same curve
+    bit-for-bit (bijectivity + unit-step pinned in tests/test_hilbert.py).
+
+    Scale shape: identical to zorder_layout_stats — one 4-value stats
+    broadcast, bounded-key groupBys, 1-row crossJoins."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering import hilbert_index
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long").alias("y"),
+    )
+    mm = o.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+    )
+    span = lambda lo, hi: F.col(hi) - F.col(lo)  # noqa: E731
+    b = o.crossJoin(F.broadcast(mm)).select(
+        "x", "y",
+        F.floor((F.col("x") - F.col("xmin")) * 256.0 / (span("xmin", "xmax") + 1))
+        .cast("long").alias("bx"),
+        F.floor((F.col("y") - F.col("ymin")) * 256.0 / (span("ymin", "ymax") + 1))
+        .cast("long").alias("by"),
+        (F.col("xmin") + F.floor(span("xmin", "xmax") * 7.0 / 16).cast("long")).alias("qxlo"),
+        (F.col("xmin") + F.floor(span("xmin", "xmax") * 9.0 / 16).cast("long")).alias("qxhi"),
+        (F.col("ymin") + F.floor(span("ymin", "ymax") * 7.0 / 16).cast("long")).alias("qylo"),
+        (F.col("ymin") + F.floor(span("ymin", "ymax") * 9.0 / 16).cast("long")).alias("qyhi"),
+    )
+    filed = b.select(
+        "x", "y", "qxlo", "qxhi", "qylo", "qyhi",
+        (_interleave(F.col("bx"), F.col("by")) / 1024).cast("long").alias("zfile"),
+        (F.col("bx") / 4).cast("long").alias("linfile"),
+    )
+    hfiled = hilbert_index(b, "bx", "by", bits=_ZBITS, out="hd").select(
+        "x", "y", "qxlo", "qxhi", "qylo", "qyhi",
+        (F.col("hd") / 1024).cast("long").alias("hfile"),
+    )
+
+    def _file_summary(df, key, files_alias, scanned_alias):
+        stats = df.groupBy(key).agg(
+            F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"), F.max("y").alias("y_hi"),
+            F.first("qxlo").alias("qxlo"), F.first("qxhi").alias("qxhi"),
+            F.first("qylo").alias("qylo"), F.first("qyhi").alias("qyhi"),
+        )
+        overlap = (
+            (F.col("x_lo") <= F.col("qxhi")) & (F.col("x_hi") >= F.col("qxlo"))
+            & (F.col("y_lo") <= F.col("qyhi")) & (F.col("y_hi") >= F.col("qylo"))
+        )
+        return stats.agg(
+            F.count(F.lit(1)).cast("long").alias(files_alias),
+            F.sum(F.when(overlap, 1).otherwise(0)).cast("long").alias(scanned_alias),
+        )
+
+    hsum = _file_summary(hfiled, "hfile", "files_h", "scanned_h")
+    zsum = _file_summary(filed, "zfile", "files_z", "scanned_z").select("scanned_z")
+    lsum = _file_summary(filed, "linfile", "files_lin", "scanned_lin").select("scanned_lin")
+    hit = (
+        F.col("x").between(F.col("qxlo"), F.col("qxhi"))
+        & F.col("y").between(F.col("qylo"), F.col("qyhi"))
+    )
+    hits = filed.agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("rows_matched")
+    )
+    return hsum.crossJoin(zsum).crossJoin(lsum).crossJoin(hits).select(
+        "files_h", "scanned_h", "scanned_z", "scanned_lin", "rows_matched"
+    )
+
+
+
 @register(
     "zorder_layout_stats",
     sql=f"""
