@@ -213,7 +213,8 @@ PRIORITY_WINDOW: list[str] = [
     # geo_knn_uncapped, domain_cap_sample, bitmap_distinct_mv_merge,
     # savepoint_restore_state, embedding_matryoshka_eval,
     # mor_read_optimized_state, functional_index_prune,
-    # bootstrap_ci_mean, nbcc_multiwriter_state, hilbert_layout_stats —
+    # bootstrap_ci_mean, nbcc_multiwriter_state, hilbert_layout_stats,
+    # sql_scripting_variables —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

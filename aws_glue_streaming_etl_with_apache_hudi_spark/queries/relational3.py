@@ -1778,3 +1778,68 @@ def content_sha_manifest(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_SQLVAR_CENSUS = (
+    "SELECT '{leg}' AS leg, event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM sqlvar_events WHERE {pred} GROUP BY event_type"
+)
+
+
+@register(
+    "sql_scripting_variables",
+    sql="""
+    WITH cut AS (
+      SELECT min(value) AS c
+      FROM (SELECT value FROM events ORDER BY value DESC, event_id LIMIT 500)
+    ),
+    a AS (
+      SELECT 'hi_census' AS leg, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events, cut WHERE value >= c GROUP BY event_type
+    ),
+    b AS (
+      SELECT 'param_low' AS leg, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE value < 5.0 GROUP BY event_type
+    )
+    SELECT leg, event_type, n_events, sum_value
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    ORDER BY leg, event_type
+    """,
+)
+def sql_scripting_variables(spark, sf_dir):
+    """Spark 4 SQL scripting + session variables + EXECUTE IMMEDIATE —
+    the procedural SQL surface (SQL/PSM subset) Spark 4.0 added, pinned
+    against a set-based oracle so the control flow cannot change
+    semantics. Leg A runs a BEGIN..END compound: DECLARE a local
+    variable, SET it from a data-driven scalar subquery (the min of the
+    global top-500 values — a pure VALUE, so tie choice at the boundary
+    cannot perturb it), then filter the census with it. Leg B binds a
+    literal through EXECUTE IMMEDIATE's `?` parameter marker (USING
+    clause) — the injection-safe dynamic-SQL path. The oracle computes
+    both legs declaratively.
+
+    Scale: each leg is one map-side-combinable aggregate; the scripting
+    block's SET evaluates one TakeOrdered(500) scalar — no driver loop,
+    no per-row procedure calls; scripting is orchestration, the data
+    plan underneath is the same declarative census."""
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.createOrReplaceTempView("sqlvar_events")
+    a = spark.sql(f"""
+    BEGIN
+      DECLARE cut DOUBLE DEFAULT 0;
+      SET cut = (SELECT min(value)
+                 FROM (SELECT value FROM sqlvar_events
+                       ORDER BY value DESC, event_id LIMIT 500));
+      {_SQLVAR_CENSUS.format(leg='hi_census', pred='value >= cut')};
+    END
+    """)
+    inner = _SQLVAR_CENSUS.format(leg="param_low", pred="value < ?")
+    b = spark.sql(
+        "EXECUTE IMMEDIATE '" + inner.replace("'", "''") + "' USING 5.0"
+    )
+    return a.unionByName(b).orderBy("leg", "event_type")
