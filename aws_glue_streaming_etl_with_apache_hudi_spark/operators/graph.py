@@ -264,3 +264,49 @@ def khop_hops(edges: DataFrame, seeds: DataFrame, iters: int = 3) -> DataFrame:
     out = _persist_slot(labels.select("node", "hop"), "graph.khop")
     out.count()
     return out
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Bounded-round synchronous label propagation (community
+    detection): (node, lbl).
+
+    Every node starts labeled with its own id; each round it adopts the
+    most frequent label among its NEIGHBORS, ties broken toward the
+    smallest label — fully deterministic synchronous updates, no
+    residual randomness, so a SQL oracle can unroll the identical
+    rounds. (Classic async LPA is order-dependent; the synchronous
+    min-tie variant trades a little convergence speed for
+    reproducibility, the house determinism contract.)
+
+    Each round is one join on dst + one (node, lbl) count + one
+    per-node argmax — all partitioned by node id, map-side-combinable,
+    same reuse-the-partitioning shape as `pagerank`. Rounds unroll
+    lazily into one plan (bounded iters; see pagerank's cadence note)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    sym = symmetrize(edges).persist()
+    try:
+        lbl = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+        )
+        for _ in range(iters):
+            votes = (
+                sym.join(
+                    lbl.select(F.col("node").alias("dst"), "lbl"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # winner per node: max count, then smallest label
+            lbl = votes.groupBy("node").agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+                ).alias("lbl")
+            )
+        out = _persist_slot(lbl, "graph.lpa")
+        out.count()
+        return out
+    finally:
+        sym.unpersist()

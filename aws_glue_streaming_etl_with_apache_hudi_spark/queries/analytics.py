@@ -2184,3 +2184,78 @@ def cume_dist_spend_curve(spark, sf_dir):
         F.round(F.col("_cd"), 6).alias("cd"),
         F.round("x", 2).alias("spend"),
     ).orderBy("user_id")
+
+
+@register(
+    "ohlc_vwap_daily",
+    sql="""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, ts, event_id, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events
+    ),
+    o AS (
+      SELECT day, event_type, value AS open FROM (
+        SELECT day, event_type, value,
+               row_number() OVER (PARTITION BY day, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM e) x WHERE rn = 1
+    ),
+    c AS (
+      SELECT day, event_type, value AS close FROM (
+        SELECT day, event_type, value,
+               row_number() OVER (PARTITION BY day, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) x WHERE rn = 1
+    ),
+    a AS (
+      SELECT day, event_type,
+             max(value) AS high, min(value) AS low,
+             CAST(count(*) AS BIGINT) AS n_trades,
+             CASE WHEN sum(vol) > 0
+                  THEN CAST(sum(CAST(value AS DECIMAL(18,2)) * vol) AS DOUBLE)
+                       / CAST(sum(vol) AS DOUBLE) END AS vwap
+      FROM e GROUP BY day, event_type
+    )
+    SELECT a.day, a.event_type, open, high, low, close, vwap, n_trades
+    FROM a JOIN o USING (day, event_type) JOIN c USING (day, event_type)
+    ORDER BY day, event_type
+    """,
+)
+def ohlc_vwap_daily(spark, sf_dir):
+    """Daily OHLC bars + volume-weighted average price per event type —
+    the canonical tick-to-bar downsample (value as price, the JSON
+    props.k field as volume). Open/close are min_by/max_by on the total
+    (ts, event_id) order — ONE aggregation computes all six measures, no
+    window over the raw ticks; the oracle cross-checks open/close via
+    row_number windows. VWAP numerator is an exact decimal sum (2dp
+    price x integer volume), divided by the integer volume sum as
+    identical doubles in both engines; zero-volume bars yield NULL
+    rather than a division artifact.
+
+    Scale: map-side-combinable min/max/min_by/max_by/sums — one shuffle
+    on (day, event_type); at 100 TB of ticks the bars are O(days x
+    types), and min_by avoids the sort-per-group a window would cost."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type", "ts", "event_id", "value",
+        F.get_json_object("props", "$.k").cast("long").alias("vol"),
+    )
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("day", "event_type")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.when(
+                F.sum("vol") > 0,
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("vol"))
+                .cast("double") / F.sum("vol").cast("double"),
+            ).alias("vwap"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select("day", "event_type", "open", "high", "low", "close", "vwap", "n_trades")
+        .orderBy("day", "event_type")
+    )

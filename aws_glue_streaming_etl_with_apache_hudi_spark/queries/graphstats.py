@@ -1811,3 +1811,52 @@ def bootstrap_ci_mean(spark, sf_dir):
     return base.join(ci, "event_type").select(
         "event_type", "n_rows", "point_mean", "boot_p025", "boot_p975"
     ).orderBy("event_type")
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT node, lbl FROM (
+        SELECT e.src AS node, p.lbl, count(*) AS c,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY count(*) DESC, p.lbl) AS rn
+        FROM sym e JOIN {prev} p ON e.dst = p.node
+        GROUP BY e.src, p.lbl) x
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    sql=f"""
+    WITH {_EDGES_CTE},
+    lpa0 AS (SELECT node, node AS lbl FROM deg),
+    {_lpa_round_sql('lpa0', 'lpa1')},
+    {_lpa_round_sql('lpa1', 'lpa2')},
+    {_lpa_round_sql('lpa2', 'lpa3')}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+    FROM lpa3 GROUP BY lbl
+    ORDER BY size DESC, community
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Three synchronous label-propagation rounds on the co-purchase
+    graph (operators/graph.py label_propagation) — the classic
+    community-detection companion to min-label components: instead of
+    the MINIMUM neighbor label (which finds connected components), each
+    node adopts the MOST FREQUENT neighbor label (ties toward the
+    smallest), so dense neighborhoods coalesce onto local hubs and the
+    output is a community histogram, not component membership. The
+    deterministic synchronous/min-tie variant lets the oracle unroll
+    the identical three rounds as CTEs.
+
+    Scale: per round one join partitioned on node id + one bounded
+    (node, label) count + one argmax — the pagerank shuffle shape; no
+    global sort, no driver iteration state beyond the loop counter."""
+    edges = _edges(spark, sf_dir)
+    return (
+        G.label_propagation(edges, iters=3)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+    )
