@@ -85,6 +85,17 @@ class StreamingUpsertPipeline:
     # appended raw under this directory per batch instead of poisoning
     # or silently vanishing from the pipeline (sources/quarantine.py).
     quarantine_dir: str | None = None
+    # Multi-writer streaming (Hudi 1.0 NBCC): when set, batches commit
+    # through ``table.nbcc_upsert(batch, writer=writer_id)`` instead of
+    # the single-writer upsert — several pipelines (e.g. per-region
+    # ingest streams) can feed ONE MergeOnReadTable concurrently with
+    # zero aborts; key overlaps resolve at read-side precombine. A
+    # checkpoint replay claims a fresh commit slot for the re-delivered
+    # batch, and the keyed precombine collapses the re-delivered rows —
+    # replay-idempotent at the STATE level (the duplicate delta folds
+    # away at the next compaction). Requires a table exposing
+    # nbcc_upsert (MergeOnReadTable).
+    writer_id: str | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -117,7 +128,10 @@ class StreamingUpsertPipeline:
                     return
         if self.transform is not None:
             batch_df = self.transform(batch_df)
-        self.table.upsert(batch_df)
+        if self.writer_id is not None:
+            self.table.nbcc_upsert(batch_df, writer=self.writer_id)
+        else:
+            self.table.upsert(batch_df)
         if self.post_commit is not None:
             self.post_commit(batch_df)
 

@@ -178,3 +178,71 @@ def test_plain_upsert_interops_after_nbcc(spark, tmp_path):
     assert t._meta()["next_seq"] == dead + 1
     assert not t._has_inflight(dead)
     assert t.latest_commit() == s
+
+
+def _stage_batch(spark, tmp_path, src, name, rows, mtime):
+    import glob
+    import shutil
+
+    stage = str(tmp_path / f"stage_{name}")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dst = os.path.join(src, f"{name}.parquet")
+    shutil.move(part, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def test_two_streaming_pipelines_one_table(spark, tmp_path):
+    """Multi-stream ingestion (streaming/pipeline.py writer_id): two
+    StreamingUpsertPipelines with separate sources and checkpoints feed
+    ONE MergeOnReadTable through nbcc_upsert — interleaved micro-batches
+    touching the SAME key never abort, and a full checkpoint replay of
+    one stream leaves read-state unchanged (keyed precombine collapses
+    the re-delivered rows)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    src_a, src_b = str(tmp_path / "src_a"), str(tmp_path / "src_b")
+    os.makedirs(src_a)
+    os.makedirs(src_b)
+    schema = T.StructType.fromDDL(SCHEMA)
+    t = _tbl(spark, tmp_path / "t")
+
+    def pipe(src, ckpt, writer):
+        return StreamingUpsertPipeline(
+            spark, source_dir=src, schema=schema, table=t,
+            checkpoint=str(tmp_path / ckpt), trigger="1 seconds",
+            writer_id=writer,
+        )
+
+    # interleave: A batch 1, B batch 1 (same key 1!), A batch 2
+    _stage_batch(spark, tmp_path, src_a, "a1",
+                 [(1, 10, "a1"), (2, 10, "a1")], 1_700_000_000)
+    pa = pipe(src_a, "ckpt_a", "A")
+    pa.run_available()
+    _stage_batch(spark, tmp_path, src_b, "b1",
+                 [(1, 20, "b1"), (3, 10, "b1")], 1_700_000_001)
+    pb = pipe(src_b, "ckpt_b", "B")
+    pb.run_available()
+    _stage_batch(spark, tmp_path, src_a, "a2",
+                 [(4, 10, "a2")], 1_700_000_002)
+    pa.run_available()
+
+    want = [(1, 20, "b1"), (2, 10, "a1"), (3, 10, "b1"), (4, 10, "a2")]
+    assert _state(t) == want
+    writers = {e.get("writer") for e in t.timeline() if e["action"] == "deltacommit"}
+    assert {"A", "B"} <= writers
+
+    # replay stream B from scratch: fresh checkpoint re-delivers b1 into
+    # a NEW commit slot; keyed precombine keeps state identical
+    shutil.rmtree(str(tmp_path / "ckpt_b"))
+    pipe(src_b, "ckpt_b", "B").run_available()
+    assert _state(t) == want
+    # and the replayed delta folds away at compaction
+    t.compact()
+    assert _state(t) == want
