@@ -1843,3 +1843,74 @@ def sql_scripting_variables(spark, sf_dir):
         "EXECUTE IMMEDIATE '" + inner.replace("'", "''") + "' USING 5.0"
     )
     return a.unionByName(b).orderBy("leg", "event_type")
+
+
+def _dp_sql() -> str:
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql("event_type", seed="dp")
+    # Laplace(b) inverse CDF at u: -b * sign(u-0.5) * ln(1 - 2*|u-0.5|)
+    u = f"({h} / 1152921504606846976.0)"
+    lap = f"(-{_DP_B!r} * sign({u} - 0.5) * ln(1.0 - 2.0 * abs({u} - 0.5)))"
+    return f"""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             least(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+                   {_DP_CLIP!r}) AS contrib
+      FROM events GROUP BY event_type, user_id
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             round(sum(contrib), 2) AS clipped_sum
+      FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n_users, clipped_sum,
+           round(clipped_sum + {lap}, 4) AS noised_sum
+    FROM agg ORDER BY event_type
+    """
+
+
+_DP_CLIP = 400.0   # per-user contribution bound C (the sensitivity)
+_DP_EPS = 1.0
+_DP_B = _DP_CLIP / _DP_EPS
+
+
+@register("dp_noised_release", sql=_dp_sql())
+def dp_noised_release(spark, sf_dir):
+    """User-level differentially-private release of per-event-type spend
+    — the mechanism a 100 TB pipeline uses to publish aggregates about
+    individuals: (1) bound each USER's total contribution by clipping at
+    C=400 (without the clip one heavy user makes the sensitivity — and
+    thus the noise — unbounded), (2) add Laplace(C/eps) noise calibrated
+    to that bound, one draw per released statistic. The draw comes from
+    the shared deterministic hash through the Laplace inverse CDF so
+    both engines release the identical values — the MECHANISM is pinned
+    exactly; a production deploy swaps the hash for a CSPRNG and keeps
+    every other line. clipped_sum is exact decimal; the noised value
+    rounds at 4dp (ln() agrees across engines far below that).
+
+    Scale: two map-side-combinable aggregations sharing no data-sized
+    state — per-user partial sums, then per-group clip+sum; the noise
+    is a row-local expression on the O(groups) result."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import dsum
+
+    e = t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.least(dsum(F.col("value"), 2), F.lit(_DP_CLIP)).alias("contrib")
+    )
+    agg = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("contrib"), 2).alias("clipped_sum"),
+    )
+    u = stable_hash64(F.col("event_type"), seed="dp") / F.lit(float(1 << 60))
+    lap = (
+        F.lit(-_DP_B)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return agg.select(
+        "event_type", "n_users", "clipped_sum",
+        F.round(F.col("clipped_sum") + lap, 4).alias("noised_sum"),
+    ).orderBy("event_type")
