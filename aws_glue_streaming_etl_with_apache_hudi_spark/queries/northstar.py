@@ -3501,3 +3501,149 @@ def embedding_matryoshka_eval(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dim")
+
+
+# -- distributed PCA: one power-iteration step, exactly oracled --------------
+
+_PCA_D = 64
+_PCA_SCALE = 67108864.0          # 2^26: exact double scaling of float32
+_PCA_SCALE_SQ = _PCA_SCALE * _PCA_SCALE
+
+
+def _dot_chain(a: str, b: str, spark_dialect: bool = False) -> str:
+    """Explicit left-associative 64-term dot product — the SAME addition
+    order in both engines, so the double result is bit-identical (a
+    groupBy sum would add in shuffle order; list kernels may vectorize).
+    Spark's `[]` is 0-based, DuckDB's is 1-based — the 1-based
+    element_at/`[k]` pair keeps the two renderings term-for-term equal."""
+    if spark_dialect:
+        terms = (
+            f"element_at({a}, {k}) * element_at({b}, {k})"
+            for k in range(1, _PCA_D + 1)
+        )
+    else:
+        terms = (f"{a}[{k}] * {b}[{k}]" for k in range(1, _PCA_D + 1))
+    return " + ".join(terms)
+
+
+def _pca_sql() -> str:
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * {_PCA_SCALE!r}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
+    pairs AS (
+      SELECT i, j, xq[i] * xq[j] AS p
+      FROM q, range(1, {_PCA_D + 1}) t1(i), range(1, {_PCA_D + 1}) t2(j)
+    ),
+    s AS (SELECT i, j, sum(CAST(p AS DECIMAL(38,0))) AS s FROM pairs GROUP BY i, j),
+    v1 AS (SELECT i, sum(s) AS v1 FROM s GROUP BY i),
+    d1 AS (SELECT list(CAST(v1 AS DOUBLE) ORDER BY i) AS d FROM v1),
+    srows AS (SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS sr FROM s GROUP BY i),
+    v2 AS (SELECT i, ({_dot_chain('sr', 'd')}) AS v2 FROM srows, d1),
+    v2a AS (SELECT list(v2 ORDER BY i) AS w FROM v2),
+    v3 AS (SELECT i, ({_dot_chain('sr', 'w')}) AS v3 FROM srows, v2a),
+    v3a AS (SELECT list(v3 ORDER BY i) AS u FROM v3),
+    fin AS (
+      SELECT ({_dot_chain('w', 'u')}) AS num, ({_dot_chain('w', 'w')}) AS den,
+             ({_dot_chain('d', 'd')}) AS den1
+      FROM v2a, v3a, d1
+    ),
+    top AS (
+      SELECT CAST(i AS BIGINT) AS top_dim, CAST(v1 AS DOUBLE) AS tv
+      FROM v1 ORDER BY abs(v1) DESC, i LIMIT 1
+    )
+    SELECT round(num / den / {_PCA_SCALE_SQ!r} / (SELECT n FROM n), 6) AS eigval,
+           top_dim,
+           round(tv * tv / den1, 6) AS top_share_sq
+    FROM fin, top
+    """
+
+
+@register("pca_power_iteration", sql=_pca_sql())
+def pca_power_iteration(spark, sf_dir):
+    """Top principal eigenvalue of the embedding corpus by distributed
+    power iteration over the exact scatter matrix — three matvec hops
+    from the ones vector (v1 = S*1, v2 = S*v1, v3 = S*v2), Rayleigh
+    quotient lambda = v2'v3 / v2'v2 on the last pair, normalized back to
+    embedding units (/(2^26)^2/N); top_dim reports the dominant
+    coordinate of the exact first hop. Every cross-engine-fragile step is
+    made exact: float32 coordinates quantize by an EXACT power-of-two
+    scaling + truncation (no rounding ties), the scatter matrix
+    S[i,j] = sum(xq_i*xq_j) accumulates in DECIMAL(38,0) (order-free),
+    and the two double dot products run as explicit left-associative
+    64-term chains so both engines add in the same order — the one step
+    a groupBy sum could not pin (shuffle-order float addition).
+
+    Scale: the per-row outer product expands row-locally (flatten/
+    transform — no self-join) and partial aggregation collapses it to
+    O(D^2) cells before the exchange; everything after the scatter
+    matrix is O(D^2) metadata. At 100 TB the same shape holds with the
+    outer product batched through a BLAS pandas UDF per partition and
+    the decimal tree-reduce unchanged; more iterations = repeat the
+    O(D^2) matvec, never another data pass."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_rows = e.count()  # scalar; the oracle derives it the same way
+    xq = F.expr(
+        f"transform(embedding, x -> CAST(CAST(x AS DOUBLE) * {_PCA_SCALE!r} AS BIGINT))"
+    )
+    pairs = (
+        e.select(xq.alias("xq"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xq, (xi, i0) -> "
+                    "transform(xq, (xj, j0) -> "
+                    "struct(i0 + 1 AS i, j0 + 1 AS j, xi * xj AS p))))"
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+    )
+    s = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
+    )
+    v1 = s.groupBy("i").agg(F.sum("s").alias("v1"))
+    d1 = v1.agg(
+        F.expr("transform(sort_array(collect_list(struct(i, CAST(v1 AS DOUBLE) AS v))), e -> e.v)").alias("d")
+    )
+    srows = s.groupBy("i").agg(
+        F.expr("transform(sort_array(collect_list(struct(j, CAST(s AS DOUBLE) AS v))), e -> e.v)").alias("sr")
+    )
+    def dot(a, b):
+        return _dot_chain(a, b, spark_dialect=True)
+
+    v2 = srows.crossJoin(F.broadcast(d1)).select(
+        "i", F.expr(f"({dot('sr', 'd')})").alias("v2")
+    )
+    v2a = v2.agg(
+        F.expr("transform(sort_array(collect_list(struct(i, v2 AS v))), e -> e.v)").alias("w")
+    )
+    v3 = srows.crossJoin(F.broadcast(v2a)).select(
+        "i", F.expr(f"({dot('sr', 'w')})").alias("v3")
+    )
+    v3a = v3.agg(
+        F.expr("transform(sort_array(collect_list(struct(i, v3 AS v))), e -> e.v)").alias("u")
+    )
+    fin = v2a.crossJoin(v3a).crossJoin(d1).select(
+        F.expr(f"({dot('w', 'u')})").alias("num"),
+        F.expr(f"({dot('w', 'w')})").alias("den"),
+        F.expr(f"({dot('d', 'd')})").alias("den1"),
+    )
+    top = (
+        v1.select(
+            F.col("i").cast("long").alias("top_dim"),
+            F.col("v1").cast("double").alias("tv"),
+        )
+        .orderBy(F.abs(F.col("tv")).desc(), "top_dim")
+        .limit(1)
+    )
+    return fin.crossJoin(top).select(
+        F.round(
+            F.col("num") / F.col("den") / F.lit(_PCA_SCALE_SQ) / F.lit(float(n_rows)), 6
+        ).alias("eigval"),
+        "top_dim",
+        F.round(F.col("tv") * F.col("tv") / F.col("den1"), 6).alias("top_share_sq"),
+    )
