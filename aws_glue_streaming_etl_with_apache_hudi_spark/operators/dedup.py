@@ -564,3 +564,72 @@ def dedup_survivors(
         )
         .withColumn("keep", F.col(id_col) == F.col("group_id"))
     )
+
+
+def prefix_filter_candidates(
+    sets: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """PPJoin-style prefix filtering: EXACT-Jaccard candidate pairs
+    WITHOUT the quadratic block join. Canonicalize every set by global
+    token rarity (rarest first — a total order via (freq, token)), take
+    each set's prefix of length |s| - ceil(t*|s|) + 1, and equi-join on
+    prefix tokens. Completeness: J(x,y) >= t implies the overlap o
+    satisfies o >= t*|x| (J = o/(|x|+|y|-o) and |y| >= o force the
+    denominator >= |x|); if x and y shared NO token in x's prefix, the
+    overlap could only use x's last ceil(t*|x|) - 1 tokens — o < t*|x|,
+    contradiction. So every qualifying pair shares a prefix token and
+    survives the filter; rarity ordering just makes prefixes selective
+    (the rare tokens block almost nothing together).
+
+    Returns distinct (id_a, id_b [, block]) with id_a < id_b — the
+    caller verifies exact Jaccard on the candidates. The vocabulary
+    rank uses `distributed_rank` (operators/skew.py), so no global
+    window anywhere; token join fan-out is bounded by prefix length,
+    not set size."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_rank
+
+    blk = [block_col] if block_col else []
+    tok = sets.select(F.col(id_col), *blk, F.explode(set_col).alias("_tok"))
+    vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_freq"))
+    ranked = distributed_rank(
+        vocab, "_freq", out="_rnk", method="row_number", tie_breakers=["_tok"]
+    )
+    tk = tok.join(ranked.select("_tok", "_rnk"), "_tok")
+    ordered = tk.groupBy(id_col, *blk).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(_rnk, _tok))), e -> e._tok)"
+        ).alias("_sorted")
+    )
+    pref = ordered.select(
+        F.col(id_col),
+        *blk,
+        F.slice(
+            "_sorted",
+            F.lit(1),
+            F.size("_sorted")
+            - F.ceil(F.lit(float(threshold)) * F.size("_sorted")).cast("int")
+            + F.lit(1),
+        ).alias("_prefix"),
+    )
+    pt = pref.select(F.col(id_col), *blk, F.explode("_prefix").alias("_ptok"))
+    a = pt.select(
+        F.col(id_col).alias("id_a"), *[F.col(c) for c in blk], "_ptok"
+    )
+    b = pt.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in blk],
+        F.col("_ptok").alias("_ptok_b"),
+    )
+    cond = a["_ptok"] == b["_ptok_b"]
+    for c in blk:
+        cond = cond & (a[c] == b[f"_b_{c}"])
+    return (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *blk)
+        .distinct()
+    )

@@ -3647,3 +3647,69 @@ def pca_power_iteration(spark, sf_dir):
         "top_dim",
         F.round(F.col("tv") * F.col("tv") / F.col("den1"), 6).alias("top_share_sq"),
     )
+
+
+@register(
+    "jaccard_prefix_join",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, sh FROM (
+        SELECT doc_id, lang, array_to_string(w[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, lang, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM words)
+      ) WHERE sh <> ''
+    ),
+    sets AS (SELECT doc_id, lang, list(sh) AS s FROM sh GROUP BY doc_id, lang)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jac >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def jaccard_prefix_join(spark, sf_dir):
+    """EXACT-Jaccard similarity join served by PPJoin-style prefix
+    filtering (operators/dedup.py prefix_filter_candidates) — the same
+    answer as the quadratic blocked join (`dedup_ngram_jaccard`; the
+    oracle IS that pairwise SQL), from a subquadratic plan: sets
+    canonicalize by global token rarity (vocabulary ranked by
+    `distributed_rank` — no global window), each set exposes only its
+    |s| - ceil(t|s|) + 1 rarest tokens, and candidates come from an
+    equi-join on those prefix tokens. The completeness theorem (any
+    pair with J >= t shares a prefix token) makes the filter lossless;
+    exact verification on the candidates makes it precise.
+
+    Scale: the blocked join is O(block^2) regardless of similarity; the
+    prefix join's candidate count is driven by rare-token collisions —
+    on real corpora orders of magnitude smaller — and every step is an
+    equi-shuffle (explode, count, rank, join). This is the exact-dedup
+    scale path when LSH recall < 1 is not acceptable (e.g. benchmark
+    decontamination, where a miss is a contaminated eval)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import prefix_filter_candidates
+
+    docs = t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs.select("doc_id", "lang", "text"), "doc_id", "text", n=3)
+    sets = (
+        sh.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(F.collect_set("shingle").alias("s"))
+    )
+    cand = prefix_filter_candidates(
+        sets, "doc_id", "s", threshold=0.3, block_col="lang"
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
