@@ -1138,3 +1138,84 @@ def cluster_service_state(spark, sf_dir):
     return tbl.read().select(
         "event_type", "user_id", "event_id", "value"
     ).orderBy("event_type", "user_id")
+
+
+def _shred_sql() -> str:
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+
+    pseud = stable_hash64_sql("CAST(user_id AS VARCHAR)", seed="vault")
+    return f"""
+    WITH facts AS (
+      SELECT event_type, {pseud} AS pseudonym, value FROM events
+    ),
+    vault AS (
+      SELECT DISTINCT user_id, {pseud} AS pseudonym FROM events
+      WHERE user_id % 37 <> 0
+    )
+    SELECT f.event_type,
+           CAST(count(v.user_id) AS BIGINT) AS n_linked,
+           CAST(sum(CASE WHEN v.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shredded,
+           CAST(count(DISTINCT v.user_id) AS BIGINT) AS users_linked,
+           CAST(sum(CASE WHEN v.user_id IS NOT NULL
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS linked_value
+    FROM facts f LEFT JOIN vault v ON f.pseudonym = v.pseudonym
+    GROUP BY f.event_type ORDER BY f.event_type
+    """
+
+
+@register("crypto_shred_erasure", sql=_shred_sql())
+def crypto_shred_erasure(spark, sf_dir):
+    """Right-to-erasure by crypto-shredding — the GDPR deletion pattern
+    that works at 100 TB: the fact table stores only a PSEUDONYM
+    (keyed hash here; a random token or per-user key in production),
+    the pseudonym -> identity map lives in a tiny separate VAULT table
+    (operators/upsert.py), and erasing a user is a delete against the
+    VAULT ONLY — the petabyte fact table is never rewritten, its rows
+    simply become unlinkable. The query builds both tables on disk,
+    erases every user_id % 37 == 0 through the vault's keyed delete
+    path, and reports per event type how many fact rows still link vs
+    how many are shredded — the audit an erasure pipeline publishes.
+    The oracle computes the same from the raw stream (vault minus the
+    erased cohort).
+
+    Scale: the vault is O(users), the delete is O(touched vault
+    partitions); the link audit is one broadcast-ready join from facts
+    to vault. Rewriting facts per erasure request — the naive
+    alternative — is O(table) per request."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    e = t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    pseud = stable_hash64(F.col("user_id").cast("string"), seed="vault")
+    facts = e.select("event_type", pseud.alias("pseudonym"), "value")
+    vault_rows = (
+        e.select("user_id").distinct().select(
+            "user_id", stable_hash64(F.col("user_id").cast("string"), seed="vault").alias("pseudonym")
+        )
+    )
+    path = tempfile.mkdtemp(prefix="vault_tbl_")
+    vault = UpsertTable(spark, path, keys=["user_id"], precombine="pseudonym")
+    vault.upsert(vault_rows)
+    # the erasure request: drop the cohort from the VAULT only
+    vault.delete(vault_rows.filter(F.col("user_id") % 37 == 0).select("user_id"))
+    v = vault.read()
+    return (
+        facts.join(F.broadcast(v), "pseudonym", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("user_id").alias("n_linked"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("n_shredded"),
+            F.countDistinct("user_id").alias("users_linked"),
+            F.sum(
+                F.when(
+                    F.col("user_id").isNotNull(),
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ).cast("double").alias("linked_value"),
+        )
+        .orderBy("event_type")
+    )
