@@ -3713,3 +3713,131 @@ def jaccard_prefix_join(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.3)
         .orderBy("id_a", "id_b")
     )
+
+
+# -- Johnson-Lindenstrauss random projection ---------------------------------
+
+_JL_K = 16            # target dimensionality
+_JL_PAIRS = 40        # fixed evaluation pairs (vec_id i <-> i + 250)
+
+
+def _jl_sign_sql(j: str, d: str) -> str:
+    """Deterministic ±1 from the shared hash of (target dim j, source
+    dim d) — the projection MATRIX, never materialized anywhere."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql(f"concat(CAST({j} AS VARCHAR), '_', CAST({d} AS VARCHAR))", seed="jl")
+    return f"(CAST(({h} % 2) * 2 - 1 AS BIGINT))"
+
+
+def _jl_sql() -> str:
+    n = _PCA_D
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * {_PCA_SCALE!r}) AS BIGINT)) AS xq
+      FROM embeddings WHERE vec_id < {_JL_PAIRS} OR
+            (vec_id >= 250 AND vec_id < {250 + _JL_PAIRS})
+    ),
+    proj AS (
+      SELECT vec_id, j, sum(xq[d] * {_jl_sign_sql('j', 'd')}) AS y
+      FROM q, range(1, {_JL_K + 1}) tj(j), range(1, {n + 1}) td(d)
+      GROUP BY vec_id, j
+    ),
+    pv AS (SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY vec_id),
+    pairs0 AS (
+      SELECT a.vec_id AS id_a, a.xq AS xa, b.xq AS xb, pa.yv AS ya, pb.yv AS yb
+      FROM q a JOIN q b ON b.vec_id = a.vec_id + 250
+      JOIN pv pa ON pa.vec_id = a.vec_id
+      JOIN pv pb ON pb.vec_id = a.vec_id + 250
+    ),
+    dfull AS (
+      SELECT id_a, sum((xa[d] - xb[d]) * (xa[d] - xb[d])) AS d2_full
+      FROM pairs0, range(1, {n + 1}) td(d) GROUP BY id_a
+    ),
+    dproj AS (
+      SELECT id_a, sum((ya[j] - yb[j]) * (ya[j] - yb[j])) AS d2_proj
+      FROM pairs0, range(1, {_JL_K + 1}) tj(j) GROUP BY id_a
+    )
+    SELECT id_a, id_a + 250 AS id_b,
+           round(CAST(d2_proj AS DOUBLE) / {_JL_K} / CAST(d2_full AS DOUBLE), 6)
+             AS distortion_sq
+    FROM dfull JOIN dproj USING (id_a) ORDER BY id_a
+    """
+
+
+@register("jl_random_projection", sql=_jl_sql())
+def jl_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sketching of the embedding space: project
+    64-dim vectors to K=16 with a ±1 sign matrix DERIVED from the shared
+    hash (never materialized, never shuffled — each executor regenerates
+    the signs row-locally), then report the squared-distance distortion
+    d2_proj/(K*d2_full) for 40 fixed vector pairs — the quantity JL
+    bounds near 1. All arithmetic is EXACT integers: coordinates
+    quantize by the power-of-two float32 scaling, signs are ±1, so sums
+    and squared distances are order-free BIGINTs and the one final
+    division happens on identical doubles in both engines.
+
+    Scale: projection is a row-local O(D*K) expression (at 100 TB: a
+    pandas-UDF GEMM per batch with the same hash-derived matrix);
+    distance eval touches only the fixed probe pairs. The projected
+    table is the input ANN/dedup passes run on at 4x less width — this
+    query pins that the sketch preserves what they need."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") < _JL_PAIRS)
+            | ((F.col("vec_id") >= 250) & (F.col("vec_id") < 250 + _JL_PAIRS))
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(CAST(x AS DOUBLE) * {_PCA_SCALE!r} AS BIGINT))"
+            ).alias("xq"),
+        )
+    )
+    cells = e.select(
+        "vec_id",
+        F.explode(F.expr("transform(xq, (x, d0) -> struct(d0 + 1 AS d, x AS x))")).alias("c"),
+    ).select("vec_id", "c.*")
+    kdim = spark.range(1, _JL_K + 1).select(F.col("id").alias("j"))
+    sign = (
+        stable_hash64(
+            F.concat(F.col("j").cast("string"), F.lit("_"), F.col("d").cast("string")),
+            seed="jl",
+        )
+        % 2
+    ) * 2 - 1
+    proj = (
+        cells.crossJoin(F.broadcast(kdim))
+        .select("vec_id", "j", (F.col("x") * sign).alias("term"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("term").alias("y"))
+    )
+    pv = proj.groupBy("vec_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(j, y))), e -> e.y)").alias("yv")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("xq").alias("xa"))
+    b = e.select((F.col("vec_id") - 250).alias("id_a"), F.col("xq").alias("xb"))
+    pa = pv.select(F.col("vec_id").alias("id_a"), F.col("yv").alias("ya"))
+    pb = pv.select((F.col("vec_id") - 250).alias("id_a"), F.col("yv").alias("yb"))
+    d2 = lambda u, v: F.expr(  # noqa: E731
+        f"aggregate(zip_with({u}, {v}, (p, q) -> (p - q) * (p - q)), 0L, (acc, w) -> acc + w)"
+    )
+    return (
+        a.join(b, "id_a").join(pa, "id_a").join(pb, "id_a")
+        .filter(F.col("id_a") < _JL_PAIRS)
+        .select(
+            "id_a",
+            (F.col("id_a") + 250).alias("id_b"),
+            F.round(
+                d2("ya", "yb").cast("double") / F.lit(float(_JL_K))
+                / d2("xa", "xb").cast("double"),
+                6,
+            ).alias("distortion_sq"),
+        )
+        .orderBy("id_a")
+    )
