@@ -151,3 +151,46 @@ def aggregate_delta(
         F.sum(expr).alias(name) for name, expr in sums.items()
     ]
     return batch.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def retraction_delta(
+    feed: DataFrame,
+    group_col: str,
+    value_col: str,
+    change_col: str = "_change_type",
+    count_col: str = "n_rows",
+    sum_name: str = "total_value",
+    scale: int = 2,
+) -> DataFrame:
+    """Signed MV delta from a CDC before-image feed (the retraction
+    algebra `incremental_mv_refresh`'s docstring promises): inserts and
+    update-AFTER images contribute (+1, +value) to the row's group;
+    deletes and update-BEFORE images contribute (-1, -before_value) to
+    the BEFORE group — so an update that moves a row between groups
+    retracts from the old group and adds to the new one, and a delete
+    of a never-seen key (insert+delete inside one batch window,
+    before image null) retracts nothing. Exact DECIMAL values make
+    +x then -x a true inverse (doubles would leave residue).
+
+    Feed shape: `timeline.cdc_view_images` output — the after row's
+    ``group_col``/``value_col`` plus ``before_<group_col>`` /
+    ``before_<value_col>`` and the change verb."""
+    dec = f"decimal(18,{scale})"
+    adds = feed.filter(F.col(change_col).isin("insert", "update")).select(
+        F.col(group_col).alias(group_col),
+        F.lit(1).cast("long").alias(count_col),
+        F.col(value_col).cast(dec).alias(sum_name),
+    )
+    retracts = feed.filter(
+        F.col(change_col).isin("update", "delete")
+        & F.col(f"before_{group_col}").isNotNull()
+    ).select(
+        F.col(f"before_{group_col}").alias(group_col),
+        F.lit(-1).cast("long").alias(count_col),
+        (-F.col(f"before_{value_col}").cast(dec)).alias(sum_name),
+    )
+    both = adds.unionByName(retracts)
+    return both.groupBy(group_col).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        F.sum(sum_name).alias(sum_name),
+    )

@@ -216,7 +216,7 @@ PRIORITY_WINDOW: list[str] = [
     # bootstrap_ci_mean, nbcc_multiwriter_state, hilbert_layout_stats,
     # sql_scripting_variables, ohlc_vwap_daily, graph_label_propagation,
     # dp_noised_release, pca_power_iteration, jaccard_prefix_join,
-    # crypto_shred_erasure, jl_random_projection —
+    # crypto_shred_erasure, jl_random_projection, mv_retractable_cdc —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

@@ -1219,3 +1219,83 @@ def crypto_shred_erasure(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "mv_retractable_cdc",
+    sql="""
+    WITH pre AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    inc AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') x
+      WHERE rn = 1
+    ),
+    final AS (
+      SELECT event_type, value FROM pre
+      WHERE user_id NOT IN (SELECT user_id FROM inc)
+      UNION ALL
+      SELECT event_type, value FROM inc WHERE user_id % 23 <> 0
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+)
+def mv_retractable_cdc(spark, sf_dir):
+    """Delete-aware incremental view maintenance from a CDC before-image
+    feed (operators/reconcile.py retraction_delta + timeline.py
+    cdc_view_images): the per-event-type rollup over latest-user state
+    is built from the first half of the stream, then maintained through
+    a change batch containing INSERTS (new users), UPDATES (returning
+    users — possibly moving groups, retract old + add new), and DELETES
+    (users hashing into an erasure cohort — retract via the before
+    image). Insert-only IVM (`mv_incremental_refresh`) cannot express
+    the last two; the retraction algebra with exact DECIMAL sums makes
+    +x then -x a true inverse, so the refreshed MV must equal the
+    oracle's direct aggregation over the final logical state. Groups
+    whose count reaches zero drop from the view.
+
+    Scale: the CDC classify is one key join against a keys+images
+    projection of pre-state; the refresh touches |changed groups| MV
+    rows — never a source rescan, the property that replaces nightly
+    rebuilds at 100 TB."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import (
+        aggregate_delta,
+        incremental_mv_refresh,
+        retraction_delta,
+    )
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import DELETED_COL, cdc_view_images
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import precombine_latest
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    pre = precombine_latest(
+        e.filter(F.col("ts") < mid), ["user_id"], "ts"
+    ).select("user_id", "event_type", "value")
+    inc = (
+        precombine_latest(e.filter(F.col("ts") >= mid), ["user_id"], "ts")
+        .select("user_id", "event_type", "value")
+        .withColumn(DELETED_COL, F.col("user_id") % 23 == 0)
+    )
+    feed = cdc_view_images(pre, inc, ["user_id"], image_cols=["event_type", "value"])
+    dec = F.col("value").cast("decimal(18,2)")
+    mv0 = aggregate_delta(pre, ["event_type"], sum_exprs={"total_value": dec})
+    delta = retraction_delta(feed, "event_type", "value")
+    mv1 = incremental_mv_refresh(
+        mv0, delta, ["event_type"], sum_cols={"total_value": "total_value"}
+    ).filter(F.col("n_rows") > 0)
+    return mv1.select(
+        "event_type", "n_rows", F.col("total_value").cast("double").alias("total_value")
+    ).orderBy("event_type")
