@@ -216,7 +216,8 @@ PRIORITY_WINDOW: list[str] = [
     # bootstrap_ci_mean, nbcc_multiwriter_state, hilbert_layout_stats,
     # sql_scripting_variables, ohlc_vwap_daily, graph_label_propagation,
     # dp_noised_release, pca_power_iteration, jaccard_prefix_join,
-    # crypto_shred_erasure, jl_random_projection, mv_retractable_cdc —
+    # crypto_shred_erasure, jl_random_projection, mv_retractable_cdc,
+    # orc_source_roundtrip —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

@@ -1914,3 +1914,66 @@ def dp_noised_release(spark, sf_dir):
         "event_type", "n_users", "clipped_sum",
         F.round(F.col("clipped_sum") + lap, 4).alias("noised_sum"),
     ).orderBy("event_type")
+
+
+@register(
+    "orc_source_roundtrip",
+    sql="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           min(s_name) AS first_supplier,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def orc_source_roundtrip(spark, sf_dir):
+    """Spark's built-in ORC source/sink (the other columnar table format
+    next to parquet — native vectorized reader, zstd by default here):
+    the supplier dim round-trips through an on-disk ORC dataset (written
+    once per fixture content fingerprint and cached) and the read side
+    aggregates it. The oracle computes the identical result from the
+    original parquet, so the hash pins write -> ORC encode -> vectorized
+    read -> aggregate, including decimal-exact money. Completes the
+    format family: parquet/ORC/JSON/CSV/XML/rate/python-datasource.
+
+    Scale: ORC files split by stripe like parquet row-groups; min/max
+    stripe stats serve the same data-skipping role — interchangeable as
+    the lake's columnar interchange format."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    fp = hashlib.md5(src.encode())
+    walk_src = src if os.path.isdir(src) else os.path.dirname(src)
+    for root, _dirs, files in sorted(os.walk(walk_src)):
+        for fn in sorted(files):
+            if not (fn.startswith("supplier") or "supplier" in root):
+                continue
+            st = os.stat(os.path.join(root, fn))
+            fp.update(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    orc_dir = os.path.join("/tmp/spark_graft_orc", fp.hexdigest()[:16])
+    marker = os.path.join(orc_dir, "_READY")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "supplier")
+            .repartition(1)
+            .write.format("orc")
+            .mode("overwrite")
+            .save(orc_dir)
+        )
+        tmp = marker + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("ok")
+        os.replace(tmp, marker)
+    s = spark.read.format("orc").load(orc_dir)
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("s_name").alias("first_supplier"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )
