@@ -577,3 +577,132 @@ def distributed_cume_dist(
         )
         .drop("_dcd_bucket", "_dcd_off", "_dcd_total")
     )
+
+
+def distributed_exact_quantile(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    qs: list[float],
+    rounds: int = 6,
+    buckets: int = 64,
+    max_final_distinct: int = 4096,
+) -> DataFrame:
+    """EXACT discrete quantiles per group WITHOUT any sort — the scale
+    path `percentiles_exact` documents as its 100 TB degradation
+    ("exact percentile requires a per-group sort"). Classic iterative
+    selection: per (group, q) keep a live value range [lo, hi] and a
+    target rank k (= ceil(q*n), DuckDB quantile_disc's convention);
+    each round ONE map-side-combinable pass buckets the in-range rows
+    against their group's broadcast range, the O(groups x qs x buckets)
+    counts come back, and every state narrows to the bucket containing
+    its rank. After ``rounds`` refinements (range shrunk buckets^rounds
+    fold) the survivors' distinct values are collected (asserted under
+    ``max_final_distinct`` — a width-(hi-lo)/64^r interval holds few
+    distinct reals and usually one fixed-point value) and the k-th is
+    read off driver-side. Driver state is O(groups x qs) scalars per
+    round — the same bounded-metadata contract as `distributed_rank`.
+
+    Returns one row per (group, q): group_cols + (q, value).
+
+    Cost shape: rounds+2 data passes, each a broadcast join + partial
+    aggregation, NO row shuffle on value — vs the sort's full exchange;
+    at 100 TB passes are scan-bound and the exchange is the win."""
+    gb = list(group_cols)
+    base = df.select(*gb, F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    init = base.groupBy(*gb).agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()
+    spark = df.sparkSession
+    # state: key = (group tuple, q) -> [lo, hi, k]  (k is 1-based within range)
+    state: dict = {}
+    for r in init:
+        g = tuple(r[c] for c in gb)
+        for q in qs:
+            k = max(1, math.ceil(q * r["_n"]))
+            state[(g, q)] = [float(r["_lo"]), float(r["_hi"]), k]
+
+    def _state_df():
+        rows = [
+            (*g, float(q), lo, hi)
+            for (g, q), (lo, hi, _k) in state.items()
+        ]
+        schema_cols = [f"`{c}`" for c in gb]
+        return spark.createDataFrame(
+            rows, base.select(*gb).schema.add("_q", "double").add("_slo", "double").add("_shi", "double")
+        )
+
+    for _ in range(rounds):
+        live = {key: v for key, v in state.items() if v[0] < v[1]}
+        if not live:
+            break
+        sdf = _state_df()
+        width = (F.col("_shi") - F.col("_slo")) / buckets
+        bucket = F.least(
+            F.floor((F.col("_v") - F.col("_slo")) / width).cast("int"),
+            F.lit(buckets - 1),
+        )
+        counts = (
+            base.join(F.broadcast(sdf), on=gb)
+            .filter((F.col("_v") >= F.col("_slo")) & (F.col("_v") <= F.col("_shi")))
+            .filter(F.col("_slo") < F.col("_shi"))
+            .groupBy(*gb, "_q", bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        per_key: dict = {}
+        for r in counts:
+            key = (tuple(r[c] for c in gb), r["_q"])
+            per_key.setdefault(key, {})[r["_b"]] = r["_c"]
+        for key, bmap in per_key.items():
+            if key not in live:
+                continue
+            lo, hi, k = state[key]
+            w = (hi - lo) / buckets
+            cum = 0
+            for b in range(buckets):
+                c = bmap.get(b, 0)
+                if cum + c >= k:
+                    state[key] = [
+                        lo + b * w,
+                        hi if b == buckets - 1 else lo + (b + 1) * w,
+                        k - cum,
+                    ]
+                    break
+                cum += c
+
+    # final resolution: k-th among the distinct values left in range
+    sdf = _state_df()
+    fin = (
+        base.join(F.broadcast(sdf), on=gb)
+        .filter((F.col("_v") >= F.col("_slo")) & (F.col("_v") <= F.col("_shi")))
+        .groupBy(*gb, "_q", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    per_key = {}
+    for r in fin:
+        key = (tuple(r[c] for c in gb), r["_q"])
+        per_key.setdefault(key, []).append((r["_v"], r["_c"]))
+    out_rows = []
+    for (g, q), (lo, hi, k) in state.items():
+        vals = sorted(per_key.get((g, q), []))
+        if len(vals) > max_final_distinct:
+            raise ValueError(
+                f"final range for group={g} q={q} still holds {len(vals)} "
+                f"distinct values (> {max_final_distinct}); raise rounds"
+            )
+        cum = 0
+        for v, c in vals:
+            cum += c
+            if cum >= k:
+                out_rows.append((*g, float(q), v))
+                break
+    return spark.createDataFrame(
+        out_rows,
+        base.select(*gb).schema.add("q", "double").add("value", "double"),
+    )

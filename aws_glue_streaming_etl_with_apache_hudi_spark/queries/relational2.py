@@ -523,3 +523,43 @@ def agg_mode_per_group(spark, sf_dir):
         .select("event_type", F.col("value").alias("modal_value"), "n_occurrences")
         .orderBy("event_type")
     )
+
+
+@register(
+    "exact_quantile_selection",
+    sql="""
+    SELECT o_orderstatus, q, value FROM (
+      SELECT o_orderstatus, CAST(0.5 AS DOUBLE) AS q,
+             quantile_disc(o_totalprice, 0.5) AS value
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, CAST(0.9 AS DOUBLE) AS q,
+             quantile_disc(o_totalprice, 0.9) AS value
+      FROM orders GROUP BY o_orderstatus)
+    ORDER BY o_orderstatus, q
+    """,
+)
+def exact_quantile_selection(spark, sf_dir):
+    """EXACT discrete p50/p90 per order status WITHOUT any sort
+    (operators/skew.py distributed_exact_quantile) — closing the
+    degradation `percentiles_exact` documents ("exact percentile
+    requires a per-group sort"): bounded-round selection keeps a live
+    [lo, hi] range and target rank per (group, q), each round ONE
+    broadcast-join + map-side bucket count narrows every state 64-fold,
+    and the k-th value is read from the final interval's few distinct
+    survivors. Both quantiles refine in the SAME passes (the state
+    table carries one row per (group, q)). The oracle is DuckDB's
+    quantile_disc, whose rank convention (k = ceil(q*n)) the operator
+    reproduces exactly.
+
+    Scale: rounds+2 scan-bound passes with O(groups x qs x 64) driver
+    metadata per round — no value shuffle at all, vs the sort's full
+    exchange; the win grows with table width since only (group, value)
+    project into the passes."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_exact_quantile
+
+    o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    out = distributed_exact_quantile(
+        o, "o_totalprice", ["o_orderstatus"], qs=[0.5, 0.9]
+    )
+    return out.select("o_orderstatus", "q", "value").orderBy("o_orderstatus", "q")
