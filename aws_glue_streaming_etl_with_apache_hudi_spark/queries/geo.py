@@ -365,3 +365,100 @@ def geo_knn_uncapped(spark, sf_dir):
     return out.select("c_custkey", "s_suppkey", "dist_km", "knn_rank").orderBy(
         "c_custkey", "knn_rank"
     )
+
+
+# -- point-in-polygon (ray casting) ------------------------------------------
+
+#: Test zones as (lon, lat) vertex rings (planar treatment of lon/lat —
+#: documented; these are gerrymandered to include a concave shape).
+_ZONES: dict[str, list[tuple[float, float]]] = {
+    "zone_a": [(-120.0, 10.0), (-60.0, 5.0), (-40.0, 50.0), (-90.0, 70.0), (-130.0, 45.0)],
+    "zone_b": [(0.0, -60.0), (60.0, -60.0), (60.0, -20.0), (30.0, -20.0), (30.0, 10.0), (0.0, 10.0)],
+    "zone_c": [(100.0, -30.0), (170.0, -25.0), (160.0, 35.0), (110.0, 25.0)],
+}
+
+
+def _zone_edges(zone: str) -> list[tuple[float, float, float, float]]:
+    vs = _ZONES[zone]
+    return [(*vs[i], *vs[(i + 1) % len(vs)]) for i in range(len(vs))]
+
+
+def _crossings_sql(zone: str, px: str, py: str) -> str:
+    """Ray-cast crossing count for one polygon, rendered as an explicit
+    sum of per-edge indicators — the IDENTICAL expression both engines
+    evaluate on identical doubles, so even boundary-grazing points get
+    the same verdict (no tie rule needed beyond the formula itself)."""
+    terms = []
+    for x1, y1, x2, y2 in _zone_edges(zone):
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {py}) <> ({y2!r} > {py}))"
+            f" AND ({px} < ({x2!r} - {x1!r}) * ({py} - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "geo_point_in_polygon",
+    sql=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {synth_lon_sql('c_custkey')} AS lon,
+             {synth_lat_sql('c_custkey')} AS lat
+      FROM customer
+    ),
+    hits AS (
+      SELECT 'zone_a' AS zone, c_custkey FROM pts
+      WHERE {_crossings_sql('zone_a', 'lon', 'lat')} % 2 = 1
+      UNION ALL
+      SELECT 'zone_b', c_custkey FROM pts
+      WHERE {_crossings_sql('zone_b', 'lon', 'lat')} % 2 = 1
+      UNION ALL
+      SELECT 'zone_c', c_custkey FROM pts
+      WHERE {_crossings_sql('zone_c', 'lon', 'lat')} % 2 = 1
+    )
+    SELECT zone, CAST(count(*) AS BIGINT) AS n_inside,
+           CAST(min(c_custkey) AS BIGINT) AS first_key,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM hits GROUP BY zone ORDER BY zone
+    """,
+)
+def geo_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon zone assignment by ray casting — the geofencing
+    primitive (which delivery zone / jurisdiction / geofence contains
+    each point): three fixed test polygons (one concave) broadcast as
+    per-edge crossing indicators, each customer point evaluates the
+    explicit crossing sum ROW-LOCALLY and lands inside on odd parity.
+    Both engines run the literally identical per-edge formula on
+    identical doubles, so boundary-grazing points cannot diverge. The
+    membership census (count, min key, key checksum) is the oracle
+    contract.
+
+    Scale: zero shuffle before the O(zones) census — the polygon set
+    rides the closure (a real deployment broadcasts an R-tree of edges
+    and prunes by bounding box first; with 3 polygons the explicit sum
+    IS the pruned form). Planar lon/lat treatment, documented: correct
+    for zones away from the antimeridian, like these."""
+    pts = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        synthetic_lon(F.col("c_custkey")).alias("lon"),
+        synthetic_lat(F.col("c_custkey")).alias("lat"),
+    )
+    legs = []
+    for zone in _ZONES:
+        crossings = F.expr(_crossings_sql(zone, "lon", "lat"))
+        legs.append(
+            pts.filter(crossings % 2 == 1).select(
+                F.lit(zone).alias("zone"), "c_custkey"
+            )
+        )
+    hits = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return (
+        hits.groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.min("c_custkey").alias("first_key"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .orderBy("zone")
+    )

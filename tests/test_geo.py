@@ -356,3 +356,43 @@ def test_knn_ring_join_escalates_only_unresolved_probes(spark):
                 want_active.add(i)
         got_active = {r.ak for r in active.select("ak").collect()}
         assert got_active == want_active, f"ring {r_km}: {got_active} != {want_active}"
+
+
+def test_point_in_polygon_matches_python_reference(spark):
+    """Ray-cast parity: the query's per-edge crossing formula must agree
+    with a straightforward Python ray caster on a dense probe grid —
+    including the concave zone (zone_b's notch must be OUTSIDE)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.geo import _ZONES, _crossings_sql
+    from pyspark.sql import functions as F
+
+    def ref_inside(vs, px, py):
+        n = len(vs)
+        c = 0
+        for i in range(n):
+            (x1, y1), (x2, y2) = vs[i], vs[(i + 1) % n]
+            if ((y1 > py) != (y2 > py)) and (
+                px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            ):
+                c += 1
+        return c % 2 == 1
+
+    probes = [
+        (float(x), float(y))
+        for x in range(-175, 176, 10)
+        for y in range(-85, 86, 10)
+    ] + [(45.0, -5.0), (15.0, -5.0), (45.0, -40.0)]  # zone_b notch vs arm
+    df = spark.createDataFrame(probes, "px double, py double")
+    for zone, vs in _ZONES.items():
+        got = {
+            (r.px, r.py): bool(r.inside)
+            for r in df.select(
+                "px", "py",
+                (F.expr(_crossings_sql(zone, "px", "py")) % 2 == 1).alias("inside"),
+            ).collect()
+        }
+        want = {(px, py): ref_inside(vs, px, py) for px, py in probes}
+        assert got == want, zone
+    # the concave notch: (45,-5) sits in zone_b's cut-out, (15,-5) in the arm
+    assert not ref_inside(_ZONES["zone_b"], 45.0, -5.0)
+    assert ref_inside(_ZONES["zone_b"], 15.0, -5.0)
+    assert ref_inside(_ZONES["zone_b"], 45.0, -40.0)
