@@ -217,7 +217,8 @@ PRIORITY_WINDOW: list[str] = [
     # sql_scripting_variables, ohlc_vwap_daily, graph_label_propagation,
     # dp_noised_release, pca_power_iteration, jaccard_prefix_join,
     # crypto_shred_erasure, jl_random_projection, mv_retractable_cdc,
-    # orc_source_roundtrip, exact_quantile_selection, geo_point_in_polygon —
+    # orc_source_roundtrip, exact_quantile_selection, geo_point_in_polygon,
+    # rendezvous_shard_rebalance —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

@@ -1977,3 +1977,85 @@ def orc_source_roundtrip(spark, sf_dir):
         )
         .orderBy("s_nationkey")
     )
+
+
+_HRW_NODES5 = ["n0", "n1", "n2", "n3", "n4"]
+_HRW_NODES6 = _HRW_NODES5 + ["n5"]
+
+
+def _hrw_case_sql(nodes: list[str], key: str) -> str:
+    """Winner = the FIRST node (in declaration order) whose hash equals
+    the row maximum — greatest() over BIGINTs plus a CASE chain, the
+    same tie rule the Spark side's when-chain applies."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+
+    hs = {n: stable_hash64_sql(f"CAST({key} AS VARCHAR)", seed=f"hrw_{n}") for n in nodes}
+    m = "greatest(" + ", ".join(hs[n] for n in nodes) + ")"
+    whens = " ".join(f"WHEN {hs[n]} = {m} THEN '{n}'" for n in nodes)
+    return f"(CASE {whens} END)"
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    sql=f"""
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    assign AS (
+      SELECT user_id,
+             {_hrw_case_sql(_HRW_NODES5, 'user_id')} AS node5,
+             {_hrw_case_sql(_HRW_NODES6, 'user_id')} AS node6
+      FROM keys
+    )
+    SELECT node5, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN node5 <> node6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(sum(CASE WHEN node5 <> node6 AND node6 <> 'n5'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_wrong
+    FROM assign GROUP BY node5 ORDER BY node5
+    """,
+)
+def rendezvous_shard_rebalance(spark, sf_dir):
+    """Rendezvous (highest-random-weight) hashing shard assignment and
+    its defining elasticity property, audited: every key's owner is the
+    node with the maximal hash(node, key); when a 6th node joins, the
+    ONLY keys that move are those the new node now wins — n_moved_wrong
+    (keys that moved between PRE-EXISTING nodes) must be 0 for every
+    source shard, which the oracle checks per row, and the moved
+    fraction concentrates near 1/6. This is how a 1000-executor cache /
+    state-shard layer rebalances without reshuffling the world
+    (consistent hashing without the ring).
+
+    Scale: the winner is a row-local greatest() over per-node salted
+    hashes — no shuffle until the O(nodes) census; node count rides the
+    expression, not a join."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+    keys = t(spark, sf_dir, "events").select("user_id").distinct()
+
+    def winner(nodes):
+        hs = {
+            n: stable_hash64(F.col("user_id").cast("string"), seed=f"hrw_{n}")
+            for n in nodes
+        }
+        m = F.greatest(*hs.values())
+        out = F.when(hs[nodes[0]] == m, nodes[0])
+        for n in nodes[1:]:
+            out = out.when(hs[n] == m, n)
+        return out
+
+    assign = keys.select(
+        "user_id",
+        winner(_HRW_NODES5).alias("node5"),
+        winner(_HRW_NODES6).alias("node6"),
+    )
+    moved = F.col("node5") != F.col("node6")
+    return (
+        assign.groupBy("node5")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(moved, 1).otherwise(0)).alias("n_moved"),
+            F.sum(
+                F.when(moved & (F.col("node6") != "n5"), 1).otherwise(0)
+            ).alias("n_moved_wrong"),
+        )
+        .orderBy("node5")
+    )
