@@ -586,22 +586,19 @@ def prefix_filter_candidates(
     (the rare tokens block almost nothing together).
 
     Returns distinct (id_a, id_b [, block]) with id_a < id_b — the
-    caller verifies exact Jaccard on the candidates. The vocabulary
-    rank uses `distributed_rank` (operators/skew.py), so no global
-    window anywhere; token join fan-out is bounded by prefix length,
-    not set size."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.skew import distributed_rank
-
+    caller verifies exact Jaccard on the candidates. Completeness only
+    needs every document to canonicalize by the SAME total order, so
+    the order is the (corpus frequency, token) pair itself — tokens
+    carry their frequency from one vocab aggregate and each document
+    sorts row-locally; no global rank, no global window, anywhere.
+    Token join fan-out is bounded by prefix length, not set size."""
     blk = [block_col] if block_col else []
     tok = sets.select(F.col(id_col), *blk, F.explode(set_col).alias("_tok"))
     vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_freq"))
-    ranked = distributed_rank(
-        vocab, "_freq", out="_rnk", method="row_number", tie_breakers=["_tok"]
-    )
-    tk = tok.join(ranked.select("_tok", "_rnk"), "_tok")
+    tk = tok.join(vocab, "_tok")
     ordered = tk.groupBy(id_col, *blk).agg(
         F.expr(
-            "transform(sort_array(collect_list(struct(_rnk, _tok))), e -> e._tok)"
+            "transform(sort_array(collect_list(struct(_freq, _tok))), e -> e._tok)"
         ).alias("_sorted")
     )
     pref = ordered.select(
