@@ -3841,3 +3841,90 @@ def jl_random_projection(spark, sf_dir):
         )
         .orderBy("id_a")
     )
+
+
+@register(
+    "heaps_law_vocab",
+    sql="""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    words AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+            FROM words)
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ),
+    p1 AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT w) AS BIGINT) AS v
+           FROM tok, mx WHERE doc_id <= m / 4),
+    p2 AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT w) AS BIGINT) AS v
+           FROM tok, mx WHERE doc_id <= m / 2),
+    p3 AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT w) AS BIGINT) AS v
+           FROM tok)
+    SELECT p1.t AS tokens_q1, p1.v AS vocab_q1,
+           p2.t AS tokens_q2, p2.v AS vocab_q2,
+           p3.t AS tokens_full, p3.v AS vocab_full,
+           round(ln(CAST(p2.v AS DOUBLE) / p1.v) / ln(CAST(p2.t AS DOUBLE) / p1.t), 6)
+             AS heaps_beta_12,
+           round(ln(CAST(p3.v AS DOUBLE) / p2.v) / ln(CAST(p3.t AS DOUBLE) / p2.t), 6)
+             AS heaps_beta_23
+    FROM p1, p2, p3
+    """,
+)
+def heaps_law_vocab(spark, sf_dir):
+    """Heaps'-law vocabulary growth over corpus prefixes — the curve a
+    corpus pipeline fits to budget tokenizer vocab and predict dedup
+    yield at the next data order of magnitude: V(T) ~ K*T^beta, with
+    beta estimated between the quarter/half/full prefixes (by doc_id —
+    the ingestion order) as ln(V2/V1)/ln(T2/T1). A beta falling with
+    corpus size is the diminishing-novelty signal that motivates
+    near-dup removal before scaling up. Measured on word BIGRAMS (the
+    fixture's unigram vocabulary saturates in the first quartile).
+    Integer token/vocab counts are exact; the two log-ratio divisions
+    run on identical doubles.
+
+    Scale: three count(+distinct) aggregations over the tokenized
+    stream — distinct vocabulary shuffles the (prefix, word) keys once;
+    at 100 TB swap exact distinct for the engine's bucketed-bitmap
+    exact distinct (bitmap_exact_distinct) or HLL per prefix."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = docs.agg(F.max("doc_id").alias("m"))
+    ws = F.split(F.lower(F.col("text")), r"\s+")
+    # word BIGRAM vocabulary — the unigram vocab of the synthetic corpus
+    # saturates in the first quartile (31 words), which would make every
+    # beta zero; bigrams give the curve real support
+    bigrams = F.expr(
+        "filter(transform(ws, (x, i) -> CASE WHEN i + 1 < size(ws) "
+        "AND x <> '' AND ws[i + 1] <> '' "
+        "THEN concat(x, ' ', ws[i + 1]) END), x -> x IS NOT NULL)"
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(m))
+        .withColumn("ws", ws)
+        .select("doc_id", "m", F.explode(bigrams).alias("w"))
+    )
+
+    def prefix(cond, tag):
+        return tok.filter(cond).agg(
+            F.count(F.lit(1)).alias(f"tokens_{tag}"),
+            F.countDistinct("w").alias(f"vocab_{tag}"),
+        )
+
+    p1 = prefix(F.col("doc_id") <= F.col("m") / 4, "q1")
+    p2 = prefix(F.col("doc_id") <= F.col("m") / 2, "q2")
+    p3 = prefix(F.lit(True), "full")
+    beta = lambda v2, v1, t2, t1: F.round(  # noqa: E731
+        F.log(F.col(v2).cast("double") / F.col(v1))
+        / F.log(F.col(t2).cast("double") / F.col(t1)),
+        6,
+    )
+    return (
+        p1.crossJoin(p2).crossJoin(p3)
+        .select(
+            "tokens_q1", "vocab_q1", "tokens_q2", "vocab_q2",
+            "tokens_full", "vocab_full",
+            beta("vocab_q2", "vocab_q1", "tokens_q2", "tokens_q1").alias("heaps_beta_12"),
+            beta("vocab_full", "vocab_q2", "tokens_full", "tokens_q2").alias("heaps_beta_23"),
+        )
+    )
