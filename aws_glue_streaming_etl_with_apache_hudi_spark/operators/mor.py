@@ -317,11 +317,21 @@ class MergeOnReadTable:
         meta = self._meta()
         seq = meta["next_seq"]
         # never clobber an NBCC-published commit sitting at/above the
-        # single-writer line; a crashed claim (inflight-only) or a plain
-        # crashed dir at this slot is invisible garbage — overwrite heals
+        # single-writer line; a plain crashed dir (no markers) at this
+        # slot is invisible garbage — overwrite heals it
         while self._has_done(seq):
             seq += 1
-        self._remove_markers(seq)
+        if self._has_inflight(seq):
+            # A claimed-but-unpublished slot is indistinguishable from a
+            # LIVE NBCC writer mid-flight — silently reusing it would let
+            # two writers overwrite each other's commit (data loss both
+            # ways). Refuse loudly: a crashed claim is rolled back by
+            # fsck() (offline), a live one publishes shortly.
+            raise RuntimeError(
+                f"commit slot {seq} holds an unpublished NBCC claim; "
+                "run fsck() offline if the writer crashed, or route this "
+                "write through nbcc_upsert alongside live NBCC writers"
+            )
         batch.write.mode("overwrite").parquet(
             os.path.join(self._log, f"commit={seq}")
         )
@@ -355,38 +365,16 @@ class MergeOnReadTable:
     # so a slow writer is never stranded below the compaction line.
 
     def _meta_lock(self, timeout: float = 30.0):
-        """Spin lock for the metadata micro-section (O_EXCL file create).
-        A crashed holder is cleared by fsck(); contention is bounded by
-        the section being two JSON writes."""
-        from contextlib import contextmanager
+        """Lock for the metadata micro-section — the shared CommitLock
+        (operators/locking.py): token-verified release (a slow holder
+        cannot delete a successor's lock) and ttl-based stale-break
+        (a crashed holder self-heals after ttl instead of wedging every
+        publish until a manual fsck). Contention is bounded by the
+        section being two JSON writes."""
+        from aws_glue_streaming_etl_with_apache_hudi_spark.operators.locking import CommitLock
 
         os.makedirs(self.path, exist_ok=True)  # bootstrap takes it first
-        lock = os.path.join(self.path, "_meta.lock")
-
-        @contextmanager
-        def _held():
-            deadline = time.monotonic() + timeout
-            while True:
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
-                    break
-                except FileExistsError:
-                    if time.monotonic() > deadline:
-                        raise TimeoutError(
-                            f"metadata lock {lock} held > {timeout}s — "
-                            "crashed writer? run fsck() offline to clear"
-                        )
-                    time.sleep(0.01)
-            try:
-                yield
-            finally:
-                try:
-                    os.remove(lock)
-                except OSError:
-                    pass
-
-        return _held()
+        return CommitLock(self.path, timeout_s=timeout, ttl_s=120.0)
 
     def _nbcc_claim(self, writer: str) -> int:
         """Atomically claim the next free commit slot: the O_EXCL create
@@ -1008,7 +996,7 @@ class MergeOnReadTable:
                         removed["tmp_files"].append(p)
                     except OSError:
                         pass
-        meta_lock = os.path.join(self.path, "_meta.lock")
+        meta_lock = os.path.join(self.path, "_commit.lock")
         if os.path.exists(meta_lock):
             try:
                 os.remove(meta_lock)

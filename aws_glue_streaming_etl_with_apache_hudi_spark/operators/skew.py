@@ -631,10 +631,22 @@ def distributed_exact_quantile(
             (*g, float(q), lo, hi)
             for (g, q), (lo, hi, _k) in state.items()
         ]
-        schema_cols = [f"`{c}`" for c in gb]
         return spark.createDataFrame(
             rows, base.select(*gb).schema.add("_q", "double").add("_slo", "double").add("_shi", "double")
         )
+
+    def _with_state(sdf):
+        """base x its group's states — null-SAFE on the group keys (a
+        NULL group is a real group; the plain `on=` join would silently
+        drop it and the oracle row with it)."""
+        renamed = sdf.select(
+            *[F.col(c).alias(f"_g{i}") for i, c in enumerate(gb)],
+            "_q", "_slo", "_shi",
+        )
+        cond = F.lit(True)
+        for i, c in enumerate(gb):
+            cond = cond & base[c].eqNullSafe(F.col(f"_g{i}"))
+        return base.join(F.broadcast(renamed), cond)
 
     for _ in range(rounds):
         live = {key: v for key, v in state.items() if v[0] < v[1]}
@@ -647,7 +659,7 @@ def distributed_exact_quantile(
             F.lit(buckets - 1),
         )
         counts = (
-            base.join(F.broadcast(sdf), on=gb)
+            _with_state(sdf)
             .filter((F.col("_v") >= F.col("_slo")) & (F.col("_v") <= F.col("_shi")))
             .filter(F.col("_slo") < F.col("_shi"))
             .groupBy(*gb, "_q", bucket.alias("_b"))
@@ -674,11 +686,17 @@ def distributed_exact_quantile(
                     ]
                     break
                 cum += c
+            else:  # fail LOUDLY, never emit a silently-wrong quantile
+                raise ValueError(
+                    f"rank {k} unreachable while refining group={key[0]} "
+                    f"q={key[1]} — floating-point bucket-boundary slip; "
+                    "raise buckets or lower rounds"
+                )
 
     # final resolution: k-th among the distinct values left in range
     sdf = _state_df()
     fin = (
-        base.join(F.broadcast(sdf), on=gb)
+        _with_state(sdf)
         .filter((F.col("_v") >= F.col("_slo")) & (F.col("_v") <= F.col("_shi")))
         .groupBy(*gb, "_q", "_v")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -702,6 +720,12 @@ def distributed_exact_quantile(
             if cum >= k:
                 out_rows.append((*g, float(q), v))
                 break
+        else:  # fail LOUDLY: a missing output row is a wrong answer
+            raise ValueError(
+                f"rank {k} unreachable in final range for group={g} q={q} "
+                "— floating-point bucket-boundary slip; raise buckets or "
+                "lower rounds"
+            )
     return spark.createDataFrame(
         out_rows,
         base.select(*gb).schema.add("q", "double").add("value", "double"),

@@ -1452,16 +1452,25 @@ class UpsertTable:
     def _fidx_dir(self, name: str) -> str:
         return os.path.join(self.path, "_fidx", name)
 
-    def _fidx_update(self, touched: list[tuple] | None = None) -> None:
+    def _fidx_update(
+        self, touched: list[tuple] | None = None, only: str | None = None
+    ) -> None:
         """Refresh functional-index entries from the FRESHLY WRITTEN
         table files (re-read, not the merged frame's lineage — see
         `_sidx_update`). One distinct + one bounded aggregate per index,
-        both shuffling only the touched partitions' (value, path) pairs."""
+        both shuffling only the touched partitions' (value, path) pairs.
+        ``only`` restricts the refresh to a single index (the backfill
+        path — rebuilding siblings there would cost O(#indexes x table))."""
         if not self.functional_indexes:
             return
         src = self.read_partitions(touched) if touched else self.read()
         pb = self.partition_by
-        for name, expr in self.functional_indexes.items():
+        items = (
+            {only: self.functional_indexes[only]}.items()
+            if only is not None
+            else self.functional_indexes.items()
+        )
+        for name, expr in items:
             vals = src.select(
                 F.expr(expr).alias("fval"), *pb
             ).distinct()
@@ -1513,7 +1522,7 @@ class UpsertTable:
         USING column_stats(expr)). Subsequent commits maintain it
         incrementally."""
         self.functional_indexes[name] = expr
-        self._fidx_update()
+        self._fidx_update(only=name)
 
     def _fidx_candidates(self, name: str, lo, hi) -> list[tuple] | None:
         """Partitions whose indexed expression can take a value in

@@ -345,8 +345,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         a.join(b, "lang")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.3)
+        .withColumn("_jac_raw", inter / union)
+        # threshold on the RAW value like the oracle (rounding first
+        # would admit [0.29995, 0.3) pairs the SQL side excludes)
+        .filter(F.col("_jac_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("_jac_raw", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
@@ -3633,12 +3636,15 @@ def pca_power_iteration(spark, sf_dir):
         F.expr(f"({dot('d', 'd')})").alias("den1"),
     )
     top = (
-        v1.select(
+        # order by |v1| on the EXACT decimal (the oracle does the same);
+        # the double cast collapses values above 2^53, which could flip
+        # a near-tie between engines
+        v1.orderBy(F.abs(F.col("v1")).desc(), "i")
+        .limit(1)
+        .select(
             F.col("i").cast("long").alias("top_dim"),
             F.col("v1").cast("double").alias("tv"),
         )
-        .orderBy(F.abs(F.col("tv")).desc(), "top_dim")
-        .limit(1)
     )
     return fin.crossJoin(top).select(
         F.round(
@@ -3709,8 +3715,13 @@ def jaccard_prefix_join(spark, sf_dir):
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.3)
+        .withColumn("_jac_raw", inter / union)
+        # threshold on the RAW Jaccard (the quantity the completeness
+        # theorem covers and the oracle filters on); round only for
+        # display — filtering on the rounded value would admit pairs in
+        # [0.29995, 0.3) that the prefix filter never promised to find
+        .filter(F.col("_jac_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("_jac_raw", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 

@@ -163,18 +163,23 @@ def test_clean_removes_markers_with_dirs(spark, tmp_path):
 
 
 def test_plain_upsert_interops_after_nbcc(spark, tmp_path):
-    """Sequential mixing: a single-writer upsert after NBCC commits must
-    skip the published slots, never clobber them."""
+    """Sequential mixing: a single-writer upsert skips published NBCC
+    slots, and REFUSES an unpublished claim (it cannot distinguish a
+    live writer from a crashed one — silently reusing the slot would
+    let the two overwrite each other). fsck rolls the crashed claim
+    back, after which the plain writer proceeds."""
+    import pytest
+
     t = _tbl(spark, tmp_path / "t")
     t.nbcc_upsert(_df(spark, [(1, 10, "a")]), writer="A")
     dead = t._nbcc_claim("dead")  # crashed claim below
     s = t.nbcc_upsert(_df(spark, [(2, 10, "b")]), writer="B")
     assert s > dead
-    t.upsert(_df(spark, [(3, 10, "c")]))  # plain writer heals the dead slot
+    with pytest.raises(RuntimeError, match="unpublished NBCC claim"):
+        t.upsert(_df(spark, [(3, 10, "c")]))
+    t.fsck()  # offline rollback of the crashed claim
+    t.upsert(_df(spark, [(3, 10, "c")]))  # now reuses the freed slot
     assert _state(t) == [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")]
-    # the plain writer REUSED the healed slot below the published NBCC
-    # commit (never clobbering it), so the line sits at dead+1 and the
-    # published commit stays visible via its marker
     assert t._meta()["next_seq"] == dead + 1
     assert not t._has_inflight(dead)
     assert t.latest_commit() == s
