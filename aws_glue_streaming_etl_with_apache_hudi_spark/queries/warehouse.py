@@ -765,3 +765,110 @@ def temporal_tier_attribution(spark, sf_dir):
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "feature_store_pit",
+    sql="""
+    WITH u AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+             0 AS is_order, NULL::BIGINT AS okey,
+             1 AS sk2, event_id AS sk3
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + ((o_orderkey % 30) * INTERVAL 1 DAY)
+               + ((o_orderkey % 24) * INTERVAL 1 HOUR) AS ts,
+             NULL AS v, 1 AS is_order, o_orderkey AS okey,
+             0 AS sk2, o_orderkey AS sk3
+      FROM orders WHERE o_custkey <= 150
+    ),
+    feat AS (
+      SELECT user_id, ts, is_order, okey,
+             CAST(sum(1 - is_order) OVER w AS BIGINT) AS n_events_before,
+             CAST(coalesce(sum(v) OVER w, 0) AS DOUBLE) AS value_before,
+             max(CASE WHEN is_order = 0 THEN ts END) OVER w AS last_ev_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, sk2, sk3
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT okey AS o_orderkey, user_id, n_events_before, value_before,
+           CAST(date_diff('day', CAST(last_ev_ts AS DATE), CAST(ts AS DATE))
+                AS BIGINT) AS days_since_last
+    FROM feat WHERE is_order = 1
+    ORDER BY o_orderkey
+    """,
+)
+def feature_store_pit(spark, sf_dir):
+    """Point-in-time-correct feature join — the feature-store property
+    that decides whether a training set leaks the future: for every
+    order (entity = customer, as-of time = order date), the features
+    (event count, exact-decimal spend, days since last activity) are
+    computed from events STRICTLY BEFORE that instant. One union +
+    one running window per user does every (entity, time) lookup at
+    once; same-timestamp events sort AFTER the order row inside the
+    window, so they are excluded by construction — the no-leakage rule
+    is in the sort key, not a filter someone can forget. The oracle
+    replays the identical window, so any leaked row breaks the value
+    hash.
+
+    Scale: one shuffle on the entity key; the running frame is the
+    as-of-join shape (`asof_join_events_orders`) generalized from
+    last-value to running aggregates — no per-order subquery, no range
+    join explosion. Orders are restricted to the event-active customer
+    range and their as-of instants derive deterministically inside the
+    event month (raw 1992-1998 order dates precede every 2024 event),
+    so the features have real support at fixture scale."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(1).alias("sk2"),
+        F.col("event_id").alias("sk3"),
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 150).select(
+        F.col("o_custkey").alias("user_id"),
+        # deterministic as-of instants INSIDE the event window (the raw
+        # 1992-1998 order dates precede every 2024 event — every feature
+        # would be vacuously zero)
+        F.expr(
+            "TIMESTAMP '2024-01-01 00:00:00' "
+            "+ ((o_orderkey % 30) * INTERVAL 1 DAY) "
+            "+ ((o_orderkey % 24) * INTERVAL 1 HOUR)"
+        ).alias("ts"),
+        F.lit(None).cast("decimal(18,2)").alias("v"),
+        F.lit(1).alias("is_order"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(0).alias("sk2"),
+        F.col("o_orderkey").alias("sk3"),
+    )
+    u = e.unionByName(o)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "sk2", "sk3")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    feat = u.select(
+        "user_id", "ts", "is_order", "okey",
+        F.sum(1 - F.col("is_order")).over(w).cast("long").alias("n_events_before"),
+        F.coalesce(F.sum("v").over(w), F.lit(0)).cast("double").alias("value_before"),
+        F.max(F.when(F.col("is_order") == 0, F.col("ts"))).over(w).alias("last_ev_ts"),
+    )
+    return (
+        feat.filter(F.col("is_order") == 1)
+        .select(
+            F.col("okey").alias("o_orderkey"),
+            "user_id",
+            "n_events_before",
+            "value_before",
+            F.datediff(
+                F.col("ts").cast("date"), F.col("last_ev_ts").cast("date")
+            ).cast("long").alias("days_since_last"),
+        )
+        .orderBy("o_orderkey")
+    )
