@@ -673,3 +673,78 @@ def snapshot_diff_audit(spark, sf_dir):
         .filter((F.col("change") != "unchanged"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "bitemporal_asof",
+    sql="""
+    WITH belief AS (
+      SELECT 2 AS tx_time, user_id, event_id, event_type, ts FROM events
+      WHERE event_id % 3 < 2 AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+      UNION ALL
+      SELECT 3, user_id, event_id, event_type, ts FROM events
+      WHERE ts <= TIMESTAMP '2024-01-12 00:00:00'
+    ),
+    ranked AS (
+      SELECT tx_time, user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY tx_time, user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM belief
+    )
+    SELECT CAST(tx_time AS BIGINT) AS tx_time, user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from
+    FROM ranked WHERE rn = 1
+    ORDER BY tx_time, user_id
+    """,
+)
+def bitemporal_asof(spark, sf_dir):
+    """Bitemporal as-of query on the REAL on-disk timeline table
+    (operators/timeline.py): TRANSACTION time = the commit instant
+    (what the system KNEW), VALID time = the event timestamp (when the
+    fact was TRUE). Every event version is its own record key
+    ((user_id, event_id) — nothing overwrites), ingested in three
+    commits split by event_id so commit 3 carries LATE-ARRIVING facts
+    whose valid time predates earlier commits. The query answers
+    "as of commit T, what was each user's latest state valid at
+    V = Jan 12?" for T = 2 and T = 3: the time-travel read pins the
+    knowledge horizon, the valid_from filter + per-user argmax pins the
+    validity axis — and the two beliefs genuinely DIFFER wherever a
+    late commit-3 fact backfills the past (the revision an
+    append-only-timestamp design cannot represent). The oracle derives
+    both beliefs from the raw stream via the commit-assignment rule.
+
+    Scale: the table stores versions, not rewrites — commits are
+    O(batch); each belief is one keyed window over the as-of snapshot;
+    at 100 TB the valid-time filter prunes partitions when the table
+    partitions by valid date (partition_path_derivation)."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    path = tempfile.mkdtemp(prefix="bitemporal_tbl_")
+    tbl = TimelineTable(
+        spark, path, keys=["user_id", "event_id"], precombine="ts"
+    )
+    for r in range(3):  # commit r+1 carries event_id % 3 == r
+        tbl.upsert(e.filter(F.col("event_id") % 3 == r))
+
+    v = F.lit("2024-01-12 00:00:00").cast("timestamp")
+
+    def belief(tx):
+        snap = tbl.read(as_of=tx).filter(F.col("ts") <= v)
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            snap.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(tx).cast("long").alias("tx_time"),
+                "user_id", "event_id", "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+            )
+        )
+
+    return belief(2).unionByName(belief(3)).orderBy("tx_time", "user_id")
