@@ -748,3 +748,82 @@ def bitemporal_asof(spark, sf_dir):
         )
 
     return belief(2).unionByName(belief(3)).orderBy("tx_time", "user_id")
+
+
+def _ledger_sql() -> str:
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import row_fingerprint_sql
+
+    h = row_fingerprint_sql(["event_id", "user_id", "event_type"])
+    return f"""
+    WITH rowhash AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, {h} AS h FROM events
+    ),
+    day AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(bit_xor(h) AS BIGINT) AS x
+      FROM rowhash GROUP BY d
+    ),
+    arr AS (
+      SELECT list(d || ':' || CAST(x AS VARCHAR) || ':' || CAST(n AS VARCHAR)
+                  ORDER BY d) AS a,
+             list(d ORDER BY d) AS days,
+             list(n ORDER BY d) AS ns,
+             list(x ORDER BY d) AS xs
+      FROM day
+    )
+    SELECT o.d AS day, o.n AS n_rows, o.x AS day_digest,
+           list_reduce((['GENESIS'] || a)[1:o.k + 1],
+                       (acc, e) -> md5(acc || e)) AS chain
+    FROM (SELECT d, n, x, row_number() OVER (ORDER BY d) AS k FROM day) o, arr
+    ORDER BY day
+    """
+
+
+@register("ledger_hash_chain", sql=_ledger_sql())
+def ledger_hash_chain(spark, sf_dir):
+    """Tamper-evident daily ledger over the event stream — the
+    commit-integrity pattern (Delta transaction checksums / lakeFS-style
+    chains) as relational algebra: each day's content digest is an
+    ORDER-INDEPENDENT xor of portable row fingerprints (so the digest is
+    reproducible from any engine, any partitioning), and the daily
+    chain value folds md5(prev_chain || day:digest:count) from a GENESIS
+    seed — altering ANY historical row changes that day's digest and
+    every chain value after it, so an auditor verifies the whole
+    history by recomputing one head. Both engines fold the identical
+    sequence (Spark `aggregate` over a sorted day array; DuckDB
+    list_reduce with the GENESIS element prepended), making even the
+    intermediate chain values value-hash-pinned.
+
+    Scale: ONE map-side-combinable aggregation builds all day digests
+    (the shuffle carries a (count, xor) pair per day per partition);
+    the fold runs over the O(days) digest array row-locally — the data
+    is never re-read to verify, which is the point of the chain."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.reconcile import row_fingerprint
+
+    e = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        row_fingerprint(["event_id", "user_id", "event_type"]).alias("h"),
+    )
+    day = e.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(bit_xor(h) AS BIGINT)").alias("x"),
+    )
+    arr = day.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, x, n))), "
+            "e -> struct(e.d AS d, e.x AS x, e.n AS n, "
+            "concat(e.d, ':', CAST(e.x AS STRING), ':', CAST(e.n AS STRING)) AS s))"
+        ).alias("a")
+    )
+    return (
+        arr.select(F.posexplode("a").alias("k0", "e"), F.col("a"))
+        .select(
+            F.col("e.d").alias("day"),
+            F.col("e.n").cast("long").alias("n_rows"),
+            F.col("e.x").cast("long").alias("day_digest"),
+            F.expr(
+                "aggregate(slice(transform(a, p -> p.s), 1, k0 + 1), "
+                "'GENESIS', (acc, s) -> md5(concat(acc, s)))"
+            ).alias("chain"),
+        )
+        .orderBy("day")
+    )
