@@ -791,3 +791,64 @@ def rank_uniform_features(spark, sf_dir):
         .withColumn("pr_shift", F.round(F.col("pr_group") - F.col("pr_global"), 6))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "target_encode_loo",
+    sql="""
+    WITH g AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS gmean
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,2))) AS usum,
+             CAST(count(*) AS BIGINT) AS ucnt
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round((CAST(u.usum - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+                  + 10.0 * g.gmean)
+                 / (u.ucnt - 1 + 10.0), 6) AS loo_enc
+    FROM events e JOIN u USING (user_id) CROSS JOIN g
+    WHERE e.event_id % 7 = 0
+    ORDER BY e.event_id
+    """,
+)
+def target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding with additive smoothing — the
+    leakage-aware categorical encoder (each row's encoding excludes its
+    OWN target, so the feature never memorizes the label it will be
+    trained against): enc = (cat_sum - own + m*global_prior) /
+    (cat_count - 1 + m) with m = 10. Per-category sums are exact
+    decimals; the one division runs on identical doubles. Every 7th
+    event is emitted as the (deterministic) evaluation sample.
+
+    Scale: one aggregation on the category key + one broadcast-ready
+    join back — NO per-row window (the window formulation shuffles and
+    sorts every row; the sum-then-subtract identity is the map-side
+    form). The global prior is a 1-row broadcast."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    g = e.agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("gmean")
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(dec).alias("usum"), F.count(F.lit(1)).alias("ucnt")
+    )
+    return (
+        e.filter(F.col("event_id") % 7 == 0)
+        .join(u, "user_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                ((F.col("usum") - dec).cast("double") + F.lit(10.0) * F.col("gmean"))
+                / (F.col("ucnt") - 1 + F.lit(10.0)),
+                6,
+            ).alias("loo_enc"),
+        )
+        .orderBy("event_id")
+    )
