@@ -827,3 +827,66 @@ def ledger_hash_chain(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "rollup_mv_stream_state",
+    sql="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM latest WHERE user_id % 23 <> 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rollup_mv_stream_state(spark, sf_dir):
+    """STREAMED delete-aware rollup maintenance (operators/rollupmv.py
+    RollupMVStore): a per-event-type (count, exact-decimal sum) over
+    latest-user state is maintained commit by commit from the timeline
+    table's OWN incremental + CDC-before-image feed — three upsert
+    commits (event_id thirds, so users keep changing groups and values)
+    followed by a tombstone commit erasing the user_id % 23 cohort.
+    Every fold retracts the before images and adds the after images
+    (reconcile.retraction_delta); exactly-once comes from the COMMIT
+    WATERMARK in the store's pointer — the final no-op fold in the
+    query IS the replay case, and the result must equal the oracle's
+    direct aggregation of the surviving latest state.
+
+    Scale: each refresh reads the range's delta files + a keys+images
+    projection of the as-of-watermark snapshot, and touches |changed
+    groups| MV rows; the base table is never re-aggregated — the
+    nightly-rebuild replacement, now with deletes."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.rollupmv import RollupMVStore
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    tbl = TimelineTable(
+        spark, tempfile.mkdtemp(prefix="rollupmv_tbl_"),
+        keys=["user_id"], precombine="ts",
+    )
+    store = RollupMVStore(
+        spark, tempfile.mkdtemp(prefix="rollupmv_state_"), "event_type", "value"
+    )
+    for r in range(3):
+        tbl.upsert(e.filter(F.col("event_id") % 3 == r))
+        store.fold_through(tbl)
+    erase = (
+        tbl.read()
+        .filter(F.col("user_id") % 23 == 0)
+        .select("user_id", F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"))
+    )
+    tbl.delete(erase)
+    store.fold_through(tbl)
+    store.fold_through(tbl)  # replay: structural no-op at the watermark
+    return store.counts().orderBy("event_type")
