@@ -3636,14 +3636,18 @@ def pca_power_iteration(spark, sf_dir):
         F.expr(f"({dot('d', 'd')})").alias("den1"),
     )
     top = (
-        # order by |v1| on the EXACT decimal (the oracle does the same);
-        # the double cast collapses values above 2^53, which could flip
-        # a near-tie between engines
-        v1.orderBy(F.abs(F.col("v1")).desc(), "i")
-        .limit(1)
-        .select(
-            F.col("i").cast("long").alias("top_dim"),
-            F.col("v1").cast("double").alias("tv"),
+        # argmax by |v1| on the EXACT decimal (the oracle orders the same
+        # way; a double cast collapses values above 2^53 and could flip a
+        # near-tie between engines). max_by keeps the plan sort-free —
+        # ties break toward the smallest i via the negated tiebreaker.
+        v1.agg(
+            F.max_by(
+                F.struct(F.col("i"), F.col("v1")),
+                F.struct(F.abs(F.col("v1")).alias("a"), (-F.col("i")).alias("ni")),
+            ).alias("t")
+        ).select(
+            F.col("t.i").cast("long").alias("top_dim"),
+            F.col("t.v1").cast("double").alias("tv"),
         )
     )
     return fin.crossJoin(top).select(
