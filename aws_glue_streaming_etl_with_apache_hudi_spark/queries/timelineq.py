@@ -890,3 +890,62 @@ def rollup_mv_stream_state(spark, sf_dir):
     store.fold_through(tbl)
     store.fold_through(tbl)  # replay: structural no-op at the watermark
     return store.counts().orderBy("event_type")
+
+
+@register(
+    "session_window_builtin",
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {dsum_sql('value', 2)} AS total_value
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_start
+    """,
+)
+def session_window_builtin(spark, sf_dir):
+    """Spark's BUILT-IN ``session_window`` grouping function pinned
+    against the ANSI lag/cumsum sessionization replay — the same
+    session algebra `sessionize_events` implements by hand
+    (operators/sessions.py), now cross-validated through the engine's
+    native implementation: identical session membership, bounds, sizes,
+    and exact-decimal totals at a 12-hour gap. Divergence here would
+    mean the hand-rolled operator and the built-in disagree about what
+    a session IS — the parity a user switching between the two APIs
+    relies on. (Session identity keys on session_start — the stable,
+    engine-independent label; the built-in's window struct also carries
+    an end = last_event + gap, which the ANSI replay has no twin for.)
+
+    Scale: session_window groupBy is one shuffle on (user, session) —
+    the same exchange shape as the manual window form, minus the
+    two window passes."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("total_value"),
+            F.min("ts").alias("_start"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
