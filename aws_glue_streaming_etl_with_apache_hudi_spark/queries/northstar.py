@@ -3943,3 +3943,89 @@ def heaps_law_vocab(spark, sf_dir):
             beta("vocab_full", "vocab_q2", "tokens_full", "tokens_q2").alias("heaps_beta_23"),
         )
     )
+
+
+def _kappa_oracle_sql() -> str:
+    """Composes the registered text_langid oracle (the same no-drift
+    contract as _langid_eval_oracle_sql)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES
+
+    pred = QUERIES["text_langid"].sql
+    return f"""
+    WITH pred AS ({pred}),
+    joined AS (
+      SELECT d.lang AS t, p.predicted_lang AS y
+      FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM joined),
+    agree AS (
+      SELECT CAST(sum(CASE WHEN t = y THEN 1 ELSE 0 END) AS DOUBLE) AS hits
+      FROM joined
+    ),
+    marg AS (
+      SELECT sum(CAST(tc AS DOUBLE) * yc) AS dot FROM (
+        SELECT coalesce(tt.lang, yy.lang) AS lang,
+               coalesce(tc, 0) AS tc, coalesce(yc, 0) AS yc
+        FROM (SELECT t AS lang, count(*) AS tc FROM joined GROUP BY t) tt
+        FULL OUTER JOIN
+             (SELECT y AS lang, count(*) AS yc FROM joined GROUP BY y) yy
+        USING (lang)) x
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_docs,
+           round(agree.hits / n.n, 6) AS po,
+           round(marg.dot / (n.n * n.n), 6) AS pe,
+           round((agree.hits / n.n - marg.dot / (n.n * n.n))
+                 / (1.0 - marg.dot / (n.n * n.n)), 6) AS kappa
+    FROM n, agree, marg
+    """
+
+
+@register("cohens_kappa_langid", sql=_kappa_oracle_sql())
+def cohens_kappa_langid(spark, sf_dir):
+    """Cohen's kappa between the engine's language-ID heuristic and the
+    corpus's true labels — chance-corrected agreement, the statistic
+    that exposes a classifier that scores high accuracy only because
+    one class dominates (po can be large while kappa ~ 0). Completes
+    the operator-eval family's statistics: precision/recall per class
+    (langid_eval_confusion) + one chance-corrected scalar to gate on.
+    Exact integer agreement and marginal counts; the kappa ratio runs
+    on identical doubles.
+
+    Scale: the classifier pass is the existing map-side text_langid
+    plan; the eval adds two tiny 5-class aggregations and one
+    broadcast-sized full-outer marginal join."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = pred.join(docs, "doc_id").select(
+        F.col("lang").alias("t"), F.col("predicted_lang").alias("y")
+    )
+    n = joined.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    agree = joined.agg(
+        F.sum(F.when(F.col("t") == F.col("y"), 1).otherwise(0))
+        .cast("double")
+        .alias("hits")
+    )
+    tc = joined.groupBy(F.col("t").alias("lang")).agg(F.count(F.lit(1)).alias("tc"))
+    yc = joined.groupBy(F.col("y").alias("lang")).agg(F.count(F.lit(1)).alias("yc"))
+    marg = (
+        tc.join(yc, "lang", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("tc"), F.lit(0)).cast("double")
+                * F.coalesce(F.col("yc"), F.lit(0))
+            ).alias("p")
+        )
+        .agg(F.sum("p").alias("dot"))
+    )
+    po = F.col("hits") / F.col("n")
+    pe = F.col("dot") / (F.col("n") * F.col("n"))
+    return (
+        n.crossJoin(agree)
+        .crossJoin(marg)
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
