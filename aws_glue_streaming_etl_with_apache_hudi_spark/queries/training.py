@@ -852,3 +852,80 @@ def target_encode_loo(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+def _negsample_sql() -> str:
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql(
+        "concat(CAST(anchor_id AS VARCHAR), '_', CAST(j AS VARCHAR))", seed="neg"
+    )
+    return f"""
+    WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id, md5(text) AS ah FROM documents
+      WHERE doc_id % 50 = 0
+    ),
+    cand AS (
+      SELECT anchor_id, ah, j, {h} % (SELECT n FROM n) AS neg_id
+      FROM anchors, range(0, 4) t(j)
+    )
+    SELECT c.anchor_id, CAST(c.j AS BIGINT) AS j, c.neg_id
+    FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+    WHERE c.neg_id <> c.anchor_id AND md5(d.text) <> c.ah
+    ORDER BY anchor_id, j
+    """
+
+
+@register("negative_sampling_contrastive", sql=_negsample_sql())
+def negative_sampling_contrastive(spark, sf_dir):
+    """Filtered negative sampling for contrastive training pairs: each
+    anchor document draws k=4 candidate negatives from a DETERMINISTIC
+    hash of (anchor, draw index) over the id space, then candidates that
+    are the anchor itself or share its exact content hash (an undetected
+    duplicate — a FALSE negative that teaches the model to push apart
+    identical texts) are filtered rather than re-drawn — the standard
+    rejection-free formulation whose kept-count the training loop
+    weights by. Both engines draw the identical candidates, so the
+    emitted (anchor, j, negative) triples are value-hash-pinned.
+
+    Scale: draws are a row-local explode on the anchor sample; the one
+    join is candidates -> documents on the drawn id (at 100 TB, through
+    the record-level index); no shuffle of the corpus itself."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.hashing import stable_hash64
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg((F.max("doc_id") + 1).alias("n"))
+    anchors = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("anchor_id"), F.md5("text").alias("ah"))
+    )
+    cand = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id", "ah",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+            F.col("n"),
+        )
+        .select(
+            "anchor_id", "ah", "j",
+            (
+                stable_hash64(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit("_"),
+                        F.col("j").cast("string"),
+                    ),
+                    seed="neg",
+                )
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    d = docs.select(F.col("doc_id").alias("neg_id"), F.md5("text").alias("nh"))
+    return (
+        cand.join(d, "neg_id")
+        .filter((F.col("neg_id") != F.col("anchor_id")) & (F.col("nh") != F.col("ah")))
+        .select("anchor_id", F.col("j").cast("long").alias("j"), "neg_id")
+        .orderBy("anchor_id", "j")
+    )
