@@ -2259,3 +2259,46 @@ def ohlc_vwap_daily(spark, sf_dir):
         .select("day", "event_type", "open", "high", "low", "close", "vwap", "n_trades")
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "decayed_popularity",
+    sql="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    w AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2))
+               * CAST(round(pow(0.5, date_diff('second', ts, (SELECT m FROM mx))
+                                   / 604800.0), 9) AS DECIMAL(12,9)) AS c
+      FROM events
+    )
+    SELECT event_type,
+           round(CAST(sum(c) AS DOUBLE), 4) AS decayed_value
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def decayed_popularity(spark, sf_dir):
+    """Half-life-decayed popularity score per event type — the
+    leaderboard/trending aggregation (recent activity outweighs old,
+    weight halves every 7 days from the stream's newest instant).
+    Determinism discipline: the decay weight pow(0.5, age/halflife) is
+    QUANTIZED to 9 decimals and cast to DECIMAL before multiplying the
+    fixed-point value, so every contribution is an exact decimal and
+    the sum is order-free — a raw double sum would drift with shuffle
+    order, the same hazard the dsum family exists for.
+
+    Scale: one map-side-combinable aggregation; the anchor instant is
+    a 1-row broadcast. Refreshing a decayed score incrementally at a
+    new anchor = multiply stored state by pow(0.5, dt/h) and fold the
+    delta — the same retractable-MV shape as RollupMVStore."""
+    e = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    mx = e.agg(F.max("ts").alias("m"))
+    age_s = F.col("m").cast("long") - F.col("ts").cast("long")
+    w = F.round(F.pow(F.lit(0.5), age_s / F.lit(604800.0)), 9).cast("decimal(12,9)")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("event_type", (F.col("value").cast("decimal(18,2)") * w).alias("c"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("c").cast("double"), 4).alias("decayed_value"))
+        .orderBy("event_type")
+    )
