@@ -221,7 +221,7 @@ PRIORITY_WINDOW: list[str] = [
     # rendezvous_shard_rebalance, heaps_law_vocab, feature_store_pit,
     # bitemporal_asof, ledger_hash_chain, target_encode_loo,
     # rollup_mv_stream_state, session_window_builtin, cohens_kappa_langid,
-    # negative_sampling_contrastive, decayed_popularity —
+    # negative_sampling_contrastive, decayed_popularity, session_path_trigrams —
     # rotate them in next round (invariant 2), covered meanwhile by the
     # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
 ]

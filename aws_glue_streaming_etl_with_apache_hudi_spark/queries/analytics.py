@@ -2302,3 +2302,83 @@ def decayed_popularity(spark, sf_dir):
         .agg(F.round(F.sum("c").cast("double"), 4).alias("decayed_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "session_path_trigrams",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    tri AS (
+      SELECT lag(event_type, 2) OVER s || ' > ' ||
+             lag(event_type, 1) OVER s || ' > ' || event_type AS path
+      FROM sess
+      WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE path IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 15
+    """,
+)
+def session_path_trigrams(spark, sf_dir):
+    """Top in-session behavioral paths: the 15 most frequent event-type
+    TRIGRAMS taken inside gap-sessions (12h rule) — path mining, the
+    product-analytics question "what three-step flows do users actually
+    walk?" that funnels (fixed order, chosen a priori) cannot answer.
+    Trigrams never cross a session boundary because the lag window
+    partitions on (user, session).
+
+    Scale: both window passes and the sessionization share the user_id
+    shuffle; the trigram census is a map-side-combinable count on a
+    bounded key space (|event types|^3) and the top-15 is
+    TakeOrdered — no global sort of paths."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                # exact microseconds — a floor-seconds diff would place a
+                # gap of 12h + 0.5s on the wrong side of the oracle's
+                # strict INTERVAL comparison
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 12 * 3600 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    s = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.concat_ws(
+            " > ",
+            F.lag("event_type", 2).over(s),
+            F.lag("event_type", 1).over(s),
+            F.col("event_type"),
+        ).alias("path"),
+        F.lag("event_type", 2).over(s).alias("_p2"),
+    ).filter(F.col("_p2").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
