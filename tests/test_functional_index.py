@@ -178,3 +178,29 @@ def test_probe_argument_validation(spark, tmp_path):
         t.read_for_expr("hour")
     with pytest.raises(ValueError, match="exactly one"):
         t.read_for_expr("hour", value=1, between=(1, 2))
+
+
+def test_multi_partition_column_table(spark, tmp_path):
+    """The sidecar layout, pruning, and removal all zip over
+    partition_by generally — pin it on a TWO-column partitioning."""
+    t = UpsertTable(
+        spark, str(tmp_path / "t"), keys=["k"], precombine="ver",
+        partition_by=["day", "region"],
+        functional_indexes={"hour": "hour(ts)"},
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, "d1", "eu", "2024-01-01 02:30:00", 1),
+            (2, "d1", "us", "2024-01-01 05:30:00", 1),
+            (3, "d2", "eu", "2024-01-02 02:30:00", 1),
+            (4, "d2", "us", "2024-01-02 07:30:00", 1),
+        ],
+        "k long, day string, region string, ts string, ver long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.upsert(rows)
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d1", "eu"), ("d2", "eu")]
+    assert _keys(t.read_for_expr("hour", value=2)) == [1, 3]
+    files = t.read_for_expr("hour", value=5).inputFiles()
+    assert files and all("day=d1" in f and "region=us" in f for f in files)
+    t.delete_partition(("d1", "eu"))
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d2", "eu")]
