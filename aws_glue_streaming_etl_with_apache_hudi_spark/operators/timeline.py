@@ -66,6 +66,11 @@ class CommitConflict(RuntimeError):
     writer's base instant (OCC validation failure) — re-read and retry."""
 CHANGE_COL = "_change_type"
 DELETED_COL = "_deleted"
+# Hudi's public per-record soft-delete field: a boolean column IN the
+# incoming batch (not an API call) marking rows to delete within an
+# ordinary upsert commit — the only way a foreachBatch stream can carry
+# deletes without a second write path.
+HOODIE_DELETE_MARKER = "_hoodie_is_deleted"
 
 # Spark writes null partition values as this directory name (Hive
 # convention); timeline metadata stores the same sentinel so the
@@ -186,7 +191,22 @@ class TimelineTable:
 
         Writes (a) the delta (precombined batch) for incremental readers
         and (b) merged snapshots of ONLY the touched partitions.
-        """
+
+        Batches may carry Hudi's public soft-delete marker
+        ``_hoodie_is_deleted`` (boolean): marker-true rows are tombstones
+        committed IN THE SAME instant as the batch's upserts — the
+        contract that lets a single micro-batch stream mix inserts,
+        updates and deletes (glue_job_script.py:105-109 writes
+        ``hoodie.datasource.write.operation=upsert``; Hudi routes
+        marker-true rows to the delete path of that same upsert).
+        Tombstones obey precombine ordering like any record: a stale
+        delete (older precombine than the stored row) loses the merge
+        and deletes nothing, so CDC replay order cannot corrupt state."""
+        if HOODIE_DELETE_MARKER in batch.columns:
+            batch = batch.withColumn(
+                DELETED_COL,
+                F.coalesce(F.col(HOODIE_DELETE_MARKER), F.lit(False)),
+            ).drop(HOODIE_DELETE_MARKER)
         batch = precombine_latest(batch, self._identity, self.precombine)
         return self._commit_delta(batch)
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -46,6 +47,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.schema_evolution import evolve_schema
+
+
+def _is_word(s: str, i: int, length: int) -> bool:
+    """True when s[i:i+length] sits on word boundaries (SQL keyword
+    match helper for the predicate conjunct splitter)."""
+    before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+    j = i + length
+    after_ok = j >= len(s) or not (s[j].isalnum() or s[j] == "_")
+    return before_ok and after_ok
 
 
 def precombine_latest(
@@ -257,13 +267,22 @@ class UpsertTable:
         with open(self._meta_path) as f:
             return T.StructType.fromJson(json.loads(json.load(f)["schema"]))
 
-    def read(self) -> DataFrame:
+    def read(self, where: str | None = None) -> DataFrame:
         """Read the current table state (all live rows).
+
+        ``where`` (SQL predicate string) filters the result AND engages
+        declarative functional-index pruning: a conjunct whose
+        canonicalized expression matches a registered index prunes the
+        partition listing before any data file is touched (see
+        ``read_where``). Plain ``read().filter(...)`` stays exact too —
+        it just can't skip files on expression predicates.
 
         Partition-column type inference is disabled session-wide (values
         must round-trip as written — session.py), so partition columns
         come back as strings; cast them to their true types from the
         persisted schema."""
+        if where is not None:
+            return self.read_where(where)
         df = self.spark.read.parquet(self.path)
         if not self.partition_by:
             return df
@@ -1606,6 +1625,203 @@ class UpsertTable:
         if hi is not None:
             df = df.filter(e <= F.lit(hi))
         return df
+
+    # -- declarative functional-index pruning (r12, VERDICT r11 task 3) ------
+    #
+    # `read_for_expr` requires the CALLER to know an index exists. Hudi
+    # 1.0's expression indexes are declarative: a plain
+    # `WHERE hour(ts) = 2` auto-prunes through a registered
+    # `column_stats(hour(ts))` index because the optimizer matches the
+    # predicate's CANONICALIZED expression against the index definition.
+    # `read(where=...)` reproduces that: the predicate's top-level
+    # conjuncts are parsed, each comparison's expression side is
+    # canonicalized THROUGH SPARK'S OWN ANALYZER (the auto-generated
+    # column name of the parsed expression over the table schema — so
+    # `HOUR(ts)`, `hour( ts )` and `hour(ts)` all normalize identically),
+    # and any conjunct matching an index expression contributes a
+    # pruning bound. The FULL predicate is always re-applied to the
+    # survivors, so pruning is a pure file-skip: a conjunct the matcher
+    # can't read just means less pruning, never a wrong answer.
+
+    def _canon_expr(self, expr_sql: str) -> str | None:
+        """Analyzer-canonical name of ``expr_sql`` over the table schema
+        (None when it doesn't analyze — e.g. references no such column).
+        Pure analysis, no job."""
+        try:
+            empty = self.spark.createDataFrame([], self._load_schema())
+            return empty.select(F.expr(expr_sql)).columns[0]
+        except Exception:
+            return None
+
+    def _eval_literal(self, lit_sql: str):
+        """Evaluate a foldable scalar (`2`, `DATE '2020-01-01'`,
+        `21 + 2`); raises if it references columns. LocalTableScan —
+        driver-side, no shuffle."""
+        return self.spark.sql(f"SELECT ({lit_sql}) AS v").first()["v"]
+
+    @staticmethod
+    def _split_conjuncts(where: str) -> list[str]:
+        """Split on depth-0 ANDs, respecting parens, single-quote
+        strings, and BETWEEN..AND pairing."""
+        out, buf, depth, i, n = [], [], 0, 0, len(where)
+        pending_between = 0
+        up = where.upper()
+        while i < n:
+            ch = where[i]
+            if ch == "'":  # skip string literal ('' escapes)
+                j = i + 1
+                while j < n:
+                    if where[j] == "'" and not (j + 1 < n and where[j + 1] == "'"):
+                        break
+                    j += 2 if where[j] == "'" else 1
+                buf.append(where[i : j + 1])
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 0 and up.startswith("BETWEEN", i) and _is_word(where, i, 7):
+                pending_between += 1
+            if depth == 0 and up.startswith("AND", i) and _is_word(where, i, 3):
+                if pending_between:
+                    pending_between -= 1  # the BETWEEN's own AND
+                else:
+                    out.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
+            buf.append(ch)
+            i += 1
+        out.append("".join(buf))
+        return [c.strip() for c in out if c.strip()]
+
+    _CMP_OPS = (">=", "<=", "==", "=", "<", ">")  # longest-first
+
+    @classmethod
+    def _split_comparison(cls, conjunct: str) -> tuple[str, str, str] | None:
+        """(lhs, op, rhs) at depth 0, or None. `<>` / `!=` conjuncts
+        return None (no range bound to extract)."""
+        depth, i, n = 0, 0, len(conjunct)
+        while i < n:
+            ch = conjunct[i]
+            if ch == "'":
+                j = i + 1
+                while j < n and conjunct[j] != "'":
+                    j += 1
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                if conjunct.startswith(("<>", "!=") , i):
+                    return None
+                for op in cls._CMP_OPS:
+                    if conjunct.startswith(op, i):
+                        return conjunct[:i].strip(), op, conjunct[i + len(op):].strip()
+            i += 1
+        return None
+
+    def _index_bounds(self, where: str) -> tuple[str, object, object] | None:
+        """Match ``where``'s conjuncts against the registered functional
+        indexes; returns (index name, lo, hi) for the first index that
+        collects at least one bound. Strict `<` / `>` bounds are used
+        inclusively — the residual filter restores strictness."""
+        if not self.functional_indexes:
+            return None
+        canon_to_name = {}
+        for name, expr in self.functional_indexes.items():
+            c = self._canon_expr(expr)
+            if c is not None:
+                canon_to_name[c] = name
+        if not canon_to_name:
+            return None
+        bounds: dict[str, list] = {}  # name -> [lo, hi]
+        for conj in self._split_conjuncts(where):
+            c = conj.strip()
+            while c.startswith("(") and c.endswith(")") and self._balanced(c[1:-1]):
+                c = c[1:-1].strip()
+            m = re.match(
+                r"^(.*?)\s+between\s+(.+?)\s+and\s+(.+)$", c, re.IGNORECASE | re.DOTALL
+            )
+            if m:
+                name = canon_to_name.get(self._canon_expr(m.group(1)) or "")
+                if name:
+                    try:
+                        lo, hi = self._eval_literal(m.group(2)), self._eval_literal(
+                            m.group(3)
+                        )
+                    except Exception:
+                        continue
+                    b = bounds.setdefault(name, [None, None])
+                    b[0] = lo if b[0] is None else max(b[0], lo)
+                    b[1] = hi if b[1] is None else min(b[1], hi)
+                continue
+            split = self._split_comparison(c)
+            if split is None:
+                continue
+            lhs, op, rhs = split
+            for expr_side, lit_side, flip in ((lhs, rhs, False), (rhs, lhs, True)):
+                name = canon_to_name.get(self._canon_expr(expr_side) or "")
+                if not name:
+                    continue
+                try:
+                    v = self._eval_literal(lit_side)
+                except Exception:
+                    break  # other side isn't a literal either way
+                if v is None:
+                    break
+                eff = op
+                if flip and op in ("<", "<=", ">", ">="):
+                    eff = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+                b = bounds.setdefault(name, [None, None])
+                if eff in ("=", "=="):
+                    b[0] = v if b[0] is None else max(b[0], v)
+                    b[1] = v if b[1] is None else min(b[1], v)
+                elif eff in (">", ">="):
+                    b[0] = v if b[0] is None else max(b[0], v)
+                else:  # <, <=
+                    b[1] = v if b[1] is None else min(b[1], v)
+                break
+        for name, (lo, hi) in bounds.items():
+            if lo is not None or hi is not None:
+                return name, lo, hi
+        return None
+
+    @staticmethod
+    def _balanced(s: str) -> bool:
+        depth = 0
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth < 0:
+                return False
+        return depth == 0
+
+    def read_where(self, where: str) -> DataFrame:
+        """`read().filter(where)` with declarative functional-index
+        pruning: if a conjunct's canonicalized expression matches a
+        registered index, only candidate partitions are listed/scanned
+        (Hudi 1.0 expression-index behavior — the caller writes a plain
+        filter, the storage layer prunes). Always exact: the full
+        predicate re-applies to the pruned superset."""
+        hit = self._index_bounds(where)
+        if hit is not None:
+            name, lo, hi = hit
+            parts = self._fidx_candidates(name, lo, hi)
+            if parts is not None:
+                if not parts:
+                    fields = sorted(
+                        self._load_schema().fields,
+                        key=lambda f: f.name in (self.partition_by or []),
+                    )
+                    return self.spark.createDataFrame([], T.StructType(fields))
+                return self._read_partition_dirs(parts).filter(F.expr(where))
+        return self.read().filter(F.expr(where))
 
     # -- partition key blooms (Hudi BLOOM index analogue) ---------------------
     #

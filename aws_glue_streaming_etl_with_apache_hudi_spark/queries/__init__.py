@@ -153,7 +153,84 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import geo  # noqa: F
 # Pool members double as sentinels where the family overlaps
 # (bootstrap_adopted_state = upsert, interval_join_attribution = asof,
 # dedup_groups_minhash = dedup, ... — see tests/test_registry_order.py).
+# Round-12 rotation (VERDICT r11 task 1): ALL 34 post-r11-window
+# registrations rotate in — the entire documented backlog, from
+# geo_knn_uncapped to session_path_trigrams. That is the single gap
+# between this repo and a fully driver-verified registry (every query
+# green on a driver CORRECTNESS row). The backlog itself supplies most
+# category sentinels (nbcc=upsert, bitemporal_asof=asof,
+# mor_read_optimized=MOR, mv_retractable_cdc=CDC, jaccard_prefix=dedup,
+# heaps_law=text, target_encode_loo=training, ohlc=relational-agg,
+# label_propagation=graph, bootstrap_ci=statistics, geo_knn_uncapped=geo,
+# sql_scripting=sql-surface). Seven fillers hold the families the
+# backlog doesn't touch (schema evolution, partitioning,
+# streaming+stateful, incremental pull, multimodal, UDTF, sketches) —
+# all seven are r11-green so they double as re-checks. The remaining
+# slots: two r5-aged freshness picks that double as the relational
+# join/window sentinels, r12's own registrations (in-window from birth,
+# per the "stop growing the backlog" directive), and r5-aged freshness.
 PRIORITY_WINDOW: list[str] = [
+    # --- the 34 post-r11-window registrations (invariant 2) ---
+    "geo_knn_uncapped",            # also the geo sentinel (ring-expansion kNN)
+    "domain_cap_sample",
+    "bitmap_distinct_mv_merge",
+    "savepoint_restore_state",
+    "embedding_matryoshka_eval",
+    "mor_read_optimized_state",    # also the MOR-storage sentinel
+    "functional_index_prune",
+    "bootstrap_ci_mean",           # also the statistics sentinel
+    "nbcc_multiwriter_state",      # also the upsert sentinel
+    "hilbert_layout_stats",
+    "sql_scripting_variables",     # also the sql-surface sentinel
+    "ohlc_vwap_daily",             # also the relational-agg sentinel
+    "graph_label_propagation",     # also the graph sentinel
+    "dp_noised_release",
+    "pca_power_iteration",
+    "jaccard_prefix_join",         # also the dedup sentinel
+    "crypto_shred_erasure",
+    "jl_random_projection",
+    "mv_retractable_cdc",          # also the CDC sentinel
+    "orc_source_roundtrip",
+    "exact_quantile_selection",
+    "geo_point_in_polygon",
+    "rendezvous_shard_rebalance",
+    "heaps_law_vocab",             # also the text sentinel
+    "feature_store_pit",
+    "bitemporal_asof",             # also the as-of/interval-join sentinel
+    "ledger_hash_chain",
+    "target_encode_loo",           # also the training sentinel
+    "rollup_mv_stream_state",
+    "session_window_builtin",
+    "cohens_kappa_langid",
+    "negative_sampling_contrastive",
+    "decayed_popularity",
+    "session_path_trigrams",
+    # --- new r12 registrations (in-window from birth — invariant 2;
+    # a query that can't get a driver row in its own round is a
+    # backlog, and backlogs stop here per VERDICT r11 task 1) ---
+    "rollup_mv_retraction_e2e",    # task 6: delete-aware IVM e2e
+    "functional_index_autoprune",  # task 3: plain-filter index pruning
+    # --- category-sentinel fillers (families the backlog doesn't
+    # cover; all r11-green, so each doubles as a re-check) ---
+    "schema_evolution_union",      # schema evolution (r11)
+    "partition_path_derivation",   # partitioning (r11)
+    "stateful_running_totals",     # streaming + stateful (r11)
+    "mor_incremental",             # incremental pull path (r11)
+    "multimodal_binary_meta",      # multimodal (r11)
+    "udtf_sentence_split",         # UDF/UDTF surface (r11)
+    "approx_error_bound",          # sketches (r11)
+    # --- freshness: r5-aged picks; the first two double as the
+    # relational join/window sentinels ---
+    "join_broadcast_dim",          # also the relational-join sentinel (r5)
+    "knn_ivf_pq",                  # also the similarity sentinel (r5)
+    "window_lag_lead",             # also the relational-window sentinel (r5)
+    "dedup_incremental_index",     # (r5)
+    "mor_merge_chain",             # (r5)
+    "upsert_partitioned_state",    # (r5)
+    "funnel_conversion",           # (r5; +28% raw r11 drift — re-check)
+]
+
+_PRIOR_WINDOW_R11: list[str] = [
     # --- the 8 post-r10-window registrations (invariant 2) ---
     "geo_grid_density",
     "geo_nearest_site",
@@ -222,8 +299,7 @@ PRIORITY_WINDOW: list[str] = [
     # bitemporal_asof, ledger_hash_chain, target_encode_loo,
     # rollup_mv_stream_state, session_window_builtin, cohens_kappa_langid,
     # negative_sampling_contrastive, decayed_popularity, session_path_trigrams —
-    # rotate them in next round (invariant 2), covered meanwhile by the
-    # local whole-registry DuckDB gate (tests/test_queries_oracle.py).
+    # all 34 rotated into the r12 PRIORITY_WINDOW above (VERDICT r11 task 1).
 ]
 
 _PRIOR_WINDOW_R10: list[str] = [

@@ -421,6 +421,80 @@ def functional_index_prune(spark, sf_dir):
 
 
 @register(
+    "functional_index_autoprune",
+    sql="""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             extract(hour FROM ts) AS hr, value
+      FROM events)
+    SELECT leg, day, n_events, sum_value FROM (
+      SELECT 'eq_and_residual' AS leg, day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e WHERE hr = 5 AND value >= 10 GROUP BY day
+      UNION ALL
+      SELECT 'between_9_11' AS leg, day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e WHERE hr BETWEEN 9 AND 11 GROUP BY day)
+    ORDER BY leg, day
+    """,
+)
+def functional_index_autoprune(spark, sf_dir):
+    """DECLARATIVE functional-index pruning (VERDICT r11 task 3 —
+    Hudi 1.0's expression-index optimizer rule, where a plain
+    `WHERE hour(ts) = 5` auto-prunes through a registered
+    `column_stats(hour(ts))` index with no index-aware API call):
+    the caller writes ordinary predicate strings against
+    `tbl.read(where=...)`; the storage layer canonicalizes each
+    conjunct through Spark's analyzer, matches it against the index's
+    canonicalized expression, prunes to candidate day partitions, and
+    re-applies the full predicate as the exactness residual. Two legs:
+    an equality probe COMPOUNDED with a non-indexed residual conjunct
+    (`value >= 10` — proving unmatched conjuncts only reduce pruning,
+    never correctness), and a `BETWEEN` range (exercising the
+    BETWEEN-aware conjunct splitter). Both must equal direct SQL over
+    the raw stream. File-level pruning is inputFiles-asserted in
+    tests/test_functional_index.py (the IVF pattern).
+
+    Scale: identical to functional_index_prune's — candidate selection
+    reads the O(partitions x cap) sidecar, never a data file; the win
+    here is the API: a BI tool emitting plain SQL predicates gets the
+    prune for free, which is what makes expression indexes usable by
+    tools that don't know they exist."""
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import dsum
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    e = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    path = tempfile.mkdtemp(prefix="fidx_auto_")
+    tbl = UpsertTable(
+        spark, path, keys=["event_id"], precombine="ts",
+        partition_by=["day"], functional_indexes={"hour": "hour(ts)"},
+    )
+    tbl.upsert(e)
+
+    def leg(df, name):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        ).withColumn("leg", F.lit(name))
+
+    eq = leg(tbl.read(where="hour(ts) = 5 AND value >= 10"), "eq_and_residual")
+    rng = leg(tbl.read(where="hour(ts) BETWEEN 9 AND 11"), "between_9_11")
+    return (
+        eq.unionByName(rng)
+        .select("leg", "day", "n_events", "sum_value")
+        .orderBy("leg", "day")
+    )
+
+
+@register(
     "nbcc_multiwriter_state",
     sql="""
     SELECT event_type, user_id, event_id,

@@ -893,6 +893,111 @@ def rollup_mv_stream_state(spark, sf_dir):
 
 
 @register(
+    "rollup_mv_retraction_e2e",
+    sql="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM latest WHERE user_id % 29 <> 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rollup_mv_retraction_e2e(spark, sf_dir):
+    """Delete-aware IVM through the REAL streamed pipeline (VERDICT r11
+    task 6): three micro-batch files replay through
+    StreamingUpsertPipeline (file source, maxFilesPerTrigger=1,
+    foreachBatch) into a TimelineTable — event_id thirds, so users keep
+    changing latest-state groups and values — with the LAST batch MIXED:
+    its third's upserts plus tombstones for the user_id % 29 cohort via
+    Hudi's public ``_hoodie_is_deleted`` record field (soft-delete
+    marker in the batch itself, the only delete channel a foreachBatch
+    stream has; operators/timeline.py HOODIE_DELETE_MARKER). The
+    post_commit hook folds a RollupMVStore after every commit, so the
+    per-event-type (count, exact-decimal sum) rollup is maintained by
+    RETRACTION algebra — each fold subtracts before-images and adds
+    after-images (reconcile.retraction_delta) — never by re-aggregating
+    the table. The final extra fold IS the micro-batch replay case (the
+    commit watermark makes it a structural no-op), and the result must
+    equal the oracle's direct aggregation of the surviving latest state.
+
+    Differs from rollup_mv_stream_state (batch-commit-fed) in that the
+    commits here are produced by the streaming runtime (A1->A12
+    composition) and the deletes arrive IN a mixed micro-batch, not via
+    a table API call — the Debezium/CDC-consumer shape. Crash-replay
+    fault legs live in tests/test_rollup_retraction_e2e.py.
+
+    Scale: each fold reads the commit range's delta files plus a
+    keys+images projection of the as-of snapshot and touches |changed
+    groups| MV rows; the base table is never re-aggregated. The
+    tombstone channel adds zero write amplification — markers ride the
+    same delta files as the upserts."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.rollupmv import RollupMVStore
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import TimelineTable
+    from aws_glue_streaming_etl_with_apache_hudi_spark.streaming.pipeline import StreamingUpsertPipeline
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    marker = F.lit(False).alias("_hoodie_is_deleted")
+    tomb = (
+        e.filter(F.col("user_id") % 29 == 0)
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit("tombstone").alias("event_type"),
+            F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(0.0).cast("double").alias("value"),
+            F.lit(True).alias("_hoodie_is_deleted"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="rollup_e2e_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for b in range(3):
+        batch = e.filter(F.col("event_id") % 3 == b).select("*", marker)
+        if b == 2:  # mixed: the third's upserts + the delete cohort
+            batch = batch.unionByName(tomb)
+        stage = os.path.join(base, f"stage_{b}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch_{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    tbl = TimelineTable(
+        spark, os.path.join(base, "table"), keys=["user_id"], precombine="ts"
+    )
+    store = RollupMVStore(
+        spark, os.path.join(base, "state"), "event_type", "value"
+    )
+    pipe = StreamingUpsertPipeline(
+        spark,
+        source_dir=src,
+        schema=tomb.schema,
+        table=tbl,
+        checkpoint=os.path.join(base, "ckpt"),
+        trigger="1 seconds",
+        post_commit=lambda _df: store.fold_through(tbl),
+    )
+    pipe.run_available()
+    store.fold_through(tbl)  # replay: structural no-op at the watermark
+    return store.counts().orderBy("event_type")
+
+
+@register(
     "session_window_builtin",
     sql=f"""
     WITH flagged AS (

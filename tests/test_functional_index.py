@@ -204,3 +204,92 @@ def test_multi_partition_column_table(spark, tmp_path):
     assert files and all("day=d1" in f and "region=us" in f for f in files)
     t.delete_partition(("d1", "eu"))
     assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d2", "eu")]
+
+
+# -- declarative auto-pruning: read(where=...) (r12, VERDICT r11 task 3) ----
+
+
+def test_autoprune_equality_plain_filter(spark, tmp_path):
+    """A PLAIN predicate string on read() prunes through the index —
+    no index-aware API call (the Hudi expression-index optimizer
+    rule). inputFiles must touch only the containing partition."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 2, 1), (2, "d2", 5, 1), (3, "d3", 5, 1),
+    ]))
+    out = t.read(where="hour(ts) = 2")
+    files = out.inputFiles()
+    assert files and all("day=d1" in f for f in files)
+    assert _keys(out) == [1]
+
+
+def test_autoprune_canonicalization_and_flipped_literal(spark, tmp_path):
+    """`HOUR( ts ) = 2` and `2 = hour(ts)` both normalize through the
+    analyzer to the registered expression and prune identically."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    for pred in ("HOUR( ts ) = 2", "2 = hour(ts)", "hour(ts) == 2"):
+        out = t.read(where=pred)
+        assert _keys(out) == [1], pred
+        assert all("day=d1" in f for f in out.inputFiles()), pred
+
+
+def test_autoprune_between_and_residual_conjunct(spark, tmp_path):
+    """BETWEEN engages the range path; a non-indexed conjunct rides
+    along as residual (less pruning is fine, wrong rows are not)."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 2, 1), (2, "d1", 23, 1),
+        (3, "d2", 10, 1), (4, "d3", 21, 1),
+    ]))
+    out = t.read(where="hour(ts) BETWEEN 20 AND 23 AND k > 2")
+    assert _keys(out) == [4]
+    files = out.inputFiles()
+    assert files and all("day=d2" not in f for f in files)
+
+
+def test_autoprune_range_operators_and_flip(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 2, 1), (2, "d2", 10, 1), (3, "d3", 21, 1),
+    ]))
+    # >= and <= conjuncts combine into one [lo, hi] probe
+    out = t.read(where="hour(ts) >= 9 AND hour(ts) <= 11")
+    assert _keys(out) == [2]
+    assert all("day=d2" in f for f in out.inputFiles())
+    # strict < / > prune inclusively, residual restores strictness
+    out = t.read(where="hour(ts) > 10 AND 22 > hour(ts)")
+    assert _keys(out) == [3]
+
+
+def test_autoprune_no_match_falls_back_exact(spark, tmp_path):
+    """Predicates the matcher can't map to an index (different
+    expression, non-literal side, <>) full-scan but stay exact."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    assert _keys(t.read(where="minute(ts) = 30")) == [1, 2]
+    assert _keys(t.read(where="hour(ts) <> 2")) == [2]
+    assert _keys(t.read(where="hour(ts) = k + 1")) == [1]  # k=1,hour=2
+
+
+def test_autoprune_empty_candidates_short_circuits(spark, tmp_path):
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1)]))
+    out = t.read(where="hour(ts) = 9")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "day", "ts", "ver"}
+
+
+def test_conjunct_splitter_edge_cases():
+    split = UpsertTable._split_conjuncts
+    assert split("a = 1 AND b = 2") == ["a = 1", "b = 2"]
+    # BETWEEN's own AND is not a conjunct boundary
+    assert split("h BETWEEN 2 AND 5 AND k = 1") == ["h BETWEEN 2 AND 5", "k = 1"]
+    # parenthesized ORs stay intact; string literal containing ' AND '
+    assert split("(a = 1 OR b = 2) AND c = 'x AND y'") == [
+        "(a = 1 OR b = 2)", "c = 'x AND y'",
+    ]
+    # ANDs inside parens don't split
+    assert split("(a = 1 AND b = 2)") == ["(a = 1 AND b = 2)"]
+    # operand substrings ('band', 'android') are not keyword hits
+    assert split("band = 1 AND android = 2") == ["band = 1", "android = 2"]

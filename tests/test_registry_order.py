@@ -18,34 +18,32 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-11 rotation: the r4-aged freshness cohort supplies most
-    # sentinels directly; three explicit slots each cover two
-    # overlapping families (streaming+stateful, MOR+incremental,
-    # graph+statistics — see queries/__init__.py for the rationale).
-    "upsert": "bootstrap_adopted_state",  # bootstrap commit -> upsert commit state
+    # round-12 rotation: the 34-query r11 backlog supplies most
+    # sentinels directly; seven fillers hold the families the backlog
+    # doesn't touch (see queries/__init__.py for the rationale).
+    "upsert": "nbcc_multiwriter_state",   # zero-abort multi-writer upsert
     "schema_evolution": "schema_evolution_union",
     "partitioning": "partition_path_derivation",
-    "asof": "interval_join_attribution",  # the as-of/interval join family
+    "asof": "bitemporal_asof",            # the as-of/interval join family
     "streaming": "stateful_running_totals",  # real checkpointed stream...
     "stateful": "stateful_running_totals",   # ...running applyInPandasWithState
-    "storage_mor": "mor_incremental",        # MOR table read through...
-    "storage_incremental": "mor_incremental",  # ...the incremental pull path
-    "storage_cdc": "cdc_change_feed",
-    "dedup": "dedup_groups_minhash",
-    "similarity": "knn_filtered",
-    "text": "text_boilerplate_lines",
+    "storage_mor": "mor_read_optimized_state",
+    "storage_incremental": "mor_incremental",  # the incremental pull path
+    "storage_cdc": "mv_retractable_cdc",  # CDC-fed delete-aware IVM
+    "dedup": "jaccard_prefix_join",       # exact-Jaccard PPJoin
+    "similarity": "knn_ivf_pq",
+    "text": "heaps_law_vocab",
     "multimodal": "multimodal_binary_meta",
-    "training": "temperature_sample_langs",
+    "training": "target_encode_loo",
     "udf": "udtf_sentence_split",
-    "relational_agg": "agg_rollup",
-    "relational_join": "join_left_outer",
-    "relational_window": "window_running_sum",
-    "graph": "graph_assortativity",       # degree-mixing query whose...
-    "statistics": "graph_assortativity",  # ...output IS a Pearson correlation
+    "relational_agg": "ohlc_vwap_daily",
+    "relational_join": "join_broadcast_dim",
+    "relational_window": "window_lag_lead",
+    "graph": "graph_label_propagation",
+    "statistics": "bootstrap_ci_mean",
     "sketches": "approx_error_bound",
-    # new SURVEY §2 rows (r10) get standing sentinels of their own:
-    "geo": "geo_radius_pairs",
-    "sql_surface": "url_parse_profile",
+    "geo": "geo_knn_uncapped",
+    "sql_surface": "sql_scripting_variables",
 }
 
 
