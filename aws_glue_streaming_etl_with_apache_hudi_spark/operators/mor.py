@@ -321,24 +321,50 @@ class MergeOnReadTable:
         # slot is invisible garbage — overwrite heals it
         while self._has_done(seq):
             seq += 1
-        if self._has_inflight(seq):
-            # A claimed-but-unpublished slot is indistinguishable from a
-            # LIVE NBCC writer mid-flight — silently reusing it would let
-            # two writers overwrite each other's commit (data loss both
-            # ways). Refuse loudly: a crashed claim is rolled back by
-            # fsck() (offline), a live one publishes shortly.
+        # Claim the slot through the SAME O_EXCL inflight-marker path as
+        # NBCC writers (r12, ADVICE r11): the former check-then-write left
+        # a TOCTOU window where a concurrent _nbcc_claim could win this
+        # seq between the _has_inflight probe and the parquet write, both
+        # writers then overwriting each other's commit=<seq> directory.
+        # The O_EXCL create makes claim acquisition atomic; losing it is
+        # reported exactly like finding a pre-existing claim:
+        # a claimed-but-unpublished slot is indistinguishable from a LIVE
+        # NBCC writer mid-flight — silently reusing it would lose data
+        # both ways. A crashed claim is rolled back by fsck() (offline),
+        # a live one publishes shortly.
+        os.makedirs(self._instants, exist_ok=True)
+        try:
+            fd = os.open(
+                self._inflight_path(seq), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            os.write(fd, json.dumps({"writer": "__single__"}).encode())
+            os.close(fd)
+        except FileExistsError:
             raise RuntimeError(
                 f"commit slot {seq} holds an unpublished NBCC claim; "
                 "run fsck() offline if the writer crashed, or route this "
                 "write through nbcc_upsert alongside live NBCC writers"
-            )
+            ) from None
         batch.write.mode("overwrite").parquet(
             os.path.join(self._log, f"commit={seq}")
         )
-        meta["next_seq"] = seq + 1
-        meta["schema"] = self._evolved_schema_json(batch)
-        meta.setdefault("timeline", []).append({"seq": seq, "action": "deltacommit"})
-        self._save_meta(meta)
+        # publish before metadata (the NBCC order): readers see the
+        # commit via its markers even if this writer dies mid-meta
+        tmp = self._done_path(seq) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"writer": "__single__"}, f)
+        os.replace(tmp, self._done_path(seq))
+        # metadata merge under the micro-lock (r12, ADVICE r11): the
+        # unlocked save could clobber a concurrent _nbcc_complete's
+        # schema-union/timeline append (lost-update on the JSON blob)
+        with self._meta_lock():
+            meta = self._meta()
+            meta["next_seq"] = max(meta["next_seq"], seq + 1)
+            meta["schema"] = self._evolved_schema_json(batch)
+            meta.setdefault("timeline", []).append(
+                {"seq": seq, "action": "deltacommit"}
+            )
+            self._save_meta(meta)
 
         if self.policy.due(len(self._log_commits()), self._log_bytes()):
             self.compact()

@@ -2269,7 +2269,7 @@ def ohlc_vwap_daily(spark, sf_dir):
       SELECT event_type,
              CAST(value AS DECIMAL(18,2))
                * CAST(round(pow(0.5, date_diff('second', ts, (SELECT m FROM mx))
-                                   / 604800.0), 9) AS DECIMAL(12,9)) AS c
+                                   / 604800.0), 5) AS DECIMAL(8,5)) AS c
       FROM events
     )
     SELECT event_type,
@@ -2282,10 +2282,17 @@ def decayed_popularity(spark, sf_dir):
     leaderboard/trending aggregation (recent activity outweighs old,
     weight halves every 7 days from the stream's newest instant).
     Determinism discipline: the decay weight pow(0.5, age/halflife) is
-    QUANTIZED to 9 decimals and cast to DECIMAL before multiplying the
+    QUANTIZED to 5 decimals and cast to DECIMAL before multiplying the
     fixed-point value, so every contribution is an exact decimal and
     the sum is order-free — a raw double sum would drift with shuffle
-    order, the same hazard the dsum family exists for.
+    order, the same hazard the dsum family exists for. Five decimals,
+    not nine (ADVICE r11): the exponent age/604800.0 is one correctly-
+    rounded IEEE division of exact inputs (bit-identical in both
+    engines), so the only cross-engine variance is the pow libm call
+    itself (<=1 ulp). At 5 dp a 1-ulp difference flips the rounding
+    only when pow lands within ~1e-16 of a .000005 boundary —
+    probability ~2e-11 per event vs ~2e-7 at 9 dp — while the score
+    keeps far more precision than a trending leaderboard needs.
 
     Scale: one map-side-combinable aggregation; the anchor instant is
     a 1-row broadcast. Refreshing a decayed score incrementally at a
@@ -2294,7 +2301,7 @@ def decayed_popularity(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("event_type", "ts", "value")
     mx = e.agg(F.max("ts").alias("m"))
     age_s = F.col("m").cast("long") - F.col("ts").cast("long")
-    w = F.round(F.pow(F.lit(0.5), age_s / F.lit(604800.0)), 9).cast("decimal(12,9)")
+    w = F.round(F.pow(F.lit(0.5), age_s / F.lit(604800.0)), 5).cast("decimal(8,5)")
     return (
         e.crossJoin(F.broadcast(mx))
         .select("event_type", (F.col("value").cast("decimal(18,2)") * w).alias("c"))

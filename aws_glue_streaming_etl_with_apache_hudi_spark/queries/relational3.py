@@ -1395,6 +1395,16 @@ def xml_source_roundtrip(spark, sf_dir):
     xml_dir = os.path.join("/tmp/spark_graft_xml", fp.hexdigest()[:16])
     marker = os.path.join(xml_dir, "_READY")
     if not os.path.exists(marker):
+        # build-aside + atomic rename claim (same race class as the ORC
+        # cache, ADVICE r11): a published slot is immutable
+        import shutil
+        import tempfile
+
+        os.makedirs(os.path.dirname(xml_dir), exist_ok=True)
+        staging = tempfile.mkdtemp(
+            prefix=".build_", dir=os.path.dirname(xml_dir)
+        )
+        build = os.path.join(staging, "data")
         (
             t(spark, sf_dir, "nation")
             .repartition(1)
@@ -1402,12 +1412,17 @@ def xml_source_roundtrip(spark, sf_dir):
             .option("rowTag", "nation")
             .option("rootTag", "nations")
             .mode("overwrite")
-            .save(xml_dir)
+            .save(build)
         )
-        tmp = marker + f".tmp{os.getpid()}"
-        with open(tmp, "w") as f:
+        with open(os.path.join(build, "_READY"), "w") as f:
             f.write("ok")
-        os.replace(tmp, marker)
+        try:
+            os.rename(build, xml_dir)
+        except OSError:
+            if not os.path.exists(marker):
+                raise
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     n = (
         spark.read.format("xml")
         .option("rowTag", "nation")
@@ -1954,17 +1969,38 @@ def orc_source_roundtrip(spark, sf_dir):
     orc_dir = os.path.join("/tmp/spark_graft_orc", fp.hexdigest()[:16])
     marker = os.path.join(orc_dir, "_READY")
     if not os.path.exists(marker):
+        # Build-aside + atomic publish (ADVICE r11): writing orc_dir in
+        # place let two concurrent sessions with the same fingerprint
+        # interleave (one overwriting the directory the other was
+        # reading, marker landing only afterwards). Each builder now
+        # writes a private staging dir and renames it into the slot; the
+        # rename either claims the slot (then the marker is written
+        # inside it) or loses to a finished peer (staging discarded).
+        # A slot with _READY present is treated as immutable.
+        import shutil
+        import tempfile
+
+        os.makedirs(os.path.dirname(orc_dir), exist_ok=True)
+        staging = tempfile.mkdtemp(
+            prefix=".build_", dir=os.path.dirname(orc_dir)
+        )
+        build = os.path.join(staging, "data")
         (
             t(spark, sf_dir, "supplier")
             .repartition(1)
             .write.format("orc")
             .mode("overwrite")
-            .save(orc_dir)
+            .save(build)
         )
-        tmp = marker + f".tmp{os.getpid()}"
-        with open(tmp, "w") as f:
+        with open(os.path.join(build, "_READY"), "w") as f:
             f.write("ok")
-        os.replace(tmp, marker)
+        try:
+            os.rename(build, orc_dir)  # atomic claim; fails if slot taken
+        except OSError:
+            if not os.path.exists(marker):
+                raise  # slot exists but unpublished: surface, don't read junk
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     s = spark.read.format("orc").load(orc_dir)
     return (
         s.groupBy("s_nationkey")

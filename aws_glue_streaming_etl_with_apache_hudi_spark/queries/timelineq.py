@@ -1003,7 +1003,7 @@ def rollup_mv_retraction_e2e(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                    OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
                   THEN 1 ELSE 0 END AS is_start
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1034,6 +1034,14 @@ def session_window_builtin(spark, sf_dir):
     relies on. (Session identity keys on session_start — the stable,
     engine-independent label; the built-in's window struct also carries
     an end = last_event + gap, which the ANSI replay has no twin for.)
+
+    Boundary semantics (ADVICE r11): Spark session windows are
+    HALF-OPEN [ts, ts+gap) — an event at exactly last_ts + 12h touches
+    but does not overlap the previous window and starts a NEW session.
+    The oracle therefore flags session starts with ``gap >= 12h``, not
+    ``>``; with ``>`` the two formulations diverge on exact-gap ties
+    (latent on this microsecond-resolution fixture, real on
+    second-resolution production data).
 
     Scale: session_window groupBy is one shuffle on (user, session) —
     the same exchange shape as the manual window form, minus the

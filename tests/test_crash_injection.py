@@ -154,13 +154,44 @@ def mor_bootstrap_before_meta(spark, path):
 
 
 def mor_upsert_before_meta(spark, path):
+    """r12 contract change (single-writer upsert claims and publishes
+    through the NBCC marker path): the COMPLETED marker, not the meta
+    save, is the commit point. A crash between publish and the meta
+    merge leaves the commit durable and VISIBLE — exactly an NBCC
+    publish crash — and the streaming replay of the same batch lands
+    in a fresh slot whose rows precombine away."""
     t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
                          partition_by=["p"], policy=_never())
     t.upsert(_df(spark, B1))
     with mock.patch.object(MergeOnReadTable, "_save_meta", side_effect=InjectedCrash):
         with pytest.raises(InjectedCrash):
             t.upsert(_df(spark, B2))
-    assert _snap(t) == sorted(B1)  # unreferenced delta invisible
+    assert _snap(t) == AFTER_B2  # published => durable at the marker
+    rep = t.fsck()  # nothing to sweep: the commit is live
+    assert not any("commit=2" in d for d in rep["dirs"])
+    assert _snap(t) == AFTER_B2
+    t.upsert(_df(spark, B2))  # checkpoint replay: converges, no dupes
+    assert _snap(t) == AFTER_B2
+
+
+def mor_upsert_before_publish(spark, path):
+    """Crash BEFORE the completed marker (claim + delta dir on disk,
+    unpublished): invisible to readers, swept by fsck, retry lands it."""
+    t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
+                         partition_by=["p"], policy=_never())
+    t.upsert(_df(spark, B1))
+    real_replace = os.replace
+
+    def crash_on_done(src, dst):
+        if dst.endswith(".completed"):
+            raise InjectedCrash()
+        return real_replace(src, dst)
+
+    with mock.patch("aws_glue_streaming_etl_with_apache_hudi_spark.operators.mor.os.replace",
+                    side_effect=crash_on_done):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    assert _snap(t) == sorted(B1)  # unpublished claim invisible
     rep = t.fsck()
     assert any("commit=2" in d for d in rep["dirs"])
     t.upsert(_df(spark, B2))
@@ -540,6 +571,85 @@ def mor_stream_replay_converges(spark, path):
     assert _snap(t) == AFTER_B2  # the redundant delta folds away
 
 
+def _nbcc_tbl(spark, path):
+    t = MergeOnReadTable(spark, path, keys=["k"], precombine="ver",
+                         partition_by=["p"], policy=_never())
+    t.nbcc_upsert(_df(spark, B1), writer="seed")
+    return t
+
+
+def nbcc_crash_after_claim(spark, path):
+    """Two concurrent NBCC writers, A dies right after claiming its
+    slot (inflight marker only, no data). B — overlapping keys — must
+    commit with ZERO aborts; fsck frees A's slot; A's re-delivered
+    batch lands; no key lost or duplicated."""
+    t = _nbcc_tbl(spark, path)
+    dead = t._nbcc_claim("A")              # A crashes here
+    t.nbcc_upsert(_df(spark, B2), writer="B")  # B sails past: no abort
+    assert _snap(t) == AFTER_B2            # A's claim invisible
+    t.fsck()
+    assert not t._has_inflight(dead)
+    t.nbcc_upsert(_df(spark, [(4, "b", 1, 40.0)]), writer="A")  # replay
+    assert _snap(t) == AFTER_B2 + [(4, "b", 1, 40.0)]
+
+
+def nbcc_crash_after_write_before_publish(spark, path):
+    """A dies after appending its delta but before the completed
+    marker: data on disk, invisible. B commits meanwhile (zero aborts);
+    fsck rolls A's partial commit back; replay converges — the
+    re-delivered rows appear exactly once."""
+    t = _nbcc_tbl(spark, path)
+    a_batch = _df(spark, [(3, "a", 2, 31.0), (4, "b", 1, 40.0)])
+    seq = t.nbcc_begin(writer="A")
+    t._nbcc_write(seq, a_batch)            # A crashes here (no publish)
+    t.nbcc_upsert(_df(spark, B2), writer="B")
+    assert _snap(t) == AFTER_B2            # A's unpublished rows unseen
+    rep = t.fsck()
+    assert any(f"commit={seq}" in d for d in rep["dirs"])
+    t.nbcc_upsert(a_batch, writer="A")     # checkpoint re-delivery
+    assert _snap(t) == sorted(
+        [(1, "a", 1, 10.0), (2, "b", 2, 21.0), (3, "a", 2, 31.0),
+         (4, "b", 1, 40.0)]
+    )
+
+
+def nbcc_crash_after_publish_before_meta(spark, path):
+    """A dies between its completed marker and the metadata merge: the
+    commit is ALREADY durable (completion marker is the commit point).
+    B's publish must neither abort nor clobber A's commit; fsck keeps
+    the published slot; A's replay (new slot, same rows) precombines
+    away — zero duplicates."""
+    t = _nbcc_tbl(spark, path)
+    a_batch = _df(spark, [(3, "a", 2, 31.0)])
+    with mock.patch.object(MergeOnReadTable, "_save_meta", side_effect=InjectedCrash):
+        with pytest.raises(InjectedCrash):
+            t.nbcc_upsert(a_batch, writer="A")
+    t.nbcc_upsert(_df(spark, B2), writer="B")  # no abort, meta heals
+    want = sorted([(1, "a", 1, 10.0), (2, "b", 2, 21.0), (3, "a", 2, 31.0)])
+    assert _snap(t) == want                # A's commit visible
+    rep = t.fsck()
+    assert not rep["dirs"]                 # nothing to sweep: all live
+    t.nbcc_upsert(a_batch, writer="A")     # replay: folds away
+    assert _snap(t) == want
+
+
+def nbcc_interleaved_publish_with_crashed_claim_between(spark, path):
+    """Ordering stress: A claims s1, B claims s2 and PUBLISHES first,
+    A crashes unpublished. next_seq must never advance past A's dead
+    claim (exposing it); B's higher commit stays visible through its
+    marker; fsck + replay finish the story."""
+    t = _nbcc_tbl(spark, path)
+    s1 = t.nbcc_begin(writer="A")
+    s2 = t.nbcc_begin(writer="B")
+    assert s2 == s1 + 1
+    t.nbcc_publish(s2, _df(spark, B2), writer="B")
+    assert t._meta()["next_seq"] <= s1     # dead claim caps the prefix
+    assert _snap(t) == AFTER_B2            # B visible via marker anyway
+    t.fsck()
+    t.nbcc_upsert(_df(spark, [(5, "a", 1, 50.0)]), writer="A")
+    assert _snap(t) == AFTER_B2 + [(5, "a", 1, 50.0)]
+
+
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
@@ -548,7 +658,12 @@ FAULT_POINTS = [
     tl_clean_after_horizon_before_deletes,
     mor_bootstrap_before_meta,
     mor_upsert_before_meta,
+    mor_upsert_before_publish,
     mor_compact_before_meta,
+    nbcc_crash_after_claim,
+    nbcc_crash_after_write_before_publish,
+    nbcc_crash_after_publish_before_meta,
+    nbcc_interleaved_publish_with_crashed_claim_between,
     mor_restore_before_aside_rename,
     mor_restore_mid_swap,
     mor_restore_swapped_before_meta,

@@ -167,7 +167,13 @@ def test_plain_upsert_interops_after_nbcc(spark, tmp_path):
     slots, and REFUSES an unpublished claim (it cannot distinguish a
     live writer from a crashed one — silently reusing the slot would
     let the two overwrite each other). fsck rolls the crashed claim
-    back, after which the plain writer proceeds."""
+    back, after which the plain writer proceeds — and (r12) acquires
+    the freed slot through the same O_EXCL inflight-marker claim as an
+    NBCC writer, so its commit leaves the published marker pair
+    (inflight + completed) rather than a marker-free directory. That
+    claim-then-write order is what closes the old TOCTOU where a
+    concurrent nbcc_claim could win the slot between upsert's
+    _has_inflight probe and its parquet write."""
     import pytest
 
     t = _tbl(spark, tmp_path / "t")
@@ -181,7 +187,10 @@ def test_plain_upsert_interops_after_nbcc(spark, tmp_path):
     t.upsert(_df(spark, [(3, 10, "c")]))  # now reuses the freed slot
     assert _state(t) == [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")]
     assert t._meta()["next_seq"] == dead + 1
-    assert not t._has_inflight(dead)
+    # the reused slot is PUBLISHED: claim marker + completed marker
+    # (an inflight-only slot would read as a live/crashed claim)
+    assert t._has_inflight(dead) and t._has_done(dead)
+    assert dead not in t._inflight_claims()
     assert t.latest_commit() == s
 
 

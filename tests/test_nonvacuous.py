@@ -18,6 +18,9 @@ from __future__ import annotations
 
 import pytest
 
+# part of the pre-commit registry gate: pytest -m registry_gate
+pytestmark = pytest.mark.registry_gate
+
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
 from tests.conftest import SF_ORACLE
 from tests.oracle_utils import duckdb_connection

@@ -31,6 +31,9 @@ import gc
 
 import pytest
 
+# part of the pre-commit registry gate: pytest -m registry_gate
+pytestmark = pytest.mark.registry_gate
+
 from aws_glue_streaming_etl_with_apache_hudi_spark.plans import (
     bounded_partition_windows,
     global_window_nodes,

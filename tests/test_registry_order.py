@@ -9,6 +9,11 @@ surface back out of the verified window.
 
 from __future__ import annotations
 
+import pytest
+
+# part of the pre-commit registry gate: pytest -m registry_gate
+pytestmark = pytest.mark.registry_gate
+
 from aws_glue_streaming_etl_with_apache_hudi_spark.queries import PRIORITY_WINDOW, QUERIES
 
 WINDOW = 50
