@@ -45,6 +45,12 @@ def q1_pricing_summary(spark, sf_dir):
     exact decimals (base.dsum) so results are order-independent."""
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # avg_qty/avg_price are DERIVED post-agg from the exact decimal sums
+    # already computed (davg(col, 2) ≡ round(dsum(col, 2)/count, 6) on
+    # the same doubles — pure algebra, value-identical), so the one-task
+    # scan stage evaluates 5 decimal aggregates instead of 7. On the
+    # single-row-group sf0.1 fixture this stage is one core; every agg
+    # column removed is wall time (r12 isolated: 0.47 -> ~0.38 s).
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -53,10 +59,22 @@ def q1_pricing_summary(spark, sf_dir):
             dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
             dsum(disc_price, 4).alias("sum_disc_price"),
             dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
-            davg(F.col("l_quantity"), 2).alias("avg_qty"),
-            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
             davg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
+                "avg_price"
+            ),
+            "avg_disc",
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

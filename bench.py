@@ -350,6 +350,43 @@ def _ss_global_table(spark, P: int):
     return tbl, base
 
 
+def _ss_fidx_table(spark, P: int):
+    """P-partition table with a FUNCTIONAL INDEX on an expression of the
+    partition name (``CAST(substring(pk, 5) AS INT)`` — the partition's
+    numeric suffix, width-independent), so an equality probe resolves to
+    a CONSTANT number of candidate partitions at every P. The timed rows
+    then isolate the index contract (VERDICT r11 task 3): commit-time
+    maintenance is O(touched partitions), and the declarative
+    ``read(where=...)`` probe costs O(sidecar metadata + candidates),
+    never O(table data)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import UpsertTable
+
+    base = os.path.join(STORAGE_SCALE_DIR, f"fidx{P}")
+    tbl = UpsertTable(
+        spark, os.path.join(base, "tbl"), keys=["k"], precombine="ver",
+        partition_by=["pk"],
+        functional_indexes={"pknum": "CAST(substring(pk, 5) AS INT)"},
+    )
+    marker = os.path.join(base, "_READY")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        df = spark.range(P * _SS_ROWS_PER_PART).select(
+            F.format_string(f"part%0{len(str(P))}d", F.col("id") % P).alias("pk"),
+            F.col("id").alias("k"),
+            F.lit(1).cast("long").alias("ver"),
+            F.lit("x").alias("v"),
+        )
+        tbl.upsert(df.repartition(32, "pk"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tbl, base
+
+
 def _ss_mor_table(spark, P: int):
     from pyspark.sql import functions as F
 
@@ -531,6 +568,28 @@ def _storage_scaling_cell(spark, P: int) -> dict:
     t0 = time.perf_counter()
     mtbl.compact()
     res["mor_compact_sec"] = round(time.perf_counter() - t0, 3)
+
+    # functional index (VERDICT r11 task 3): commit-time sidecar
+    # maintenance must be O(touched), and the DECLARATIVE probe —
+    # read(where=<plain predicate on the indexed expression>) — must
+    # cost O(sidecar metadata + constant candidates), flat in table
+    # DATA size 40 -> 4000
+    ftbl, fbase = _ss_fidx_table(spark, P)
+    frun = _ss_counter(fbase)
+    foff = P * _SS_ROWS_PER_PART * (frun + 1)
+    fb = spark.createDataFrame(
+        [
+            Row(pk=pks[j % _SS_TOUCH], k=foff + j, ver=1, v=f"fx{frun}")
+            for j in range(_SS_TOUCH * 4)
+        ]
+    )
+    t0 = time.perf_counter()
+    ftbl.upsert(fb)
+    res["fidx_commit_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n = ftbl.read(where="CAST(substring(pk, 5) AS INT) = 3").count()
+    res["fidx_read_expr_sec"] = round(time.perf_counter() - t0, 3)
+    assert n >= _SS_ROWS_PER_PART  # partition part…3's resident rows
 
     # MOR read amplification (VERDICT r9 task 4): the read-side
     # merge (base ∪ N deltas -> max_by) is bounded by the pending
