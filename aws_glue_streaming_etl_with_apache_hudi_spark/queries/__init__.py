@@ -210,6 +210,8 @@ PRIORITY_WINDOW: list[str] = [
     # backlog, and backlogs stop here per VERDICT r11 task 1) ---
     "rollup_mv_retraction_e2e",    # task 6: delete-aware IVM e2e
     "functional_index_autoprune",  # task 3: plain-filter index pruning
+    "importance_reweight_ess",     # temperature-target weights + Kish ESS
+    "mutual_information_features", # exact MI / per-cell PMI audit
     # --- category-sentinel fillers (families the backlog doesn't
     # cover; all r11-green, so each doubles as a re-check) ---
     "schema_evolution_union",      # schema evolution (r11)
@@ -225,8 +227,6 @@ PRIORITY_WINDOW: list[str] = [
     "knn_ivf_pq",                  # also the similarity sentinel (r5)
     "window_lag_lead",             # also the relational-window sentinel (r5)
     "dedup_incremental_index",     # (r5)
-    "mor_merge_chain",             # (r5)
-    "upsert_partitioned_state",    # (r5)
     "funnel_conversion",           # (r5; +28% raw r11 drift — re-check)
 ]
 

@@ -1860,3 +1860,86 @@ def graph_label_propagation(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.desc("size"), "community")
     )
+
+
+@register(
+    "mutual_information_features",
+    sql="""
+    WITH e AS (
+      SELECT event_type AS x,
+             CAST(floor(extract(hour FROM ts) / 6) AS BIGINT) AS hb
+      FROM events
+    ),
+    j AS (SELECT x, hb, CAST(count(*) AS BIGINT) AS nxy FROM e GROUP BY x, hb),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+    my AS (SELECT hb, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY hb),
+    tt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
+    cells AS (
+      SELECT j.x, j.hb, j.nxy,
+             round(log2((CAST(j.nxy AS DOUBLE) * n) /
+                        (CAST(nx AS DOUBLE) * ny)), 6) AS pmi,
+             CAST(round((CAST(j.nxy AS DOUBLE) / n) *
+                        log2((CAST(j.nxy AS DOUBLE) * n) /
+                             (CAST(nx AS DOUBLE) * ny)), 9)
+                  AS DECIMAL(12,9)) AS term
+      FROM j JOIN mx USING (x) JOIN my USING (hb) CROSS JOIN tt
+    ),
+    mi AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS mi_bits FROM cells)
+    SELECT x AS event_type, hb AS hour_band, nxy AS n_events, pmi, mi_bits
+    FROM cells, mi
+    ORDER BY event_type, hour_band
+    """,
+)
+def mutual_information_features(spark, sf_dir):
+    """Exact mutual information (bits) between two categorical features
+    — event type x hour-of-day band — with the per-cell pointwise MI:
+    the feature-selection / leakage-audit primitive (an MI near zero
+    says the feature is uninformative; a spuriously HIGH MI against a
+    label is the classic leakage smell a training pipeline screens
+    for). Counts are exact longs; every log2 argument is a ratio of
+    exact integer products evaluated in double (bit-identical both
+    engines, products <= 1e10 are exactly representable); the only libm
+    variance is log2 itself, so the per-cell MI term is quantized at
+    9 dp into DECIMAL before the order-free exact sum (the
+    decayed_popularity discipline) and PMI is reported at 6 dp.
+
+    Scale: ONE shuffle — the (x, y) cell count with map-side partial
+    aggregation; marginals are re-aggregations of the tiny cell frame
+    (|X|x|Y| rows, here 5x4) joined back broadcast; nothing about the
+    event stream is shuffled twice. At 100 TB the cell frame is still
+    |X|x|Y| rows."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("hb"),
+    )
+    j = e.groupBy("x", "hb").agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    mx = j.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = j.groupBy("hb").agg(F.sum("nxy").cast("long").alias("ny"))
+    tt = j.agg(F.sum("nxy").cast("long").alias("n"))
+    ratio = (F.col("nxy").cast("double") * F.col("n")) / (
+        F.col("nx").cast("double") * F.col("ny")
+    )
+    cells = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "hb")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "x", "hb", "nxy",
+            F.round(F.log2(ratio), 6).alias("pmi"),
+            F.round((F.col("nxy").cast("double") / F.col("n")) * F.log2(ratio), 9)
+            .cast("decimal(12,9)")
+            .alias("term"),
+        )
+    )
+    mi = cells.agg(F.round(F.sum("term").cast("double"), 6).alias("mi_bits"))
+    return (
+        cells.crossJoin(F.broadcast(mi))
+        .select(
+            F.col("x").alias("event_type"),
+            F.col("hb").alias("hour_band"),
+            F.col("nxy").alias("n_events"),
+            "pmi",
+            "mi_bits",
+        )
+        .orderBy("event_type", "hour_band")
+    )

@@ -355,6 +355,95 @@ def temperature_sample_langs(spark, sf_dir):
 
 
 @register(
+    "importance_reweight_ess",
+    sql="""
+    WITH agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM agg),
+    sh AS (SELECT lang, n, n / nn AS s FROM agg, tot),
+    pq AS (
+      SELECT lang, n, s,
+             CAST(round(pow(s, 0.7), 9) AS DECIMAL(12,9)) AS p
+      FROM sh
+    ),
+    z AS (SELECT sum(p) AS zz FROM pq),
+    w AS (
+      SELECT lang, n,
+             CAST(round(CAST(p AS DOUBLE) / CAST(zz AS DOUBLE) / s, 6)
+                  AS DECIMAL(14,6)) AS wq
+      FROM pq, z
+    ),
+    ess AS (
+      SELECT round(CAST(sum(n * wq) AS DOUBLE) * CAST(sum(n * wq) AS DOUBLE)
+                   / CAST(sum(n * wq * wq) AS DOUBLE), 4) AS ess_docs
+      FROM w
+    )
+    SELECT lang, n AS n_docs, CAST(wq AS DOUBLE) AS weight, ess_docs AS ess
+    FROM w, ess ORDER BY lang
+    """,
+)
+def importance_reweight_ess(spark, sf_dir):
+    """Importance weights for a temperature-adjusted target mixture plus
+    the EFFECTIVE SAMPLE SIZE diagnostic — the data-mixing companion to
+    temperature_sample_langs: instead of DROPPING documents to flatten
+    the language mix, every document gets weight w_l = t_l / s_l where
+    the target shares t_l ∝ s_l^0.7 (the multilingual sampling rule) and
+    s_l are the observed shares; ESS = (Σw)²/Σw² (Kish) says how many
+    effective documents the reweighted corpus is worth — the number a
+    pipeline checks before deciding reweighting is too degenerate and it
+    should resample instead.
+
+    Determinism discipline (the decayed_popularity pattern): the only
+    libm call, pow(s, 0.7), is quantized to 9 dp and cast to DECIMAL
+    BEFORE the normalizer sum, so Σ s^0.7 is an exact decimal (a raw
+    double sum would be order-dependent); the weight double-chain
+    p/z/s divides bit-identical doubles left-to-right in both engines
+    and is itself quantized at 6 dp, so ESS's Σn·w and Σn·w² are exact
+    integer×decimal sums.
+
+    Scale: one map-side-combined count per language (5 rows), every
+    later step is arithmetic on that 5-row frame with broadcast totals
+    — nothing about the corpus is shuffled; the weights broadcast back
+    to the loader at training time."""
+    d = t(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = agg.agg(F.sum("n").cast("double").alias("nn"))
+    sh = agg.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", (F.col("n") / F.col("nn")).alias("s")
+    )
+    pq = sh.select(
+        "lang", "n", "s",
+        F.round(F.pow("s", F.lit(0.7)), 9).cast("decimal(12,9)").alias("p"),
+    )
+    z = pq.agg(F.sum("p").alias("zz"))
+    w = pq.crossJoin(F.broadcast(z)).select(
+        "lang", "n",
+        F.round(
+            F.col("p").cast("double") / F.col("zz").cast("double") / F.col("s"), 6
+        ).cast("decimal(14,6)").alias("wq"),
+    )
+    ess = w.agg(
+        F.round(
+            F.sum(F.col("n") * F.col("wq")).cast("double")
+            * F.sum(F.col("n") * F.col("wq")).cast("double")
+            / F.sum(F.col("n") * F.col("wq") * F.col("wq")).cast("double"),
+            4,
+        ).alias("ess_docs")
+    )
+    return (
+        w.crossJoin(F.broadcast(ess))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.col("wq").cast("double").alias("weight"),
+            F.col("ess_docs").alias("ess"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "curriculum_phases",
     sql=r"""
     WITH s AS (
