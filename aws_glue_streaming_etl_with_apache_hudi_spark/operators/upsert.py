@@ -1543,6 +1543,46 @@ class UpsertTable:
         self.functional_indexes[name] = expr
         self._fidx_update(only=name)
 
+    def _fidx_index_frame(self, root: str) -> DataFrame:
+        """Load the sidecar's entries as a (small) DataFrame.
+
+        Fast path (r12): DRIVER-SIDE pyarrow read — the sidecar is
+        metadata, O(partitions x cap) tiny rows spread over one file per
+        partition directory, and Spark's file source pays listing +
+        per-file task overhead that DOMINATED probe cost as partitions
+        grew (measured 9.0 s Spark vs 0.8 s pyarrow at 4000 partitions;
+        the storage_scaling `fidx_read_expr_sec` row pins this flat now).
+        This is Hudi's own architecture: the metadata table is read by
+        the timeline server driver-side, not as a distributed scan.
+        Partition tokens are read as RAW STRINGS (explicit pyarrow
+        partition schema) and typed by the caller exactly like the Spark
+        path did; tokens with Hive escapes or the null sentinel fall
+        back to the Spark reader, whose unescape semantics are already
+        pinned by tests."""
+        pb = self.partition_by
+        try:
+            import pyarrow as pa
+            import pyarrow.dataset as ds
+
+            for dirpath, dirnames, _files in os.walk(root):
+                for d in dirnames:
+                    if "=" in d:
+                        tok = d.split("=", 1)[1]
+                        if "%" in tok or tok == "__HIVE_DEFAULT_PARTITION__":
+                            raise ValueError("escaped/null partition token")
+            part_schema = pa.schema([(p, pa.string()) for p in pb])
+            tbl = ds.dataset(
+                root,
+                format="parquet",
+                partitioning=ds.partitioning(part_schema, flavor="hive"),
+            ).to_table()
+            pdf = tbl.to_pandas()
+            if len(pdf) == 0:
+                raise ValueError("empty sidecar read")
+            return self.spark.createDataFrame(pdf)
+        except Exception:
+            return self.spark.read.parquet(root)
+
     def _fidx_candidates(self, name: str, lo, hi) -> list[tuple] | None:
         """Partitions whose indexed expression can take a value in
         [lo, hi] (either bound None = unbounded); None when the index
@@ -1554,7 +1594,7 @@ class UpsertTable:
             return None
         pb = self.partition_by
         schema = {f.name: f.dataType for f in self._load_schema().fields}
-        idx = self.spark.read.parquet(root)
+        idx = self._fidx_index_frame(root)
         for p in pb:
             if p in schema:
                 idx = idx.withColumn(p, F.col(p).cast(schema[p]))
