@@ -386,7 +386,41 @@ class UpsertTable:
         """Merge one batch into the table (A8/A9: key + precombine merge).
 
         Idempotent: re-applying the same batch leaves the table unchanged.
-        """
+
+        Batches may carry Hudi's public soft-delete field
+        ``_hoodie_is_deleted`` (the payload contract of the reference's
+        own COW upsert path, glue_job_script.py:50-62): the batch
+        precombines FIRST — so a stale tombstone loses to a newer update
+        of the same key within the batch — then marker-true winners
+        route through ``delete()`` and the rest merge normally. Against
+        STORED state the tombstone applies unconditionally (the
+        ``delete()`` contract; Hudi's default OverwriteWithLatest
+        payload behaves the same) — the commit-ordered tombstone lives
+        on ``TimelineTable``, whose deltas keep delete history.
+        Unsupported with ``merge_mode="partial"`` (a partial patch that
+        is also a delete is ambiguous)."""
+        from aws_glue_streaming_etl_with_apache_hudi_spark.operators.timeline import HOODIE_DELETE_MARKER
+
+        if HOODIE_DELETE_MARKER in batch.columns:
+            if self.merge_mode == "partial":
+                raise ValueError(
+                    f"{HOODIE_DELETE_MARKER} is not supported with "
+                    "merge_mode='partial': a patch row cannot also be a "
+                    "tombstone — send deletes through delete()"
+                )
+            tagged = batch.withColumn(
+                HOODIE_DELETE_MARKER,
+                F.coalesce(F.col(HOODIE_DELETE_MARKER), F.lit(False)),
+            )
+            pre = precombine_latest(tagged, self._identity, self.precombine)
+            dels = pre.filter(F.col(HOODIE_DELETE_MARKER)).drop(HOODIE_DELETE_MARKER)
+            ups = pre.filter(~F.col(HOODIE_DELETE_MARKER)).drop(HOODIE_DELETE_MARKER)
+            if not ups.isEmpty():
+                self.upsert(ups)
+            if not dels.isEmpty():
+                self.delete(dels)
+            return
+
         if self.merge_mode == "partial":
             # within-batch combine under the same column-wise semantics
             batch = partial_merge(None, batch, self._identity, self.precombine)

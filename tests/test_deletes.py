@@ -203,3 +203,57 @@ def test_fsck_sweeps_crashed_write_scratch(spark, tmp_path):
     assert any(".spark-staging" in p for p in rep["removed"])
     assert not os.path.exists(os.path.join(t.path, "_temporary"))
     assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, "x")]
+
+
+# ------------------------------------------- _hoodie_is_deleted on UpsertTable
+
+
+def _marked(spark, data):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [Row(k=k, part=p, v=v, ver=ver, _hoodie_is_deleted=d)
+         for (k, p, v, ver, d) in data]
+    ).withColumn("_hoodie_is_deleted", F.col("_hoodie_is_deleted").cast("boolean"))
+
+
+def test_cow_soft_delete_marker_mixed_batch(spark, cow):
+    """Hudi's `_hoodie_is_deleted` payload field on the COW upsert path
+    (the reference's own write, glue_job_script.py:50-62): marker-true
+    rows delete, the rest merge, one call."""
+    cow.upsert(_rows(spark, [(1, "a", "x", 1), (2, "a", "y", 1), (3, "b", "z", 1)]))
+    cow.upsert(_marked(spark, [
+        (1, "a", "x2", 2, False),   # update
+        (2, "a", None, 2, True),    # delete
+        (4, "b", "w", 1, False),    # insert
+    ]))
+    live = {r.k: (r.part, r.v) for r in cow.read().collect()}
+    assert live == {1: ("a", "x2"), 3: ("b", "z"), 4: ("b", "w")}
+
+
+def test_cow_marker_within_batch_precombine(spark, cow):
+    """A stale tombstone in the SAME batch loses to a newer update of
+    the key (precombine runs before verb routing), and a newer
+    tombstone beats an older update."""
+    cow.upsert(_rows(spark, [(1, "a", "x", 1), (2, "a", "y", 1)]))
+    cow.upsert(_marked(spark, [
+        (1, "a", None, 2, True), (1, "a", "new", 3, False),   # update wins
+        (2, "a", "old", 2, False), (2, "a", None, 3, True),   # delete wins
+    ]))
+    live = {r.k: r.v for r in cow.read().collect()}
+    assert live == {1: "new"}
+
+
+def test_cow_marker_all_false_is_plain_upsert(spark, cow):
+    cow.upsert(_marked(spark, [(1, "a", "x", 1, False), (2, "b", "y", 1, False)]))
+    assert sorted(r.k for r in cow.read().collect()) == [1, 2]
+    assert "_hoodie_is_deleted" not in cow.read().columns
+
+
+def test_cow_marker_rejected_with_partial_merge(spark, tmp_path):
+    t = UpsertTable(
+        spark=spark, path=str(tmp_path / "pp"), keys=["k"], precombine="ver",
+        merge_mode="partial",
+    )
+    with pytest.raises(ValueError, match="_hoodie_is_deleted"):
+        t.upsert(_marked(spark, [(1, "a", "x", 1, True)]))
