@@ -44,6 +44,37 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.operators.schema_evolution im
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import partial_combine, partial_merge, precombine_latest
 
 _SEQ = "_commit_seq"
+# Hudi's public per-record soft-delete field (shared contract with
+# TimelineTable / UpsertTable): marker-true rows become tombstone DELTA
+# ROWS (`_deleted`) — MOR's analogue of Hudi's delete log blocks. The
+# read-side merge resolves them by precombine order (a stale tombstone
+# loses max_by and deletes nothing) and drops tombstone winners from
+# every merged view; compaction folds them into the base for free.
+_DELETE_MARKER = "_hoodie_is_deleted"
+_DELETED = "_deleted"
+
+
+def _route_delete_marker(batch: DataFrame, merge_mode: str) -> DataFrame:
+    """Normalize an incoming batch's `_hoodie_is_deleted` into the
+    internal tombstone column (no-op when absent)."""
+    if _DELETE_MARKER not in batch.columns:
+        return batch
+    if merge_mode == "partial":
+        raise ValueError(
+            f"{_DELETE_MARKER} is not supported with merge_mode='partial': "
+            "a patch row cannot also be a tombstone"
+        )
+    return batch.withColumn(
+        _DELETED, F.coalesce(F.col(_DELETE_MARKER), F.lit(False))
+    ).drop(_DELETE_MARKER)
+
+
+def _drop_tombstone_winners(df: DataFrame) -> DataFrame:
+    """Merged-view postlude: tombstone winners vanish; stale tombstones
+    already lost the max_by and are gone."""
+    if _DELETED not in df.columns:
+        return df
+    return df.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_DELETED)
 
 
 @dataclass
@@ -277,7 +308,13 @@ class MergeOnReadTable:
 
         O(batch) IO: within-batch precombine, then a single Parquet append.
         Stored data is neither read nor rewritten here.
+
+        Batches may carry ``_hoodie_is_deleted``: marker-true rows land
+        as tombstone delta rows (Hudi's MOR delete log blocks) — O(batch)
+        like any append; the read-side merge resolves them by precombine
+        order and compaction folds them into the base.
         """
+        batch = _route_delete_marker(batch, self.merge_mode)
         if self.merge_mode == "partial":
             batch = partial_merge(None, batch, self._identity, self.precombine)
         else:
@@ -286,10 +323,11 @@ class MergeOnReadTable:
         if not self.exists():
             # Bootstrap = delta commit 1 + an immediate compaction of it:
             # the batch lands BOTH in the base (read-optimized view works
-            # from commit one) and in the retained log (the commit log is
-            # the table's full history — time travel and incremental
-            # pulls replay it uniformly from seq 1).
-            writer = batch.write.mode("overwrite")
+            # from commit one, tombstone winners excluded) and in the
+            # retained log (the commit log is the table's full history —
+            # time travel and incremental pulls replay it uniformly from
+            # seq 1, tombstones included).
+            writer = _drop_tombstone_winners(batch).write.mode("overwrite")
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(self._base)
@@ -475,6 +513,7 @@ class MergeOnReadTable:
                         json.dump({"writer": writer}, f)
                     os.replace(self._done_path(1) + ".tmp", self._done_path(1))
                     return 1
+        batch = _route_delete_marker(batch, self.merge_mode)
         if self.merge_mode == "partial":
             batch = partial_merge(None, batch, self._identity, self.precombine)
         else:
@@ -497,6 +536,7 @@ class MergeOnReadTable:
         """Two-phase surface, publish half: write the claimed slot's
         delta and flip it visible. Order relative to OTHER slots'
         publishes is free — that is the point of NBCC."""
+        batch = _route_delete_marker(batch, self.merge_mode)
         if self.merge_mode == "partial":
             batch = partial_merge(None, batch, self._identity, self.precombine)
         else:
@@ -758,9 +798,11 @@ class MergeOnReadTable:
             return partial_combine(
                 merged, self._identity, self.precombine, tie_breakers=[_SEQ]
             )
-        return precombine_latest(
-            merged, self._identity, self.precombine, tie_breakers=[_SEQ]
-        ).drop(_SEQ)
+        return _drop_tombstone_winners(
+            precombine_latest(
+                merged, self._identity, self.precombine, tie_breakers=[_SEQ]
+            ).drop(_SEQ)
+        )
 
     def read(self, as_of: int | None = None) -> DataFrame:
         """Table state — current, or time-traveled to instant ``as_of``.
