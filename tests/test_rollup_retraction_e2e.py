@@ -189,3 +189,25 @@ def test_streamed_pipeline_mixed_batches_e2e(spark, tmp_path):
     pipe2.run_available()
     assert tbl.last_commit() == 3
     assert _state(store) == _recompute(tbl)
+
+
+def test_soft_delete_marker_partitioned_table(spark, tmp_path):
+    """Partitioned TimelineTable: identity = partition path + key (Hudi
+    delete records carry their partition path), so a tombstone deletes
+    the row in ITS partition and leaves a same-key row in another
+    partition alone."""
+    tbl = TimelineTable(
+        spark, str(tmp_path / "t"), keys=["user_id"], precombine="ts",
+        partition_by=["grp"],
+    )
+    tbl.upsert(_batch(spark, [
+        (1, 10, "a", 1, 5.0, False),
+        (1, 11, "b", 1, 6.0, False),   # same key, different partition
+        (2, 12, "a", 1, 7.0, False),
+    ]))
+    tbl.upsert(_batch(spark, [
+        (1, 13, "a", 2, 0.0, True),    # delete key 1 in partition a ONLY
+        (2, 14, "a", 2, 7.5, False),
+    ]))
+    live = sorted((r.user_id, r.grp, r.value) for r in tbl.read().collect())
+    assert live == [(1, "b", 6.0), (2, "a", 7.5)]
