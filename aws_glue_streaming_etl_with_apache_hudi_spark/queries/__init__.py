@@ -212,6 +212,7 @@ PRIORITY_WINDOW: list[str] = [
     "functional_index_autoprune",  # task 3: plain-filter index pruning
     "importance_reweight_ess",     # temperature-target weights + Kish ESS
     "mutual_information_features", # exact MI / per-cell PMI audit
+    "correlation_matrix_onepass",  # k(k-1)/2 Pearson r in ONE scan
     # --- category-sentinel fillers (families the backlog doesn't
     # cover; all r11-green, so each doubles as a re-check) ---
     "schema_evolution_union",      # schema evolution (r11)
@@ -226,7 +227,6 @@ PRIORITY_WINDOW: list[str] = [
     "join_broadcast_dim",          # also the relational-join sentinel (r5)
     "knn_ivf_pq",                  # also the similarity sentinel (r5)
     "window_lag_lead",             # also the relational-window sentinel (r5)
-    "dedup_incremental_index",     # (r5)
     "funnel_conversion",           # (r5; +28% raw r11 drift — re-check)
 ]
 

@@ -1943,3 +1943,95 @@ def mutual_information_features(spark, sf_dir):
         )
         .orderBy("event_type", "hour_band")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sql() -> str:
+    """One aggregate row of exact-decimal moments, then the 6 unordered
+    pairs expanded by UNION ALL — mirrors the Spark side expression for
+    expression."""
+    sums = ", ".join(
+        f"sum(CAST({c} AS DECIMAL(18,2))) AS s_{c}" for c in _CORR_COLS
+    )
+    sqs = ", ".join(
+        f"sum(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) "
+        f"AS DECIMAL(38,4))) AS ss_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i:]
+    )
+    pair_rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            num = (
+                f"(CAST(n AS DOUBLE) * CAST(ss_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            )
+            va = (
+                f"(CAST(n AS DOUBLE) * CAST(ss_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            )
+            vb = (
+                f"(CAST(n AS DOUBLE) * CAST(ss_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            )
+            pair_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+                f" round({num} / sqrt({va} * {vb}), 6) AS corr FROM m"
+            )
+    return (
+        f"WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {sqs} "
+        "FROM lineitem)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+@register("correlation_matrix_onepass", sql=_corr_sql())
+def correlation_matrix_onepass(spark, sf_dir):
+    """Full Pearson correlation matrix over lineitem's four numeric
+    measures in ONE scan — the wide-feature profiling primitive (what a
+    feature-prep pipeline runs before dropping collinear columns): all
+    4 sums + 10 cross-moments accumulate in a single map-side-combined
+    aggregate (fixed-point 2 dp inputs -> 4 dp products, summed as
+    EXACT decimals, so every moment is bit-identical cross-engine);
+    each pairwise r then derives from the one moments row in closed
+    form, with only the final sqrt/divide in double and the result
+    rounded at 6 dp (1-ulp libm variance cannot flip it).
+
+    Scale: the 100 TB story is the POINT here — computing k(k-1)/2
+    correlations costs ONE pass and shuffles ONE row (15 decimal
+    cells), vs k(k-1)/2 separate corr() scans; adding a column costs
+    k+1 more cells, not another scan."""
+    li = t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(dec(c)).alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [
+        F.sum((dec(a) * dec(b)).cast("decimal(38,4)")).alias(f"ss_{a}_{b}")
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i:]
+    ]
+    m = li.agg(*aggs)
+    pairs = None
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            n = F.col("n").cast("double")
+            num = n * F.col(f"ss_{a}_{b}").cast("double") - F.col(
+                f"s_{a}"
+            ).cast("double") * F.col(f"s_{b}").cast("double")
+            va = n * F.col(f"ss_{a}_{a}").cast("double") - F.col(
+                f"s_{a}"
+            ).cast("double") * F.col(f"s_{a}").cast("double")
+            vb = n * F.col(f"ss_{b}_{b}").cast("double") - F.col(
+                f"s_{b}"
+            ).cast("double") * F.col(f"s_{b}").cast("double")
+            row = m.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n"),
+                F.round(num / F.sqrt(va * vb), 6).alias("corr"),
+            )
+            pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs.orderBy("col_x", "col_y")
