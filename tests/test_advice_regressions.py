@@ -1006,3 +1006,74 @@ def test_merge_into_global_index_migrates_instead_of_duplicating(spark, tmp_path
     assert res == {"updated": 0, "deleted": 1, "inserted": 0}
     assert t.read_key((2,)).collect() == []
     assert sorted((r.k,) for r in t.read().collect()) == [(1,)]
+
+
+# -- r12: format-cache build-aside publish (ADVICE r11) ----------------------
+#
+# The ORC/XML render caches under /tmp are keyed by content fingerprint
+# and shared across processes. The r11 defect: building IN the slot let
+# a second session overwrite the directory a first was reading. The fix
+# builds in a private staging dir and claims the slot by atomic rename;
+# a slot with _READY is immutable. These tests pin the claim protocol
+# by exercising the queries against pre-seeded slot states.
+
+
+def _orc_slot(sf_dir: str) -> str:
+    """Replicate orc_source_roundtrip's fingerprint -> slot path."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    fp = hashlib.md5(src.encode())
+    walk_src = src if os.path.isdir(src) else os.path.dirname(src)
+    for root, _dirs, files in sorted(os.walk(walk_src)):
+        for fn in sorted(files):
+            if not (fn.startswith("supplier") or "supplier" in root):
+                continue
+            st = os.stat(os.path.join(root, fn))
+            fp.update(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join("/tmp/spark_graft_orc", fp.hexdigest()[:16])
+
+
+def test_orc_cache_published_slot_is_immutable(spark):
+    """A slot carrying _READY is never rebuilt: the render inside it
+    must survive a second call byte-identically."""
+    import shutil
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    slot = _orc_slot(sf)
+    shutil.rmtree(slot, ignore_errors=True)
+    QUERIES["orc_source_roundtrip"].fn(spark, sf).collect()  # builds + claims
+    assert os.path.exists(os.path.join(slot, "_READY"))
+    before = {
+        f: os.path.getmtime(os.path.join(slot, f)) for f in os.listdir(slot)
+    }
+    QUERIES["orc_source_roundtrip"].fn(spark, sf).collect()  # must reuse
+    after = {
+        f: os.path.getmtime(os.path.join(slot, f)) for f in os.listdir(slot)
+    }
+    assert before == after  # nothing rewritten in a published slot
+
+
+def test_orc_cache_unpublished_slot_raises_not_junk(spark):
+    """A pre-existing slot WITHOUT _READY (a foreign/unfinished dir the
+    rename cannot claim) must surface an error — reading it could serve
+    a half-written render."""
+    import shutil
+
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    slot = _orc_slot(sf)
+    shutil.rmtree(slot, ignore_errors=True)
+    os.makedirs(slot)
+    # NON-empty junk: rename cannot claim it (an EMPTY existing slot is
+    # atomically replaced by rename — that claim succeeding is correct)
+    with open(os.path.join(slot, "halfwritten.orc"), "w") as f:
+        f.write("junk")
+    try:
+        with pytest.raises(OSError):
+            QUERIES["orc_source_roundtrip"].fn(spark, sf).collect()
+    finally:
+        shutil.rmtree(slot, ignore_errors=True)
