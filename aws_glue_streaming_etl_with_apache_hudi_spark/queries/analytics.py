@@ -544,7 +544,8 @@ def rfm_segmentation(spark, sf_dir):
       FROM grid GROUP BY event_type, bucket
     )
     SELECT event_type,
-           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 9)
+                      AS DECIMAL(12,9))) AS DOUBLE), 6) AS psi,
            CAST(count(*) AS BIGINT) AS n_buckets
     FROM shares GROUP BY event_type ORDER BY event_type
     """,
@@ -620,8 +621,18 @@ def dq_drift_psi(spark, sf_dir):
     return (
         shares.groupBy("event_type")
         .agg(
+            # term quantized to 9dp DECIMAL before the sum so the PSI is
+            # order-free (the decayed_popularity discipline): ln() is the
+            # only libm variance, and a raw double sum would depend on
+            # partial-aggregation order
             F.round(
-                F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+                F.sum(
+                    F.round(
+                        (F.col("pa") - F.col("pb"))
+                        * F.log(F.col("pa") / F.col("pb")),
+                        9,
+                    ).cast("decimal(12,9)")
+                ).cast("double"),
                 6,
             ).alias("psi"),
             F.count(F.lit(1)).cast("long").alias("n_buckets"),

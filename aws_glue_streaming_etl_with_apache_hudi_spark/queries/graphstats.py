@@ -268,8 +268,10 @@ def ab_test_welch(spark, sf_dir):
     tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
     rows_ AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
     cols_ AS (SELECT cohort, sum(o) AS c FROM obs GROUP BY 1)
-    SELECT round(sum(pow(o.o - (r.r * c.c / (SELECT n FROM tot)), 2)
-                     / (r.r * c.c / (SELECT n FROM tot))), 6) AS chi2,
+    SELECT round(CAST(sum(CAST(round(
+                     pow(o.o - (r.r * c.c / (SELECT n FROM tot)), 2)
+                     / (r.r * c.c / (SELECT n FROM tot)), 9)
+                     AS DECIMAL(24,9))) AS DOUBLE), 6) AS chi2,
            CAST((SELECT count(*) FROM rows_) - 1 AS BIGINT)
              * CAST((SELECT count(*) FROM cols_) - 1 AS BIGINT) AS dof
     FROM obs o
@@ -296,7 +298,16 @@ def chi_square_independence(spark, sf_dir):
         obs.join(rows_, "event_type")
         .join(cols_, "cohort")
         .agg(
-            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+            # cell term quantized to 9dp DECIMAL before the sum: the
+            # chi-square is order-free whatever the shuffle does
+            F.round(
+                F.sum(
+                    F.round(F.pow(F.col("o") - e, 2) / e, 9).cast(
+                        "decimal(24,9)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("chi2"),
             F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
         )
     )

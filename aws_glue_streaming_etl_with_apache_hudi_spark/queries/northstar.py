@@ -2286,7 +2286,8 @@ def heavy_hitters_cms(spark, sf_dir):
     SELECT c.doc_id,
            CAST(n AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_distinct,
-           round(-sum((cnt / n) * ln(cnt / n)), 6) AS token_entropy
+           round(-CAST(sum(CAST(round((cnt / n) * ln(cnt / n), 9)
+                         AS DECIMAL(12,9))) AS DOUBLE), 6) AS token_entropy
     FROM c JOIN n ON n.doc_id = c.doc_id
     GROUP BY c.doc_id, n ORDER BY c.doc_id
     """,
@@ -2298,8 +2299,10 @@ def text_token_entropy(spark, sf_dir):
     entropy = a few tokens repeated (spam, boilerplate, keyword
     stuffing), high entropy = diverse vocabulary. Complements
     text_repetition (which sees adjacent repeats) by catching GLOBAL
-    token skew. Entropy terms round at 6 dp after an exact integer-
-    ratio division, so engine summation order cannot leak.
+    token skew. Each p*ln(p) term is quantized to 9 dp DECIMAL before
+    the sum (ln is the only libm variance; the division is an exact
+    integer ratio), so the per-doc entropy is order-free however the
+    shuffle delivers a doc's token rows; output rounds at 6 dp.
 
     Scale: one (doc, token) aggregation with map-side combine, one
     per-doc rollup — shuffles carry token counters, never text."""
@@ -2315,7 +2318,16 @@ def text_token_entropy(spark, sf_dir):
         .groupBy("doc_id", "n")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+            # each p*ln(p) term quantized to 9dp DECIMAL before the sum —
+            # the docstring's order-free promise, now actually enforced
+            # at the TERM level (the raw double sum depended on shuffle
+            # order across a doc's hundreds of token rows)
+            F.round(
+                -F.sum(F.round(p * F.log(p), 9).cast("decimal(12,9)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("token_entropy"),
         )
         .select(
             "doc_id",
