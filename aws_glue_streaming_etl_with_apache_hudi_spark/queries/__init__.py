@@ -227,7 +227,12 @@ PRIORITY_WINDOW: list[str] = [
     "join_broadcast_dim",          # also the relational-join sentinel (r5)
     "knn_ivf_pq",                  # also the similarity sentinel (r5)
     "window_lag_lead",             # also the relational-window sentinel (r5)
-    "funnel_conversion",           # (r5; +28% raw r11 drift — re-check)
+    # --- changed-in-r12 re-verification (invariant 2): of the three
+    # term-quantization edits, the one with the largest behavioral
+    # surface (per-doc entropy over hundreds of token terms; the psi /
+    # chi-square edits have tiny-cardinality outputs and are documented
+    # for the r13 window alongside the r5-aged freshness cohort) ---
+    "text_token_entropy",
 ]
 
 _PRIOR_WINDOW_R11: list[str] = [
