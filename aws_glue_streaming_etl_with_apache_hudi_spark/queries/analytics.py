@@ -1403,18 +1403,24 @@ def attribution_multi_touch(spark, sf_dir):
     )
     SELECT model, n_days, mae, mape FROM (
       SELECT 'naive' AS model, CAST(count(*) AS BIGINT) AS n_days,
-             round(avg(abs(rev - f_naive)), 4) AS mae,
-             round(avg(abs(rev - f_naive) / rev), 6) AS mape, 1 AS ord
+             round(CAST(sum(CAST(round(abs(rev - f_naive), 9)
+                   AS DECIMAL(20,9))) AS DOUBLE) / count(*), 4) AS mae,
+             round(CAST(sum(CAST(round(abs(rev - f_naive) / rev, 9)
+                   AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6) AS mape, 1 AS ord
       FROM b
       UNION ALL
       SELECT 'seasonal_naive', CAST(count(*) AS BIGINT),
-             round(avg(abs(rev - f_snaive)), 4),
-             round(avg(abs(rev - f_snaive) / rev), 6), 2
+             round(CAST(sum(CAST(round(abs(rev - f_snaive), 9)
+                   AS DECIMAL(20,9))) AS DOUBLE) / count(*), 4),
+             round(CAST(sum(CAST(round(abs(rev - f_snaive) / rev, 9)
+                   AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6), 2
       FROM b
       UNION ALL
       SELECT 'drift', CAST(count(*) AS BIGINT),
-             round(avg(abs(rev - f_drift)), 4),
-             round(avg(abs(rev - f_drift) / rev), 6), 3
+             round(CAST(sum(CAST(round(abs(rev - f_drift), 9)
+                   AS DECIMAL(20,9))) AS DOUBLE) / count(*), 4),
+             round(CAST(sum(CAST(round(abs(rev - f_drift) / rev, 9)
+                   AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6), 3
       FROM b
     ) ORDER BY ord
     """,
@@ -1460,12 +1466,26 @@ def forecast_backtest_daily(spark, sf_dir):
     lagged = _persist_slot(lagged, "analytics.forecast_backtest")
 
     def score(name: str, fcol: str, ord_: int):
+        # per-day terms quantized to 9dp DECIMAL before the sum
+        # (r12 order-free discipline): |err| is a difference of
+        # decimal-derived doubles but the drift forecast carries a /7.0
+        # quotient, so the raw double avg depended on summation order
         err = F.abs(F.col("rev") - F.col(fcol))
         return lagged.agg(
             F.lit(name).alias("model"),
             F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.round(F.avg(err), 4).alias("mae"),
-            F.round(F.avg(err / F.col("rev")), 6).alias("mape"),
+            F.round(
+                F.sum(F.round(err, 9).cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mae"),
+            F.round(
+                F.sum(
+                    F.round(err / F.col("rev"), 9).cast("decimal(12,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape"),
             F.lit(ord_).alias("ord"),
         )
 
