@@ -293,3 +293,57 @@ def test_conjunct_splitter_edge_cases():
     assert split("(a = 1 AND b = 2)") == ["(a = 1 AND b = 2)"]
     # operand substrings ('band', 'android') are not keyword hits
     assert split("band = 1 AND android = 2") == ["band = 1", "android = 2"]
+
+
+# -- exactness property: autoprune == plain filter, always -------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BOUND = st.integers(min_value=-1, max_value=25)
+_OPS = st.sampled_from(["=", "==", ">=", "<=", ">", "<"])
+
+
+@st.composite
+def _predicates(draw):
+    """Random conjunctions of hour(ts) comparisons / BETWEENs plus an
+    optional non-indexed residual conjunct, with random literal side."""
+    conjs = []
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        kind = draw(st.sampled_from(["cmp", "between", "residual"]))
+        if kind == "cmp":
+            op, v = draw(_OPS), draw(_BOUND)
+            if draw(st.booleans()):
+                conjs.append(f"hour(ts) {op} {v}")
+            else:
+                flip = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+                conjs.append(f"{v} {flip} hour(ts)")
+        elif kind == "between":
+            lo, hi = sorted((draw(_BOUND), draw(_BOUND)))
+            conjs.append(f"hour(ts) BETWEEN {lo} AND {hi}")
+        else:
+            conjs.append(f"k >= {draw(_BOUND)}")
+    return " AND ".join(conjs)
+
+
+@given(pred=_predicates())
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_autoprune_equals_plain_filter_property(spark, fidx_prop_table, pred):
+    """Whatever the matcher prunes (or fails to match), read(where=)
+    must return EXACTLY read().filter(where) — pruning is a pure
+    file-skip, never a semantics change."""
+    t = fidx_prop_table
+    got = sorted(r.k for r in t.read(where=pred).collect())
+    want = sorted(r.k for r in t.read().filter(F.expr(pred)).collect())
+    assert got == want, pred
+
+
+@pytest.fixture(scope="module")
+def fidx_prop_table(spark, tmp_path_factory):
+    t = _tbl(spark, str(tmp_path_factory.mktemp("fidxprop") / "t"))
+    t.upsert(_mk(spark, [
+        (1, "d1", 0, 1), (2, "d1", 2, 1), (3, "d1", 23, 1),
+        (4, "d2", 5, 1), (5, "d2", 10, 1),
+        (6, "d3", 7, 1), (7, "d3", 21, 1), (8, "d4", 12, 1),
+    ]))
+    return t
