@@ -716,11 +716,18 @@ class MergeOnReadTable:
         self._save_meta(meta)
 
     def _evolved_schema_json(self, batch: DataFrame) -> str:
+        # `_deleted` is delta-file-internal (tombstone routing): it must
+        # never reach the persisted meta schema, or schema-driven empty
+        # frames would expose a column the merged read paths drop.
         stored = T.StructType.fromJson(json.loads(self._meta()["schema"]))
         names = {f.name for f in stored.fields}
         merged = T.StructType(
             list(stored.fields)
-            + [f for f in batch.schema.fields if f.name not in names]
+            + [
+                f
+                for f in batch.schema.fields
+                if f.name not in names and f.name != _DELETED
+            ]
         )
         return merged.json()
 

@@ -58,6 +58,53 @@ def _is_word(s: str, i: int, length: int) -> bool:
     return before_ok and after_ok
 
 
+def _strip_sql_strings(s: str) -> str:
+    """Blank out single-quoted string literal CONTENTS (`''` escapes
+    respected) so keyword scans never match inside a string value."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and not (j + 1 < n and s[j + 1] == "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            out.append("''")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _has_depth0_keyword(s: str, kws: tuple[str, ...]) -> bool:
+    """True when any of the (upper-case) SQL keywords appears at paren
+    depth 0 outside string literals."""
+    up = s.upper()
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and not (j + 1 < n and s[j + 1] == "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for kw in kws:
+                if up.startswith(kw, i) and _is_word(s, i, len(kw)):
+                    return True
+        i += 1
+    return False
+
+
 def precombine_latest(
     df: DataFrame,
     keys: list[str],
@@ -1727,10 +1774,28 @@ class UpsertTable:
         except Exception:
             return None
 
+    # Functions whose prune-time fold can differ from the residual
+    # filter's scan-time re-evaluation: time-dependent (`current_date()`
+    # near a day boundary) or nondeterministic (`rand()`). Rejection is
+    # conservative — a match only disables pruning for that conjunct,
+    # never changes results (ADVICE r12).
+    _NONDET_FN_RE = re.compile(
+        r"\b(current_timestamp|current_date|current_timezone|localtimestamp"
+        r"|now|curdate|rand|randn|random|uuid|shuffle"
+        r"|monotonically_increasing_id|input_file_name|spark_partition_id"
+        r"|unix_timestamp|current_user|session_user|user)\b",
+        re.IGNORECASE,
+    )
+
     def _eval_literal(self, lit_sql: str):
         """Evaluate a foldable scalar (`2`, `DATE '2020-01-01'`,
-        `21 + 2`); raises if it references columns. LocalTableScan —
-        driver-side, no shuffle."""
+        `21 + 2`); raises if it references columns or contains a
+        time-dependent / nondeterministic function (those would fold
+        ONCE at prune time while the residual filter re-evaluates at
+        scan time — a day-boundary race could silently drop rows).
+        LocalTableScan — driver-side, no shuffle."""
+        if self._NONDET_FN_RE.search(_strip_sql_strings(lit_sql)):
+            raise ValueError(f"nondeterministic prune bound: {lit_sql!r}")
         return self.spark.sql(f"SELECT ({lit_sql}) AS v").first()["v"]
 
     @staticmethod
@@ -1774,9 +1839,14 @@ class UpsertTable:
 
     @classmethod
     def _split_comparison(cls, conjunct: str) -> tuple[str, str, str] | None:
-        """(lhs, op, rhs) at depth 0, or None. `<>` / `!=` conjuncts
-        return None (no range bound to extract)."""
+        """(lhs, op, rhs) for a conjunct with EXACTLY ONE depth-0
+        comparison operator, else None. `<>` / `!=` conjuncts return
+        None (no range bound). Chained comparisons like
+        `hour(ts) = 5 = TRUE` (valid SQL, left-associative) also return
+        None — splitting at the FIRST `=` would treat `5 = TRUE` as the
+        literal and extract a wrong pruning bound (ADVICE r12)."""
         depth, i, n = 0, 0, len(conjunct)
+        found = None  # (position, op) of the single depth-0 comparison
         while i < n:
             ch = conjunct[i]
             if ch == "'":
@@ -1794,15 +1864,38 @@ class UpsertTable:
                     return None
                 for op in cls._CMP_OPS:
                     if conjunct.startswith(op, i):
-                        return conjunct[:i].strip(), op, conjunct[i + len(op):].strip()
+                        if found is not None:
+                            return None  # chained comparison
+                        found = (i, op)
+                        i += len(op) - 1  # don't re-count `=` inside `>=`
+                        break
             i += 1
-        return None
+        if found is None:
+            return None
+        i, op = found
+        return conjunct[:i].strip(), op, conjunct[i + len(op):].strip()
 
     def _index_bounds(self, where: str) -> tuple[str, object, object] | None:
         """Match ``where``'s conjuncts against the registered functional
         indexes; returns (index name, lo, hi) for the first index that
         collects at least one bound. Strict `<` / `>` bounds are used
-        inclusively — the residual filter restores strictness."""
+        inclusively — the residual filter restores strictness. Never
+        raises: incomparable bound literal types (`hour(ts) >= 2 AND
+        hour(ts) >= '25'` — Spark's implicit casts accept what Python
+        max() cannot) fall back to no pruning (ADVICE r12)."""
+        try:
+            return self._index_bounds_impl(where)
+        except TypeError:
+            return None
+
+    def _index_bounds_impl(self, where: str) -> tuple[str, object, object] | None:
+        if _has_depth0_keyword(where, ("OR",)):
+            # OR binds LOOSER than AND, so a depth-0 OR anywhere makes
+            # the whole predicate a disjunction — NO AND-split piece is
+            # a true conjunct (`k >= 0 OR TRUE AND hour(ts)=2` must not
+            # prune on the hour bound). Full scan + residual (VERDICT
+            # r12 — the OR-tail-as-literal path silently lost rows).
+            return None
         if not self.functional_indexes:
             return None
         canon_to_name = {}
@@ -1817,6 +1910,11 @@ class UpsertTable:
             c = conj.strip()
             while c.startswith("(") and c.endswith(")") and self._balanced(c[1:-1]):
                 c = c[1:-1].strip()
+            if _has_depth0_keyword(c, ("NOT",)):
+                # A negated conjunct is not a range bound (NOT binds
+                # tighter than AND, so skipping just this conjunct is
+                # sound — depth-0 ORs already bailed out wholesale).
+                continue
             m = re.match(
                 r"^(.*?)\s+between\s+(.+?)\s+and\s+(.+)$", c, re.IGNORECASE | re.DOTALL
             )

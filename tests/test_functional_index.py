@@ -310,7 +310,9 @@ def _predicates(draw):
     optional non-indexed residual conjunct, with random literal side."""
     conjs = []
     for _ in range(draw(st.integers(min_value=1, max_value=3))):
-        kind = draw(st.sampled_from(["cmp", "between", "residual"]))
+        kind = draw(
+            st.sampled_from(["cmp", "between", "residual", "or_tail", "chained"])
+        )
         if kind == "cmp":
             op, v = draw(_OPS), draw(_BOUND)
             if draw(st.booleans()):
@@ -321,6 +323,12 @@ def _predicates(draw):
         elif kind == "between":
             lo, hi = sorted((draw(_BOUND), draw(_BOUND)))
             conjs.append(f"hour(ts) BETWEEN {lo} AND {hi}")
+        elif kind == "or_tail":
+            # depth-0 OR: whole predicate becomes a disjunction (r13)
+            conjs.append(f"hour(ts) = {draw(_BOUND)} OR k >= {draw(_BOUND)}")
+        elif kind == "chained":
+            # left-associative chained comparison (r13)
+            conjs.append(f"hour(ts) = {draw(_BOUND)} = TRUE")
         else:
             conjs.append(f"k >= {draw(_BOUND)}")
     return " AND ".join(conjs)
@@ -347,3 +355,78 @@ def fidx_prop_table(spark, tmp_path_factory):
         (6, "d3", 7, 1), (7, "d3", 21, 1), (8, "d4", 12, 1),
     ]))
     return t
+
+
+# -- r13 regressions: VERDICT r12 OR-disjunct row loss + ADVICE r12 ----------
+
+def test_autoprune_or_disjunct_boolean_index_exact(spark, tmp_path):
+    """VERDICT r12 repro: on a boolean-expression index, a predicate
+    whose OR-tail is foldable must NOT be treated as a conjunctive
+    bound — `(hour(ts)=2) = true OR true` matches every row."""
+    t = _tbl(spark, str(tmp_path / "t"),
+             functional_indexes={"is2": "hour(ts) = 2"})
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    pred = "(hour(ts) = 2) = true OR true"
+    assert t._index_bounds(pred) is None
+    got = _keys(t.read(where=pred))
+    want = _keys(t.read().filter(F.expr(pred)))
+    assert got == want == [1, 2]
+
+
+def test_autoprune_or_below_and_precedence_exact(spark, tmp_path):
+    """OR binds looser than AND, so `a OR b AND c` is a disjunction —
+    the AND-split piece `c` on the indexed expression must not prune
+    (it is NOT a conjunct of the whole predicate)."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1), (3, "d3", 7, 1)]))
+    pred = "k >= 0 OR true AND hour(ts) = 2"  # semantics: everything
+    assert t._index_bounds(pred) is None
+    got = _keys(t.read(where=pred))
+    want = _keys(t.read().filter(F.expr(pred)))
+    assert got == want == [1, 2, 3]
+
+
+def test_autoprune_chained_comparison_exact(spark, tmp_path):
+    """ADVICE r12: `hour(ts) = 5 = TRUE` parses left-associatively as
+    `(hour(ts)=5) = TRUE`; splitting at the FIRST `=` would fold
+    `5 = TRUE` (false) into a wrong bound. Chained comparisons must
+    contribute no bound."""
+    assert UpsertTable._split_comparison("hour(ts) = 5 = TRUE") is None
+    assert UpsertTable._split_comparison("hour(ts) >= 2") == ("hour(ts)", ">=", "2")
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 5, 1), (2, "d2", 0, 1)]))
+    pred = "hour(ts) = 5 = TRUE"
+    got = _keys(t.read(where=pred))
+    want = _keys(t.read().filter(F.expr(pred)))
+    assert got == want == [1]
+
+
+def test_autoprune_rejects_nondeterministic_bounds(spark, tmp_path):
+    """ADVICE r12: time-dependent functions fold once at prune time but
+    re-evaluate at scan time — never usable as pruning bounds."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 23, 1)]))
+    with pytest.raises(ValueError, match="nondeterministic"):
+        t._eval_literal("hour(current_timestamp())")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        t._eval_literal("rand()")
+    # a string literal CONTAINING a denied name is still a fine literal
+    assert t._eval_literal("'rand'") == "rand"
+    pred = "hour(ts) <= hour(current_timestamp())"
+    assert t._index_bounds(pred) is None
+    got = _keys(t.read(where=pred))
+    want = _keys(t.read().filter(F.expr(pred)))
+    assert got == want
+
+
+def test_autoprune_incomparable_bound_types_fall_back(spark, tmp_path):
+    """ADVICE r12: combining bounds of incomparable Python types
+    (int vs str — Spark's implicit casts accept both) must fall back to
+    full scan + residual, not raise TypeError."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    pred = "hour(ts) >= 2 AND hour(ts) >= '25'"
+    assert t._index_bounds(pred) is None  # TypeError swallowed
+    got = _keys(t.read(where=pred))
+    want = _keys(t.read().filter(F.expr(pred)))
+    assert got == want

@@ -112,3 +112,28 @@ def test_mor_marker_rejected_with_partial_merge(spark, tmp_path):
     t.upsert(_df(spark, [(1, "a", 1, "x")]))
     with pytest.raises(ValueError, match="_hoodie_is_deleted"):
         t.upsert(_marked(spark, [(1, "a", 2, None, True)]))
+
+
+def test_mor_meta_schema_never_contains_deleted(spark, tmp_path):
+    """ADVICE r12: `_deleted` is delta-internal — a tombstone-carrying
+    upsert (single-writer or NBCC) must not leak it into the persisted
+    meta schema, or schema-driven empty frames (e.g. a partition-scoped
+    base read over delta-only partitions) would expose a column the
+    merged read paths drop."""
+    import json as _json
+
+    t = _tbl(spark, tmp_path / "t")
+    t.upsert(_df(spark, [(1, "a", 1, "x")]))
+    t.upsert(_marked(spark, [(1, "a", 2, None, True)]))
+    stored = {f["name"] for f in _json.loads(t._meta()["schema"])["fields"]}
+    assert "_deleted" not in stored
+    assert "_hoodie_is_deleted" not in stored
+    # NBCC path too
+    t2 = _tbl(spark, tmp_path / "t2")
+    t2.upsert(_df(spark, [(1, "a", 1, "x")]))
+    t2.nbcc_upsert(_marked(spark, [(1, "a", 2, None, True)]), writer="w1")
+    stored2 = {f["name"] for f in _json.loads(t2._meta()["schema"])["fields"]}
+    assert "_deleted" not in stored2
+    # schema-driven empty frame matches a normal read's column set
+    empty = t2._read_base_partitions([("zzz",)])
+    assert set(empty.columns) == set(t2.read().columns)
