@@ -169,7 +169,90 @@ from aws_glue_streaming_etl_with_apache_hudi_spark.queries import geo  # noqa: F
 # slots: two r5-aged freshness picks that double as the relational
 # join/window sentinels, r12's own registrations (in-window from birth,
 # per the "stop growing the backlog" directive), and r5-aged freshness.
+# Round-13 rotation (pure freshness — the documented r12 plan): the
+# backlog entering r13 is ZERO, so the window is the entire 36-query
+# r5-aged cohort (the oldest driver coverage left; after this round the
+# freshness floor rises to r6 for every non-window query), the four
+# changed-since-r12-verification queries (invariant 2): the three late-r12
+# term-quantization edits (dq_drift_psi, chi_square_independence,
+# forecast_backtest_daily — commits 53fad5a/bb288df landed after the r12
+# window froze) plus functional_index_autoprune (the r13 OR-disjunct /
+# chained-comparison / nondeterministic-bound / TypeError fixes in
+# operators/upsert.py — VERDICT r12's one confirmed defect), and
+# mor_incremental (operators/mor.py evolved-schema fix re-check, doubling
+# as the incremental-pull sentinel). The r5-aged cohort itself supplies
+# many sentinels (upsert_partitioned_state = upsert AND partitioning,
+# mor_merge_chain = MOR storage, dedup_incremental_index = dedup,
+# hybrid_search_rrf = similarity, text_shared_passages = text,
+# chi_square_independence = statistics, sql_api_shared_dialect =
+# sql-surface, join/window/agg members = the relational families).
+# Seven fillers hold the families the cohort doesn't touch (all
+# r12-green, so each doubles as a re-check), and the final two slots are
+# this round's NEW registrations, in-window from birth:
+# multimodal_frame_sample_udtf (stride frame-sampling through a Python
+# UDTF LATERAL — covers BOTH the multimodal and UDF/UDTF families, the
+# r9/r12 double-cover precedent) and context_pack_nextfit
+# (capacity-respecting next-fit sequence packing per distribution
+# bucket — the training-family sentinel).
 PRIORITY_WINDOW: list[str] = [
+    # --- the 36-query r5-aged freshness cohort (floor rises to r6) ---
+    "agg_bool_bit",
+    "agg_collect_sorted",
+    "agg_distinct_having",
+    "agg_pivot",                   # also relational-agg sentinel
+    "agg_stats",
+    "calendar_gap_fill",
+    "date_parts",
+    "dedup_incremental_index",     # also the dedup sentinel
+    "events_outliers_zscore",
+    "hybrid_search_rrf",           # also the similarity sentinel
+    "join_anti",
+    "join_cross",
+    "join_full_outer",             # also the relational-join sentinel
+    "join_semi",
+    "json_extract_props",
+    "mor_merge_chain",             # also the MOR-storage sentinel
+    "path_transitions",
+    "percentiles_exact",
+    "posexplode_with_position",
+    "regression_price_quantity",
+    "resample_locf_daily",
+    "retention_cohorts",
+    "scalar_date_funcs",
+    "scalar_math_cond",
+    "scalar_string_funcs2",
+    "set_except",
+    "set_intersect",
+    "sliding_window_agg",
+    "sql_api_shared_dialect",      # also the sql-surface sentinel
+    "text_shared_passages",        # also the text sentinel
+    "time_weighted_avg",
+    "unpivot_measures",
+    "upsert_partitioned_state",    # also the upsert + partitioning sentinel
+    "value_histogram",
+    "window_range_frame",
+    "window_rank_ntile",           # also the relational-window sentinel
+    # --- changed since the r12 verification (invariant 2) ---
+    "dq_drift_psi",                # PSI term quantization (53fad5a)
+    "chi_square_independence",     # chi-square term quantization; statistics sentinel
+    "forecast_backtest_daily",     # error-term quantization (bb288df)
+    "functional_index_autoprune",  # r13 autoprune exactness fixes (VERDICT r12)
+    "mor_incremental",             # r13 mor.py evolved-schema fix; incremental sentinel
+    # --- category-sentinel fillers (families the cohort doesn't cover;
+    # all r12-green, so each doubles as a re-check) ---
+    "schema_evolution_union",      # schema evolution (r12)
+    "bitemporal_asof",             # as-of/interval join (r12)
+    "stateful_running_totals",     # streaming + stateful (r12)
+    "mv_retractable_cdc",          # CDC (r12)
+    "geo_knn_uncapped",            # geo (r12)
+    "graph_label_propagation",     # graph (r12)
+    "approx_error_bound",          # sketches (r12)
+    # --- new r13 registrations (in-window from birth) ---
+    "multimodal_frame_sample_udtf",  # multimodal + UDF/UDTF sentinel
+    "context_pack_nextfit",          # training sentinel
+]
+
+_PRIOR_WINDOW_R12: list[str] = [
     # --- the 34 post-r11-window registrations (invariant 2) ---
     "geo_knn_uncapped",            # also the geo sentinel (ring-expansion kNN)
     "domain_cap_sample",

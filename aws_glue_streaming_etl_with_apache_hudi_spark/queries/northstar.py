@@ -4041,3 +4041,75 @@ def cohens_kappa_langid(spark, sf_dir):
             F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
         )
     )
+
+
+@register(
+    "multimodal_frame_sample_udtf",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+      FROM documents WHERE length(text) > 0
+    ),
+    f AS (
+      SELECT doc_id, text,
+             greatest(1, n_frames // 8) AS stride,
+             unnest(range(0, n_frames)) AS i
+      FROM d
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 64 AS BIGINT) AS char_offset,
+           CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT)
+             AS frame_chars,
+           md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM f WHERE i % stride = 0 AND i // stride < 8
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample_udtf(spark, sf_dir):
+    """Stride frame-sampling over an opaque asset — the video-ingest
+    shape (N fixed-width frames in, at most 8 evenly-strided samples
+    out) — as a Python UDTF through the SQL LATERAL correlate. Frames
+    here are fixed-width CHARACTER windows standing in for fixed-width
+    byte windows (the codec decode step is the stubbed half of the
+    multimodal design, tests/test_multimodal.py); the per-frame digest
+    is the dedup/integrity key a real frame pipeline would carry.
+
+    Sampling rule, identical in the UDTF and the relational oracle:
+    n_frames = ceil(len/64), stride = max(1, n_frames // 8), keep frame
+    indices {k*stride : k < 8} below n_frames. Row expansion stays
+    row-local (Arrow-batched LATERAL, no shuffle); the only exchange is
+    the final presentation sort."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="frame_idx int, char_offset bigint, "
+        "frame_chars bigint, frame_md5 string"
+    )
+    class FrameSample:
+        def eval(self, text: str):
+            import hashlib
+            import math
+
+            if not text:
+                return
+            n_frames = math.ceil(len(text) / 64)
+            stride = max(1, n_frames // 8)
+            for i in range(0, min(n_frames, 8 * stride), stride):
+                chunk = text[i * 64 : i * 64 + 64]
+                yield (
+                    i,
+                    i * 64,
+                    len(chunk),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+
+    spark.udtf.register("frame_sample", FrameSample)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.frame_idx, s.char_offset, s.frame_chars, s.frame_md5
+        FROM documents d, LATERAL frame_sample(d.text) s
+        ORDER BY d.doc_id, s.frame_idx
+        """
+    )

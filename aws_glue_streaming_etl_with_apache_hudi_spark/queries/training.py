@@ -1018,3 +1018,76 @@ def negative_sampling_contrastive(spark, sf_dir):
         .select("anchor_id", F.col("j").cast("long").alias("j"), "neg_id")
         .orderBy("anchor_id", "j")
     )
+
+
+@register(
+    "context_pack_nextfit",
+    sql=r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST(doc_id % 32 AS INT) AS bucket,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(row_number() OVER (PARTITION BY doc_id % 32
+                                     ORDER BY doc_id) AS BIGINT) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT doc_id, bucket, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.bucket, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens > 256
+                  THEN p.bin_idx + 1 ELSE p.bin_idx END AS bin_idx,
+             CASE WHEN p.fill + d.n_tokens > 256
+                  THEN d.n_tokens ELSE p.fill + d.n_tokens END AS fill
+      FROM pack p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, bucket, n_tokens, bin_idx FROM pack ORDER BY doc_id
+    """,
+)
+def context_pack_nextfit(spark, sf_dir):
+    """Capacity-RESPECTING next-fit sequence packing (context-window
+    assembly for LLM training): within each distribution bucket, docs in
+    doc_id order fill 256-token bins; a doc that would overflow the
+    current bin CLOSES it and opens the next, so no bin ever exceeds
+    capacity (an oversized doc gets a bin of its own). This is the
+    packing class `token_shard_packing` is NOT — the prefix-sum variant
+    assigns by where a doc STARTS and lets shards overflow; training
+    sequence packing needs the hard cap.
+
+    Scale: packing is inherently sequential, so the parallel unit is the
+    bucket — `doc_id % 32` here, thousands of hash shards at 100 TB —
+    and each bucket packs independently inside ONE Arrow-batched
+    grouped-map task (applyInPandas); the only shuffle is the groupBy on
+    the bucket key. The oracle replays the identical scan as a per-bucket
+    recursive CTE. Integer token counts — exact cross-engine parity."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32).cast("int").alias("bucket"),
+        X.token_count_whitespace("text").alias("n_tokens"),
+    )
+    cap = 256
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], None, 0
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if fill is None:
+                fill = tok
+            elif fill + tok > cap:
+                b += 1
+                fill = tok
+            else:
+                fill += tok
+            bins.append(b)
+        pdf["bin_idx"] = bins
+        return pdf[["doc_id", "bucket", "n_tokens", "bin_idx"]]
+
+    return (
+        docs.groupBy("bucket")
+        .applyInPandas(pack, "doc_id bigint, bucket int, n_tokens bigint, bin_idx bigint")
+        .orderBy("doc_id")
+    )

@@ -23,32 +23,33 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-12 rotation: the 34-query r11 backlog supplies most
-    # sentinels directly; seven fillers hold the families the backlog
-    # doesn't touch (see queries/__init__.py for the rationale).
-    "upsert": "nbcc_multiwriter_state",   # zero-abort multi-writer upsert
+    # round-13 rotation: the 36-query r5-aged freshness cohort supplies
+    # most sentinels directly; seven r12-green fillers hold the families
+    # the cohort doesn't touch, and the two new r13 registrations cover
+    # multimodal+udf and training (see queries/__init__.py).
+    "upsert": "upsert_partitioned_state",  # partitioned upsert state
     "schema_evolution": "schema_evolution_union",
-    "partitioning": "partition_path_derivation",
+    "partitioning": "upsert_partitioned_state",  # Hive partition-path tokens
     "asof": "bitemporal_asof",            # the as-of/interval join family
     "streaming": "stateful_running_totals",  # real checkpointed stream...
     "stateful": "stateful_running_totals",   # ...running applyInPandasWithState
-    "storage_mor": "mor_read_optimized_state",
-    "storage_incremental": "mor_incremental",  # the incremental pull path
+    "storage_mor": "mor_merge_chain",     # MOR log-merge chain
+    "storage_incremental": "mor_incremental",  # incremental pull + r13 mor fix
     "storage_cdc": "mv_retractable_cdc",  # CDC-fed delete-aware IVM
-    "dedup": "jaccard_prefix_join",       # exact-Jaccard PPJoin
-    "similarity": "knn_ivf_pq",
-    "text": "heaps_law_vocab",
-    "multimodal": "multimodal_binary_meta",
-    "training": "target_encode_loo",
-    "udf": "udtf_sentence_split",
-    "relational_agg": "ohlc_vwap_daily",
-    "relational_join": "join_broadcast_dim",
-    "relational_window": "window_lag_lead",
+    "dedup": "dedup_incremental_index",   # incremental dedup index
+    "similarity": "hybrid_search_rrf",    # RRF fusion of lexical+vector legs
+    "text": "text_shared_passages",
+    "multimodal": "multimodal_frame_sample_udtf",  # NEW r13: frame sampling...
+    "udf": "multimodal_frame_sample_udtf",         # ...through a UDTF LATERAL
+    "training": "context_pack_nextfit",   # NEW r13: capacity-respecting packing
+    "relational_agg": "agg_pivot",
+    "relational_join": "join_full_outer",
+    "relational_window": "window_rank_ntile",
     "graph": "graph_label_propagation",
-    "statistics": "bootstrap_ci_mean",
+    "statistics": "chi_square_independence",  # also the r12 quantization edit
     "sketches": "approx_error_bound",
     "geo": "geo_knn_uncapped",
-    "sql_surface": "sql_scripting_variables",
+    "sql_surface": "sql_api_shared_dialect",
 }
 
 
