@@ -761,6 +761,11 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
         "value": out["value"],
         "unit": out["unit"],
         "queries": out["queries"],
+        # median walls beside the min walls (VERDICT r12 task 6): the
+        # sf0.1 single-pass numbers drift ±10% round-over-round on fresh
+        # VMs and burned verdict time on noise attribution; the medians
+        # make spread visible in the driver line itself
+        "queries_median": out.get("queries_median", {}),
         "calibration_seconds": out["calibration_seconds"],
         "sf": out["sf"],
     }
@@ -801,7 +806,7 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
         }
     elif "error" in ss:
         line["storage"] = {"error": ss["error"][:120]}
-    for drop in ("storage", "sf1", "detail"):
+    for drop in ("queries_median", "storage", "sf1", "detail"):
         if len(json.dumps(line)) <= budget:
             break
         line.pop(drop, None)
