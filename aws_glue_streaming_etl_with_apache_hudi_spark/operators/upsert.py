@@ -1980,10 +1980,17 @@ class UpsertTable:
         found = None  # (position, op) of the single depth-0 comparison
         while i < n:
             ch = conjunct[i]
-            if ch == "'":
+            if ch == "'":  # skip string literal ('' escapes — the same
+                # scan as _split_conjuncts, so the two scanners can
+                # never disagree about where a literal ends; backslash
+                # escapes were rejected wholesale in _index_bounds)
                 j = i + 1
-                while j < n and conjunct[j] != "'":
-                    j += 1
+                while j < n:
+                    if conjunct[j] == "'" and not (
+                        j + 1 < n and conjunct[j + 1] == "'"
+                    ):
+                        break
+                    j += 2 if conjunct[j] == "'" else 1
                 i = j + 1
                 continue
             if ch == "(":
@@ -2020,6 +2027,16 @@ class UpsertTable:
             return None
 
     def _index_bounds_impl(self, where: str) -> tuple[str, object, object] | None:
+        if "\\" in where:
+            # Backslashes re-shape string-literal boundaries depending
+            # on spark.sql.parser.escapedStringLiterals — under the
+            # default mode `'a\' AND hour(ts) = 99 AND x = \'b'` is ONE
+            # literal, and a quote-pair scanner that treats `\'` as a
+            # terminator sees the literal's INSIDE at depth 0 and
+            # extracts a bogus hour bound (confirmed silent row loss,
+            # r13). Rare in predicates; skipping pruning is always
+            # exact — full scan + residual.
+            return None
         if _has_depth0_keyword(where, ("OR",)):
             # OR binds LOOSER than AND, so a depth-0 OR anywhere makes
             # the whole predicate a disjunction — NO AND-split piece is

@@ -311,7 +311,9 @@ def _predicates(draw):
     conjs = []
     for _ in range(draw(st.integers(min_value=1, max_value=3))):
         kind = draw(
-            st.sampled_from(["cmp", "between", "residual", "or_tail", "chained"])
+            st.sampled_from(
+                ["cmp", "between", "residual", "or_tail", "chained", "strlit"]
+            )
         )
         if kind == "cmp":
             op, v = draw(_OPS), draw(_BOUND)
@@ -329,6 +331,16 @@ def _predicates(draw):
         elif kind == "chained":
             # left-associative chained comparison (r13)
             conjs.append(f"hour(ts) = {draw(_BOUND)} = TRUE")
+        elif kind == "strlit":
+            # string literals whose CONTENT mimics predicate syntax
+            # (''-escapes, ' AND ', comparison ops) — the scanners must
+            # never see a literal's inside at depth 0 (r13)
+            lit = draw(
+                st.sampled_from(
+                    ["d1", "it''s", "x AND hour(ts) = 7", "a = b", "d''2 AND d"]
+                )
+            )
+            conjs.append(f"day = '{lit}'")
         else:
             conjs.append(f"k >= {draw(_BOUND)}")
     return " AND ".join(conjs)
@@ -543,3 +555,57 @@ def test_snapshot_null_and_escaped_partition_tokens(spark, tmp_path):
     assert t._fidx_candidates("hour", 5, 5) == [(None,)]
     assert _keys(t.read_for_expr("hour", value=2)) == [1]
     assert _keys(t.read_for_expr("hour", value=5)) == [2]
+
+
+def test_autoprune_backslash_escape_exact(spark, tmp_path):
+    """r13: under the default parser mode `'a\\' AND ... '` is ONE
+    string literal (backslash-escaped quote) — a quote-pair scanner
+    that ends the literal at `\\'` sees the literal's INSIDE at depth 0
+    and extracted a bogus hour bound (confirmed silent row loss).
+    Backslash predicates disable pruning wholesale."""
+    t = UpsertTable(
+        spark, str(tmp_path / "t"), keys=["k"], precombine="ver",
+        partition_by=["day"], functional_indexes={"hour": "hour(ts)"},
+    )
+    sval = "a' AND hour(ts) = 99 AND x = 'b"
+    rows = spark.createDataFrame(
+        [(1, "d1", "2024-01-01 02:30:00", 1, sval),
+         (2, "d2", "2024-01-01 05:30:00", 1, "zzz")],
+        "k long, day string, ts string, ver long, s string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.upsert(rows)
+    pred = r"s = 'a\' AND hour(ts) = 99 AND x = \'b'"
+    assert t._index_bounds(pred) is None
+    got = _keys(t.read(where=pred))
+    want = _keys(t.read().filter(F.expr(pred)))
+    assert got == want == [1]
+    # plain backslash-free predicates still prune
+    assert t._index_bounds("hour(ts) = 5") is not None
+
+
+def test_split_comparison_quote_escape_parity(spark, tmp_path):
+    """The two scanners agree on where a `''`-escaped literal ends: a
+    comparison operator INSIDE the literal is never a split point, one
+    OUTSIDE it still is."""
+    assert UpsertTable._split_comparison("s = 'it''s'") == ("s", "=", "'it''s'")
+    assert UpsertTable._split_comparison("s = 'a = b'") == ("s", "=", "'a = b'")
+    assert UpsertTable._split_comparison("'a''= b' = s") == ("'a''= b'", "=", "s")
+    # exactness end-to-end with an ''-escaped literal that CONTAINS ' AND '
+    t = UpsertTable(
+        spark, str(tmp_path / "t"), keys=["k"], precombine="ver",
+        partition_by=["day"], functional_indexes={"hour": "hour(ts)"},
+    )
+    rows = spark.createDataFrame(
+        [(1, "d1", "2024-01-01 02:30:00", 1, "it's"),
+         (2, "d2", "2024-01-01 05:30:00", 1, "x AND hour(ts) = 7")],
+        "k long, day string, ts string, ver long, s string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.upsert(rows)
+    for pred in (
+        "s = 'it''s' AND hour(ts) = 2",
+        "s = 'x AND hour(ts) = 7'",
+        "s = 'it''s AND hour(ts) = 7'",
+    ):
+        got = _keys(t.read(where=pred))
+        want = _keys(t.read().filter(F.expr(pred)))
+        assert got == want, pred
