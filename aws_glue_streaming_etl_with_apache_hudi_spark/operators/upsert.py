@@ -1446,14 +1446,24 @@ class UpsertTable:
 
     # -- secondary index (Hudi 1.0 parity) -----------------------------------
     #
-    # Layout: `<path>/_sidx/<col>/` — distinct (value, partition path)
-    # pairs stored as Parquet Hive-partitioned BY THE TABLE'S PARTITION
-    # COLUMNS. Maintenance rides the commit's own dynamic partition
-    # overwrite: `_write` rewrites exactly the touched partitions of the
-    # index from the same merged frame it writes to the table, so index
-    # and data can never desynchronize within a commit, and index write
-    # cost is O(touched partitions), not O(table). Emptied/dropped
-    # partitions remove their index dirs alongside the data dirs.
+    # Layout (r13): `<path>/_sidx/<col>/snapshot.parquet` — ONE compacted
+    # file per index (the same model as `_fidx`, below), rows
+    # (sval, sexact, <partition cols as ESCAPED directory tokens>).
+    # While a partition's distinct-value count stays under
+    # `fidx_max_values`, every distinct value is stored with sexact=true
+    # (exact containment). Above the cap the entry collapses to the
+    # partition's min and max — plus a NULL marker row when nulls are
+    # present — all with sexact=false, so the snapshot is bounded at
+    # O(partitions x cap) even for near-unique columns (the r12 layout
+    # stored EVERY distinct (value, partition) pair, unbounded, and the
+    # lookup ran a distributed scan over one file per partition — both
+    # scale hazards). Collapsed entries answer conservatively: the
+    # partition is kept whenever [min, max] could contain the probe (or
+    # the null marker matches a null probe); exactness is preserved
+    # because `read_for` always re-applies the full conditions to the
+    # pruned superset. Maintenance splices the snapshot driver-side at
+    # commit time (see `_sidecar_commit`): Spark work stays O(touched
+    # partitions), never O(table).
 
     def _sidx_dir(self, col: str) -> str:
         return os.path.join(self.path, "_sidx", col)
@@ -1462,36 +1472,71 @@ class UpsertTable:
         """Refresh index entries from the FRESHLY WRITTEN table files
         (re-read, not the merged frame's lineage — that lineage still
         references the pre-overwrite files the commit just replaced).
-        Columnar re-scan of the touched partitions only, projecting the
-        indexed column + partition path."""
+        One distinct + one bounded aggregate per index, both shuffling
+        only the touched partitions' (value, path) pairs; the result —
+        O(touched x cap) metadata rows — splices into the snapshot
+        driver-side."""
         if not self.secondary_index_columns:
             return
         # touched-partition re-read: O(touched) listing, never O(table)
         src = self.read_partitions(touched) if touched else self.read()
+        pb = self.partition_by
         for col in self.secondary_index_columns:
             if col not in src.columns:
                 continue
-            (
-                src.select(col, *self.partition_by)
-                .distinct()
-                .write.mode("overwrite")
-                .partitionBy(*self.partition_by)
-                .parquet(self._sidx_dir(col))
+            vals = src.select(F.col(col).alias("sval"), *pb).distinct()
+            counts = vals.groupBy(*pb).agg(
+                F.count("*").alias("_n"),
+                F.min("sval").alias("_mn"),
+                F.max("sval").alias("_mx"),
+                F.max(F.col("sval").isNull()).alias("_hasnull"),
             )
+            # null-safe semi join — a NULL partition value is a real
+            # partition (same fix as the functional index, r13)
+            exact = (
+                _nullsafe_key_join(
+                    vals,
+                    counts.filter(
+                        F.col("_n") <= self.fidx_max_values
+                    ).select(*pb),
+                    pb,
+                    "leftsemi",
+                )
+                .withColumn("sexact", F.lit(True))
+            )
+            over = counts.filter(F.col("_n") > self.fidx_max_values)
+            vtype = vals.schema["sval"].dataType
+            collapsed = (
+                over.select(F.col("_mn").alias("sval"), *pb)
+                .unionByName(over.select(F.col("_mx").alias("sval"), *pb))
+                .unionByName(
+                    over.filter(F.col("_hasnull")).select(
+                        F.lit(None).cast(vtype).alias("sval"), *pb
+                    )
+                )
+                .distinct()
+                .withColumn("sexact", F.lit(False))
+            )
+            ok = self._sidecar_commit(
+                self._sidx_dir(col),
+                exact.unionByName(collapsed),
+                ["sval", "sexact"],
+                touched,
+                legacy_cols={"sval": col},
+            )
+            if not ok:
+                # value type changed under us: rebuild from full table
+                self._sidx_update(touched=None)
+                return
 
     def _sidx_remove_partitions(self, parts: list[tuple]) -> None:
-        import shutil
-
         for col in self.secondary_index_columns:
             root = self._sidx_dir(col)
             if not os.path.isdir(root):
                 continue
-            for values in parts:
-                sub = [
-                    f"{c}={_hive_escape_part(v)}"
-                    for c, v in zip(self.partition_by, values)
-                ]
-                shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
+            self._sidecar_drop_parts(
+                root, parts, ["sval", "sexact"], legacy_cols={"sval": col}
+            )
 
     def build_secondary_index(self, col: str) -> None:
         """(Re)build the secondary index for ``col`` from current state —
@@ -1502,23 +1547,48 @@ class UpsertTable:
         self._sidx_update()
 
     def _sidx_lookup(self, col: str, value) -> list[tuple] | None:
-        """Partitions whose data contains ``value`` in ``col``; None when
-        the index does not exist on disk (caller falls back)."""
+        """Partitions whose data can contain ``value`` in ``col``; None
+        when the index does not exist on disk (caller falls back).
+        Exact for under-cap partitions; collapsed (over-cap) entries are
+        kept whenever [min, max] could contain the probe — a superset
+        the caller's residual filter makes exact."""
         root = self._sidx_dir(col)
         if not os.path.isdir(root):
             return None
+        idx = self._sidecar_frame(
+            root, ["sval", "sexact"], legacy_cols={"sval": col}
+        )
+        if idx is None:
+            return None
+        pb = self.partition_by
         schema = {f.name: f.dataType for f in self._load_schema().fields}
-        idx = self.spark.read.parquet(root)
-        for p in self.partition_by:
+        for p in pb:
             if p in schema:
                 idx = idx.withColumn(p, F.col(p).cast(schema[p]))
-        parts = [
-            tuple(r)
-            for r in idx.filter(F.col(col).eqNullSafe(F.lit(value)))
-            .select(*self.partition_by)
-            .distinct()
-            .collect()
-        ]
+        if value is None:
+            # exact null entry or collapsed null marker — either keeps
+            keep = (
+                idx.filter(F.col("sval").isNull()).select(*pb).distinct()
+            )
+        else:
+            exact_hit = F.col("sexact") & (F.col("sval") == F.lit(value))
+            ge = F.col("sval") >= F.lit(value)
+            le = F.col("sval") <= F.lit(value)
+            keep = (
+                idx.groupBy(*pb)
+                .agg(
+                    (
+                        F.max(F.when(exact_hit, True).otherwise(False))
+                        | (
+                            F.max(F.when(~F.col("sexact"), ge))
+                            & F.max(F.when(~F.col("sexact"), le))
+                        )
+                    ).alias("_keep")
+                )
+                .filter(F.col("_keep"))
+                .select(*pb)
+            )
+        parts = [tuple(r) for r in keep.collect()]
         # stale-entry guard: only partitions whose data dirs still exist
         live = []
         for values in parts:
@@ -1563,19 +1633,22 @@ class UpsertTable:
     # sidecars are folded into a snapshot on the first commit or probe
     # that touches them.
 
-    _FIDX_SNAPSHOT = "snapshot.parquet"
+    _SIDECAR_SNAPSHOT = "snapshot.parquet"
 
     def _fidx_dir(self, name: str) -> str:
         return os.path.join(self.path, "_fidx", name)
 
-    def _fidx_tokens(self, values: tuple) -> tuple[str, ...]:
+    def _sidecar_tokens(self, values: tuple) -> tuple[str, ...]:
         """Partition values -> the exact Hive-escaped directory tokens
         (the snapshot's partition-identity spelling — lossless for
         quotes/colons/nulls, and byte-identical to the data dirs)."""
         return tuple(_hive_escape_part(v) for v in values)
 
-    def _fidx_read_snapshot(self, root: str):
-        """The index's compacted snapshot as a pyarrow Table, or None
+    def _sidecar_read_snapshot(
+        self, root: str, value_cols: list[str],
+        legacy_cols: dict[str, str] | None = None,
+    ):
+        """A sidecar's compacted snapshot as a pyarrow Table, or None
         when nothing readable exists. Falls back to the legacy (pre-r13)
         Hive-partitioned layout — read through SPARK so the tokens'
         unescape semantics are the writer's own — re-escaping its
@@ -1583,7 +1656,7 @@ class UpsertTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        snap = os.path.join(root, self._FIDX_SNAPSHOT)
+        snap = os.path.join(root, self._SIDECAR_SNAPSHOT)
         if os.path.isfile(snap):
             return pq.read_table(snap)
         if not os.path.isdir(root) or not any(
@@ -1592,24 +1665,25 @@ class UpsertTable:
             return None
         pb = self.partition_by
         rows = self.spark.read.parquet(root).collect()
-        cols: dict[str, list] = {"fval": [], "fexact": []}
+        fields = set(rows[0].asDict()) if rows else set()
+        legacy_cols = legacy_cols or {}
+        arrays: dict = {}
+        for c in value_cols:
+            src_col = c if c in fields else legacy_cols.get(c)
+            if src_col in fields:
+                arrays[c] = pa.array([r[src_col] for r in rows])
+            else:
+                # legacy layouts predate the exactness flag: every
+                # stored value was exact membership
+                arrays[c] = pa.array([True] * len(rows), pa.bool_())
         for p in pb:
-            cols[p] = []
-        for r in rows:
-            cols["fval"].append(r["fval"])
-            cols["fexact"].append(r["fexact"])
-            for p in pb:
-                cols[p].append(_hive_escape_part(r[p]))
-        arrays = {
-            "fval": pa.array(cols["fval"]),
-            "fexact": pa.array(cols["fexact"], pa.bool_()),
-        }
-        for p in pb:
-            arrays[p] = pa.array(cols[p], pa.string())
+            arrays[p] = pa.array(
+                [_hive_escape_part(r[p]) for r in rows], pa.string()
+            )
         return pa.table(arrays)
 
-    def _fidx_write_snapshot(self, root: str, table) -> None:
-        """Atomically publish ``table`` as the index's snapshot (tmp +
+    def _sidecar_write_snapshot(self, root: str, table) -> None:
+        """Atomically publish ``table`` as the sidecar's snapshot (tmp +
         os.replace — a crash leaves either the old or the new file,
         never a torn one), then clear any legacy per-partition dirs so
         readers never double-count."""
@@ -1618,17 +1692,113 @@ class UpsertTable:
         import pyarrow.parquet as pq
 
         os.makedirs(root, exist_ok=True)
-        tmp = os.path.join(root, "." + self._FIDX_SNAPSHOT + ".tmp")
+        tmp = os.path.join(root, "." + self._SIDECAR_SNAPSHOT + ".tmp")
         pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(root, self._FIDX_SNAPSHOT))
+        os.replace(tmp, os.path.join(root, self._SIDECAR_SNAPSHOT))
         for d in os.listdir(root):
             if "=" in d and os.path.isdir(os.path.join(root, d)):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
-    def _fidx_snap_tokens(self, table) -> list[tuple]:
+    def _sidecar_snap_tokens(self, table) -> list[tuple]:
         """Each snapshot row's partition identity as a token tuple."""
         pb = self.partition_by
         return list(zip(*[table.column(p).to_pylist() for p in pb]))
+
+    def _sidecar_commit(
+        self, root: str, entries: DataFrame, value_cols: list[str],
+        touched: list[tuple] | None,
+        legacy_cols: dict[str, str] | None = None,
+    ) -> bool:
+        """Collect ``entries`` (O(touched x cap) metadata rows) and
+        splice them into the sidecar snapshot at ``root``: drop the
+        touched partitions' old rows, append the new, write atomically.
+        Returns False when the old and new value types can't concat
+        (reindex over an altered expression/schema) — the caller should
+        rebuild from the full table."""
+        import pyarrow as pa
+
+        pb = self.partition_by
+        new_arrow = entries.select(*value_cols, *pb).toArrow()
+        arrays = {c: new_arrow.column(c) for c in value_cols}
+        for p in pb:
+            arrays[p] = pa.array(
+                [_hive_escape_part(v) for v in new_arrow.column(p).to_pylist()],
+                pa.string(),
+            )
+        snap_new = pa.table(arrays)
+        combined = snap_new
+        if touched is not None:
+            old = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
+            if old is not None:
+                drop = {self._sidecar_tokens(v) for v in touched}
+                keep = pa.array(
+                    [t not in drop for t in self._sidecar_snap_tokens(old)]
+                )
+                try:
+                    combined = pa.concat_tables(
+                        [old.filter(keep), snap_new],
+                        promote_options="default",
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    return False
+        self._sidecar_write_snapshot(root, combined)
+        return True
+
+    def _sidecar_drop_parts(
+        self, root: str, parts: list[tuple], value_cols: list[str],
+        legacy_cols: dict[str, str] | None = None,
+    ) -> None:
+        """Remove the given partitions' rows from a sidecar snapshot
+        (plus any legacy per-partition dirs)."""
+        import shutil
+
+        import pyarrow as pa
+
+        for values in parts:
+            sub = [
+                f"{c}={_hive_escape_part(v)}"
+                for c, v in zip(self.partition_by, values)
+            ]
+            shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
+        old = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
+        if old is None:
+            return
+        drop = {self._sidecar_tokens(v) for v in parts}
+        keep = pa.array(
+            [t not in drop for t in self._sidecar_snap_tokens(old)]
+        )
+        self._sidecar_write_snapshot(root, old.filter(keep))
+
+    def _sidecar_frame(
+        self, root: str, value_cols: list[str],
+        legacy_cols: dict[str, str] | None = None,
+    ) -> DataFrame | None:
+        """A sidecar snapshot as a (small) Spark DataFrame, or None when
+        no state exists on disk. ONE driver-side pyarrow file read,
+        independent of partition count. Escaped partition tokens are
+        decoded here (the inverse of `_hive_escape_part`, null sentinel
+        -> NULL) and returned as RAW STRINGS; the caller casts them to
+        the table schema."""
+        import pyarrow as pa
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
+            HIVE_DEFAULT_PARTITION,
+            _hive_unescape,
+        )
+
+        snap = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
+        if snap is None:
+            return None
+        arrays = {c: snap.column(c) for c in value_cols}
+        for p in self.partition_by:
+            arrays[p] = pa.array(
+                [
+                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
+                    for t in snap.column(p).to_pylist()
+                ],
+                pa.string(),
+            )
+        return self.spark.createDataFrame(pa.table(arrays))
 
     def _fidx_update(
         self, touched: list[tuple] | None = None, only: str | None = None
@@ -1682,69 +1852,27 @@ class UpsertTable:
                 .distinct()
                 .withColumn("fexact", F.lit(False))
             )
-            new_arrow = (
-                exact.unionByName(collapsed)
-                .select("fval", "fexact", *pb)
-                .toArrow()
+            ok = self._sidecar_commit(
+                self._fidx_dir(name),
+                exact.unionByName(collapsed),
+                ["fval", "fexact"],
+                touched,
             )
-            arrays = {
-                "fval": new_arrow.column("fval"),
-                "fexact": new_arrow.column("fexact"),
-            }
-            for p in pb:
-                arrays[p] = pa.array(
-                    [_hive_escape_part(v) for v in new_arrow.column(p).to_pylist()],
-                    pa.string(),
-                )
-            snap_new = pa.table(arrays)
-            root = self._fidx_dir(name)
-            combined = snap_new
-            if touched is not None:
-                old = self._fidx_read_snapshot(root)
-                if old is not None:
-                    drop = {self._fidx_tokens(v) for v in touched}
-                    keep = pa.array(
-                        [t not in drop for t in self._fidx_snap_tokens(old)]
-                    )
-                    try:
-                        combined = pa.concat_tables(
-                            [old.filter(keep), snap_new],
-                            promote_options="default",
-                        )
-                    except (pa.ArrowInvalid, pa.ArrowTypeError):
-                        # fval type changed under us (reindex over an
-                        # altered expression/schema): rebuild this index
-                        # from the full table rather than guess a cast
-                        self._fidx_update(touched=None, only=name)
-                        continue
-            self._fidx_write_snapshot(root, combined)
+            if not ok:
+                # fval type changed under us (reindex over an altered
+                # expression/schema): rebuild this index from the full
+                # table rather than guess a cast
+                self._fidx_update(touched=None, only=name)
 
     def _fidx_remove_partitions(self, parts: list[tuple]) -> None:
         """Drop the given partitions' entries from every index snapshot
         (delete_partition / emptied-by-merge paths). Legacy per-partition
         dirs, if any survive, are removed alongside."""
-        import shutil
-
         for name in self.functional_indexes:
             root = self._fidx_dir(name)
             if not os.path.isdir(root):
                 continue
-            for values in parts:
-                sub = [
-                    f"{c}={_hive_escape_part(v)}"
-                    for c, v in zip(self.partition_by, values)
-                ]
-                shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
-            old = self._fidx_read_snapshot(root)
-            if old is None:
-                continue
-            import pyarrow as pa
-
-            drop = {self._fidx_tokens(v) for v in parts}
-            keep = pa.array(
-                [t not in drop for t in self._fidx_snap_tokens(old)]
-            )
-            self._fidx_write_snapshot(root, old.filter(keep))
+            self._sidecar_drop_parts(root, parts, ["fval", "fexact"])
 
     def build_functional_index(self, name: str, expr: str) -> None:
         """(Re)build the functional index ``name`` on SQL expression
@@ -1765,33 +1893,8 @@ class UpsertTable:
         the 3.1x-at-4000 `fidx_read_expr_sec` ratio VERDICT r12 flagged);
         the compacted snapshot is Hudi's own metadata-table architecture
         (read by the timeline server driver-side, not as a distributed
-        scan). Escaped partition tokens are decoded here (the inverse of
-        `_hive_escape_part`, null sentinel -> NULL) and returned as RAW
-        STRINGS; the caller casts them to the table schema exactly as
-        the Hive-layout reader's inference did."""
-        import pyarrow as pa
-
-        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
-            HIVE_DEFAULT_PARTITION,
-            _hive_unescape,
-        )
-
-        snap = self._fidx_read_snapshot(root)
-        if snap is None:
-            return None
-        arrays = {
-            "fval": snap.column("fval"),
-            "fexact": snap.column("fexact"),
-        }
-        for p in self.partition_by:
-            arrays[p] = pa.array(
-                [
-                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
-                    for t in snap.column(p).to_pylist()
-                ],
-                pa.string(),
-            )
-        return self.spark.createDataFrame(pa.table(arrays))
+        scan)."""
+        return self._sidecar_frame(root, ["fval", "fexact"])
 
     def _fidx_candidates(self, name: str, lo, hi) -> list[tuple] | None:
         """Partitions whose indexed expression can take a value in

@@ -112,3 +112,90 @@ def test_read_for_prefers_sidx_and_reads_only_mapped_dirs(spark, tmp_path, monke
     rows = _rows(t.read_for({"tag": "blue"}))
     assert rows == [(2, "b", "blue", 1), (3, "c", "blue", 1)]
     assert seen == [[("b",), ("c",)]]  # exactly the mapped partitions
+
+
+# -- r13: compacted snapshot layout + cardinality cap ------------------------
+
+
+def test_snapshot_single_file_layout(spark, tmp_path):
+    """The sidecar is ONE compacted snapshot file regardless of commits
+    or partition count (the r12 layout kept one file per partition dir
+    and the lookup ran a distributed scan over all of them)."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(spark.createDataFrame(
+        [(1, "a", "red", 1), (2, "b", "blue", 1)], SCHEMA))
+    t.upsert(spark.createDataFrame([(3, "c", "red", 1)], SCHEMA))
+    root = t._sidx_dir("tag")
+    assert sorted(f for f in os.listdir(root) if not f.startswith(".")) == [
+        "snapshot.parquet"
+    ]
+    assert sorted(t._sidx_lookup("tag", "red")) == [("a",), ("c",)]
+    assert t._sidx_lookup("tag", "green") == []
+
+
+def test_cap_overflow_degrades_to_stats(spark, tmp_path):
+    """A partition past fidx_max_values collapses to min/max (+ null
+    marker): the lookup keeps it on range overlap (superset — read_for's
+    residual restores exactness) and prunes it on disjoint probes."""
+    t = _tbl(spark, str(tmp_path / "t"), fidx_max_values=2)
+    t.upsert(spark.createDataFrame(
+        [(1, "a", "b1", 1), (2, "a", "m1", 1), (3, "a", "m2", 1),
+         (4, "a", "t9", 1), (5, "a", None, 1),
+         (6, "b", "m1", 1)], SCHEMA))
+    idx = spark.read.parquet(t._sidx_dir("tag"))
+    a = idx.filter(F.col("p") == "a").collect()
+    assert sorted(r.sval for r in a if r.sval is not None) == ["b1", "t9"]
+    assert all(not r.sexact for r in a)
+    assert any(r.sval is None for r in a)  # null marker row
+    # probe INSIDE the collapsed range: kept (superset), result exact
+    assert sorted(t._sidx_lookup("tag", "m1")) == [("a",), ("b",)]
+    got = _rows(t.read_for({"tag": "m1"}))
+    want = _rows(t.read().filter(F.col("tag") == "m1"))
+    assert got == want == [(2, "a", "m1", 1), (6, "b", "m1", 1)]
+    # probe stored-at-the-bound: exact containment via the min row
+    assert _rows(t.read_for({"tag": "b1"})) == [(1, "a", "b1", 1)]
+    # probe OUTSIDE [b1, t9]: pruned despite the collapse
+    assert t._sidx_lookup("tag", "zz") == []
+    assert _rows(t.read_for({"tag": "zz"})) == []
+    # null probe: collapsed partition kept via the marker, exact result
+    assert t._sidx_lookup("tag", None) == [("a",)]
+    got = _rows(t.read_for({"tag": None}))
+    want = _rows(t.read().filter(F.col("tag").isNull()))
+    assert got == want == [(5, "a", None, 1)]
+
+
+def test_null_value_and_null_partition_roundtrip(spark, tmp_path):
+    """NULL indexed values and NULL partition values both survive the
+    snapshot's token columns (the r12 Spark-layout behaviors, kept)."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(spark.createDataFrame(
+        [(1, "a", None, 1), (2, None, "red", 1)], SCHEMA))
+    assert t._sidx_lookup("tag", None) == [("a",)]
+    assert t._sidx_lookup("tag", "red") == [(None,)]
+    got = _rows(t.read_for({"tag": "red"}))
+    assert got == [(2, None, "red", 1)]
+
+
+def test_legacy_hive_layout_migrates_to_snapshot(spark, tmp_path):
+    """A pre-r13 per-partition sidecar (rows under the column's own
+    name, no exactness flag) still answers lookups and is folded into a
+    compacted snapshot by the next commit."""
+    import shutil
+
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(spark.createDataFrame(
+        [(1, "a", "red", 1), (2, "b", "blue", 1)], SCHEMA))
+    root = t._sidx_dir("tag")
+    shutil.rmtree(root)
+    (
+        t.read().select(F.col("tag"), "p").distinct()
+        .write.mode("overwrite").partitionBy("p").parquet(root)
+    )
+    assert "snapshot.parquet" not in os.listdir(root)
+    assert sorted(t._sidx_lookup("tag", "red")) == [("a",)]
+    t.upsert(spark.createDataFrame([(3, "c", "red", 1)], SCHEMA))
+    assert sorted(
+        f for f in os.listdir(root) if not f.startswith(".")
+    ) == ["snapshot.parquet"]
+    assert sorted(t._sidx_lookup("tag", "red")) == [("a",), ("c",)]
+    assert sorted(t._sidx_lookup("tag", "blue")) == [("b",)]
