@@ -650,6 +650,60 @@ def nbcc_interleaved_publish_with_crashed_claim_between(spark, path):
     assert _snap(t) == AFTER_B2 + [(5, "a", 1, 50.0)]
 
 
+def cow_fidx_snapshot_crash_then_replay(spark, path):
+    """Crash BETWEEN the data write and the functional/secondary-index
+    snapshot splice (r13 compacted sidecars): the data holds the new
+    rows but the snapshots are stale. Replaying the same batch (the
+    streaming contract) re-splices the touched partitions' entries from
+    a re-read of the files, and indexed reads are exact again. The
+    snapshot write itself is tmp + os.replace — a crash can leave it
+    stale, never torn."""
+    t = UpsertTable(
+        spark, path, keys=["k"], precombine="ver", partition_by=["p"],
+        functional_indexes={"vint": "CAST(v AS INT)"},
+        secondary_index_columns=["v"],
+    )
+    t.upsert(_df(spark, B1))
+    with mock.patch.object(
+        UpsertTable, "_sidecar_write_snapshot", side_effect=InjectedCrash
+    ):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    # stale-index window: data already merged, index may lag — but a
+    # probe never errors (full predicate still applies to candidates)
+    t.upsert(_df(spark, B2))  # checkpoint replay of the same batch
+    assert _snap(t) == AFTER_B2
+    # indexed reads exact after replay: value 21 only exists post-B2
+    got = sorted((r.k, r.v) for r in t.read_for_expr("vint", value=21).collect())
+    assert got == [(2, 21.0)]
+    got = sorted((r.k, r.v) for r in t.read_for({"v": 21.0}).collect())
+    assert got == [(2, 21.0)]
+    got = sorted(r.k for r in t.read(where="CAST(v AS INT) = 30").collect())
+    assert got == [3]
+
+
+def cow_delete_partition_sidecar_splice_crash(spark, path):
+    """delete_partition removes the data dir, then crashes before the
+    sidecar splice: the stale snapshot rows point at a vanished
+    partition — the lookup's stale-entry guard drops them, and retrying
+    the delete (idempotent) cleans the snapshot."""
+    t = UpsertTable(
+        spark, path, keys=["k"], precombine="ver", partition_by=["p"],
+        functional_indexes={"vint": "CAST(v AS INT)"},
+    )
+    t.upsert(_df(spark, B1))
+    with mock.patch.object(
+        UpsertTable, "_sidecar_write_snapshot", side_effect=InjectedCrash
+    ):
+        with pytest.raises(InjectedCrash):
+            t.delete_partition(("a",))
+    # data dir gone, snapshot stale: the guard keeps results exact
+    assert t._fidx_candidates("vint", 10, 10) == []
+    t.delete_partition(("a",))  # retry converges
+    assert t._fidx_candidates("vint", 10, 10) == []
+    assert sorted(r.k for r in t.read_for_expr("vint", value=20).collect()) == [2]
+
+
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
@@ -674,6 +728,8 @@ FAULT_POINTS = [
     cow_cluster_crash_mid_delete,
     cow_cluster_crash_mid_move,
     cow_bloom_sidecar_saved_then_write_crash,
+    cow_fidx_snapshot_crash_then_replay,
+    cow_delete_partition_sidecar_splice_crash,
     cow_merge_bysource_crash_before_write,
     dedup_accept_crash_then_replay,
     mv_refresh_before_cursor,
