@@ -1555,11 +1555,20 @@ class UpsertTable:
         root = self._sidx_dir(col)
         if not os.path.isdir(root):
             return None
-        idx = self._sidecar_frame(
+        snap = self._sidecar_read_snapshot(
             root, ["sval", "sexact"], legacy_cols={"sval": col}
         )
-        if idx is None:
+        if snap is None:
             return None
+        # driver-side fast path (equality == the [v, v] range; see
+        # _sidecar_candidates_fast for the fallback guards)
+        parts = self._sidecar_candidates_fast(
+            snap, "sval", "sexact", value, value,
+            null_probe=value is None,
+        )
+        if parts is not None:
+            return self._sidecar_live_parts(parts)
+        idx = self._sidecar_frame_of(snap, ["sval", "sexact"])
         pb = self.partition_by
         schema = {f.name: f.dataType for f in self._load_schema().fields}
         for p in pb:
@@ -1589,16 +1598,7 @@ class UpsertTable:
                 .select(*pb)
             )
         parts = [tuple(r) for r in keep.collect()]
-        # stale-entry guard: only partitions whose data dirs still exist
-        live = []
-        for values in parts:
-            sub = [
-                f"{c}={_hive_escape_part(v)}"
-                for c, v in zip(self.partition_by, values)
-            ]
-            if os.path.isdir(os.path.join(self.path, *sub)):
-                live.append(values)
-        return live
+        return self._sidecar_live_parts(parts)
 
     # -- functional / expression index (Hudi 1.0 parity) ----------------------
     #
@@ -1789,6 +1789,18 @@ class UpsertTable:
         snap = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
         if snap is None:
             return None
+        return self._sidecar_frame_of(snap, value_cols)
+
+    def _sidecar_frame_of(self, snap, value_cols: list[str]) -> DataFrame:
+        """An in-memory snapshot table as a Spark DataFrame (tokens
+        decoded to raw strings, null sentinel -> NULL)."""
+        import pyarrow as pa
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
+            HIVE_DEFAULT_PARTITION,
+            _hive_unescape,
+        )
+
         arrays = {c: snap.column(c) for c in value_cols}
         for p in self.partition_by:
             arrays[p] = pa.array(
@@ -1799,6 +1811,122 @@ class UpsertTable:
                 pa.string(),
             )
         return self.spark.createDataFrame(pa.table(arrays))
+
+    #: cap on the driver-side candidate fast path — past this the
+    #: vectorized arrow scan still works but a distributed groupBy is
+    #: at least as good, so stay on the Spark path
+    _SIDECAR_FAST_MAX_ROWS = 500_000
+
+    def _sidecar_candidates_fast(
+        self, snap, val_col: str, exact_col: str, lo, hi, *,
+        null_probe: bool = False,
+    ) -> list[tuple] | None:
+        """Candidate partitions evaluated DRIVER-SIDE over the snapshot
+        (pyarrow compute + one pandas groupby — ~tens of ms, no Spark
+        job), or None when cross-engine comparison semantics are not
+        obviously identical and the caller must fall back to the Spark
+        path. Guards:
+
+        * every partition column is a STRING in the table schema, so an
+          unescaped token IS the typed value (no driver-side re-typing
+          that could diverge from Spark casts);
+        * each probe bound converts to the stored arrow type via
+          pa.scalar(type=...) WITHOUT coercion surprises — a cross-type
+          probe (int vs string, float vs int column) raises there and
+          falls back to Spark, whose implicit-cast semantics then apply
+          exactly as before;
+        * the snapshot is under _SIDECAR_FAST_MAX_ROWS.
+
+        Null semantics mirror the Spark aggregation bit for bit: null
+        stored values never satisfy a range (fill_null False ==
+        Spark's max-ignores-null / otherwise(False)); a partition with
+        no inexact rows contributes False to the inexact leg (== the
+        Spark max-over-empty null that the filter drops)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
+            HIVE_DEFAULT_PARTITION,
+            _hive_unescape,
+        )
+
+        if snap.num_rows > self._SIDECAR_FAST_MAX_ROWS:
+            return None
+        if snap.num_rows == 0:
+            return []
+        schema = {f.name: f.dataType for f in self._load_schema().fields}
+        if not all(
+            isinstance(schema.get(p), T.StringType) for p in self.partition_by
+        ):
+            return None
+        def _flat(col):  # plain Array (pc ops need uniform shapes)
+            out = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+            return out if isinstance(out, pa.Array) else out.chunk(0)
+
+        fval = _flat(snap.column(val_col))
+        fex = pc.fill_null(_flat(snap.column(exact_col)), False)
+        if null_probe:
+            keep_row = pc.is_null(fval)
+        else:
+            def _cmp(op, bound):
+                s = pa.scalar(bound, type=fval.type)
+                return pc.fill_null(getattr(pc, op)(fval, s), False)
+
+            try:
+                ge = (
+                    _cmp("greater_equal", lo)
+                    if lo is not None
+                    else pa.array([True] * snap.num_rows, pa.bool_())
+                )
+                le = (
+                    _cmp("less_equal", hi)
+                    if hi is not None
+                    else pa.array([True] * snap.num_rows, pa.bool_())
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+                    OverflowError, TypeError, ValueError):
+                return None
+            in_range = pc.and_(ge, le)
+            exact_hit = pc.and_(fex, in_range)
+            inex = pc.invert(fex)
+            keep_row = None  # resolved per-group below
+        import pandas as pd
+
+        # synthetic group-key names — a partition column could be named
+        # anything, including the aggregate columns below
+        keys = [f"_p{i}" for i in range(len(self.partition_by))]
+        cols = {
+            k: snap.column(p).to_pylist()
+            for k, p in zip(keys, self.partition_by)
+        }
+        if null_probe:
+            pdf = pd.DataFrame({**cols, "_k": keep_row.to_pylist()})
+            agg = pdf.groupby(keys, dropna=False, sort=False)["_k"].any()
+            kept = agg[agg].index
+        else:
+            pdf = pd.DataFrame(
+                {
+                    **cols,
+                    "_e": exact_hit.to_pylist(),
+                    "_g": pc.and_(inex, ge).to_pylist(),
+                    "_l": pc.and_(inex, le).to_pylist(),
+                }
+            )
+            g = pdf.groupby(keys, dropna=False, sort=False)[
+                ["_e", "_g", "_l"]
+            ].any()
+            mask = g["_e"] | (g["_g"] & g["_l"])
+            kept = g[mask].index
+        out = []
+        for key in kept:
+            toks = key if isinstance(key, tuple) else (key,)
+            out.append(
+                tuple(
+                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
+                    for t in toks
+                )
+            )
+        return out
 
     def _fidx_update(
         self, touched: list[tuple] | None = None, only: str | None = None
@@ -1907,9 +2035,16 @@ class UpsertTable:
             return None
         pb = self.partition_by
         schema = {f.name: f.dataType for f in self._load_schema().fields}
-        idx = self._fidx_index_frame(root)
-        if idx is None:
+        snap = self._sidecar_read_snapshot(root, ["fval", "fexact"])
+        if snap is None:
             return None
+        # driver-side fast path: no Spark job for the common
+        # string-partitioned, type-matched probe (falls back on any
+        # semantic doubt — see _sidecar_candidates_fast)
+        parts = self._sidecar_candidates_fast(snap, "fval", "fexact", lo, hi)
+        if parts is not None:
+            return self._sidecar_live_parts(parts)
+        idx = self._sidecar_frame_of(snap, ["fval", "fexact"])
         for p in pb:
             if p in schema:
                 idx = idx.withColumn(p, F.col(p).cast(schema[p]))
@@ -1939,7 +2074,12 @@ class UpsertTable:
             .select(*pb)
         )
         parts = [tuple(r) for r in keep.collect()]
-        # stale-entry guard: only partitions whose data dirs still exist
+        return self._sidecar_live_parts(parts)
+
+    def _sidecar_live_parts(self, parts: list[tuple]) -> list[tuple]:
+        """Stale-entry guard: only partitions whose data dirs still
+        exist (a sidecar row can outlive its partition between a crash
+        and the replay that converges it)."""
         live = []
         for values in parts:
             sub = [

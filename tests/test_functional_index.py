@@ -609,3 +609,65 @@ def test_split_comparison_quote_escape_parity(spark, tmp_path):
         got = _keys(t.read(where=pred))
         want = _keys(t.read().filter(F.expr(pred)))
         assert got == want, pred
+
+
+def test_fast_path_matches_spark_path(spark, tmp_path, monkeypatch):
+    """r13 driver-side candidate fast path: for every probe shape the
+    pyarrow evaluation returns EXACTLY what the Spark aggregation
+    returns (collapsed entries, null fvals, null partitions, open
+    bounds, cross-type probes that force the fallback)."""
+    t = _tbl(spark, str(tmp_path / "t"), fidx_max_values=2)
+    rows = spark.createDataFrame(
+        [
+            (1, "d1", "2024-01-01 02:30:00", 1),
+            (2, "d1", "2024-01-01 05:30:00", 1),
+            (3, "d1", "2024-01-01 08:30:00", 1),  # d1 over cap -> collapse
+            (4, "d2", "2024-01-02 20:30:00", 1),
+            (5, None, "2024-01-03 11:30:00", 1),  # null partition
+            (6, "d3", None, 1),                   # null expression value
+        ],
+        "k long, day string, ts string, ver long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.upsert(rows)
+
+    probes = [
+        (2, 2), (5, 5), (20, 20), (11, 11), (9, 9), (99, 99),
+        (None, 8), (8, None), (None, None), (0, 23),
+        ("2", "2"),  # string probe on int index -> fast path falls back
+    ]
+    for lo, hi in probes:
+        fast = t._fidx_candidates("hour", lo, hi)
+        with monkeypatch.context() as m:
+            m.setattr(
+                UpsertTable, "_sidecar_candidates_fast",
+                lambda self, *a, **kw: None,
+            )
+            slow = t._fidx_candidates("hour", lo, hi)
+        key = lambda v: tuple((x is None, x) for x in v)
+        assert sorted(fast, key=key) == sorted(slow, key=key), (lo, hi)
+
+
+def test_sidx_fast_path_matches_spark_path(spark, tmp_path, monkeypatch):
+    """Same parity pin for the secondary-index equality/null probes."""
+    t = UpsertTable(
+        spark, str(tmp_path / "t"), keys=["k"], precombine="ver",
+        partition_by=["p"], secondary_index_columns=["tag"],
+        fidx_max_values=2,
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, "a", "b1", 1), (2, "a", "m1", 1), (3, "a", "t9", 1),
+         (4, "a", None, 1), (5, "b", "m1", 1), (6, None, "red", 1)],
+        "k long, p string, tag string, ver long"))
+    # (an int probe against the string column raises CAST_INVALID_INPUT
+    # under ANSI on BOTH paths — the fast path's pa.scalar guard falls
+    # back to Spark, whose semantics then apply unchanged)
+    for v in ["b1", "m1", "t9", "red", "zz", None]:
+        fast = t._sidx_lookup("tag", v)
+        with monkeypatch.context() as m:
+            m.setattr(
+                UpsertTable, "_sidecar_candidates_fast",
+                lambda self, *a, **kw: None,
+            )
+            slow = t._sidx_lookup("tag", v)
+        key = lambda t_: tuple((x is None, x) for x in t_)
+        assert sorted(fast, key=key) == sorted(slow, key=key), v
