@@ -201,8 +201,427 @@ def _hive_escape_part(v) -> str:
 
 
 
+
+
+class SnapshotSidecars:
+    """Compacted metadata-sidecar machinery shared by table types
+    (UpsertTable's secondary/functional indexes, MergeOnReadTable's
+    functional indexes — Hudi's metadata-table model): one
+    snapshot.parquet per index under the table path, spliced
+    driver-side at commit time, probed with a single file read.
+
+    A concrete table provides ``spark``, ``path``, ``partition_by``
+    plus two hooks: ``_sidecar_table_schema()`` (the persisted table
+    schema — partition-column types drive the fast-path guards and
+    probe casts) and ``_sidecar_guard_parts(parts)`` (post-lookup
+    stale-entry filtering; default keeps everything, which is always
+    sound — candidates are a superset and the reader's residual filter
+    restores exactness)."""
+
+    def _sidecar_table_schema(self):
+        raise NotImplementedError
+
+    def _sidecar_guard_parts(self, parts: list[tuple]) -> list[tuple]:
+        return parts
+
+    def _fidx_entries(self, vals: DataFrame, cap: int) -> DataFrame:
+        """The shared exact-or-collapse aggregation: ``vals`` carries
+        (fval, fexact, *partition cols) candidate entries — fexact=False
+        rows are RANGE MARKERS from a previously collapsed entry (their
+        presence forces the partition to stay inexact: unseen values
+        between the old bounds may exist in the data). A partition is
+        stored exactly iff every contributing row is exact and its
+        distinct value count is within ``cap``; otherwise it collapses
+        to min/max rows flagged inexact."""
+        pb = self.partition_by
+        counts = vals.groupBy(*pb).agg(
+            F.count("*").alias("_n"),
+            F.min("fval").alias("_mn"),
+            F.max("fval").alias("_mx"),
+            F.max(~F.col("fexact")).alias("_any_inexact"),
+        )
+        exact_pb = counts.filter(
+            (F.col("_n") <= cap) & ~F.col("_any_inexact")
+        ).select(*pb)
+        # null-safe semi join: a NULL partition value is a real
+        # partition (day=__HIVE_DEFAULT_PARTITION__); a plain equi-join
+        # would drop its entries and the indexed read would then
+        # silently lose the partition's rows (r13)
+        exact = _nullsafe_key_join(vals, exact_pb, pb, "leftsemi").select(
+            "fval", F.lit(True).alias("fexact"), *pb
+        )
+        over = counts.filter((F.col("_n") > cap) | F.col("_any_inexact"))
+        collapsed = (
+            over.select(F.col("_mn").alias("fval"), *pb)
+            .unionByName(over.select(F.col("_mx").alias("fval"), *pb))
+            .distinct()
+            .withColumn("fexact", F.lit(False))
+        )
+        return exact.unionByName(collapsed.select("fval", "fexact", *pb))
+
+    _SIDECAR_SNAPSHOT = "snapshot.parquet"
+
+    def _fidx_dir(self, name: str) -> str:
+        return os.path.join(self.path, "_fidx", name)
+
+    def _sidecar_tokens(self, values: tuple) -> tuple[str, ...]:
+        """Partition values -> the exact Hive-escaped directory tokens
+        (the snapshot's partition-identity spelling — lossless for
+        quotes/colons/nulls, and byte-identical to the data dirs)."""
+        return tuple(_hive_escape_part(v) for v in values)
+
+    def _sidecar_read_snapshot(
+        self, root: str, value_cols: list[str],
+        legacy_cols: dict[str, str] | None = None,
+    ):
+        """A sidecar's compacted snapshot as a pyarrow Table, or None
+        when nothing readable exists. Falls back to the legacy (pre-r13)
+        Hive-partitioned layout — read through SPARK so the tokens'
+        unescape semantics are the writer's own — re-escaping its
+        partition values into snapshot-layout token columns."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = os.path.join(root, self._SIDECAR_SNAPSHOT)
+        if os.path.isfile(snap):
+            return pq.read_table(snap)
+        if not os.path.isdir(root) or not any(
+            "=" in d for d in os.listdir(root)
+        ):
+            return None
+        pb = self.partition_by
+        rows = self.spark.read.parquet(root).collect()
+        fields = set(rows[0].asDict()) if rows else set()
+        legacy_cols = legacy_cols or {}
+        arrays: dict = {}
+        for c in value_cols:
+            src_col = c if c in fields else legacy_cols.get(c)
+            if src_col in fields:
+                arrays[c] = pa.array([r[src_col] for r in rows])
+            else:
+                # legacy layouts predate the exactness flag: every
+                # stored value was exact membership
+                arrays[c] = pa.array([True] * len(rows), pa.bool_())
+        for p in pb:
+            arrays[p] = pa.array(
+                [_hive_escape_part(r[p]) for r in rows], pa.string()
+            )
+        return pa.table(arrays)
+
+    def _sidecar_write_snapshot(self, root: str, table) -> None:
+        """Atomically publish ``table`` as the sidecar's snapshot (tmp +
+        os.replace — a crash leaves either the old or the new file,
+        never a torn one), then clear any legacy per-partition dirs so
+        readers never double-count."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, "." + self._SIDECAR_SNAPSHOT + ".tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(root, self._SIDECAR_SNAPSHOT))
+        for d in os.listdir(root):
+            if "=" in d and os.path.isdir(os.path.join(root, d)):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    def _sidecar_snap_tokens(self, table) -> list[tuple]:
+        """Each snapshot row's partition identity as a token tuple."""
+        pb = self.partition_by
+        return list(zip(*[table.column(p).to_pylist() for p in pb]))
+
+    def _sidecar_commit(
+        self, root: str, entries: DataFrame, value_cols: list[str],
+        touched: list[tuple] | None,
+        legacy_cols: dict[str, str] | None = None,
+    ) -> bool:
+        """Collect ``entries`` (O(touched x cap) metadata rows) and
+        splice them into the sidecar snapshot at ``root``: drop the
+        touched partitions' old rows, append the new, write atomically.
+        Returns False when the old and new value types can't concat
+        (reindex over an altered expression/schema) — the caller should
+        rebuild from the full table."""
+        import pyarrow as pa
+
+        pb = self.partition_by
+        new_arrow = entries.select(*value_cols, *pb).toArrow()
+        arrays = {c: new_arrow.column(c) for c in value_cols}
+        for p in pb:
+            arrays[p] = pa.array(
+                [_hive_escape_part(v) for v in new_arrow.column(p).to_pylist()],
+                pa.string(),
+            )
+        snap_new = pa.table(arrays)
+        combined = snap_new
+        if touched is not None:
+            old = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
+            if old is not None:
+                drop = {self._sidecar_tokens(v) for v in touched}
+                keep = pa.array(
+                    [t not in drop for t in self._sidecar_snap_tokens(old)]
+                )
+                try:
+                    combined = pa.concat_tables(
+                        [old.filter(keep), snap_new],
+                        promote_options="default",
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    return False
+        self._sidecar_write_snapshot(root, combined)
+        return True
+
+    def _sidecar_drop_parts(
+        self, root: str, parts: list[tuple], value_cols: list[str],
+        legacy_cols: dict[str, str] | None = None,
+    ) -> None:
+        """Remove the given partitions' rows from a sidecar snapshot
+        (plus any legacy per-partition dirs)."""
+        import shutil
+
+        import pyarrow as pa
+
+        for values in parts:
+            sub = [
+                f"{c}={_hive_escape_part(v)}"
+                for c, v in zip(self.partition_by, values)
+            ]
+            shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
+        old = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
+        if old is None:
+            return
+        drop = {self._sidecar_tokens(v) for v in parts}
+        keep = pa.array(
+            [t not in drop for t in self._sidecar_snap_tokens(old)]
+        )
+        self._sidecar_write_snapshot(root, old.filter(keep))
+
+    def _sidecar_frame(
+        self, root: str, value_cols: list[str],
+        legacy_cols: dict[str, str] | None = None,
+    ) -> DataFrame | None:
+        """A sidecar snapshot as a (small) Spark DataFrame, or None when
+        no state exists on disk. ONE driver-side pyarrow file read,
+        independent of partition count. Escaped partition tokens are
+        decoded here (the inverse of `_hive_escape_part`, null sentinel
+        -> NULL) and returned as RAW STRINGS; the caller casts them to
+        the table schema."""
+        import pyarrow as pa
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
+            HIVE_DEFAULT_PARTITION,
+            _hive_unescape,
+        )
+
+        snap = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
+        if snap is None:
+            return None
+        return self._sidecar_frame_of(snap, value_cols)
+
+    def _sidecar_frame_of(self, snap, value_cols: list[str]) -> DataFrame:
+        """An in-memory snapshot table as a Spark DataFrame (tokens
+        decoded to raw strings, null sentinel -> NULL)."""
+        import pyarrow as pa
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
+            HIVE_DEFAULT_PARTITION,
+            _hive_unescape,
+        )
+
+        arrays = {c: snap.column(c) for c in value_cols}
+        for p in self.partition_by:
+            arrays[p] = pa.array(
+                [
+                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
+                    for t in snap.column(p).to_pylist()
+                ],
+                pa.string(),
+            )
+        return self.spark.createDataFrame(pa.table(arrays))
+
+    #: cap on the driver-side candidate fast path — past this the
+    #: vectorized arrow scan still works but a distributed groupBy is
+    #: at least as good, so stay on the Spark path
+    _SIDECAR_FAST_MAX_ROWS = 500_000
+
+    def _sidecar_candidates_fast(
+        self, snap, val_col: str, exact_col: str, lo, hi, *,
+        null_probe: bool = False,
+    ) -> list[tuple] | None:
+        """Candidate partitions evaluated DRIVER-SIDE over the snapshot
+        (pyarrow compute + one pandas groupby — ~tens of ms, no Spark
+        job), or None when cross-engine comparison semantics are not
+        obviously identical and the caller must fall back to the Spark
+        path. Guards:
+
+        * every partition column is a STRING in the table schema, so an
+          unescaped token IS the typed value (no driver-side re-typing
+          that could diverge from Spark casts);
+        * each probe bound converts to the stored arrow type via
+          pa.scalar(type=...) WITHOUT coercion surprises — a cross-type
+          probe (int vs string, float vs int column) raises there and
+          falls back to Spark, whose implicit-cast semantics then apply
+          exactly as before;
+        * the snapshot is under _SIDECAR_FAST_MAX_ROWS.
+
+        Null semantics mirror the Spark aggregation bit for bit: null
+        stored values never satisfy a range (fill_null False ==
+        Spark's max-ignores-null / otherwise(False)); a partition with
+        no inexact rows contributes False to the inexact leg (== the
+        Spark max-over-empty null that the filter drops)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
+            HIVE_DEFAULT_PARTITION,
+            _hive_unescape,
+        )
+
+        if snap.num_rows > self._SIDECAR_FAST_MAX_ROWS:
+            return None
+        if snap.num_rows == 0:
+            return []
+        schema = {f.name: f.dataType for f in self._sidecar_table_schema().fields}
+        if not all(
+            isinstance(schema.get(p), T.StringType) for p in self.partition_by
+        ):
+            return None
+        def _flat(col):  # plain Array (pc ops need uniform shapes)
+            out = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+            return out if isinstance(out, pa.Array) else out.chunk(0)
+
+        fval = _flat(snap.column(val_col))
+        fex = pc.fill_null(_flat(snap.column(exact_col)), False)
+        if null_probe:
+            keep_row = pc.is_null(fval)
+        else:
+            def _cmp(op, bound):
+                s = pa.scalar(bound, type=fval.type)
+                return pc.fill_null(getattr(pc, op)(fval, s), False)
+
+            try:
+                ge = (
+                    _cmp("greater_equal", lo)
+                    if lo is not None
+                    else pa.array([True] * snap.num_rows, pa.bool_())
+                )
+                le = (
+                    _cmp("less_equal", hi)
+                    if hi is not None
+                    else pa.array([True] * snap.num_rows, pa.bool_())
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+                    OverflowError, TypeError, ValueError):
+                return None
+            in_range = pc.and_(ge, le)
+            exact_hit = pc.and_(fex, in_range)
+            inex = pc.invert(fex)
+            keep_row = None  # resolved per-group below
+        import pandas as pd
+
+        # synthetic group-key names — a partition column could be named
+        # anything, including the aggregate columns below
+        keys = [f"_p{i}" for i in range(len(self.partition_by))]
+        cols = {
+            k: snap.column(p).to_pylist()
+            for k, p in zip(keys, self.partition_by)
+        }
+        if null_probe:
+            pdf = pd.DataFrame({**cols, "_k": keep_row.to_pylist()})
+            agg = pdf.groupby(keys, dropna=False, sort=False)["_k"].any()
+            kept = agg[agg].index
+        else:
+            pdf = pd.DataFrame(
+                {
+                    **cols,
+                    "_e": exact_hit.to_pylist(),
+                    "_g": pc.and_(inex, ge).to_pylist(),
+                    "_l": pc.and_(inex, le).to_pylist(),
+                }
+            )
+            g = pdf.groupby(keys, dropna=False, sort=False)[
+                ["_e", "_g", "_l"]
+            ].any()
+            mask = g["_e"] | (g["_g"] & g["_l"])
+            kept = g[mask].index
+        out = []
+        for key in kept:
+            toks = key if isinstance(key, tuple) else (key,)
+            out.append(
+                tuple(
+                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
+                    for t in toks
+                )
+            )
+        return out
+
+    def _fidx_index_frame(self, root: str) -> DataFrame | None:
+        """Load the index's compacted snapshot as a (small) DataFrame,
+        or None when no index state exists on disk.
+
+        ONE driver-side pyarrow file read, independent of partition
+        count — the r12 per-partition-directory layout left the probe
+        linear in partitions on the driver (os.walk + per-file reads:
+        the 3.1x-at-4000 `fidx_read_expr_sec` ratio VERDICT r12 flagged);
+        the compacted snapshot is Hudi's own metadata-table architecture
+        (read by the timeline server driver-side, not as a distributed
+        scan)."""
+        return self._sidecar_frame(root, ["fval", "fexact"])
+
+    def _fidx_candidates(self, name: str, lo, hi) -> list[tuple] | None:
+        """Partitions whose indexed expression can take a value in
+        [lo, hi] (either bound None = unbounded); None when the index
+        does not exist on disk (caller falls back to a full scan).
+        Exact entries answer membership precisely; collapsed (inexact)
+        entries keep the partition whenever [min, max] overlaps."""
+        root = self._fidx_dir(name)
+        if not os.path.isdir(root):
+            return None
+        pb = self.partition_by
+        schema = {f.name: f.dataType for f in self._sidecar_table_schema().fields}
+        snap = self._sidecar_read_snapshot(root, ["fval", "fexact"])
+        if snap is None:
+            return None
+        # driver-side fast path: no Spark job for the common
+        # string-partitioned, type-matched probe (falls back on any
+        # semantic doubt — see _sidecar_candidates_fast)
+        parts = self._sidecar_candidates_fast(snap, "fval", "fexact", lo, hi)
+        if parts is not None:
+            return self._sidecar_guard_parts(parts)
+        idx = self._sidecar_frame_of(snap, ["fval", "fexact"])
+        for p in pb:
+            if p in schema:
+                idx = idx.withColumn(p, F.col(p).cast(schema[p]))
+        in_range = F.lit(True)
+        if lo is not None:
+            in_range = in_range & (F.col("fval") >= F.lit(lo))
+        if hi is not None:
+            in_range = in_range & (F.col("fval") <= F.lit(hi))
+        # exact rows: some stored value falls in the probe range.
+        # inexact rows (per partition: its min and its max): the range
+        # [min, max] overlaps [lo, hi]  <=>  max >= lo AND min <= hi.
+        exact_hit = F.col("fexact") & in_range
+        over_lo = F.lit(True) if lo is None else (F.col("fval") >= F.lit(lo))
+        under_hi = F.lit(True) if hi is None else (F.col("fval") <= F.lit(hi))
+        keep = (
+            idx.groupBy(*pb)
+            .agg(
+                (
+                    F.max(F.when(exact_hit, True).otherwise(False))
+                    | (
+                        F.max(F.when(~F.col("fexact"), over_lo))
+                        & F.max(F.when(~F.col("fexact"), under_hi))
+                    )
+                ).alias("_keep")
+            )
+            .filter(F.col("_keep"))
+            .select(*pb)
+        )
+        parts = [tuple(r) for r in keep.collect()]
+        return self._sidecar_guard_parts(parts)
+
+
 @dataclass
-class UpsertTable:
+class UpsertTable(SnapshotSidecars):
     """A partitioned-Parquet table with Hudi-style upsert semantics.
 
     ``path``          physical location (partitioned Parquet, Hive-style).
@@ -1633,301 +2052,6 @@ class UpsertTable:
     # sidecars are folded into a snapshot on the first commit or probe
     # that touches them.
 
-    _SIDECAR_SNAPSHOT = "snapshot.parquet"
-
-    def _fidx_dir(self, name: str) -> str:
-        return os.path.join(self.path, "_fidx", name)
-
-    def _sidecar_tokens(self, values: tuple) -> tuple[str, ...]:
-        """Partition values -> the exact Hive-escaped directory tokens
-        (the snapshot's partition-identity spelling — lossless for
-        quotes/colons/nulls, and byte-identical to the data dirs)."""
-        return tuple(_hive_escape_part(v) for v in values)
-
-    def _sidecar_read_snapshot(
-        self, root: str, value_cols: list[str],
-        legacy_cols: dict[str, str] | None = None,
-    ):
-        """A sidecar's compacted snapshot as a pyarrow Table, or None
-        when nothing readable exists. Falls back to the legacy (pre-r13)
-        Hive-partitioned layout — read through SPARK so the tokens'
-        unescape semantics are the writer's own — re-escaping its
-        partition values into snapshot-layout token columns."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        snap = os.path.join(root, self._SIDECAR_SNAPSHOT)
-        if os.path.isfile(snap):
-            return pq.read_table(snap)
-        if not os.path.isdir(root) or not any(
-            "=" in d for d in os.listdir(root)
-        ):
-            return None
-        pb = self.partition_by
-        rows = self.spark.read.parquet(root).collect()
-        fields = set(rows[0].asDict()) if rows else set()
-        legacy_cols = legacy_cols or {}
-        arrays: dict = {}
-        for c in value_cols:
-            src_col = c if c in fields else legacy_cols.get(c)
-            if src_col in fields:
-                arrays[c] = pa.array([r[src_col] for r in rows])
-            else:
-                # legacy layouts predate the exactness flag: every
-                # stored value was exact membership
-                arrays[c] = pa.array([True] * len(rows), pa.bool_())
-        for p in pb:
-            arrays[p] = pa.array(
-                [_hive_escape_part(r[p]) for r in rows], pa.string()
-            )
-        return pa.table(arrays)
-
-    def _sidecar_write_snapshot(self, root: str, table) -> None:
-        """Atomically publish ``table`` as the sidecar's snapshot (tmp +
-        os.replace — a crash leaves either the old or the new file,
-        never a torn one), then clear any legacy per-partition dirs so
-        readers never double-count."""
-        import shutil
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(root, exist_ok=True)
-        tmp = os.path.join(root, "." + self._SIDECAR_SNAPSHOT + ".tmp")
-        pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(root, self._SIDECAR_SNAPSHOT))
-        for d in os.listdir(root):
-            if "=" in d and os.path.isdir(os.path.join(root, d)):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-
-    def _sidecar_snap_tokens(self, table) -> list[tuple]:
-        """Each snapshot row's partition identity as a token tuple."""
-        pb = self.partition_by
-        return list(zip(*[table.column(p).to_pylist() for p in pb]))
-
-    def _sidecar_commit(
-        self, root: str, entries: DataFrame, value_cols: list[str],
-        touched: list[tuple] | None,
-        legacy_cols: dict[str, str] | None = None,
-    ) -> bool:
-        """Collect ``entries`` (O(touched x cap) metadata rows) and
-        splice them into the sidecar snapshot at ``root``: drop the
-        touched partitions' old rows, append the new, write atomically.
-        Returns False when the old and new value types can't concat
-        (reindex over an altered expression/schema) — the caller should
-        rebuild from the full table."""
-        import pyarrow as pa
-
-        pb = self.partition_by
-        new_arrow = entries.select(*value_cols, *pb).toArrow()
-        arrays = {c: new_arrow.column(c) for c in value_cols}
-        for p in pb:
-            arrays[p] = pa.array(
-                [_hive_escape_part(v) for v in new_arrow.column(p).to_pylist()],
-                pa.string(),
-            )
-        snap_new = pa.table(arrays)
-        combined = snap_new
-        if touched is not None:
-            old = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
-            if old is not None:
-                drop = {self._sidecar_tokens(v) for v in touched}
-                keep = pa.array(
-                    [t not in drop for t in self._sidecar_snap_tokens(old)]
-                )
-                try:
-                    combined = pa.concat_tables(
-                        [old.filter(keep), snap_new],
-                        promote_options="default",
-                    )
-                except (pa.ArrowInvalid, pa.ArrowTypeError):
-                    return False
-        self._sidecar_write_snapshot(root, combined)
-        return True
-
-    def _sidecar_drop_parts(
-        self, root: str, parts: list[tuple], value_cols: list[str],
-        legacy_cols: dict[str, str] | None = None,
-    ) -> None:
-        """Remove the given partitions' rows from a sidecar snapshot
-        (plus any legacy per-partition dirs)."""
-        import shutil
-
-        import pyarrow as pa
-
-        for values in parts:
-            sub = [
-                f"{c}={_hive_escape_part(v)}"
-                for c, v in zip(self.partition_by, values)
-            ]
-            shutil.rmtree(os.path.join(root, *sub), ignore_errors=True)
-        old = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
-        if old is None:
-            return
-        drop = {self._sidecar_tokens(v) for v in parts}
-        keep = pa.array(
-            [t not in drop for t in self._sidecar_snap_tokens(old)]
-        )
-        self._sidecar_write_snapshot(root, old.filter(keep))
-
-    def _sidecar_frame(
-        self, root: str, value_cols: list[str],
-        legacy_cols: dict[str, str] | None = None,
-    ) -> DataFrame | None:
-        """A sidecar snapshot as a (small) Spark DataFrame, or None when
-        no state exists on disk. ONE driver-side pyarrow file read,
-        independent of partition count. Escaped partition tokens are
-        decoded here (the inverse of `_hive_escape_part`, null sentinel
-        -> NULL) and returned as RAW STRINGS; the caller casts them to
-        the table schema."""
-        import pyarrow as pa
-
-        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
-            HIVE_DEFAULT_PARTITION,
-            _hive_unescape,
-        )
-
-        snap = self._sidecar_read_snapshot(root, value_cols, legacy_cols)
-        if snap is None:
-            return None
-        return self._sidecar_frame_of(snap, value_cols)
-
-    def _sidecar_frame_of(self, snap, value_cols: list[str]) -> DataFrame:
-        """An in-memory snapshot table as a Spark DataFrame (tokens
-        decoded to raw strings, null sentinel -> NULL)."""
-        import pyarrow as pa
-
-        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
-            HIVE_DEFAULT_PARTITION,
-            _hive_unescape,
-        )
-
-        arrays = {c: snap.column(c) for c in value_cols}
-        for p in self.partition_by:
-            arrays[p] = pa.array(
-                [
-                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
-                    for t in snap.column(p).to_pylist()
-                ],
-                pa.string(),
-            )
-        return self.spark.createDataFrame(pa.table(arrays))
-
-    #: cap on the driver-side candidate fast path — past this the
-    #: vectorized arrow scan still works but a distributed groupBy is
-    #: at least as good, so stay on the Spark path
-    _SIDECAR_FAST_MAX_ROWS = 500_000
-
-    def _sidecar_candidates_fast(
-        self, snap, val_col: str, exact_col: str, lo, hi, *,
-        null_probe: bool = False,
-    ) -> list[tuple] | None:
-        """Candidate partitions evaluated DRIVER-SIDE over the snapshot
-        (pyarrow compute + one pandas groupby — ~tens of ms, no Spark
-        job), or None when cross-engine comparison semantics are not
-        obviously identical and the caller must fall back to the Spark
-        path. Guards:
-
-        * every partition column is a STRING in the table schema, so an
-          unescaped token IS the typed value (no driver-side re-typing
-          that could diverge from Spark casts);
-        * each probe bound converts to the stored arrow type via
-          pa.scalar(type=...) WITHOUT coercion surprises — a cross-type
-          probe (int vs string, float vs int column) raises there and
-          falls back to Spark, whose implicit-cast semantics then apply
-          exactly as before;
-        * the snapshot is under _SIDECAR_FAST_MAX_ROWS.
-
-        Null semantics mirror the Spark aggregation bit for bit: null
-        stored values never satisfy a range (fill_null False ==
-        Spark's max-ignores-null / otherwise(False)); a partition with
-        no inexact rows contributes False to the inexact leg (== the
-        Spark max-over-empty null that the filter drops)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from aws_glue_streaming_etl_with_apache_hudi_spark.catalog import (
-            HIVE_DEFAULT_PARTITION,
-            _hive_unescape,
-        )
-
-        if snap.num_rows > self._SIDECAR_FAST_MAX_ROWS:
-            return None
-        if snap.num_rows == 0:
-            return []
-        schema = {f.name: f.dataType for f in self._load_schema().fields}
-        if not all(
-            isinstance(schema.get(p), T.StringType) for p in self.partition_by
-        ):
-            return None
-        def _flat(col):  # plain Array (pc ops need uniform shapes)
-            out = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-            return out if isinstance(out, pa.Array) else out.chunk(0)
-
-        fval = _flat(snap.column(val_col))
-        fex = pc.fill_null(_flat(snap.column(exact_col)), False)
-        if null_probe:
-            keep_row = pc.is_null(fval)
-        else:
-            def _cmp(op, bound):
-                s = pa.scalar(bound, type=fval.type)
-                return pc.fill_null(getattr(pc, op)(fval, s), False)
-
-            try:
-                ge = (
-                    _cmp("greater_equal", lo)
-                    if lo is not None
-                    else pa.array([True] * snap.num_rows, pa.bool_())
-                )
-                le = (
-                    _cmp("less_equal", hi)
-                    if hi is not None
-                    else pa.array([True] * snap.num_rows, pa.bool_())
-                )
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
-                    OverflowError, TypeError, ValueError):
-                return None
-            in_range = pc.and_(ge, le)
-            exact_hit = pc.and_(fex, in_range)
-            inex = pc.invert(fex)
-            keep_row = None  # resolved per-group below
-        import pandas as pd
-
-        # synthetic group-key names — a partition column could be named
-        # anything, including the aggregate columns below
-        keys = [f"_p{i}" for i in range(len(self.partition_by))]
-        cols = {
-            k: snap.column(p).to_pylist()
-            for k, p in zip(keys, self.partition_by)
-        }
-        if null_probe:
-            pdf = pd.DataFrame({**cols, "_k": keep_row.to_pylist()})
-            agg = pdf.groupby(keys, dropna=False, sort=False)["_k"].any()
-            kept = agg[agg].index
-        else:
-            pdf = pd.DataFrame(
-                {
-                    **cols,
-                    "_e": exact_hit.to_pylist(),
-                    "_g": pc.and_(inex, ge).to_pylist(),
-                    "_l": pc.and_(inex, le).to_pylist(),
-                }
-            )
-            g = pdf.groupby(keys, dropna=False, sort=False)[
-                ["_e", "_g", "_l"]
-            ].any()
-            mask = g["_e"] | (g["_g"] & g["_l"])
-            kept = g[mask].index
-        out = []
-        for key in kept:
-            toks = key if isinstance(key, tuple) else (key,)
-            out.append(
-                tuple(
-                    None if t == HIVE_DEFAULT_PARTITION else _hive_unescape(t)
-                    for t in toks
-                )
-            )
-        return out
-
     def _fidx_update(
         self, touched: list[tuple] | None = None, only: str | None = None
     ) -> None:
@@ -1941,8 +2065,6 @@ class UpsertTable:
         siblings there would cost O(#indexes x table))."""
         if not self.functional_indexes:
             return
-        import pyarrow as pa
-
         src = self.read_partitions(touched) if touched else self.read()
         pb = self.partition_by
         items = (
@@ -1951,38 +2073,14 @@ class UpsertTable:
             else self.functional_indexes.items()
         )
         for name, expr in items:
-            vals = src.select(
-                F.expr(expr).alias("fval"), *pb
-            ).distinct()
-            counts = vals.groupBy(*pb).agg(
-                F.count("*").alias("_n"),
-                F.min("fval").alias("_mn"),
-                F.max("fval").alias("_mx"),
-            )
-            # null-safe semi join: a NULL partition value is a real
-            # partition (day=__HIVE_DEFAULT_PARTITION__); a plain
-            # equi-join would drop its entries and read_for_expr would
-            # then silently lose the partition's rows (r13 fix — latent
-            # since the index landed, surfaced by the snapshot tests)
-            exact = (
-                _nullsafe_key_join(
-                    vals,
-                    counts.filter(F.col("_n") <= self.fidx_max_values).select(*pb),
-                    pb,
-                    "leftsemi",
-                )
-                .withColumn("fexact", F.lit(True))
-            )
-            over = counts.filter(F.col("_n") > self.fidx_max_values)
-            collapsed = (
-                over.select(F.col("_mn").alias("fval"), *pb)
-                .unionByName(over.select(F.col("_mx").alias("fval"), *pb))
+            vals = (
+                src.select(F.expr(expr).alias("fval"), *pb)
                 .distinct()
-                .withColumn("fexact", F.lit(False))
+                .withColumn("fexact", F.lit(True))
             )
             ok = self._sidecar_commit(
                 self._fidx_dir(name),
-                exact.unionByName(collapsed),
+                self._fidx_entries(vals, self.fidx_max_values),
                 ["fval", "fexact"],
                 touched,
             )
@@ -2011,69 +2109,10 @@ class UpsertTable:
         self.functional_indexes[name] = expr
         self._fidx_update(only=name)
 
-    def _fidx_index_frame(self, root: str) -> DataFrame | None:
-        """Load the index's compacted snapshot as a (small) DataFrame,
-        or None when no index state exists on disk.
+    def _sidecar_table_schema(self) -> T.StructType:
+        return self._load_schema()
 
-        ONE driver-side pyarrow file read, independent of partition
-        count — the r12 per-partition-directory layout left the probe
-        linear in partitions on the driver (os.walk + per-file reads:
-        the 3.1x-at-4000 `fidx_read_expr_sec` ratio VERDICT r12 flagged);
-        the compacted snapshot is Hudi's own metadata-table architecture
-        (read by the timeline server driver-side, not as a distributed
-        scan)."""
-        return self._sidecar_frame(root, ["fval", "fexact"])
-
-    def _fidx_candidates(self, name: str, lo, hi) -> list[tuple] | None:
-        """Partitions whose indexed expression can take a value in
-        [lo, hi] (either bound None = unbounded); None when the index
-        does not exist on disk (caller falls back to a full scan).
-        Exact entries answer membership precisely; collapsed (inexact)
-        entries keep the partition whenever [min, max] overlaps."""
-        root = self._fidx_dir(name)
-        if not os.path.isdir(root):
-            return None
-        pb = self.partition_by
-        schema = {f.name: f.dataType for f in self._load_schema().fields}
-        snap = self._sidecar_read_snapshot(root, ["fval", "fexact"])
-        if snap is None:
-            return None
-        # driver-side fast path: no Spark job for the common
-        # string-partitioned, type-matched probe (falls back on any
-        # semantic doubt — see _sidecar_candidates_fast)
-        parts = self._sidecar_candidates_fast(snap, "fval", "fexact", lo, hi)
-        if parts is not None:
-            return self._sidecar_live_parts(parts)
-        idx = self._sidecar_frame_of(snap, ["fval", "fexact"])
-        for p in pb:
-            if p in schema:
-                idx = idx.withColumn(p, F.col(p).cast(schema[p]))
-        in_range = F.lit(True)
-        if lo is not None:
-            in_range = in_range & (F.col("fval") >= F.lit(lo))
-        if hi is not None:
-            in_range = in_range & (F.col("fval") <= F.lit(hi))
-        # exact rows: some stored value falls in the probe range.
-        # inexact rows (per partition: its min and its max): the range
-        # [min, max] overlaps [lo, hi]  <=>  max >= lo AND min <= hi.
-        exact_hit = F.col("fexact") & in_range
-        over_lo = F.lit(True) if lo is None else (F.col("fval") >= F.lit(lo))
-        under_hi = F.lit(True) if hi is None else (F.col("fval") <= F.lit(hi))
-        keep = (
-            idx.groupBy(*pb)
-            .agg(
-                (
-                    F.max(F.when(exact_hit, True).otherwise(False))
-                    | (
-                        F.max(F.when(~F.col("fexact"), over_lo))
-                        & F.max(F.when(~F.col("fexact"), under_hi))
-                    )
-                ).alias("_keep")
-            )
-            .filter(F.col("_keep"))
-            .select(*pb)
-        )
-        parts = [tuple(r) for r in keep.collect()]
+    def _sidecar_guard_parts(self, parts: list[tuple]) -> list[tuple]:
         return self._sidecar_live_parts(parts)
 
     def _sidecar_live_parts(self, parts: list[tuple]) -> list[tuple]:
