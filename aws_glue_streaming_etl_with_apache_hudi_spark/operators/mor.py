@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.schema_evolution import evolve_schema
+from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import SnapshotSidecars
 from aws_glue_streaming_etl_with_apache_hudi_spark.operators.upsert import partial_combine, partial_merge, precombine_latest
 
 _SEQ = "_commit_seq"
@@ -100,7 +101,7 @@ class CompactionPolicy:
 
 
 @dataclass
-class MergeOnReadTable:
+class MergeOnReadTable(SnapshotSidecars):
     """Keyed upsert table with append-only writes and read-side merge.
 
     Same identity semantics as ``UpsertTable`` (one live row per record
@@ -125,10 +126,25 @@ class MergeOnReadTable:
     # natural MOR mode, since CDC/sparse-attribute feeds are exactly the
     # streams a log-structured table ingests (see upsert.partial_merge).
     merge_mode: str = "overwrite"
+    # Hudi 1.0 expression indexes on MOR (same declaration surface as
+    # UpsertTable.functional_indexes): value -> partition pruning for
+    # read_for_expr, maintained as a compacted snapshot sidecar. Delta
+    # commits ABSORB the batch's values (the index only grows between
+    # compactions — a superset of live values, exact via the residual);
+    # compaction rebuilds the folded partitions' entries exactly.
+    functional_indexes: dict[str, str] = field(default_factory=dict)
+    fidx_max_values: int = 1024
 
     def __post_init__(self) -> None:
         if self.merge_mode not in ("overwrite", "partial"):
             raise ValueError(f"unknown merge_mode {self.merge_mode!r}")
+        if self.functional_indexes and not self.partition_by:
+            raise ValueError(
+                "functional_indexes requires partition_by (the index maps "
+                "expression values to partition paths)"
+            )
+        if self.fidx_max_values < 1:
+            raise ValueError("fidx_max_values must be >= 1")
 
     # -- layout ------------------------------------------------------------
     @property
@@ -349,6 +365,7 @@ class MergeOnReadTable:
                     ],
                 }
             )
+            self._fidx_absorb(batch)
             self._sync_catalog()
             return
 
@@ -404,6 +421,7 @@ class MergeOnReadTable:
             )
             self._save_meta(meta)
 
+        self._fidx_absorb(batch)
         if self.policy.due(len(self._log_commits()), self._log_bytes()):
             self.compact()
         self._sync_catalog()
@@ -491,6 +509,10 @@ class MergeOnReadTable:
                 nxt += 1
             meta["next_seq"] = nxt
             self._save_meta(meta)
+        # index absorption takes the same micro-lock internally, AFTER
+        # the metadata merge releases it (no nesting) — publishes stay
+        # serialized only for the tiny snapshot splice
+        self._fidx_absorb(batch)
 
     def nbcc_upsert(self, batch: DataFrame, writer: str = "w0") -> int:
         """Multi-writer upsert: claim a slot, append the delta in
@@ -714,6 +736,12 @@ class MergeOnReadTable:
             {"seq": commit, "action": "restore", "through": commit}
         )
         self._save_meta(meta)
+        # the index's absorbed values describe a state that no longer
+        # exists; serving candidates from it could MISS rows the rewound
+        # state still has under other values. Invalidate — probes full-
+        # scan until compact()/build_functional_index rebuilds.
+        for name in self.functional_indexes:
+            self._fidx_invalidate(name)
 
     def _evolved_schema_json(self, batch: DataFrame) -> str:
         # `_deleted` is delta-file-internal (tombstone routing): it must
@@ -759,33 +787,25 @@ class MergeOnReadTable:
                 key=lambda f: f.name in (self.partition_by or []),
             )
             return self.spark.createDataFrame([], T.StructType(fields))
-        raw = self.spark.read.option("basePath", self._base).parquet(*dirs)
-        schema = {f.name: f.dataType for f in schema_struct.fields}
-        return raw.select(
-            *[
-                F.col(c).cast(schema[c]).alias(c)
-                if c in self.partition_by and c in schema
-                else F.col(c)
-                for c in raw.columns
-            ]
-        )
+        # read with the PERSISTED (evolved-union) schema, not footer
+        # inference: after a schema-evolving delta and a PARTIAL
+        # compaction the base holds files with different column sets,
+        # and single-footer inference silently DROPPED the evolved
+        # columns' stored values (r13 repro: an int column written by
+        # the compacted partition vanished from read()). The explicit
+        # schema null-fills files that predate a column and types
+        # partition-dir tokens directly.
+        return self.spark.read.schema(schema_struct).option(
+            "basePath", self._base
+        ).parquet(*dirs)
 
     def _read_base(self) -> DataFrame:
-        df = self.spark.read.parquet(self._base)
-        if not self.partition_by:
-            return df
-        schema = {
-            f.name: f.dataType
-            for f in T.StructType.fromJson(json.loads(self._meta()["schema"])).fields
-        }
-        return df.select(
-            *[
-                F.col(c).cast(schema[c]).alias(c)
-                if c in self.partition_by and c in schema
-                else F.col(c)
-                for c in df.columns
-            ]
+        # persisted-schema read — see _read_base_partitions for why
+        # footer inference loses evolved columns on heterogeneous bases
+        schema_struct = T.StructType.fromJson(
+            json.loads(self._meta()["schema"])
         )
+        return self.spark.read.schema(schema_struct).parquet(self._base)
 
     def _merge_logs(self, base: DataFrame | None, seqs: list[int]) -> DataFrame:
         merged = base
@@ -908,6 +928,204 @@ class MergeOnReadTable:
             merged, self._identity, self.precombine, tie_breakers=["_commit_id"]
         )
 
+
+    # -- expression index (Hudi 1.0 parity, MOR leg) --------------------------
+    #
+    # Same compacted-snapshot sidecar as UpsertTable (`_fidx/<name>/
+    # snapshot.parquet`, SnapshotSidecars), different maintenance
+    # contract shaped by the log-structured write path:
+    #
+    # * a DELTA COMMIT absorbs the batch's (expression value, partition)
+    #   pairs into the snapshot — an O(batch) distinct plus a driver
+    #   splice. Entries only GROW between compactions: a superseded or
+    #   tombstoned row's value lingers as a stale candidate, which is
+    #   sound (candidates are a superset; read_for_expr re-applies the
+    #   expression filter) and mirrors how Hudi's metadata table carries
+    #   stats for not-yet-compacted file slices. Absorption runs under
+    #   the meta micro-lock so concurrent NBCC publishes cannot lose
+    #   each other's splices — the data path stays parallel, exactly
+    #   like the timeline-server-serialized metadata commit in Hudi.
+    # * COMPACTION rebuilds the folded partitions' entries exactly from
+    #   the new base (stale values drain here), and heals an invalidated
+    #   index with a full rebuild.
+    # * RESTORE invalidates the index (state rewound under it): probes
+    #   fall back to full scans until the next compaction or explicit
+    #   build_functional_index. The `.invalid` marker makes the fallback
+    #   explicit and crash-safe rather than serving wrong candidates.
+
+    def _sidecar_table_schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self._meta()["schema"]))
+
+    def _fidx_invalid_path(self, name: str) -> str:
+        return os.path.join(self._fidx_dir(name), ".invalid")
+
+    def _fidx_lock(self, timeout: float = 30.0):
+        """Serializes snapshot splices across concurrent NBCC publishes
+        (a read-modify-write on one file). A lock of its own — NOT the
+        meta micro-lock — because the bootstrap path absorbs while
+        already holding the meta lock, and CommitLock is not
+        reentrant."""
+        from aws_glue_streaming_etl_with_apache_hudi_spark.operators.locking import CommitLock
+
+        root = os.path.join(self.path, "_fidx")
+        os.makedirs(root, exist_ok=True)
+        return CommitLock(root, timeout_s=timeout, ttl_s=120.0)
+
+    def _fidx_invalidate(self, name: str) -> None:
+        root = self._fidx_dir(name)
+        os.makedirs(root, exist_ok=True)
+        with open(self._fidx_invalid_path(name), "w") as f:
+            f.write("rebuild via compact() or build_functional_index()")
+
+    def _fidx_absorb(self, batch: DataFrame) -> None:
+        """Fold one delta batch's expression values into each index
+        snapshot (union with the touched partitions' existing entries,
+        re-collapsed under the cap). A batch the expression cannot
+        analyze against (pre-evolution schema) INVALIDATES the index —
+        skipping it would silently lose the batch's rows from every
+        future probe, the one failure mode pruning must never have."""
+        if not self.functional_indexes:
+            return
+        pb = self.partition_by
+        schema = {f.name: f.dataType for f in self._sidecar_table_schema().fields}
+        with self._fidx_lock():
+            for name, expr in self.functional_indexes.items():
+                if os.path.isfile(self._fidx_invalid_path(name)):
+                    continue  # already stale; compaction will heal it
+                try:
+                    vals = (
+                        batch.select(F.expr(expr).alias("fval"), *pb)
+                        .distinct()
+                        .withColumn("fexact", F.lit(True))
+                    )
+                    touched = [
+                        tuple(r) for r in vals.select(*pb).distinct().collect()
+                    ]
+                    root = self._fidx_dir(name)
+                    snap = self._sidecar_read_snapshot(root, ["fval", "fexact"])
+                    if snap is not None and touched:
+                        # fold the touched partitions' EXISTING entries in
+                        # (base rows still hold their values) before the
+                        # cap re-collapse; untouched rows ride the splice
+                        in_touched = {self._sidecar_tokens(v) for v in touched}
+                        keep = [
+                            t in in_touched
+                            for t in self._sidecar_snap_tokens(snap)
+                        ]
+                        if any(keep):
+                            import pyarrow as pa
+
+                            old_touched = self._sidecar_frame_of(
+                                snap.filter(pa.array(keep)), ["fval", "fexact"]
+                            )
+                            for p in pb:
+                                if p in schema:
+                                    old_touched = old_touched.withColumn(
+                                        p, F.col(p).cast(schema[p])
+                                    )
+                            vals = vals.unionByName(
+                                old_touched.select("fval", "fexact", *pb)
+                            )
+                    ok = self._sidecar_commit(
+                        root,
+                        self._fidx_entries(vals, self.fidx_max_values),
+                        ["fval", "fexact"],
+                        touched,
+                    )
+                    if not ok:
+                        self._fidx_invalidate(name)
+                except Exception:
+                    self._fidx_invalidate(name)
+
+    def _fidx_rebuild(self, touched: list[tuple] | None = None) -> None:
+        """Recompute entries EXACTLY from the merged view (``touched``
+        partitions, or the whole table) and clear any invalidation."""
+        if not self.functional_indexes:
+            return
+        pb = self.partition_by
+        src = self.read()
+        with self._fidx_lock():
+            for name, expr in self.functional_indexes.items():
+                full = touched is None or os.path.isfile(
+                    self._fidx_invalid_path(name)
+                )
+                try:
+                    vals = (
+                        src.select(F.expr(expr).alias("fval"), *pb)
+                        .distinct()
+                        .withColumn("fexact", F.lit(True))
+                    )
+                    if not full:
+                        cond = None
+                        for values in touched:
+                            c = None
+                            for col, v in zip(pb, values):
+                                e = F.col(col).eqNullSafe(F.lit(v))
+                                c = e if c is None else (c & e)
+                            cond = c if cond is None else (cond | c)
+                        vals = vals.filter(cond) if cond is not None else vals
+                    ok = self._sidecar_commit(
+                        self._fidx_dir(name),
+                        self._fidx_entries(vals, self.fidx_max_values),
+                        ["fval", "fexact"],
+                        None if full else touched,
+                    )
+                    if ok and os.path.isfile(self._fidx_invalid_path(name)):
+                        os.remove(self._fidx_invalid_path(name))
+                    if not ok:
+                        self._fidx_invalidate(name)
+                except Exception:
+                    self._fidx_invalidate(name)
+
+    def build_functional_index(self, name: str, expr: str) -> None:
+        """(Re)build index ``name`` on ``expr`` from current state — the
+        backfill path for tables created before the declaration."""
+        self.functional_indexes[name] = expr
+        self._fidx_rebuild(touched=None)
+
+    def read_for_expr(self, name: str, value=None, between=None) -> DataFrame:
+        """Predicate on an INDEXED EXPRESSION served through the index:
+        the MERGED (real-time) view restricted to candidate partitions —
+        base directories listed for candidates only, pending deltas
+        filtered to them before the merge (a delta row from a pruned
+        partition must not merge against a missing base), then the
+        row-level residual on the expression makes the superset exact.
+        Latest view only (no as_of — time travel reads the log, whose
+        history the index does not version)."""
+        if name not in self.functional_indexes:
+            raise ValueError(f"{name!r} is not a functional index")
+        if (value is None) == (between is None):
+            raise ValueError("pass exactly one of value= / between=")
+        expr = self.functional_indexes[name]
+        lo, hi = (value, value) if between is None else between
+        parts = self._fidx_candidates(name, lo, hi)
+        if parts is None:
+            df = self.read()  # no index state / invalidated — full scan
+        elif not parts:
+            fields = sorted(
+                self._sidecar_table_schema().fields,
+                key=lambda f: f.name in (self.partition_by or []),
+            )
+            return self.spark.createDataFrame([], T.StructType(fields))
+        else:
+            pb = self.partition_by
+            cond = None
+            for values in parts:
+                c = None
+                for col, v in zip(pb, values):
+                    e = F.col(col).eqNullSafe(F.lit(v))
+                    c = e if c is None else (c & e)
+                cond = c if cond is None else (cond | c)
+            base = self._read_base_partitions(parts).withColumn(_SEQ, F.lit(0))
+            pend = self._log_commits()
+            df = self._merge_logs(base, pend).filter(cond)
+        e = F.expr(expr)
+        if lo is not None:
+            df = df.filter(e >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(e <= F.lit(hi))
+        return df
+
     # -- compaction ----------------------------------------------------------
     def compact(
         self, zorder_by: list[str] | None = None, n_files: int = 8
@@ -988,6 +1206,9 @@ class MergeOnReadTable:
             {"seq": max(commits), "action": "compaction", "through": max(commits)}
         )
         self._save_meta(meta)
+        # exact index rebuild for the folded partitions (stale absorbed
+        # values drain here); a partitionless table folded everything
+        self._fidx_rebuild(touched=touched if self.partition_by else None)
         self._sync_catalog(base_changed=True)
         return len(commits)
 

@@ -576,6 +576,10 @@ class SnapshotSidecars:
         root = self._fidx_dir(name)
         if not os.path.isdir(root):
             return None
+        if os.path.isfile(os.path.join(root, ".invalid")):
+            # explicitly invalidated (MOR restore / unanalyzable batch):
+            # full-scan fallback until a rebuild clears the marker
+            return None
         pb = self.partition_by
         schema = {f.name: f.dataType for f in self._sidecar_table_schema().fields}
         snap = self._sidecar_read_snapshot(root, ["fval", "fexact"])

@@ -509,3 +509,28 @@ def test_compaction_crash_before_meta_save_replays_idempotently(table, spark, mo
     }
     # replaying again is a no-op (nothing pending)
     assert table.compact() == 0
+
+
+def test_evolved_column_survives_partial_compaction(table, spark):
+    """r13 regression: after a schema-evolving delta and a PARTIAL
+    compaction (only the delta's partitions rewritten), the base holds
+    files with DIFFERENT column sets; single-footer inference silently
+    dropped the evolved column's stored values from read() and
+    read_optimized(). The base is now read with the persisted
+    evolved-union schema."""
+    table.upsert(_rows(spark, [(1, "a", "x", 1)]))
+    table.upsert(spark.createDataFrame(
+        [Row(k=2, part="b", v="y", ver=1, extra="kept")]
+    ))
+    table.compact()  # rewrites only part=b; part=a keeps the old schema
+    got = {r.k: r.extra for r in table.read().collect()}
+    assert got == {1: None, 2: "kept"}
+    got_ro = {r.k: r.extra for r in table.read_optimized().collect()}
+    assert got_ro == {1: None, 2: "kept"}
+    # and again after a second evolution on yet another partition
+    table.upsert(spark.createDataFrame(
+        [Row(k=3, part="c", v="z", ver=1, extra="e3", extra2=7)]
+    ))
+    table.compact()
+    row = {r.k: (r.extra, r.extra2) for r in table.read().collect()}
+    assert row == {1: (None, None), 2: ("kept", None), 3: ("e3", 7)}
