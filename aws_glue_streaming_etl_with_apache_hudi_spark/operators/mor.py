@@ -403,6 +403,12 @@ class MergeOnReadTable(SnapshotSidecars):
         batch.write.mode("overwrite").parquet(
             os.path.join(self._log, f"commit={seq}")
         )
+        # index absorb BEFORE the publish (monotone sidecar-first, the
+        # bloom ordering): a crash here leaves absorbed values for an
+        # unpublished commit — stale superset candidates, drained at
+        # compaction — while the reverse order would leave a published
+        # commit the index can MISS (wrong probe results until replay)
+        self._fidx_absorb(batch)
         # publish before metadata (the NBCC order): readers see the
         # commit via its markers even if this writer dies mid-meta
         tmp = self._done_path(seq) + ".tmp"
@@ -421,7 +427,6 @@ class MergeOnReadTable(SnapshotSidecars):
             )
             self._save_meta(meta)
 
-        self._fidx_absorb(batch)
         if self.policy.due(len(self._log_commits()), self._log_bytes()):
             self.compact()
         self._sync_catalog()
@@ -509,10 +514,6 @@ class MergeOnReadTable(SnapshotSidecars):
                 nxt += 1
             meta["next_seq"] = nxt
             self._save_meta(meta)
-        # index absorption takes the same micro-lock internally, AFTER
-        # the metadata merge releases it (no nesting) — publishes stay
-        # serialized only for the tiny snapshot splice
-        self._fidx_absorb(batch)
 
     def nbcc_upsert(self, batch: DataFrame, writer: str = "w0") -> int:
         """Multi-writer upsert: claim a slot, append the delta in
@@ -542,6 +543,7 @@ class MergeOnReadTable(SnapshotSidecars):
             batch = precombine_latest(batch, self._identity, self.precombine)
         seq = self._nbcc_claim(writer)
         self._nbcc_write(seq, batch)
+        self._fidx_absorb(batch)  # sidecar-first: absorb, THEN publish
         self._nbcc_complete(seq, batch, writer)
         return seq
 
@@ -564,6 +566,7 @@ class MergeOnReadTable(SnapshotSidecars):
         else:
             batch = precombine_latest(batch, self._identity, self.precombine)
         self._nbcc_write(seq, batch)
+        self._fidx_absorb(batch)  # sidecar-first: absorb, THEN publish
         self._nbcc_complete(seq, batch, writer)
 
     # -- timeline ------------------------------------------------------------

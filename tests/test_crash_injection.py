@@ -704,6 +704,37 @@ def cow_delete_partition_sidecar_splice_crash(spark, path):
     assert sorted(r.k for r in t.read_for_expr("vint", value=20).collect()) == [2]
 
 
+def mor_fidx_absorb_crash_then_replay(spark, path):
+    """MOR expression-index absorb runs SIDECAR-FIRST (delta written,
+    absorb, THEN publish — the bloom ordering): a crash at the absorb
+    leaves an UNPUBLISHED commit plus possibly-absorbed stale values —
+    probes stay exact at every instant (stale candidates are a
+    superset; an unindexed published commit would instead be MISSED).
+    fsck sweeps the claim, replay lands the batch, probes exact."""
+    t = MergeOnReadTable(
+        spark, path, keys=["k"], precombine="ver", partition_by=["p"],
+        policy=_never(), functional_indexes={"vint": "CAST(v AS INT)"},
+    )
+    t.upsert(_df(spark, B1))
+    with mock.patch.object(
+        MergeOnReadTable, "_fidx_absorb", side_effect=InjectedCrash
+    ):
+        with pytest.raises(InjectedCrash):
+            t.upsert(_df(spark, B2))
+    # commit unpublished -> invisible; probes exact RIGHT NOW
+    assert _snap(t) == sorted(B1)
+    got = sorted(r.k for r in t.read_for_expr("vint", value=10).collect())
+    assert got == [1]
+    assert t.read_for_expr("vint", value=21).count() == 0
+    t.fsck()  # sweeps the crashed claim
+    t.upsert(_df(spark, B2))  # checkpoint replay of the same batch
+    assert _snap(t) == AFTER_B2
+    got = sorted((r.k, r.v) for r in t.read_for_expr("vint", value=21).collect())
+    assert got == [(2, 21.0)]
+    got = sorted(r.k for r in t.read_for_expr("vint", value=30).collect())
+    assert got == [3]
+
+
 FAULT_POINTS = [
     tl_upsert_before_instant,
     tl_compact_before_instant,
@@ -730,6 +761,7 @@ FAULT_POINTS = [
     cow_bloom_sidecar_saved_then_write_crash,
     cow_fidx_snapshot_crash_then_replay,
     cow_delete_partition_sidecar_splice_crash,
+    mor_fidx_absorb_crash_then_replay,
     cow_merge_bysource_crash_before_write,
     dedup_accept_crash_then_replay,
     mv_refresh_before_cursor,
