@@ -834,7 +834,7 @@ class MergeOnReadTable(SnapshotSidecars):
             ).drop(_SEQ)
         )
 
-    def read(self, as_of: int | None = None) -> DataFrame:
+    def read(self, as_of: int | None = None, where: str | None = None) -> DataFrame:
         """Table state — current, or time-traveled to instant ``as_of``.
 
         Current state: base ∪ pending deltas, merged on the fly. One
@@ -853,6 +853,13 @@ class MergeOnReadTable(SnapshotSidecars):
         (replaying commits the base already folded would be idempotent;
         an as_of below the base simply excludes the base side).
         """
+        if where is not None:
+            if as_of is None:
+                return self.read_where(where)
+            # historical reads bypass the (latest-state) index — a past
+            # snapshot may hold matching rows in partitions the current
+            # index prunes
+            return self.read(as_of).filter(F.expr(where))
         if as_of is not None and self._is_legacy():
             # A pre-timeline table truncated its logs at compaction and
             # never logged its bootstrap: historical instants are not on
@@ -1111,23 +1118,54 @@ class MergeOnReadTable(SnapshotSidecars):
             )
             return self.spark.createDataFrame([], T.StructType(fields))
         else:
-            pb = self.partition_by
-            cond = None
-            for values in parts:
-                c = None
-                for col, v in zip(pb, values):
-                    e = F.col(col).eqNullSafe(F.lit(v))
-                    c = e if c is None else (c & e)
-                cond = c if cond is None else (cond | c)
-            base = self._read_base_partitions(parts).withColumn(_SEQ, F.lit(0))
-            pend = self._log_commits()
-            df = self._merge_logs(base, pend).filter(cond)
+            df = self._read_candidate_partitions(parts)
         e = F.expr(expr)
         if lo is not None:
             df = df.filter(e >= F.lit(lo))
         if hi is not None:
             df = df.filter(e <= F.lit(hi))
         return df
+
+
+    def _read_candidate_partitions(self, parts: list[tuple]) -> DataFrame:
+        """The merged (real-time) view restricted to the given
+        partitions: base directories listed for candidates only, pending
+        deltas filtered to them BEFORE the merge (an unfiltered merge
+        onto a restricted base could let a stale delta row of a pruned
+        partition win and leak through a later row filter)."""
+        pb = self.partition_by
+        cond = None
+        for values in parts:
+            c = None
+            for col, v in zip(pb, values):
+                e = F.col(col).eqNullSafe(F.lit(v))
+                c = e if c is None else (c & e)
+            cond = c if cond is None else (cond | c)
+        base = self._read_base_partitions(parts).withColumn(_SEQ, F.lit(0))
+        return self._merge_logs(base, self._log_commits()).filter(cond)
+
+    def read_where(self, where: str) -> DataFrame:
+        """`read().filter(where)` with declarative expression-index
+        pruning — the same contract as UpsertTable.read_where (Hudi 1.0:
+        a plain WHERE on an indexed expression auto-prunes), served over
+        the merged MOR view. Always exact: the full predicate re-applies
+        to the pruned superset. Latest view only."""
+        hit = self._index_bounds(where)
+        if hit is not None:
+            name, lo, hi = hit
+            parts = self._fidx_candidates(name, lo, hi)
+            if parts is not None:
+                if not parts:
+                    fields = sorted(
+                        self._sidecar_table_schema().fields,
+                        key=lambda f: f.name in (self.partition_by or []),
+                    )
+                    empty = self.spark.createDataFrame([], T.StructType(fields))
+                    return empty.filter(F.expr(where))
+                return self._read_candidate_partitions(parts).filter(
+                    F.expr(where)
+                )
+        return self.read().filter(F.expr(where))
 
     # -- compaction ----------------------------------------------------------
     def compact(

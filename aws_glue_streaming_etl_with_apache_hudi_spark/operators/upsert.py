@@ -623,6 +623,250 @@ class SnapshotSidecars:
         parts = [tuple(r) for r in keep.collect()]
         return self._sidecar_guard_parts(parts)
 
+    # -- declarative functional-index pruning (r12, VERDICT r11 task 3) ------
+    #
+    # `read_for_expr` requires the CALLER to know an index exists. Hudi
+    # 1.0's expression indexes are declarative: a plain
+    # `WHERE hour(ts) = 2` auto-prunes through a registered
+    # `column_stats(hour(ts))` index because the optimizer matches the
+    # predicate's CANONICALIZED expression against the index definition.
+    # `read(where=...)` reproduces that: the predicate's top-level
+    # conjuncts are parsed, each comparison's expression side is
+    # canonicalized THROUGH SPARK'S OWN ANALYZER (the auto-generated
+    # column name of the parsed expression over the table schema — so
+    # `HOUR(ts)`, `hour( ts )` and `hour(ts)` all normalize identically),
+    # and any conjunct matching an index expression contributes a
+    # pruning bound. The FULL predicate is always re-applied to the
+    # survivors, so pruning is a pure file-skip: a conjunct the matcher
+    # can't read just means less pruning, never a wrong answer.
+
+    def _canon_expr(self, expr_sql: str) -> str | None:
+        """Analyzer-canonical name of ``expr_sql`` over the table schema
+        (None when it doesn't analyze — e.g. references no such column).
+        Pure analysis, no job."""
+        try:
+            empty = self.spark.createDataFrame([], self._sidecar_table_schema())
+            return empty.select(F.expr(expr_sql)).columns[0]
+        except Exception:
+            return None
+
+    # Functions whose prune-time fold can differ from the residual
+    # filter's scan-time re-evaluation: time-dependent (`current_date()`
+    # near a day boundary) or nondeterministic (`rand()`). Rejection is
+    # conservative — a match only disables pruning for that conjunct,
+    # never changes results (ADVICE r12).
+    _NONDET_FN_RE = re.compile(
+        r"\b(current_timestamp|current_date|current_timezone|localtimestamp"
+        r"|now|curdate|rand|randn|random|uuid|shuffle"
+        r"|monotonically_increasing_id|input_file_name|spark_partition_id"
+        r"|unix_timestamp|current_user|session_user|user)\b",
+        re.IGNORECASE,
+    )
+
+    def _eval_literal(self, lit_sql: str):
+        """Evaluate a foldable scalar (`2`, `DATE '2020-01-01'`,
+        `21 + 2`); raises if it references columns or contains a
+        time-dependent / nondeterministic function (those would fold
+        ONCE at prune time while the residual filter re-evaluates at
+        scan time — a day-boundary race could silently drop rows).
+        LocalTableScan — driver-side, no shuffle."""
+        if self._NONDET_FN_RE.search(_strip_sql_strings(lit_sql)):
+            raise ValueError(f"nondeterministic prune bound: {lit_sql!r}")
+        return self.spark.sql(f"SELECT ({lit_sql}) AS v").first()["v"]
+
+    @staticmethod
+    def _split_conjuncts(where: str) -> list[str]:
+        """Split on depth-0 ANDs, respecting parens, single-quote
+        strings, and BETWEEN..AND pairing."""
+        out, buf, depth, i, n = [], [], 0, 0, len(where)
+        pending_between = 0
+        up = where.upper()
+        while i < n:
+            ch = where[i]
+            if ch == "'":  # skip string literal ('' escapes)
+                j = i + 1
+                while j < n:
+                    if where[j] == "'" and not (j + 1 < n and where[j + 1] == "'"):
+                        break
+                    j += 2 if where[j] == "'" else 1
+                buf.append(where[i : j + 1])
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 0 and up.startswith("BETWEEN", i) and _is_word(where, i, 7):
+                pending_between += 1
+            if depth == 0 and up.startswith("AND", i) and _is_word(where, i, 3):
+                if pending_between:
+                    pending_between -= 1  # the BETWEEN's own AND
+                else:
+                    out.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
+            buf.append(ch)
+            i += 1
+        out.append("".join(buf))
+        return [c.strip() for c in out if c.strip()]
+
+    _CMP_OPS = (">=", "<=", "==", "=", "<", ">")  # longest-first
+
+    @classmethod
+    def _split_comparison(cls, conjunct: str) -> tuple[str, str, str] | None:
+        """(lhs, op, rhs) for a conjunct with EXACTLY ONE depth-0
+        comparison operator, else None. `<>` / `!=` conjuncts return
+        None (no range bound). Chained comparisons like
+        `hour(ts) = 5 = TRUE` (valid SQL, left-associative) also return
+        None — splitting at the FIRST `=` would treat `5 = TRUE` as the
+        literal and extract a wrong pruning bound (ADVICE r12)."""
+        depth, i, n = 0, 0, len(conjunct)
+        found = None  # (position, op) of the single depth-0 comparison
+        while i < n:
+            ch = conjunct[i]
+            if ch == "'":  # skip string literal ('' escapes — the same
+                # scan as _split_conjuncts, so the two scanners can
+                # never disagree about where a literal ends; backslash
+                # escapes were rejected wholesale in _index_bounds)
+                j = i + 1
+                while j < n:
+                    if conjunct[j] == "'" and not (
+                        j + 1 < n and conjunct[j + 1] == "'"
+                    ):
+                        break
+                    j += 2 if conjunct[j] == "'" else 1
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                if conjunct.startswith(("<>", "!=") , i):
+                    return None
+                for op in cls._CMP_OPS:
+                    if conjunct.startswith(op, i):
+                        if found is not None:
+                            return None  # chained comparison
+                        found = (i, op)
+                        i += len(op) - 1  # don't re-count `=` inside `>=`
+                        break
+            i += 1
+        if found is None:
+            return None
+        i, op = found
+        return conjunct[:i].strip(), op, conjunct[i + len(op):].strip()
+
+    def _index_bounds(self, where: str) -> tuple[str, object, object] | None:
+        """Match ``where``'s conjuncts against the registered functional
+        indexes; returns (index name, lo, hi) for the first index that
+        collects at least one bound. Strict `<` / `>` bounds are used
+        inclusively — the residual filter restores strictness. Never
+        raises: incomparable bound literal types (`hour(ts) >= 2 AND
+        hour(ts) >= '25'` — Spark's implicit casts accept what Python
+        max() cannot) fall back to no pruning (ADVICE r12)."""
+        try:
+            return self._index_bounds_impl(where)
+        except TypeError:
+            return None
+
+    def _index_bounds_impl(self, where: str) -> tuple[str, object, object] | None:
+        if "\\" in where:
+            # Backslashes re-shape string-literal boundaries depending
+            # on spark.sql.parser.escapedStringLiterals — under the
+            # default mode `'a\' AND hour(ts) = 99 AND x = \'b'` is ONE
+            # literal, and a quote-pair scanner that treats `\'` as a
+            # terminator sees the literal's INSIDE at depth 0 and
+            # extracts a bogus hour bound (confirmed silent row loss,
+            # r13). Rare in predicates; skipping pruning is always
+            # exact — full scan + residual.
+            return None
+        if _has_depth0_keyword(where, ("OR",)):
+            # OR binds LOOSER than AND, so a depth-0 OR anywhere makes
+            # the whole predicate a disjunction — NO AND-split piece is
+            # a true conjunct (`k >= 0 OR TRUE AND hour(ts)=2` must not
+            # prune on the hour bound). Full scan + residual (VERDICT
+            # r12 — the OR-tail-as-literal path silently lost rows).
+            return None
+        if not self.functional_indexes:
+            return None
+        canon_to_name = {}
+        for name, expr in self.functional_indexes.items():
+            c = self._canon_expr(expr)
+            if c is not None:
+                canon_to_name[c] = name
+        if not canon_to_name:
+            return None
+        bounds: dict[str, list] = {}  # name -> [lo, hi]
+        for conj in self._split_conjuncts(where):
+            c = conj.strip()
+            while c.startswith("(") and c.endswith(")") and self._balanced(c[1:-1]):
+                c = c[1:-1].strip()
+            if _has_depth0_keyword(c, ("NOT",)):
+                # A negated conjunct is not a range bound (NOT binds
+                # tighter than AND, so skipping just this conjunct is
+                # sound — depth-0 ORs already bailed out wholesale).
+                continue
+            m = re.match(
+                r"^(.*?)\s+between\s+(.+?)\s+and\s+(.+)$", c, re.IGNORECASE | re.DOTALL
+            )
+            if m:
+                name = canon_to_name.get(self._canon_expr(m.group(1)) or "")
+                if name:
+                    try:
+                        lo, hi = self._eval_literal(m.group(2)), self._eval_literal(
+                            m.group(3)
+                        )
+                    except Exception:
+                        continue
+                    b = bounds.setdefault(name, [None, None])
+                    b[0] = lo if b[0] is None else max(b[0], lo)
+                    b[1] = hi if b[1] is None else min(b[1], hi)
+                continue
+            split = self._split_comparison(c)
+            if split is None:
+                continue
+            lhs, op, rhs = split
+            for expr_side, lit_side, flip in ((lhs, rhs, False), (rhs, lhs, True)):
+                name = canon_to_name.get(self._canon_expr(expr_side) or "")
+                if not name:
+                    continue
+                try:
+                    v = self._eval_literal(lit_side)
+                except Exception:
+                    break  # other side isn't a literal either way
+                if v is None:
+                    break
+                eff = op
+                if flip and op in ("<", "<=", ">", ">="):
+                    eff = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+                b = bounds.setdefault(name, [None, None])
+                if eff in ("=", "=="):
+                    b[0] = v if b[0] is None else max(b[0], v)
+                    b[1] = v if b[1] is None else min(b[1], v)
+                elif eff in (">", ">="):
+                    b[0] = v if b[0] is None else max(b[0], v)
+                else:  # <, <=
+                    b[1] = v if b[1] is None else min(b[1], v)
+                break
+        for name, (lo, hi) in bounds.items():
+            if lo is not None or hi is not None:
+                return name, lo, hi
+        return None
+
+    @staticmethod
+    def _balanced(s: str) -> bool:
+        depth = 0
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth < 0:
+                return False
+        return depth == 0
+
 
 @dataclass
 class UpsertTable(SnapshotSidecars):
@@ -2163,250 +2407,6 @@ class UpsertTable(SnapshotSidecars):
         if hi is not None:
             df = df.filter(e <= F.lit(hi))
         return df
-
-    # -- declarative functional-index pruning (r12, VERDICT r11 task 3) ------
-    #
-    # `read_for_expr` requires the CALLER to know an index exists. Hudi
-    # 1.0's expression indexes are declarative: a plain
-    # `WHERE hour(ts) = 2` auto-prunes through a registered
-    # `column_stats(hour(ts))` index because the optimizer matches the
-    # predicate's CANONICALIZED expression against the index definition.
-    # `read(where=...)` reproduces that: the predicate's top-level
-    # conjuncts are parsed, each comparison's expression side is
-    # canonicalized THROUGH SPARK'S OWN ANALYZER (the auto-generated
-    # column name of the parsed expression over the table schema — so
-    # `HOUR(ts)`, `hour( ts )` and `hour(ts)` all normalize identically),
-    # and any conjunct matching an index expression contributes a
-    # pruning bound. The FULL predicate is always re-applied to the
-    # survivors, so pruning is a pure file-skip: a conjunct the matcher
-    # can't read just means less pruning, never a wrong answer.
-
-    def _canon_expr(self, expr_sql: str) -> str | None:
-        """Analyzer-canonical name of ``expr_sql`` over the table schema
-        (None when it doesn't analyze — e.g. references no such column).
-        Pure analysis, no job."""
-        try:
-            empty = self.spark.createDataFrame([], self._load_schema())
-            return empty.select(F.expr(expr_sql)).columns[0]
-        except Exception:
-            return None
-
-    # Functions whose prune-time fold can differ from the residual
-    # filter's scan-time re-evaluation: time-dependent (`current_date()`
-    # near a day boundary) or nondeterministic (`rand()`). Rejection is
-    # conservative — a match only disables pruning for that conjunct,
-    # never changes results (ADVICE r12).
-    _NONDET_FN_RE = re.compile(
-        r"\b(current_timestamp|current_date|current_timezone|localtimestamp"
-        r"|now|curdate|rand|randn|random|uuid|shuffle"
-        r"|monotonically_increasing_id|input_file_name|spark_partition_id"
-        r"|unix_timestamp|current_user|session_user|user)\b",
-        re.IGNORECASE,
-    )
-
-    def _eval_literal(self, lit_sql: str):
-        """Evaluate a foldable scalar (`2`, `DATE '2020-01-01'`,
-        `21 + 2`); raises if it references columns or contains a
-        time-dependent / nondeterministic function (those would fold
-        ONCE at prune time while the residual filter re-evaluates at
-        scan time — a day-boundary race could silently drop rows).
-        LocalTableScan — driver-side, no shuffle."""
-        if self._NONDET_FN_RE.search(_strip_sql_strings(lit_sql)):
-            raise ValueError(f"nondeterministic prune bound: {lit_sql!r}")
-        return self.spark.sql(f"SELECT ({lit_sql}) AS v").first()["v"]
-
-    @staticmethod
-    def _split_conjuncts(where: str) -> list[str]:
-        """Split on depth-0 ANDs, respecting parens, single-quote
-        strings, and BETWEEN..AND pairing."""
-        out, buf, depth, i, n = [], [], 0, 0, len(where)
-        pending_between = 0
-        up = where.upper()
-        while i < n:
-            ch = where[i]
-            if ch == "'":  # skip string literal ('' escapes)
-                j = i + 1
-                while j < n:
-                    if where[j] == "'" and not (j + 1 < n and where[j + 1] == "'"):
-                        break
-                    j += 2 if where[j] == "'" else 1
-                buf.append(where[i : j + 1])
-                i = j + 1
-                continue
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if depth == 0 and up.startswith("BETWEEN", i) and _is_word(where, i, 7):
-                pending_between += 1
-            if depth == 0 and up.startswith("AND", i) and _is_word(where, i, 3):
-                if pending_between:
-                    pending_between -= 1  # the BETWEEN's own AND
-                else:
-                    out.append("".join(buf))
-                    buf = []
-                    i += 3
-                    continue
-            buf.append(ch)
-            i += 1
-        out.append("".join(buf))
-        return [c.strip() for c in out if c.strip()]
-
-    _CMP_OPS = (">=", "<=", "==", "=", "<", ">")  # longest-first
-
-    @classmethod
-    def _split_comparison(cls, conjunct: str) -> tuple[str, str, str] | None:
-        """(lhs, op, rhs) for a conjunct with EXACTLY ONE depth-0
-        comparison operator, else None. `<>` / `!=` conjuncts return
-        None (no range bound). Chained comparisons like
-        `hour(ts) = 5 = TRUE` (valid SQL, left-associative) also return
-        None — splitting at the FIRST `=` would treat `5 = TRUE` as the
-        literal and extract a wrong pruning bound (ADVICE r12)."""
-        depth, i, n = 0, 0, len(conjunct)
-        found = None  # (position, op) of the single depth-0 comparison
-        while i < n:
-            ch = conjunct[i]
-            if ch == "'":  # skip string literal ('' escapes — the same
-                # scan as _split_conjuncts, so the two scanners can
-                # never disagree about where a literal ends; backslash
-                # escapes were rejected wholesale in _index_bounds)
-                j = i + 1
-                while j < n:
-                    if conjunct[j] == "'" and not (
-                        j + 1 < n and conjunct[j + 1] == "'"
-                    ):
-                        break
-                    j += 2 if conjunct[j] == "'" else 1
-                i = j + 1
-                continue
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0:
-                if conjunct.startswith(("<>", "!=") , i):
-                    return None
-                for op in cls._CMP_OPS:
-                    if conjunct.startswith(op, i):
-                        if found is not None:
-                            return None  # chained comparison
-                        found = (i, op)
-                        i += len(op) - 1  # don't re-count `=` inside `>=`
-                        break
-            i += 1
-        if found is None:
-            return None
-        i, op = found
-        return conjunct[:i].strip(), op, conjunct[i + len(op):].strip()
-
-    def _index_bounds(self, where: str) -> tuple[str, object, object] | None:
-        """Match ``where``'s conjuncts against the registered functional
-        indexes; returns (index name, lo, hi) for the first index that
-        collects at least one bound. Strict `<` / `>` bounds are used
-        inclusively — the residual filter restores strictness. Never
-        raises: incomparable bound literal types (`hour(ts) >= 2 AND
-        hour(ts) >= '25'` — Spark's implicit casts accept what Python
-        max() cannot) fall back to no pruning (ADVICE r12)."""
-        try:
-            return self._index_bounds_impl(where)
-        except TypeError:
-            return None
-
-    def _index_bounds_impl(self, where: str) -> tuple[str, object, object] | None:
-        if "\\" in where:
-            # Backslashes re-shape string-literal boundaries depending
-            # on spark.sql.parser.escapedStringLiterals — under the
-            # default mode `'a\' AND hour(ts) = 99 AND x = \'b'` is ONE
-            # literal, and a quote-pair scanner that treats `\'` as a
-            # terminator sees the literal's INSIDE at depth 0 and
-            # extracts a bogus hour bound (confirmed silent row loss,
-            # r13). Rare in predicates; skipping pruning is always
-            # exact — full scan + residual.
-            return None
-        if _has_depth0_keyword(where, ("OR",)):
-            # OR binds LOOSER than AND, so a depth-0 OR anywhere makes
-            # the whole predicate a disjunction — NO AND-split piece is
-            # a true conjunct (`k >= 0 OR TRUE AND hour(ts)=2` must not
-            # prune on the hour bound). Full scan + residual (VERDICT
-            # r12 — the OR-tail-as-literal path silently lost rows).
-            return None
-        if not self.functional_indexes:
-            return None
-        canon_to_name = {}
-        for name, expr in self.functional_indexes.items():
-            c = self._canon_expr(expr)
-            if c is not None:
-                canon_to_name[c] = name
-        if not canon_to_name:
-            return None
-        bounds: dict[str, list] = {}  # name -> [lo, hi]
-        for conj in self._split_conjuncts(where):
-            c = conj.strip()
-            while c.startswith("(") and c.endswith(")") and self._balanced(c[1:-1]):
-                c = c[1:-1].strip()
-            if _has_depth0_keyword(c, ("NOT",)):
-                # A negated conjunct is not a range bound (NOT binds
-                # tighter than AND, so skipping just this conjunct is
-                # sound — depth-0 ORs already bailed out wholesale).
-                continue
-            m = re.match(
-                r"^(.*?)\s+between\s+(.+?)\s+and\s+(.+)$", c, re.IGNORECASE | re.DOTALL
-            )
-            if m:
-                name = canon_to_name.get(self._canon_expr(m.group(1)) or "")
-                if name:
-                    try:
-                        lo, hi = self._eval_literal(m.group(2)), self._eval_literal(
-                            m.group(3)
-                        )
-                    except Exception:
-                        continue
-                    b = bounds.setdefault(name, [None, None])
-                    b[0] = lo if b[0] is None else max(b[0], lo)
-                    b[1] = hi if b[1] is None else min(b[1], hi)
-                continue
-            split = self._split_comparison(c)
-            if split is None:
-                continue
-            lhs, op, rhs = split
-            for expr_side, lit_side, flip in ((lhs, rhs, False), (rhs, lhs, True)):
-                name = canon_to_name.get(self._canon_expr(expr_side) or "")
-                if not name:
-                    continue
-                try:
-                    v = self._eval_literal(lit_side)
-                except Exception:
-                    break  # other side isn't a literal either way
-                if v is None:
-                    break
-                eff = op
-                if flip and op in ("<", "<=", ">", ">="):
-                    eff = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
-                b = bounds.setdefault(name, [None, None])
-                if eff in ("=", "=="):
-                    b[0] = v if b[0] is None else max(b[0], v)
-                    b[1] = v if b[1] is None else min(b[1], v)
-                elif eff in (">", ">="):
-                    b[0] = v if b[0] is None else max(b[0], v)
-                else:  # <, <=
-                    b[1] = v if b[1] is None else min(b[1], v)
-                break
-        for name, (lo, hi) in bounds.items():
-            if lo is not None or hi is not None:
-                return name, lo, hi
-        return None
-
-    @staticmethod
-    def _balanced(s: str) -> bool:
-        depth = 0
-        for ch in s:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if depth < 0:
-                return False
-        return depth == 0
 
     def read_where(self, where: str) -> DataFrame:
         """`read().filter(where)` with declarative functional-index

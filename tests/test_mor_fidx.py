@@ -204,3 +204,27 @@ def test_probe_argument_validation(spark, tmp_path):
         t.read_for_expr("nope", value=1)
     with pytest.raises(ValueError, match="exactly one"):
         t.read_for_expr("hx")
+
+
+def test_declarative_read_where(spark, tmp_path):
+    """Plain read(where=...) auto-prunes through the MOR index — the
+    same declarative contract as the COW table — and is always exact,
+    including the OR/backslash/chained-comparison guard rails."""
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d1", 2, 1), (2, "d2", 5, 1)]))
+    t.upsert(_mk(spark, [(3, "d3", 7, 1)]))
+    for pred in (
+        "hr * 10 = 50",
+        "hr * 10 BETWEEN 50 AND 70 AND k >= 0",
+        "hr * 10 = 50 OR true",          # OR disables pruning, stays exact
+        "hr * 10 = 50 = TRUE",           # chained comparison: no bound
+    ):
+        got = _keys(t.read(where=pred))
+        want = _keys(t.read().filter(F.expr(pred)))
+        assert got == want, pred
+    assert _keys(t.read(where="hr * 10 = 999")) == []
+    # bounds matched and pruning engaged for the plain equality
+    assert t._index_bounds("hr * 10 = 50") == ("hx", 50, 50)
+    # historical read bypasses the latest-state index but filters
+    got = _keys(t.read(as_of=1, where="hr * 10 = 50"))
+    assert got == [2]
