@@ -228,3 +228,38 @@ def test_declarative_read_where(spark, tmp_path):
     # historical read bypasses the latest-state index but filters
     got = _keys(t.read(as_of=1, where="hr * 10 = 50"))
     assert got == [2]
+
+
+def test_concurrent_nbcc_absorb_no_lost_splices(spark, tmp_path):
+    """Two NBCC writers publishing concurrently must not lose each
+    other's index splices (the read-modify-write serializes on the
+    sidecar lock). Every writer's values are probeable afterwards."""
+    import threading
+
+    t = _tbl(spark, str(tmp_path / "t"))
+    t.upsert(_mk(spark, [(1, "d0", 1, 1)]))  # bootstrap
+    errs = []
+
+    def writer(wid, rows):
+        try:
+            tw = _tbl(spark, str(tmp_path / "t"))
+            tw.nbcc_upsert(_mk(spark, rows), writer=wid)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append((wid, e))
+
+    th = [
+        threading.Thread(
+            target=writer, args=(f"w{i}", [(10 + i, f"d{i}", 2 + i, 1)])
+        )
+        for i in range(1, 5)
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    for i in range(1, 5):
+        assert _assert_exact(t, (2 + i) * 10, (2 + i) * 10) == [10 + i]
+        assert sorted(t._fidx_candidates("hx", (2 + i) * 10, (2 + i) * 10)) == [
+            (f"d{i}",)
+        ]
