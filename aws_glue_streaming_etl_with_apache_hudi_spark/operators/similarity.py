@@ -194,6 +194,15 @@ def hyperplane_signs(
         buckets = (bits * powers).sum(axis=2)  # batch x tables
         return pd.Series(list(buckets))
 
+    # asNondeterministic: the function IS deterministic, but without the
+    # marker InferFiltersFromGenerate derives `size(_buckets) > 0 AND
+    # _buckets IS NOT NULL` from the posexplode and pushes it BELOW the
+    # projection — duplicating the ArrowEvalPython node, so every vector
+    # paid the matmul boundary twice (plan audit r13; the optimization
+    # guide's §4.4 double-BatchEvalPython pattern). The inferred filter
+    # is vacuous here (bucket arrays are always non-empty), so blocking
+    # the inference changes no rows — it only removes the second eval.
+    bucket_ids = bucket_ids.asNondeterministic()
     with_buckets = df.select(
         F.col(id_col), F.col(vec_col), bucket_ids(_as_double(vec_col)).alias("_buckets")
     )
@@ -271,6 +280,15 @@ def knn_lsh(
                 sim_decimals,
             ).alias("sim"),
         )
+        # ONE shuffle for dedup + top-k: clustering by query_id alone
+        # co-locates every (query_id, neighbor_id) group AND satisfies
+        # the query_id window partitioning below, so the cross-table
+        # pair-dedup and the rank window share a single Exchange (plan
+        # audit r13: was Exchange(q, n) for the distinct THEN
+        # Exchange(q) for the window — two full shuffles+sorts of the
+        # candidate set; guide §2.4). The shuffled rows are pre-dedup
+        # collisions — at most num_tables copies of a ~24-byte triple.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -785,6 +803,9 @@ def knn_ivf(
                 sim_decimals,
             ).alias("sim"),
         )
+        # one Exchange for dedup + top-k (same query_id clustering trick
+        # as knn_lsh; guide §2.4)
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -1037,6 +1058,11 @@ def knn_ivf_pq(
         lists.join(F.broadcast(qt), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adist.alias("adist_micro"))
+        # ONE shuffle for the multi-probe min AND the top-k window:
+        # clustering by query_id co-locates every (query_id, neighbor_id)
+        # group and already satisfies the window partitioning (plan audit
+        # r13: was Exchange(q, n) then Exchange(q); guide §2.4)
+        .repartition("query_id")
         .groupBy("query_id", "neighbor_id")
         .agg(F.min("adist_micro").alias("adist_micro"))
     )
@@ -1091,7 +1117,12 @@ def knn_rerank(
         l2_norm(_as_double(vec_col)).alias("qn"),
     )
     exact = (
-        cands.join(c, "neighbor_id")
+        # broadcast the slim candidate pairs and STREAM the corpus: the
+        # big side is never shuffled (nor auto-broadcast — at sf0.1 the
+        # planner's estimates chose to broadcast the corpus VECTORS,
+        # which is exactly backwards at scale; guide §3.1). Build side =
+        # Q x rerank (query_id, neighbor_id) longs, KBs at any Q.
+        c.join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
