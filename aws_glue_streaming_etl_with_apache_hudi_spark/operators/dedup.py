@@ -612,7 +612,13 @@ def prefix_filter_candidates(
             + F.lit(1),
         ).alias("_prefix"),
     )
-    pt = pref.select(F.col(id_col), *blk, F.explode("_prefix").alias("_ptok"))
+    # both self-join sides consume the prefix tokens; the slot keeps the
+    # vocab count + rarity sort + prefix slice to ONE execution per input
+    # (r13 plan audit: each side re-ran the whole canonicalization)
+    pt = _persist_slot(
+        pref.select(F.col(id_col), *blk, F.explode("_prefix").alias("_ptok")),
+        "dedup.ppjoin_prefix",
+    )
     a = pt.select(
         F.col(id_col).alias("id_a"), *[F.col(c) for c in blk], "_ptok"
     )

@@ -57,38 +57,70 @@ def funnel_conversion(spark, sf_dir):
     beyond the first.
 
     Reference tie-in: the clickstream table this engine serves IS the
-    funnel's input (events fixture = the stream A1 ingests)."""
+    funnel's input (events fixture = the stream A1 ingests).
+
+    Plan shape (r13 optimization): the naive stage-join formulation
+    evaluated s1 three times and s2 twice (Catalyst shares no common
+    subtrees) — 6 scans of events and 5 user-key Exchanges. The funnel
+    is instead computed in ONE pass: partition-only windows over
+    user_id derive ts1 (min view), then ts2 (min click strictly after
+    ts1), then ts3 (min purchase strictly after ts2) — a user absent
+    from stage k has a NULL ts_k, exactly the inner-join semantics —
+    and one count of non-null ts_k per stage replaces the three
+    aggregation branches. One events scan, one Exchange, one sort.
+    ``count(tsK)`` counts each stage's distinct users because the
+    per-user rows are first collapsed by a (shuffle-free, same
+    partitioning) groupBy."""
     e = t(spark, sf_dir, "events")
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts1"))
+    w = W.partitionBy("user_id")
+    ev = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    ts1 = ev.withColumn(
+        "ts1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("ts1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts2"))
+    ts2 = ts1.withColumn(
+        "ts2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("ts1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("ts2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts3"))
+    ts3 = ts2.withColumn(
+        "ts3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ts2")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    stages = [
-        s1.agg(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
-               F.count(F.lit(1)).alias("n_users")),
-        s2.agg(F.lit(2).alias("stage_no"), F.lit("view>click").alias("stage"),
-               F.count(F.lit(1)).alias("n_users")),
-        s3.agg(F.lit(3).alias("stage_no"),
-               F.lit("view>click>purchase").alias("stage"),
-               F.count(F.lit(1)).alias("n_users")),
-    ]
-    out = stages[0].unionByName(stages[1]).unionByName(stages[2])
-    return out.orderBy("stage_no").select("stage", "n_users")
+    per_user = ts3.groupBy("user_id").agg(
+        F.first("ts1").alias("ts1"),
+        F.first("ts2").alias("ts2"),
+        F.first("ts3").alias("ts3"),
+    )
+    counts = per_user.agg(
+        F.count("ts1").alias("n1"), F.count("ts2").alias("n2"),
+        F.count("ts3").alias("n3"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
+                         F.col("n1").alias("n_users")),
+                F.struct(F.lit(2).alias("stage_no"),
+                         F.lit("view>click").alias("stage"),
+                         F.col("n2").alias("n_users")),
+                F.struct(F.lit(3).alias("stage_no"),
+                         F.lit("view>click>purchase").alias("stage"),
+                         F.col("n3").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.stage_no", "s.stage", "s.n_users")
+    return stages.orderBy("stage_no").select("stage", "n_users")
 
 
 @register(

@@ -1923,34 +1923,34 @@ def mutual_information_features(spark, sf_dir):
         F.col("event_type").alias("x"),
         F.floor(F.hour("ts") / 6).cast("long").alias("hb"),
     )
+    # r13: marginals/total/MI as WINDOW sums over the |X|x|Y|-row cell
+    # frame instead of three re-aggregation branches broadcast-joined
+    # back — the branches re-inlined the event-stream groupBy once per
+    # consumer (8 events scans in the audited plan). Long/decimal window
+    # sums are order-free, so every value is bit-identical.
     j = e.groupBy("x", "hb").agg(F.count(F.lit(1)).cast("long").alias("nxy"))
-    mx = j.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
-    my = j.groupBy("hb").agg(F.sum("nxy").cast("long").alias("ny"))
-    tt = j.agg(F.sum("nxy").cast("long").alias("n"))
-    ratio = (F.col("nxy").cast("double") * F.col("n")) / (
-        F.col("nx").cast("double") * F.col("ny")
+    nx = F.sum("nxy").over(W.partitionBy("x")).cast("long")
+    ny = F.sum("nxy").over(W.partitionBy("hb")).cast("long")
+    n = F.sum("nxy").over(W.partitionBy()).cast("long")
+    ratio = (F.col("nxy").cast("double") * n) / (
+        nx.cast("double") * ny
     )
-    cells = (
-        j.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "hb")
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "x", "hb", "nxy",
-            F.round(F.log2(ratio), 6).alias("pmi"),
-            F.round((F.col("nxy").cast("double") / F.col("n")) * F.log2(ratio), 9)
-            .cast("decimal(12,9)")
-            .alias("term"),
-        )
+    cells = j.select(
+        "x", "hb", "nxy",
+        F.round(F.log2(ratio), 6).alias("pmi"),
+        F.round((F.col("nxy").cast("double") / n) * F.log2(ratio), 9)
+        .cast("decimal(12,9)")
+        .alias("term"),
     )
-    mi = cells.agg(F.round(F.sum("term").cast("double"), 6).alias("mi_bits"))
     return (
-        cells.crossJoin(F.broadcast(mi))
-        .select(
+        cells.select(
             F.col("x").alias("event_type"),
             F.col("hb").alias("hour_band"),
             F.col("nxy").alias("n_events"),
             "pmi",
-            "mi_bits",
+            F.round(
+                F.sum("term").over(W.partitionBy()).cast("double"), 6
+            ).alias("mi_bits"),
         )
         .orderBy("event_type", "hour_band")
     )

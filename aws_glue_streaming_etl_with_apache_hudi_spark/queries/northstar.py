@@ -906,16 +906,26 @@ def text_tfidf_top_term(spark, sf_dir):
     ).filter(F.col("word") != "")
     # tf feeds BOTH the df branch and the scoring join; Catalyst does not
     # share common subtrees, so without the slot the corpus explode +
-    # aggregation runs twice per execution
+    # aggregation runs twice per execution. Clustering tf by doc_id
+    # (r13): the tf aggregation groups on (doc_id, word) — clustering by
+    # doc_id alone co-locates those groups AND leaves the cached frame
+    # hash-partitioned on doc_id, so the final per-doc argmax below runs
+    # WITHOUT its own Exchange (was a second full shuffle of the scored
+    # terms; guide §2.4 — two operations keyed the same way share one
+    # exchange).
     tf = _persist_slot(
-        w.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
+        w.repartition("doc_id").groupBy("doc_id", "word").agg(
+            F.count("*").alias("tf")
+        ),
         "northstar.tfidf_tf",
     )
     dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("dfreq"))
     n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
+    # ONE broadcast build instead of two: the 1-row corpus count rides
+    # the vocabulary-sized dfreq dim (a broadcast build is a whole
+    # scheduler round; two of them per run was pure overhead)
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(n))
+        tf.join(F.broadcast(dfreq.crossJoin(n)), "word")
         .select(
             "doc_id",
             "word",
@@ -3054,13 +3064,21 @@ def dedup_recall_eval(spark, sf_dir):
     Scale: the truth side is the lang-blocked exact join — affordable at
     eval scale; production grades on a SAMPLED stratum with the same
     composition. The LSH side is the production operator unchanged."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
     from aws_glue_streaming_etl_with_apache_hudi_spark.queries.base import QUERIES
 
-    approx = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
-    exact = (
+    # both legs feed TWO consumers each (the hit join and their own
+    # count); slots keep the LSH pipeline and the quadratic truth join
+    # to one execution apiece (r13 plan audit: 9 documents scans here)
+    approx = _persist_slot(
+        QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b"),
+        "northstar.recall_approx",
+    )
+    exact = _persist_slot(
         QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"),
+        "northstar.recall_exact",
     )
     hit = exact.join(approx, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_hit")
@@ -3496,6 +3514,12 @@ def embedding_matryoshka_eval(spark, sf_dir):
             F.col("neighbor_id").alias(f"n{d}"),
             F.col("sim").alias(f"s{d}"),
         )
+    # the full-width leg is the reference of every agreement row — five
+    # consumers; without the slot each row re-ran the 64-dim all-pairs
+    # scoring (r13 plan audit: 12 embeddings scans in this one plan)
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    legs[64] = _persist_slot(legs[64], "northstar.matryoshka_ref")
     out = None
     for d in _MATRYOSHKA_DIMS:
         row = (
@@ -3712,14 +3736,22 @@ def jaccard_prefix_join(spark, sf_dir):
     equi-shuffle (explode, count, rank, join). This is the exact-dedup
     scale path when LSH recall < 1 is not acceptable (e.g. benchmark
     decontamination, where a miss is a contaminated eval)."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import prefix_filter_candidates
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+        _persist_slot,
+        prefix_filter_candidates,
+    )
 
     docs = t(spark, sf_dir, "documents")
     sh = D.word_shingles(docs.select("doc_id", "lang", "text"), "doc_id", "text", n=3)
-    sets = (
+    # the canonicalized sets feed THREE consumers (candidate generation
+    # + both verify sides); without the slot each branch re-ran the
+    # shingle explode + collect_set from the parquet scan — the r13
+    # plan audit counted 12 documents scans in this one query
+    sets = _persist_slot(
         sh.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("doc_id", "lang")
-        .agg(F.collect_set("shingle").alias("s"))
+        .agg(F.collect_set("shingle").alias("s")),
+        "northstar.ppjoin_sets",
     )
     cand = prefix_filter_candidates(
         sets, "doc_id", "s", threshold=0.3, block_col="lang"
@@ -3932,22 +3964,29 @@ def heaps_law_vocab(spark, sf_dir):
         .select("doc_id", "m", F.explode(bigrams).alias("w"))
     )
 
-    def prefix(cond, tag):
-        return tok.filter(cond).agg(
-            F.count(F.lit(1)).alias(f"tokens_{tag}"),
-            F.countDistinct("w").alias(f"vocab_{tag}"),
-        )
-
-    p1 = prefix(F.col("doc_id") <= F.col("m") / 4, "q1")
-    p2 = prefix(F.col("doc_id") <= F.col("m") / 2, "q2")
-    p3 = prefix(F.lit(True), "full")
+    # ONE aggregation computes all three prefixes (r13: was three
+    # independent filter+agg branches, each re-running the tokenize +
+    # bigram explode — 6 documents scans in the audited plan): a
+    # conditional count/count-distinct per prefix — count(when(cond, 1))
+    # and countDistinct(when(cond, w)) ignore the NULLs outside the
+    # prefix, so the six integers are identical to the branch version.
+    c1 = F.col("doc_id") <= F.col("m") / 4
+    c2 = F.col("doc_id") <= F.col("m") / 2
+    p = tok.agg(
+        F.count(F.when(c1, 1)).alias("tokens_q1"),
+        F.countDistinct(F.when(c1, F.col("w"))).alias("vocab_q1"),
+        F.count(F.when(c2, 1)).alias("tokens_q2"),
+        F.countDistinct(F.when(c2, F.col("w"))).alias("vocab_q2"),
+        F.count(F.lit(1)).alias("tokens_full"),
+        F.countDistinct("w").alias("vocab_full"),
+    )
     beta = lambda v2, v1, t2, t1: F.round(  # noqa: E731
         F.log(F.col(v2).cast("double") / F.col(v1))
         / F.log(F.col(t2).cast("double") / F.col(t1)),
         6,
     )
     return (
-        p1.crossJoin(p2).crossJoin(p3)
+        p
         .select(
             "tokens_q1", "vocab_q1", "tokens_q2", "vocab_q2",
             "tokens_full", "vocab_full",
@@ -4006,16 +4045,25 @@ def cohens_kappa_langid(spark, sf_dir):
     Scale: the classifier pass is the existing map-side text_langid
     plan; the eval adds two tiny 5-class aggregations and one
     broadcast-sized full-outer marginal join."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
-    joined = pred.join(docs, "doc_id").select(
-        F.col("lang").alias("t"), F.col("predicted_lang").alias("y")
+    # (t, y) pairs feed three consumers (the scalar agg + both marginal
+    # groupBys); the slot keeps the classifier pass to one execution
+    # (r13 plan audit: 8 documents scans), and n + hits merge into one
+    # aggregation instead of two crossJoined branches
+    joined = _persist_slot(
+        pred.join(docs, "doc_id").select(
+            F.col("lang").alias("t"), F.col("predicted_lang").alias("y")
+        ),
+        "northstar.kappa_pairs",
     )
-    n = joined.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    agree = joined.agg(
+    n_agree = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.when(F.col("t") == F.col("y"), 1).otherwise(0))
         .cast("double")
-        .alias("hits")
+        .alias("hits"),
     )
     tc = joined.groupBy(F.col("t").alias("lang")).agg(F.count(F.lit(1)).alias("tc"))
     yc = joined.groupBy(F.col("y").alias("lang")).agg(F.count(F.lit(1)).alias("yc"))
@@ -4032,7 +4080,7 @@ def cohens_kappa_langid(spark, sf_dir):
     po = F.col("hits") / F.col("n")
     pe = F.col("dot") / (F.col("n") * F.col("n"))
     return (
-        n.crossJoin(agree)
+        n_agree
         .crossJoin(marg)
         .select(
             F.col("n").cast("long").alias("n_docs"),

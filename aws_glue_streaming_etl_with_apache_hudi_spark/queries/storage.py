@@ -1032,21 +1032,40 @@ def audience_overlap_kmv(spark, sf_dir):
     is set algebra on 2k rows. The md5 hash family makes every value —
     including the estimates — engine-deterministic, so even the sketch
     ERROR is oracle-checked."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
     k = _KMV_K
     e = t(spark, sf_dir, "events")
     h = stable_hash64(F.col("user_id").cast("string"), "kmv")
 
-    def sketch(event_type):
+    # ONE per-user flag aggregation feeds both sketches and every exact
+    # count (r13: the former per-branch distinct pipelines re-scanned
+    # events 12x in one plan — 5 independent DISTINCTs over the same
+    # fact table; guide §2.4). `_a`/`_b` mark view/purchase membership;
+    # exact_a = Σ_a, exact_b = Σ_b, exact_union = rows, exact_overlap =
+    # Σ_a·_b — identical integers to the old distinct-set algebra.
+    flags = _persist_slot(
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("_b"),
+        ),
+        "storage.kmv_flags",
+    )
+
+    def sketch(flag):
         return (
-            e.filter(F.col("event_type") == event_type)
-            .select("user_id").distinct()
+            flags.filter(F.col(flag) == 1)
             .select(h.alias("h"))
             .orderBy("h").limit(k)
         )
 
-    ua = e.filter(F.col("event_type") == "view").select("user_id").distinct()
-    ub = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    ka, kb = sketch("view"), sketch("purchase")
+    ka, kb = sketch("_a"), sketch("_b")
     uni = ka.unionByName(kb).distinct().orderBy("h").limit(k)
     th = uni.agg(F.max("h").alias("theta"))
     ovl = (
@@ -1055,19 +1074,16 @@ def audience_overlap_kmv(spark, sf_dir):
         .filter(F.col("h") < F.col("theta"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    exacts = flags.agg(
+        F.sum("_a").cast("long").alias("exact_a"),
+        F.sum("_b").cast("long").alias("exact_b"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("_a") * F.col("_b")).cast("long").alias("exact_overlap"),
+    )
     est_union = (k - 1) * F.pow(F.lit(2.0), 60) / F.col("theta")
     return (
         th.crossJoin(ovl)
-        .crossJoin(ua.agg(F.count(F.lit(1)).cast("long").alias("exact_a")))
-        .crossJoin(ub.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
-        .crossJoin(
-            ua.unionByName(ub).distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
-        )
-        .crossJoin(
-            ua.join(ub, "user_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
-        )
+        .crossJoin(exacts)
         .select(
             F.lit(k).cast("long").alias("k"),
             "exact_a",

@@ -406,38 +406,40 @@ def importance_reweight_ess(spark, sf_dir):
     later step is arithmetic on that 5-row frame with broadcast totals
     — nothing about the corpus is shuffled; the weights broadcast back
     to the loader at training time."""
+    # r13: the former agg→crossJoin(broadcast)→agg→crossJoin chain
+    # re-inlined the documents groupBy once per consumer (8 scans in the
+    # audited plan) and paid a broadcast-build job per normalizer;
+    # global windows over the ~|languages|-row aggregate produce the
+    # SAME exact sums (long/decimal window sums are order-free) in one
+    # pass — one documents scan, one shuffle, no broadcasts.
+    wall = Window.partitionBy()
     d = t(spark, sf_dir, "documents")
     agg = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = agg.agg(F.sum("n").cast("double").alias("nn"))
-    sh = agg.crossJoin(F.broadcast(tot)).select(
-        "lang", "n", (F.col("n") / F.col("nn")).alias("s")
+    sh = agg.select(
+        "lang", "n",
+        (F.col("n") / F.sum("n").over(wall).cast("double")).alias("s"),
     )
     pq = sh.select(
         "lang", "n", "s",
         F.round(F.pow("s", F.lit(0.7)), 9).cast("decimal(12,9)").alias("p"),
     )
-    z = pq.agg(F.sum("p").alias("zz"))
-    w = pq.crossJoin(F.broadcast(z)).select(
+    w = pq.select(
         "lang", "n",
         F.round(
-            F.col("p").cast("double") / F.col("zz").cast("double") / F.col("s"), 6
+            F.col("p").cast("double")
+            / F.sum("p").over(wall).cast("double")
+            / F.col("s"),
+            6,
         ).cast("decimal(14,6)").alias("wq"),
     )
-    ess = w.agg(
-        F.round(
-            F.sum(F.col("n") * F.col("wq")).cast("double")
-            * F.sum(F.col("n") * F.col("wq")).cast("double")
-            / F.sum(F.col("n") * F.col("wq") * F.col("wq")).cast("double"),
-            4,
-        ).alias("ess_docs")
-    )
+    swq = F.sum(F.col("n") * F.col("wq")).over(wall).cast("double")
+    sww = F.sum(F.col("n") * F.col("wq") * F.col("wq")).over(wall).cast("double")
     return (
-        w.crossJoin(F.broadcast(ess))
-        .select(
+        w.select(
             "lang",
             F.col("n").alias("n_docs"),
             F.col("wq").cast("double").alias("weight"),
-            F.col("ess_docs").alias("ess"),
+            F.round(swq * swq / sww, 4).alias("ess"),
         )
         .orderBy("lang")
     )
@@ -662,14 +664,19 @@ def corpus_build_pipeline_v2(spark, sf_dir):
         .select("doc_id", "lang", "n_words"),
         "corpus_v2.k3",
     )
+    # language-share → keep-rate over the ~|languages|-row aggregate:
+    # global windows instead of the former agg→crossJoin(broadcast)→agg→
+    # crossJoin(broadcast) chain — each crossJoin was its own broadcast
+    # build (a full scheduler round); the windowed form is one tiny
+    # single-partition pass over a handful of rows (r13; the sums are
+    # integer-valued doubles, so aggregation order cannot perturb them)
+    wall = Window.partitionBy()
     shares = k3.groupBy("lang").agg(F.sum("n_words").cast("double").alias("tl"))
-    total = shares.agg(F.sum("tl").alias("tt"))
-    sh = shares.crossJoin(F.broadcast(total)).select(
-        "lang", (F.col("tl") / F.col("tt")).alias("s")
+    sh = shares.select(
+        "lang", (F.col("tl") / F.sum("tl").over(wall)).alias("s")
     )
-    smin = sh.agg(F.min("s").alias("smin"))
-    rate = sh.crossJoin(F.broadcast(smin)).select(
-        "lang", F.pow(F.col("s") / F.col("smin"), F.lit(-0.5)).alias("r")
+    rate = sh.select(
+        "lang", F.pow(F.col("s") / F.min("s").over(wall), F.lit(-0.5)).alias("r")
     )
     u = stable_hash64(F.col("doc_id").cast("string"), "tsamp2").cast("double") / float(
         1 << 60

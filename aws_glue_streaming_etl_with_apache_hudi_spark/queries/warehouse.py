@@ -236,6 +236,7 @@ def hilbert_layout_stats(spark, sf_dir):
     Scale shape: identical to zorder_layout_stats — one 4-value stats
     broadcast, bounded-key groupBys, 1-row crossJoins."""
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.clustering import hilbert_index
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
 
     o = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("x"),
@@ -257,10 +258,17 @@ def hilbert_layout_stats(spark, sf_dir):
         (F.col("ymin") + F.floor(span("ymin", "ymax") * 7.0 / 16).cast("long")).alias("qylo"),
         (F.col("ymin") + F.floor(span("ymin", "ymax") * 9.0 / 16).cast("long")).alias("qyhi"),
     )
-    filed = b.select(
-        "x", "y", "qxlo", "qxhi", "qylo", "qyhi",
-        (_interleave(F.col("bx"), F.col("by")) / 1024).cast("long").alias("zfile"),
-        (F.col("bx") / 4).cast("long").alias("linfile"),
+    # r13: `b` feeds both curve layouts and `filed` feeds three summary
+    # branches — without the slots each branch re-scanned orders and
+    # re-ran the min/max broadcast (8 orders scans in the audited plan)
+    b = _persist_slot(b, "warehouse.hilbert_bucketed")
+    filed = _persist_slot(
+        b.select(
+            "x", "y", "qxlo", "qxhi", "qylo", "qyhi",
+            (_interleave(F.col("bx"), F.col("by")) / 1024).cast("long").alias("zfile"),
+            (F.col("bx") / 4).cast("long").alias("linfile"),
+        ),
+        "warehouse.hilbert_filed",
     )
     hfiled = hilbert_index(b, "bx", "by", bits=_ZBITS, out="hd").select(
         "x", "y", "qxlo", "qxhi", "qylo", "qyhi",
@@ -365,6 +373,11 @@ def zorder_layout_stats(spark, sf_dir):
             F.sum(F.when(overlap, 1).otherwise(0)).cast("long").alias(scanned_alias),
         )
 
+    # r13: three summary branches consume `filed`; the slot keeps the
+    # orders scan + bucket projection to one execution (6 scans before)
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    filed = _persist_slot(filed, "warehouse.zorder_filed")
     zsum = _file_summary(filed, "zfile", "files_z", "scanned_z")
     lsum = _file_summary(filed, "linfile", "files_lin", "scanned_lin")
     hit = (
