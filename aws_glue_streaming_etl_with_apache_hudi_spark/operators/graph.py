@@ -154,7 +154,7 @@ def pagerank(
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
 
     sym = symmetrize(edges)
-    deg = _persist_slot(degrees(edges), "graph.pagerank_deg")
+    deg = _persist_slot(degrees(edges), "graph.degrees")
     n = deg.count()
     base = (1.0 - damping) / n
     ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))

@@ -623,6 +623,12 @@ def dq_drift_psi(spark, sf_dir):
         .groupBy("event_type", "period", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # cells feeds three consumers (totals, the dense-grid distinct, the
+    # left join back); the slot keeps the events scan + cell count to
+    # one execution (r13 plan audit: 6 events scans in this plan)
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    cells = _persist_slot(cells, "analytics.psi_cells")
     tot = cells.groupBy("event_type", "period").agg(
         F.sum("n").cast("double").alias("tot")
     )
@@ -777,10 +783,16 @@ def market_basket_lift(spark, sf_dir):
     unbounded."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    items = (
+    # items feeds four consumers (order count, brand marginals, both
+    # self-join sides); the slot keeps the lineitem scan + distinct to
+    # one execution (r13 plan audit: 5 lineitem + 5 part scans)
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    items = _persist_slot(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .distinct(),
+        "analytics.basket_items",
     )
     n = items.agg(
         F.count_distinct("l_orderkey").cast("double").alias("n_orders")
@@ -888,33 +900,59 @@ def session_funnel(spark, sf_dir):
             .rowsBetween(SW.unboundedPreceding, SW.currentRow)
         ),
     )
-    keys = ["user_id", "session_id"]
-    s1 = (
-        sess.filter(F.col("event_type") == "view")
-        .groupBy(*keys).agg(F.min("ts").alias("ts1"))
+    # r13: same single-pass rewrite as funnel_conversion, scoped to the
+    # session key — the stage-join form re-inlined the whole window
+    # sessionization once per stage branch (6 events scans). Chained
+    # partition-only windows over (user_id, session_id) derive
+    # ts1/ts2/ts3 (NULL = the session dropped out at that stage, the
+    # inner-join semantics), then one aggregate counts the stages. The
+    # session windows already cluster by user_id, so the whole funnel
+    # is ONE exchange end to end.
+    ws = SW.partitionBy("user_id", "session_id")
+    ts1 = sess.withColumn(
+        "ts1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
     )
-    s2 = (
-        sess.filter(F.col("event_type") == "click")
-        .join(s1, keys)
-        .filter(F.col("ts") > F.col("ts1"))
-        .groupBy(*keys).agg(F.min("ts").alias("ts2"))
+    ts2 = ts1.withColumn(
+        "ts2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("ts1")),
+                F.col("ts"),
+            )
+        ).over(ws),
     )
-    s3 = (
-        sess.filter(F.col("event_type") == "purchase")
-        .join(s2, keys)
-        .filter(F.col("ts") > F.col("ts2"))
-        .groupBy(*keys).agg(F.min("ts").alias("ts3"))
+    ts3 = ts2.withColumn(
+        "ts3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ts2")),
+                F.col("ts"),
+            )
+        ).over(ws),
     )
-    stages = [
-        s1.agg(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
-               F.count(F.lit(1)).alias("n_sessions")),
-        s2.agg(F.lit(2).alias("stage_no"), F.lit("view>click").alias("stage"),
-               F.count(F.lit(1)).alias("n_sessions")),
-        s3.agg(F.lit(3).alias("stage_no"),
-               F.lit("view>click>purchase").alias("stage"),
-               F.count(F.lit(1)).alias("n_sessions")),
-    ]
-    out = stages[0].unionByName(stages[1]).unionByName(stages[2])
+    per_sess = ts3.groupBy("user_id", "session_id").agg(
+        F.first("ts1").alias("ts1"),
+        F.first("ts2").alias("ts2"),
+        F.first("ts3").alias("ts3"),
+    )
+    counts = per_sess.agg(
+        F.count("ts1").alias("n1"), F.count("ts2").alias("n2"),
+        F.count("ts3").alias("n3"),
+    )
+    out = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
+                         F.col("n1").alias("n_sessions")),
+                F.struct(F.lit(2).alias("stage_no"),
+                         F.lit("view>click").alias("stage"),
+                         F.col("n2").alias("n_sessions")),
+                F.struct(F.lit(3).alias("stage_no"),
+                         F.lit("view>click>purchase").alias("stage"),
+                         F.col("n3").alias("n_sessions")),
+            )
+        ).alias("s")
+    ).select("s.stage_no", "s.stage", "s.n_sessions")
     return out.orderBy("stage_no").select("stage", "n_sessions")
 
 

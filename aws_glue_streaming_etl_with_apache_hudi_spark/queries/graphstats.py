@@ -1086,9 +1086,17 @@ def theil_sen_daily_trend(spark, sf_dir):
     both engines and the median interpolates identically
     (percentile == quantile_cont, verified family-wide)."""
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
-    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev"))
+    # the daily spine feeds both self-join sides AND the OLS moments;
+    # the slot keeps the events scan + daily rollup to one execution
+    # (r13 plan audit: 5 events scans in this plan)
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    daily = _persist_slot(
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+        ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev")),
+        "graphstats.theilsen_daily",
+    )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = (
         a.join(b, F.col("b.d") > F.col("a.d"))
@@ -1102,9 +1110,12 @@ def theil_sen_daily_trend(spark, sf_dir):
         ((n * sdr - sd * sr) / (n * sdd - sd * sd)).alias("beta"),
     )
     return (
-        ols.crossJoin(slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
-        .crossJoin(
-            slopes.agg(F.expr("percentile(slope, 0.5)").alias("_med"))
+        # one aggregation over the slope pairs serves both outputs
+        ols.crossJoin(
+            slopes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.expr("percentile(slope, 0.5)").alias("_med"),
+            )
         )
         .select(
             "n_days",
@@ -1608,6 +1619,12 @@ def cramers_v_association(spark, sf_dir):
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("st"))
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
     )
+    # cells feeds four consumers (row/col marginals, total, the term
+    # join); the slot keeps the fact-dim join + cell count to one
+    # execution (r13 plan audit: 6 orders + 6 customer scans)
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    cells = _persist_slot(cells, "graphstats.cramers_cells")
     rt = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
     ct = cells.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
     n = cells.agg(F.sum("o").cast("double").alias("n"))
@@ -1678,7 +1695,12 @@ def graph_assortativity(spark, sf_dir):
     wedge join that builds the edges."""
     edges = _edges(spark, sf_dir)
     sym = G.symmetrize(edges)
-    deg = G.degrees(edges)
+    # both endpoint lookups consume the degree frame; the shared
+    # "graph.degrees" slot (same artifact pagerank materializes) keeps
+    # the degree aggregation to one execution across the graph family
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
+    deg = _persist_slot(G.degrees(edges), "graph.degrees")
     du = deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "x")
     dv = deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "y")
     pairs = sym.join(du, "src").join(dv, "dst").select(

@@ -1370,14 +1370,23 @@ def mv_retractable_cdc(spark, sf_dir):
     e = t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id", "value"
     )
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
     mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    pre = precombine_latest(
-        e.filter(F.col("ts") < mid), ["user_id"], "ts"
-    ).select("user_id", "event_type", "value")
-    inc = (
+    # pre feeds the CDC classify AND the base MV (and the classify
+    # consumes it twice internally); the slots keep each half-stream
+    # precombine to one execution (r13 plan audit: 5 events scans)
+    pre = _persist_slot(
+        precombine_latest(
+            e.filter(F.col("ts") < mid), ["user_id"], "ts"
+        ).select("user_id", "event_type", "value"),
+        "storage.mvcdc_pre",
+    )
+    inc = _persist_slot(
         precombine_latest(e.filter(F.col("ts") >= mid), ["user_id"], "ts")
         .select("user_id", "event_type", "value")
-        .withColumn(DELETED_COL, F.col("user_id") % 23 == 0)
+        .withColumn(DELETED_COL, F.col("user_id") % 23 == 0),
+        "storage.mvcdc_inc",
     )
     feed = cdc_view_images(pre, inc, ["user_id"], image_cols=["event_type", "value"])
     dec = F.col("value").cast("decimal(18,2)")

@@ -334,14 +334,16 @@ def temperature_sample_langs(spark, sf_dir):
     tok = docs.select(
         "doc_id", "lang", X.token_count_whitespace("text").alias("nt")
     )
+    # share -> rate over the ~|languages|-row aggregate via global
+    # windows (r13): the former agg->crossJoin(broadcast)->agg chain
+    # re-inlined the token-count aggregation once per rung (5 documents
+    # scans in the audited plan) and paid a broadcast build each; the
+    # window sums are the same exact values (integer-valued doubles)
+    wall = Window.partitionBy()
     shares = tok.groupBy("lang").agg(F.sum("nt").cast("double").alias("tl"))
-    total = shares.agg(F.sum("tl").alias("tt"))
-    sh = shares.crossJoin(F.broadcast(total)).select(
-        "lang", (F.col("tl") / F.col("tt")).alias("s")
-    )
-    smin = sh.agg(F.min("s").alias("smin"))
-    rate = sh.crossJoin(F.broadcast(smin)).select(
-        "lang", F.pow(F.col("s") / F.col("smin"), F.lit(-0.5)).alias("r")
+    sh = shares.select("lang", (F.col("tl") / F.sum("tl").over(wall)).alias("s"))
+    rate = sh.select(
+        "lang", F.pow(F.col("s") / F.min("s").over(wall), F.lit(-0.5)).alias("r")
     )
     u = stable_hash64(F.col("doc_id").cast("string"), "tsamp").cast("double") / float(
         1 << 60

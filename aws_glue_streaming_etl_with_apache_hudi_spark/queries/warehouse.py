@@ -563,8 +563,15 @@ def perplexity_band_filter(spark, sf_dir):
     docs, not tokens)."""
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators import text as X
 
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+
     docs = t(spark, sf_dir, "documents")
-    scored = X.unigram_logprob(docs, "doc_id", "text")
+    # scored feeds the percentile thresholds AND the banding pass; the
+    # slot keeps the LM fit + token explode to one execution (r13 plan
+    # audit: 7 documents scans in this plan)
+    scored = _persist_slot(
+        X.unigram_logprob(docs, "doc_id", "text"), "warehouse.ppl_scored"
+    )
     thr = scored.agg(
         F.expr("percentile(avg_neg_logp, 0.10)").alias("lo"),
         F.expr("percentile(avg_neg_logp, 0.90)").alias("hi"),
