@@ -3514,49 +3514,138 @@ def embedding_matryoshka_eval(spark, sf_dir):
 
     Reference anchor: transform-stage enrichment over streamed rows
     (glue_job_script.py:87-101), here over the embeddings table."""
-    emb = t(spark, sf_dir, "embeddings")
-    legs = {}
-    for d in _MATRYOSHKA_DIMS:
-        e_d = (
-            emb if d == 64
-            else emb.withColumn("embedding", F.slice("embedding", 1, d))
-        )
-        # knn_bruteforce already excludes self-matches before ranking
-        # (operators/similarity.py), so k=1 returns exactly the top
-        # non-self neighbor per query
-        legs[d] = S.knn_bruteforce(
-            e_d, e_d.filter(F.col("vec_id") % 40 == 0), k=1
-        ).select(
-            "query_id",
-            F.col("neighbor_id").alias(f"n{d}"),
-            F.col("sim").alias(f"s{d}"),
-        )
-    # the full-width leg is the reference of every agreement row — five
-    # consumers; without the slot each row re-ran the 64-dim all-pairs
-    # scoring (r13 plan audit: 12 embeddings scans in this one plan)
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+    from pyspark.sql.window import Window as W
 
-    legs[64] = _persist_slot(legs[64], "northstar.matryoshka_ref")
-    out = None
-    for d in _MATRYOSHKA_DIMS:
-        row = (
-            legs[d].join(legs[64].select("query_id", F.col("n64").alias("_ref")),
-                         on="query_id")
-            .agg(
-                F.lit(d).cast("int").alias("dim"),
-                F.count(F.lit(1)).cast("long").alias("n_queries"),
-                F.sum(
-                    F.when(F.col(f"n{d}") == F.col("_ref"), 1).otherwise(0)
-                ).cast("long").alias("n_top1_match"),
-                F.round(
-                    F.sum(F.col(f"s{d}").cast("decimal(18,4)")).cast("double")
-                    / F.count(F.lit(1)),
-                    4,
-                ).alias("avg_sim"),
-            )
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
+
+    emb = t(spark, sf_dir, "embeddings")
+
+    # ONE all-pairs pass for every prefix width (r13 optimization round:
+    # the per-width knn_bruteforce legs each re-streamed the whole corpus
+    # — 4 full passes, 4 broadcast builds, 4 candidate exchanges). The
+    # prefix dot products and squared norms are computed INCREMENTALLY:
+    # dot_16 folds terms 9..16 starting from dot_8, which is the same
+    # left-to-right association as one fold over terms 1..16, so every
+    # sim is bit-identical to the per-leg formulation (the 4dp-round
+    # cross-engine contract is untouched). Four row_number windows share
+    # a single query_id exchange.
+    def _dot_step(acc, a, b, start, length):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, start, length),
+                F.slice(b, start, length),
+                lambda x, y: x * y,
+            ),
+            acc,
+            lambda s, v: s + v,
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("dim")
+
+    def _sq_step(acc, a, start, length):
+        return F.aggregate(
+            F.slice(a, start, length), acc, lambda s, v: s + v * v
+        )
+
+    def _with_prefix_sq(df, vec, prefix):
+        # nsq{d}: squared l2 norm of the d-dim prefix, accumulated
+        prev, start = F.lit(0.0).cast("double"), 1
+        for d in _MATRYOSHKA_DIMS:
+            df = df.withColumn(
+                f"{prefix}sq{d}", _sq_step(prev, F.col(vec), start, d - start + 1)
+            )
+            prev, start = F.col(f"{prefix}sq{d}"), d + 1
+        return df
+
+    c = _with_prefix_sq(
+        fan_out(emb).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        "cv",
+        "c",
+    )
+    q = _with_prefix_sq(
+        emb.filter(F.col("vec_id") % 40 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        ),
+        "qv",
+        "q",
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    prev, start = F.lit(0.0).cast("double"), 1
+    for d in _MATRYOSHKA_DIMS:
+        pairs = pairs.withColumn(
+            f"dot{d}",
+            _dot_step(prev, F.col("qv"), F.col("cv"), start, d - start + 1),
+        )
+        prev, start = F.col(f"dot{d}"), d + 1
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.round(
+                F.col(f"dot{d}")
+                / (F.sqrt(F.col(f"qsq{d}")) * F.sqrt(F.col(f"csq{d}"))),
+                4,
+            ).alias(f"s{d}")
+            for d in _MATRYOSHKA_DIMS
+        ],
+    )
+    for d in _MATRYOSHKA_DIMS:
+        w = W.partitionBy("query_id").orderBy(
+            F.desc(f"s{d}"), F.asc("neighbor_id")
+        )
+        scored = scored.withColumn(f"rnk{d}", F.row_number().over(w))
+    per_q = scored.groupBy("query_id").agg(
+        *[
+            agg
+            for d in _MATRYOSHKA_DIMS
+            for agg in (
+                F.max(
+                    F.when(F.col(f"rnk{d}") == 1, F.col("neighbor_id"))
+                ).alias(f"n{d}"),
+                F.max(F.when(F.col(f"rnk{d}") == 1, F.col(f"s{d}"))).alias(
+                    f"s{d}"
+                ),
+            )
+        ]
+    )
+    g = per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("nq"),
+        *[
+            agg
+            for d in _MATRYOSHKA_DIMS
+            for agg in (
+                F.sum(
+                    F.when(F.col(f"n{d}") == F.col("n64"), 1).otherwise(0)
+                ).cast("long").alias(f"m{d}"),
+                F.sum(F.col(f"s{d}").cast("decimal(18,4)")).alias(f"ss{d}"),
+            )
+        ],
+    )
+    return (
+        g.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("dim"),
+                            F.col("nq").alias("n_queries"),
+                            F.col(f"m{d}").alias("n_top1_match"),
+                            F.round(
+                                F.col(f"ss{d}").cast("double") / F.col("nq"), 4
+                            ).alias("avg_sim"),
+                        )
+                        for d in _MATRYOSHKA_DIMS
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("dim")
+    )
 
 
 # -- distributed PCA: one power-iteration step, exactly oracled --------------

@@ -67,6 +67,18 @@ BOUNDED_WINDOW_OK: dict[str, dict] = {
             "global Window under GlobalLimit/LocalLimit/Sort/Project/Project/Filter/Window",
         ],
     },
+    "corpus_build_pipeline_v2": {
+        "reason": (
+            "temperature share->rate ladder windows run on the "
+            "per-language aggregate (one row per language) — cardinality "
+            "fixed by the domain; replaced an agg->crossJoin(broadcast) "
+            "ladder that re-inlined the corpus groupBy per rung (r13)"
+        ),
+        "expect": [
+            "global Window under Sort/Aggregate/Project/Join/Project/Filter",
+            "global Window under Sort/Aggregate/Project/Join/Project/Filter/Window/Project",
+        ],
+    },
     "daily_new_vs_returning": {
         "reason": "cumulative-distinct cumsum runs on the daily spine",
         "expect": ["global Window under Sort/Project"],
@@ -92,6 +104,19 @@ BOUNDED_WINDOW_OK: dict[str, dict] = {
             "global Window under GlobalLimit/LocalLimit/Sort/Project/Join/Project",
         ],
     },
+    "importance_reweight_ess": {
+        "reason": (
+            "share/ESS windows run on the per-language count aggregate "
+            "(one row per language) — cardinality fixed by the domain; "
+            "replaced the r12 agg->crossJoin ladder that re-inlined the "
+            "documents groupBy once per consumer (r13)"
+        ),
+        "expect": [
+            "global Window under Sort/Project",
+            "global Window under Sort/Project/Window/Project/Project",
+            "global Window under Sort/Project/Window/Project/Project/Window/Project/Project",
+        ],
+    },
     "join_lateral_topk": {
         "reason": (
             "Catalyst's decorrelation of the SQL-standard LATERAL keeps "
@@ -102,6 +127,18 @@ BOUNDED_WINDOW_OK: dict[str, dict] = {
             "global Sort under Sort/Project/Join/Project/Filter/Window/Project",
         ],
     },
+    "mutual_information_features": {
+        "reason": (
+            "marginal/total/MI windows run on the |event types| x "
+            "|hour bands| cell frame (bounded by the two domains, "
+            "~dozens of rows at any scale); the event stream itself is "
+            "shuffled exactly once into that frame (r13)"
+        ),
+        "expect": [
+            "global Window under Sort/Project",
+            "global Window under Sort/Project/Window/Project/Window/Window",
+        ],
+    },
     "survival_kaplan_meier": {
         "reason": (
             "product-limit windows run on <=73 rows (hours to the "
@@ -110,6 +147,18 @@ BOUNDED_WINDOW_OK: dict[str, dict] = {
         "expect": [
             "global Window under Sort/Project/Filter",
             "global Window under Sort/Project/Filter/Window/Project/Project",
+        ],
+    },
+    "temperature_sample_langs": {
+        "reason": (
+            "temperature share->rate windows run on the per-language "
+            "word-count aggregate (one row per language) — cardinality "
+            "fixed by the domain; replaced the broadcast-ladder form "
+            "(r13)"
+        ),
+        "expect": [
+            "global Window under Sort/Project/Join/Project/Filter",
+            "global Window under Sort/Project/Join/Project/Filter/Window/Project",
         ],
     },
     "window_rank_ntile": {
