@@ -73,6 +73,10 @@ def clear_persist_slots(session) -> int:
     squeeze executor storage for a following sf1 pass). Safe because the
     slot map is cleared too — the next operator call re-persists fresh
     instead of being handed an unpersisted previous frame."""
+    # checkpointed slots: dropping the reference is the release — the
+    # ContextCleaner unpersists the checkpoint blocks once the JVM-side
+    # RDD is collectable (bench section boundaries follow with a GC hint)
+    _TRUNC_SLOTS.pop(session, None)
     slots = _PERSIST_SLOTS.pop(session, None)
     if not slots:
         return 0
@@ -126,6 +130,56 @@ def _persist_slot(df: DataFrame, slot: str) -> DataFrame:
     out = df.persist()
     slots[slot] = out
     return out
+
+
+#: One live checkpointed frame per (SparkSession, slot) — _truncated_slot.
+_TRUNC_SLOTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _truncated_slot(df: DataFrame, slot: str) -> DataFrame:
+    """``_persist_slot`` variant whose returned frame has TRUNCATED
+    lineage (``localCheckpoint``): same sameResult-keyed one-live-copy
+    bound, but the stored artifact is an eagerly materialized checkpoint
+    whose logical plan is a single ``LogicalRDD`` node.
+
+    Use it for a bounded derived frame that a consumer references MANY
+    times inside one unrolled plan (the graph round loops): with plain
+    ``persist()`` every reference inlines the full upstream subtree into
+    the consumer's logical plan, and every downstream action re-analyzes
+    and cache-matches that whole tree on the driver — single-threaded
+    plan work that grows with rounds x lineage size (optimization guide
+    §3.3/§7.3; PageRank's 3-round tree measured ~0.7 s/call of pure
+    driver re-analysis at sf0.1 with zero executor work). A checkpoint
+    makes each reference O(1) plan nodes.
+
+    Trade-offs vs ``_persist_slot`` (why it is not the default): lost
+    blocks RECOMPUTE FROM THE CHECKPOINT, not from lineage, and the
+    consumer's explain() no longer shows the upstream plan — use only
+    where that lineage is separately pinned (its own slot/plan test).
+    Eviction drops the reference; the ContextCleaner releases the
+    checkpoint blocks on GC (the bench's section boundaries already
+    trigger one)."""
+    session = df.sparkSession
+    for s in list(_TRUNC_SLOTS):
+        if s is not session and _session_stopped(s):
+            del _TRUNC_SLOTS[s]
+    slots = _TRUNC_SLOTS.setdefault(session, {})
+    prev = slots.get(slot)
+    if prev is not None:
+        src, ck = prev
+        try:
+            same = (
+                src._jdf.queryExecution()
+                .analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = False
+        if same:
+            return ck
+    ck = df.localCheckpoint(eager=True)
+    slots[slot] = (df, ck)
+    return ck
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -144,37 +144,62 @@ def pagerank(
 
     ``deg`` and ``adj`` are static per edge list — the same derived
     artifacts every round (and every repeated call) consumes — so they
-    live in persist slots like ``edges`` itself rather than per-call
+    live in session slots like ``edges`` itself rather than per-call
     ``persist()``/``unpersist()`` pairs: a repeated call (the bench's
     steady state, or any session issuing several graph queries) reuses
     the materialized frames instead of re-running the degree shuffle and
     re-caching the adjacency every time (measured ~0.9 s/call of pure
     re-materialization at sf0.1; the slot bound still guarantees at most
-    one live copy per session)."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+    one live copy per session). ``adj`` specifically uses the
+    lineage-TRUNCATING slot (operators/dedup.py _truncated_slot): the
+    unrolled rounds reference it once per round, and with a plain
+    persist each reference inlined the whole co-purchase-join lineage
+    into the rounds plan — every downstream action then re-analyzed and
+    cache-matched a ~10x-inflated tree on the driver (measured ~0.7
+    s/call of pure plan work at sf0.1, more than the executor time;
+    guide §3.3/§7.3). Its lineage stays pinned through the ``edges`` /
+    ``graph.degrees`` slots it is derived from.
+
+    Two algebraic identities keep the round loop lean (both hold
+    because nodes are DEFINED by edges, so every node has degree >= 1
+    and therefore >= 1 in-neighbor in the symmetrized list):
+    round 1 folds the uniform 1/n rank into the aggregate instead of
+    joining a constant frame, and no round needs the old
+    ``deg LEFT JOIN contribs`` + coalesce(contrib, 0) — ``contribs``
+    already covers the full node set, so the join was an identity that
+    re-inlined ``deg`` (and one broadcast join) per round."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+        _persist_slot,
+        _truncated_slot,
+    )
 
     sym = symmetrize(edges)
     deg = _persist_slot(degrees(edges), "graph.degrees")
     n = deg.count()
     base = (1.0 - damping) / n
-    ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))
-    adj = _persist_slot(
+    adj = _truncated_slot(
         sym.join(deg.withColumnRenamed("node", "src"), "src"),
         "graph.pagerank_adj",
     )  # (src, dst, degree): static across rounds
     checkpoint = None
+    ranks = None
     for i in range(iters):
-        contribs = (
-            adj.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") / F.col("degree")).alias("contrib"))
-        )
-        ranks = deg.join(contribs, "node", "left").select(
+        if ranks is None:
+            # round 1: every src's rank is the literal 1/n — same per-row
+            # term (1/n)/degree in the same adj-partition fold order as
+            # the joined form, so the sums are bit-identical
+            contribs = adj.groupBy(F.col("dst").alias("node")).agg(
+                F.sum(F.lit(1.0 / n) / F.col("degree")).alias("contrib")
+            )
+        else:
+            contribs = (
+                adj.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("pr") / F.col("degree")).alias("contrib"))
+            )
+        ranks = contribs.select(
             "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("pr"),
+            (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("pr"),
         )
         if (i + 1) % materialize_every == 0 and i + 1 < iters:
             ranks = ranks.persist()
@@ -182,8 +207,15 @@ def pagerank(
             if checkpoint is not None:
                 checkpoint.unpersist()
             checkpoint = ranks
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _PERSIST_SLOTS
+
+    prev = _PERSIST_SLOTS.get(edges.sparkSession, {}).get("graph.pagerank")
     out = _persist_slot(ranks.select("node", "pr"), "graph.pagerank")
-    out.count()  # materialize the slot before dropping round checkpoints
+    if out is not prev:
+        # fresh slot: materialize before dropping round checkpoints. On a
+        # slot HIT (out is prev) the frame is already live — re-counting
+        # it was one pure-overhead job per repeated call.
+        out.count()
     if checkpoint is not None:
         checkpoint.unpersist()
     return out

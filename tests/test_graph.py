@@ -121,3 +121,83 @@ def test_khop_hops_multi_seed_min(spark):
     seeds = spark.createDataFrame([(1,), (5,)], "node long")
     got = {r.node: r.hop for r in G.khop_hops(_edges(spark, path), seeds, iters=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+# -- r13 optimization: lineage-truncated adjacency + lean round loop --------
+
+
+def test_truncated_slot_reuses_and_evicts(spark):
+    """_truncated_slot contract: same source plan -> the SAME checkpointed
+    frame (no rebuild); a different source -> a fresh checkpoint; the
+    returned frame's lineage is truncated to a LogicalRDD scan."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+        _truncated_slot,
+        clear_persist_slots,
+    )
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS x")
+    a = _truncated_slot(df, "test.trunc")
+    assert a.collect() == df.collect()
+    # truncated lineage: the plan is an RDD scan, not the range+project
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan and "Range" not in plan
+    # same source plan (fresh DataFrame object) -> same checkpoint object
+    df2 = spark.range(10).selectExpr("id", "id * 2 AS x")
+    assert _truncated_slot(df2, "test.trunc") is a
+    # different source -> evict + fresh checkpoint
+    other = spark.range(5).selectExpr("id", "id * 3 AS x")
+    b = _truncated_slot(other, "test.trunc")
+    assert b is not a and b.count() == 5
+    # section-boundary hygiene drops truncated slots too
+    clear_persist_slots(spark)
+    c = _truncated_slot(spark.range(5).selectExpr("id", "id * 3 AS x"), "test.trunc")
+    assert c is not b
+
+
+def test_pagerank_matches_explicit_joined_formulation(spark):
+    """The r13 round-loop simplification (fold 1/n into round 1's
+    aggregate; drop the deg LEFT JOIN + coalesce) must be an identity:
+    nodes are defined BY edges, so contribs always covers the full node
+    set. Pin equality against the explicit joined formulation."""
+    from pyspark.sql import functions as F
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)]
+    edges = _edges(spark, pairs)
+    got = {r.node: r.pr for r in G.pagerank(edges, iters=3, damping=0.85).collect()}
+
+    # reference: the pre-r13 formulation, verbatim
+    deg = G.degrees(edges)
+    n = deg.count()
+    base = (1.0 - 0.85) / n
+    adj = G.symmetrize(edges).join(deg.withColumnRenamed("node", "src"), "src")
+    ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(3):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("degree")).alias("contrib"))
+        )
+        ranks = deg.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("pr"),
+        )
+    want = {r.node: r.pr for r in ranks.collect()}
+    assert set(got) == set(want)
+    for node in want:
+        assert math.isclose(got[node], want[node], rel_tol=1e-12), node
+
+
+def test_pagerank_repeat_calls_bound_checkpoint_storage(spark, sf_dir):
+    """Repeated pagerank calls on the same edge list must not accumulate
+    checkpoint/persist storage: the truncated adj slot reuses one live
+    checkpoint per session (sameResult hit), like every persist slot."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    QUERIES["graph_pagerank_3rounds"].fn(spark, sf_dir).count()
+    base = n_persistent()
+    for _ in range(3):
+        QUERIES["graph_pagerank_3rounds"].fn(spark, sf_dir).count()
+    assert n_persistent() <= base
