@@ -207,18 +207,54 @@ def pagerank(
             if checkpoint is not None:
                 checkpoint.unpersist()
             checkpoint = ranks
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _PERSIST_SLOTS
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _materialized_slot
 
-    prev = _PERSIST_SLOTS.get(edges.sparkSession, {}).get("graph.pagerank")
-    out = _persist_slot(ranks.select("node", "pr"), "graph.pagerank")
-    if out is not prev:
-        # fresh slot: materialize before dropping round checkpoints. On a
-        # slot HIT (out is prev) the frame is already live — re-counting
-        # it was one pure-overhead job per repeated call.
-        out.count()
+    # materialize before dropping round checkpoints; on a slot HIT the
+    # frame is already live and the helper skips the count job
+    out = _materialized_slot(ranks.select("node", "pr"), "graph.pagerank")
     if checkpoint is not None:
         checkpoint.unpersist()
     return out
+
+
+def _self_loop_adjacency(edges: DataFrame) -> DataFrame:
+    """(src, dst, w): the symmetrized edge list (w=1) plus one w=0
+    self-loop per node, in the lineage-TRUNCATING session slot
+    ``graph.adj_self`` (operators/dedup.py ``_truncated_slot``).
+
+    This is the shared static artifact behind the label-propagation
+    round loops (components, k-hop BFS): with self-loops, "least(own
+    value, aggregate over neighbors)" folds into a single aggregate over
+    {v} ∪ N(v) — each round becomes one join + one aggregation that
+    references the previous frontier ONCE, so the unrolled plan grows
+    linearly in rounds instead of doubling per round (the old
+    left-join-back formulation referenced ``labels`` twice per round:
+    4 components rounds measured 20.8 s of pure driver-side analysis
+    at sf0.1, 2210 Exchange mentions in the formatted plan). The weight
+    column makes BFS the same shape: hop' = min(hop + w) is "keep my
+    hop via the w=0 self-loop, or a neighbor's + 1". Truncation keeps
+    every per-round reference O(1) plan nodes; the upstream lineage
+    stays pinned through the ``graphstats_edges`` / ``graph.degrees``
+    persist slots it derives from (see ``_truncated_slot``'s contract
+    note)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+        _persist_slot,
+        _truncated_slot,
+    )
+
+    deg = _persist_slot(degrees(edges), "graph.degrees")
+    return _truncated_slot(
+        symmetrize(edges)
+        .withColumn("w", F.lit(1))
+        .unionByName(
+            deg.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).alias("w"),
+            )
+        ),
+        "graph.adj_self",
+    )
 
 
 def min_label_components(edges: DataFrame, iters: int = 4) -> DataFrame:
@@ -228,47 +264,56 @@ def min_label_components(edges: DataFrame, iters: int = 4) -> DataFrame:
     neighbors; after k rounds labels have propagated k hops. Fixed
     rounds keep the result deterministic and SQL-oracle-checkable; full
     convergence would loop until a round changes nothing (compare
-    counts), with the same per-round plan."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+    counts), with the same per-round plan.
 
-    sym = symmetrize(edges).persist()  # one slim frame, referenced per round
-    try:
-        labels = (
-            sym.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("lbl", F.col("node"))
-        )
-        checkpoint = None
-        for i in range(iters):
-            neighbor_min = (
-                sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.min("lbl").alias("nmin"))
+    "Minimum among itself and its neighbors" is computed as one
+    aggregate over the self-loop adjacency — min over {v} ∪ N(v) —
+    which is value-identical to the spelled-out
+    ``least(lbl, coalesce(min-over-neighbors, lbl))`` left-join form
+    (integer min; every node appears via its self-loop, so no row is
+    lost and the coalesce arm is dead). The fold matters for plan
+    growth, not just node count: the left-join form referenced the
+    previous round's frame TWICE, doubling the unrolled tree per round
+    (see ``_self_loop_adjacency``). Round 1 folds further: labels start
+    as the node id itself, so it is ``min(src) GROUP BY dst`` with no
+    join at all."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+        _materialized_slot,
+        _persist_slot,
+    )
+
+    adj = _self_loop_adjacency(edges)
+    labels = None
+    checkpoint = None
+    for i in range(iters):
+        if labels is None:
+            labels = adj.groupBy(F.col("dst").alias("node")).agg(
+                F.min("src").alias("lbl")
             )
-            labels = labels.join(neighbor_min, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
-                ).alias("lbl"),
+        else:
+            labels = (
+                adj.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lbl").alias("lbl"))
             )
-            # same checkpoint cadence as pagerank: lazy unrolled rounds,
-            # lineage truncated every 4th round
-            if (i + 1) % 4 == 0 and i + 1 < iters:
-                labels = labels.persist()
-                labels.count()
-                if checkpoint is not None:
-                    checkpoint.unpersist()
-                checkpoint = labels
-        out = _persist_slot(
-            labels.select("node", F.col("lbl").alias("component")),
-            "graph.components",
-        )
-        out.count()
-        if checkpoint is not None:
-            checkpoint.unpersist()
-        return out
-    finally:
-        sym.unpersist()
+        # same checkpoint cadence as pagerank: lazy unrolled rounds,
+        # lineage truncated every 4th round
+        if (i + 1) % 4 == 0 and i + 1 < iters:
+            labels = labels.persist()
+            labels.count()
+            if checkpoint is not None:
+                checkpoint.unpersist()
+            checkpoint = labels
+    if labels is None:  # iters=0: every node is its own component
+        deg = _persist_slot(degrees(edges), "graph.degrees")
+        labels = deg.select("node", F.col("node").alias("lbl"))
+    out = _materialized_slot(
+        labels.select("node", F.col("lbl").alias("component")),
+        "graph.components",
+    )
+    if checkpoint is not None:
+        checkpoint.unpersist()
+    return out
 
 
 def khop_hops(edges: DataFrame, seeds: DataFrame, iters: int = 3) -> DataFrame:
@@ -281,28 +326,28 @@ def khop_hops(edges: DataFrame, seeds: DataFrame, iters: int = 3) -> DataFrame:
     the expanding neighborhood, not the graph. Rounds unroll lazily
     (bounded iters keep the result deterministic and the oracle an
     unrolled CTE chain; a convergence loop would reuse the same round
-    plan)."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+    plan).
 
-    sentinel = iters + 1
-    sym = symmetrize(edges)
+    Each round is ``min(hop + w) GROUP BY dst`` over the weighted
+    self-loop adjacency (``_self_loop_adjacency``): the w=0 self-loop
+    carries a reached node's own hop, edges carry a neighbor's hop + 1 —
+    value-identical to the spelled-out FULL JOIN + least/coalesce form
+    (integer min; a reached node always survives via its self-loop, an
+    unreached node with no reached neighbor matches nothing on either
+    formulation). The fold references the previous frontier ONCE per
+    round, so the unrolled plan grows linearly instead of inlining the
+    frontier into both full-join sides."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _materialized_slot
+
+    adj = _self_loop_adjacency(edges)
     labels = seeds.select("node").distinct().withColumn("hop", F.lit(0))
     for _ in range(iters):
-        nmin = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+        labels = (
+            adj.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg((F.min("hop") + F.lit(1)).alias("nhop"))
+            .agg(F.min(F.col("hop") + F.col("w")).alias("hop"))
         )
-        labels = labels.join(nmin, "node", "full").select(
-            "node",
-            F.least(
-                F.coalesce(F.col("hop"), F.lit(sentinel)),
-                F.coalesce(F.col("nhop"), F.lit(sentinel)),
-            ).alias("hop"),
-        )
-    out = _persist_slot(labels.select("node", "hop"), "graph.khop")
-    out.count()
-    return out
+    return _materialized_slot(labels.select("node", "hop"), "graph.khop")
 
 
 def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
@@ -320,32 +365,37 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     Each round is one join on dst + one (node, lbl) count + one
     per-node argmax — all partitioned by node id, map-side-combinable,
     same reuse-the-partitioning shape as `pagerank`. Rounds unroll
-    lazily into one plan (bounded iters; see pagerank's cadence note)."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
+    lazily into one plan (bounded iters; see pagerank's cadence note).
 
-    sym = symmetrize(edges).persist()
-    try:
-        lbl = (
-            sym.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("lbl", F.col("node"))
+    Votes count NEIGHBORS only (no self-vote), so the self-loop fold the
+    min-propagation loops use does not apply, and the round loop already
+    references ``lbl`` once per round (linear plan growth) — so unlike
+    components/khop the edge artifact stays a COLUMNAR persist slot, not
+    a lineage-truncating checkpoint: the votes join scans it three times
+    per call and the row-based LogicalRDD scan of a checkpoint measured
+    ~0.2 s/call slower than the in-memory columnar cache. The slot (vs
+    the old per-call persist()/unpersist() pair) still saves re-
+    materializing the symmetrized frame on every repeated call."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+        _materialized_slot,
+        _persist_slot,
+    )
+
+    sym = _persist_slot(symmetrize(edges), "graph.sym")
+    deg = _persist_slot(degrees(edges), "graph.degrees")
+    lbl = deg.select("node", F.col("node").alias("lbl"))
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                lbl.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        for _ in range(iters):
-            votes = (
-                sym.join(
-                    lbl.select(F.col("node").alias("dst"), "lbl"), "dst"
-                )
-                .groupBy(F.col("src").alias("node"), "lbl")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-            # winner per node: max count, then smallest label
-            lbl = votes.groupBy("node").agg(
-                F.max_by(
-                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
-                ).alias("lbl")
-            )
-        out = _persist_slot(lbl, "graph.lpa")
-        out.count()
-        return out
-    finally:
-        sym.unpersist()
+        # winner per node: max count, then smallest label
+        lbl = votes.groupBy("node").agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+            ).alias("lbl")
+        )
+    return _materialized_slot(lbl, "graph.lpa")

@@ -201,3 +201,95 @@ def test_pagerank_repeat_calls_bound_checkpoint_storage(spark, sf_dir):
     for _ in range(3):
         QUERIES["graph_pagerank_3rounds"].fn(spark, sf_dir).count()
     assert n_persistent() <= base
+
+
+def test_min_label_components_matches_explicit_leftjoin_formulation(spark):
+    """The r13 self-loop fold — min over {v} ∪ N(v) as ONE aggregate —
+    must be an identity vs the explicit least(lbl, coalesce(min-over-
+    neighbors, lbl)) left-join rounds (integer min; every node appears
+    via its self-loop, so no row is lost). Exact equality, per round
+    count."""
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)]
+    edges = _edges(spark, pairs)
+    for iters in (1, 2, 4):
+        got = {
+            r.node: r.component
+            for r in G.min_label_components(edges, iters=iters).collect()
+        }
+        # reference: the pre-r13 formulation, verbatim
+        sym = G.symmetrize(edges)
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+        )
+        for _ in range(iters):
+            neighbor_min = (
+                sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("lbl").alias("nmin"))
+            )
+            labels = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        want = {r.node: r.lbl for r in labels.collect()}
+        assert got == want, iters
+
+
+def test_khop_hops_matches_explicit_fulljoin_formulation(spark):
+    """The r13 weighted self-loop fold — min(hop + w) GROUP BY dst —
+    must be an identity vs the explicit FULL JOIN + least/coalesce
+    rounds: the w=0 self-loop keeps a reached node's own hop, edges
+    carry neighbor hop + 1. Exact equality, per round count."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)]
+    edges = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(1,), (7,)], "node long")
+    for iters in (1, 2, 3):
+        got = {
+            r.node: r.hop
+            for r in G.khop_hops(edges, seeds, iters=iters).collect()
+        }
+        # reference: the pre-r13 formulation, verbatim
+        sentinel = iters + 1
+        sym = G.symmetrize(edges)
+        labels = seeds.select("node").distinct().withColumn("hop", F.lit(0))
+        for _ in range(iters):
+            nmin = (
+                sym.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg((F.min("hop") + F.lit(1)).alias("nhop"))
+            )
+            labels = labels.join(nmin, "node", "full").select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("hop"), F.lit(sentinel)),
+                    F.coalesce(F.col("nhop"), F.lit(sentinel)),
+                ).alias("hop"),
+            )
+        want = {r.node: r.hop for r in labels.collect()}
+        assert got == want, iters
+
+
+def test_components_khop_repeat_calls_bound_storage(spark, sf_dir):
+    """Repeated components/khop/LPA calls reuse the shared self-loop
+    adjacency checkpoint and their result slots: no persistent-RDD
+    growth across calls (slot hit also skips the materialize count)."""
+    from aws_glue_streaming_etl_with_apache_hudi_spark.queries import QUERIES
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    names = (
+        "graph_components_4rounds",
+        "graph_khop_reachability",
+        "graph_label_propagation",
+    )
+    for name in names:
+        QUERIES[name].fn(spark, sf_dir).count()
+    base = n_persistent()
+    for name in names:
+        QUERIES[name].fn(spark, sf_dir).count()
+    assert n_persistent() <= base
