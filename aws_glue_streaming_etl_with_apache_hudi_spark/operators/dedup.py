@@ -196,6 +196,22 @@ def _materialized_slot(df: DataFrame, slot: str) -> DataFrame:
     return out
 
 
+def _slot_count(df: DataFrame) -> int:
+    """Row count of a slot-cached frame, computed once per live slot entry.
+
+    The slot machinery returns the SAME Python object while its cache is
+    live (sameResult hit), so the count can ride the frame instead of
+    re-running a one-job ``count()`` on every repeated call (pagerank paid
+    ~0.2 s/call for the literal 1/n this way). On input change the slot
+    yields a NEW object and the count recomputes — the value can never go
+    stale relative to the frame it is attached to."""
+    n = getattr(df, "_graft_slot_count", None)
+    if n is None:
+        n = df.count()
+        df._graft_slot_count = n
+    return n
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical text form for exact/fingerprint dedup: lowercase,
     whitespace-collapsed, trimmed."""
@@ -231,12 +247,14 @@ def word_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
     must still produce a non-empty shingle set or it would get an empty
     MinHash signature and silently fall out of dedup entirely; two
     identical short docs still collide via their full-text shingle."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    positions = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    grams = F.transform(positions, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return df.select(
-        F.col(id_col),
-        F.array_distinct(F.filter(grams, lambda g: g != "")).alias("sh_arr"),
+    words = f"split(lower({text_col}), '\\\\s+')"
+    grams = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))"
+    )
+    return df.selectExpr(
+        id_col,
+        f"array_distinct(filter({grams}, g -> g != '')) AS sh_arr",
     )
 
 
@@ -278,16 +296,19 @@ def minhash_signatures(shingles: DataFrame, id_col: str, num_hashes: int = 8) ->
     aggregate so each is computed once per shingle row; the k aggregate
     expressions then reference the projected columns (pure integer
     arithmetic)."""
-    hashed = shingles.select(
-        F.col(id_col),
-        stable_hash64(F.col("shingle")).alias("_h1"),
-        stable_hash64(F.col("shingle"), seed="b").alias("_h2"),
+    # SQL-text construction (selectExpr / expr): one parser roundtrip per
+    # expression instead of one py4j roundtrip per Column call — this
+    # builder alone was ~220 of the minhash pipeline's 820 gateway
+    # roundtrips (~0.15 s of driver time per plan build). The parsed
+    # trees are identical to the previous Column-API formulation.
+    m = MINHASH_MASK
+    hashed = shingles.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS _h1",
+        "CAST(conv(substring(md5(concat('b|', shingle)), 1, 15), 16, 10) AS BIGINT) AS _h2",
     )
-    mask = F.lit(MINHASH_MASK)
     aggs = [
-        F.min(
-            ((F.lit(i) * F.col("_h2")).bitwiseAND(mask) + F.col("_h1")).bitwiseAND(mask)
-        ).alias(f"mh{i}")
+        F.expr(f"min(((({i} * _h2) & {m}) + _h1) & {m}) AS mh{i}")
         for i in range(num_hashes)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -302,20 +323,21 @@ def lsh_bands(signatures: DataFrame, id_col: str, num_hashes: int, rows_per_band
     signature subtree once per band (Catalyst does not share common
     subplans across union branches)."""
     num_bands = num_hashes // rows_per_band
-    band_structs = []
-    for b in range(num_bands):
-        cols = [
-            F.col(f"mh{i}").cast("string")
-            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket")
-            )
+    arms = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{i} AS STRING)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
         )
-    return signatures.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        for b in range(num_bands)
+    )
+    # single-parse SQL text (see minhash_signatures): ~150 fewer py4j
+    # roundtrips per plan build, identical parsed expression tree
+    return signatures.selectExpr(
+        id_col, f"explode(array({arms})) AS bb"
+    ).selectExpr(id_col, "bb.band AS band", "bb.bucket AS bucket")
 
 
 def cap_bucket_size(
@@ -347,9 +369,9 @@ def cap_bucket_size(
     if max_bucket_size is None:
         return df
     hot = (
-        df.groupBy(*[F.col(c) for c in key_cols])
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") > max_bucket_size)
+        df.groupBy(*key_cols)
+        .agg(F.expr("count(1) AS _bsz"))
+        .filter(f"_bsz > {int(max_bucket_size)}")
         .select(*key_cols)
     )
     return df.join(F.broadcast(hot), key_cols, "left_anti")
@@ -373,11 +395,11 @@ def lsh_candidate_pairs(
             cap_bucket_size(bands, ["band", "bucket"], max_bucket_size),
             "minhash.bands_capped",
         )
-    a = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
-    b = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    a = bands.selectExpr("band", "bucket", f"{id_col} AS id_a")
+    b = bands.selectExpr("band", "bucket", f"{id_col} AS id_b")
     return (
         a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter("id_a < id_b")
         .select("id_a", "id_b")
         .distinct()
     )
@@ -391,15 +413,19 @@ def jaccard_verify(
 
     At scale, candidates << n², so only candidate docs' arrays move.
     Returns (id_a, id_b, jaccard) filtered to >= threshold."""
-    a = shingle_arrays.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("s_a"))
-    b = shingle_arrays.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("s_b"))
-    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
-    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect("s_a", "s_b"))
+    a = shingle_arrays.selectExpr(f"{id_col} AS id_a", "sh_arr AS s_a")
+    b = shingle_arrays.selectExpr(f"{id_col} AS id_b", "sh_arr AS s_b")
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "CAST(size(array_intersect(s_a, s_b)) AS DOUBLE)"
+            " / ((size(s_a) + size(s_b)) - size(array_intersect(s_a, s_b)))"
+            " AS jaccard",
+        )
+        .filter(f"jaccard >= CAST({threshold!r} AS DOUBLE)")
     )
 
 

@@ -170,12 +170,14 @@ def pagerank(
     re-inlined ``deg`` (and one broadcast join) per round."""
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
         _persist_slot,
+        _slot_count,
         _truncated_slot,
     )
 
     sym = symmetrize(edges)
     deg = _persist_slot(degrees(edges), "graph.degrees")
-    n = deg.count()
+    # one count job per live degrees cache, not per call (the literal 1/n)
+    n = _slot_count(deg)
     base = (1.0 - damping) / n
     adj = _truncated_slot(
         sym.join(deg.withColumnRenamed("node", "src"), "src"),

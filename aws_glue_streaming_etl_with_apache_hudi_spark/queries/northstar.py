@@ -913,13 +913,25 @@ def text_tfidf_top_term(spark, sf_dir):
     # WITHOUT its own Exchange (was a second full shuffle of the scored
     # terms; guide §2.4 — two operations keyed the same way share one
     # exchange).
+    # sortWithinPartitions(doc_id) on the CACHED frame (r13, session 7):
+    # the per-doc argmax below plans as Sort + SortAggregate (min_by's
+    # struct ordering is not hash-aggregable); InMemoryTableScan reports
+    # the cached plan's output ordering, so pre-sorting the slot build
+    # satisfies the SortAggregate's required ordering and the per-run
+    # sort of every scored term disappears — the sort is paid once at
+    # slot build instead of once per execution.
     tf = _persist_slot(
-        w.repartition("doc_id").groupBy("doc_id", "word").agg(
-            F.count("*").alias("tf")
-        ),
+        w.repartition("doc_id")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .sortWithinPartitions("doc_id"),
         "northstar.tfidf_tf",
     )
-    dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("dfreq"))
+    # count(*), not count_distinct(doc_id): tf has exactly one row per
+    # (doc_id, word) by construction, so the values are identical and the
+    # distinct pre-aggregation (a second full pass shape over the cached
+    # frame) drops out of the dfreq stage.
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
     n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     # ONE broadcast build instead of two: the 1-row corpus count rides
     # the vocabulary-sized dfreq dim (a broadcast build is a whole

@@ -51,6 +51,33 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Inferred-schema memo for fixture tables: path identity -> StructType.
+# ``spark.read.parquet`` with no schema runs a footer-sampling JOB at plan
+# time (visible as a 1-task "parquet at" job); repeated plan builds pay it
+# per table per call — 3-6 serial ~40-90 ms jobs for the multi-table TPC-H
+# queries. At 100 TB the same inference samples MANY footers. Supplying the
+# schema skips the job entirely (guide §6). The memo keys on (realpath,
+# mtime_ns, size) so a rewritten fixture re-infers; it caches METADATA only
+# (never rows), so every query still computes from the parquet inputs.
+_SCHEMA_MEMO: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _parquet_with_schema_memo(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)  # let Spark raise its own error
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """JSON batch read. ``schema=None`` infers, matching the reference's
     ``{"inferSchema": "true"}`` (glue_job_script.py:42); production callers
@@ -95,7 +122,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _parquet_with_schema_memo(spark, f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             # integer division (`div`), NOT `/`: float division of an
@@ -108,7 +135,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # cast is value-preserving and matches DuckDB's zoneless reads.
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _parquet_with_schema_memo(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES) -> dict[str, DataFrame]:
