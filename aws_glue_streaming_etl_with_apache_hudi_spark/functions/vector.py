@@ -29,6 +29,26 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
+def dot_product_sql(a: str, b: str) -> str:
+    """Spark-SQL text rendering of ``dot_product`` (same parsed tree).
+
+    SQL-text construction costs ONE parser roundtrip where the Column-API
+    lambda plumbing costs ~15 py4j gateway roundtrips per call — the ANN
+    operators build these expressions on every plan construction, so the
+    driver-side build time is material (guide §1: at small scale the wall
+    is job count and plan work, and plan-build scales with call count at
+    any scale)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """Spark-SQL text rendering of ``l2_norm`` (same parsed tree)."""
+    return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cos(a, b) = a·b / (|a||b|). NULL-safe on zero vectors (returns NULL
     rather than dividing by zero), matching DuckDB's

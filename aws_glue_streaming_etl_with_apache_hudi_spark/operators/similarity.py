@@ -13,6 +13,8 @@ the standard recall/cost trade."""
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,38 +41,37 @@ def knn_bruteforce(
     Similarity is rounded BEFORE ranking so ordering is stable across
     engines/float-summation orders (tie-break: neighbor id). Returns
     (query_id, neighbor_id, sim, rnk)."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import (
+        dot_product_sql,
+        l2_norm_sql,
+    )
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot, fan_out
 
     corpus = fan_out(corpus)
     # Precompute each vector's norm ONCE (corpus-side map) instead of
     # per-pair: cuts the per-pair work to a single dot-product fold.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        l2_norm(_as_double(vec_col)).alias("qn"),
+    # SQL-text projections (selectExpr): one parse per expression instead
+    # of ~30 py4j roundtrips per projection — identical parsed trees.
+    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{dv} AS qv", f"{l2_norm_sql(dv)} AS qn"
     )
     # (vector, norm) projection cached via persist slot — the stored-
     # artifact analogue (see knn_lsh); repeated searches skip the cast +
     # norm pass and stream the cached columns map-side.
     c = _persist_slot(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(vec_col).alias("cv"),
-            l2_norm(_as_double(vec_col)).alias("cn"),
+        corpus.selectExpr(
+            f"{id_col} AS neighbor_id", f"{dv} AS cv", f"{l2_norm_sql(dv)} AS cn"
         ),
         "similarity.knn_bruteforce_corpus",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .filter("neighbor_id != query_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-                sim_decimals,
-            ).alias("sim"),
+            f"round({dot_product_sql('qv', 'cv')} / (qn * cn), {sim_decimals}) AS sim",
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -102,20 +103,24 @@ def knn_filtered(
     filtered ANN is CHEAPER than unfiltered, not an afterthought bolted
     onto a vector index. Returns (query_id, neighbor_id, *filter_cols,
     sim, rnk)."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import (
+        dot_product_sql,
+        l2_norm_sql,
+    )
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import fan_out
 
-    q = queries.select(
+    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    q = queries.selectExpr(
         *filter_cols,
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        l2_norm(_as_double(vec_col)).alias("qn"),
+        f"{id_col} AS query_id",
+        f"{dv} AS qv",
+        f"{l2_norm_sql(dv)} AS qn",
     )
-    c = fan_out(corpus).select(
+    c = fan_out(corpus).selectExpr(
         *filter_cols,
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-        l2_norm(_as_double(vec_col)).alias("cn"),
+        f"{id_col} AS neighbor_id",
+        f"{dv} AS cv",
+        f"{l2_norm_sql(dv)} AS cn",
     )
     # no forced broadcast: Catalyst/AQE picks broadcast for small query
     # sets and falls back to a shuffled equi-join on the filter key for
@@ -123,15 +128,12 @@ def knn_filtered(
     # query set" pitch applies — caught by code review)
     scored = (
         c.join(q, filter_cols)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .filter("neighbor_id != query_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
             *filter_cols,
-            F.round(
-                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-                sim_decimals,
-            ).alias("sim"),
+            f"round({dot_product_sql('qv', 'cv')} / (qn * cn), {sim_decimals}) AS sim",
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -161,24 +163,14 @@ def plane_weights(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def hyperplane_signs(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    num_planes: int = 8,
-    dim: int = 64,
-    num_tables: int = 1,
-) -> DataFrame:
-    """LSH bucket ids per vector: sign pattern against ``num_planes``
-    deterministic hyperplanes, repeated for ``num_tables`` independent
-    tables (OR-construction): bucket_t = Σ_p sign-bit(v·w_{t,p})·2^p.
-
-    Output: one row per (vector, table) with columns (id, vec, table,
-    bucket). The planes*tables dot products are ONE Arrow-batched pandas
-    UDF doing a single (batch x dim) @ (dim x planes·tables) matmul —
-    the canonical vectorized slow path: per-row interpreted folds for 24
-    dot products were ~5x slower than one BLAS matmul per Arrow batch.
-    Per-table expansion is a ``posexplode`` of the bucket array."""
+@functools.lru_cache(maxsize=8)
+def _hyperplane_bucket_udf(sc, num_planes: int, dim: int, num_tables: int):
+    """The LSH bucket-id pandas UDF, memoized per (SparkContext, planes,
+    dim, tables): the plane weights are a pure function of the key, so a
+    cached entry is exactly the UDF the uncached path would build — and
+    defining it per call was most of hyperplane_signs' plan-build cost.
+    The SparkContext key drops entries whose JVM handle died with a
+    stopped context (a UserDefinedFunction memoizes its java UDF)."""
     w = np.array(plane_weights(num_planes * num_tables, dim), dtype=np.float64).T
     powers = (1 << np.arange(num_planes, dtype=np.int64))
 
@@ -202,13 +194,36 @@ def hyperplane_signs(
     # guide's §4.4 double-BatchEvalPython pattern). The inferred filter
     # is vacuous here (bucket arrays are always non-empty), so blocking
     # the inference changes no rows — it only removes the second eval.
-    bucket_ids = bucket_ids.asNondeterministic()
+    return bucket_ids.asNondeterministic()
+
+
+def hyperplane_signs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 8,
+    dim: int = 64,
+    num_tables: int = 1,
+) -> DataFrame:
+    """LSH bucket ids per vector: sign pattern against ``num_planes``
+    deterministic hyperplanes, repeated for ``num_tables`` independent
+    tables (OR-construction): bucket_t = Σ_p sign-bit(v·w_{t,p})·2^p.
+
+    Output: one row per (vector, table) with columns (id, vec, table,
+    bucket). The planes*tables dot products are ONE Arrow-batched pandas
+    UDF doing a single (batch x dim) @ (dim x planes·tables) matmul —
+    the canonical vectorized slow path: per-row interpreted folds for 24
+    dot products were ~5x slower than one BLAS matmul per Arrow batch.
+    Per-table expansion is a ``posexplode`` of the bucket array."""
+    bucket_ids = _hyperplane_bucket_udf(
+        df.sparkSession.sparkContext, num_planes, dim, num_tables
+    )
     with_buckets = df.select(
-        F.col(id_col), F.col(vec_col), bucket_ids(_as_double(vec_col)).alias("_buckets")
+        id_col, vec_col, bucket_ids(_as_double(vec_col)).alias("_buckets")
     )
     return with_buckets.select(
-        F.col(id_col),
-        F.col(vec_col),
+        id_col,
+        vec_col,
         F.posexplode("_buckets").alias("table", "bucket"),
     )
 
@@ -233,29 +248,33 @@ def knn_lsh(
     Scale: candidates are generated by a (table, bucket) equi-join and
     deduped — shuffle keys are bucket ids, never n²; hot buckets (mass
     near a hyperplane intersection) are handled by AQE skew splitting."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import (
+        dot_product_sql,
+        l2_norm_sql,
+    )
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot, fan_out
 
     corpus = fan_out(corpus)
+    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     # The corpus signature table is cached through a persist slot: at
     # scale this IS a stored artifact (signatures are written once and
     # probed by every search), and the slot's sameResult reuse means
     # repeated searches over the same corpus skip the Arrow-batched
     # matmul pass entirely — only the per-query bucket join runs.
     cb = _persist_slot(
-        hyperplane_signs(corpus, id_col, vec_col, num_planes, dim, num_tables).select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(vec_col).alias("cv"),
-            l2_norm(_as_double(vec_col)).alias("cn"),
+        hyperplane_signs(corpus, id_col, vec_col, num_planes, dim, num_tables).selectExpr(
+            f"{id_col} AS neighbor_id",
+            f"{dv} AS cv",
+            f"{l2_norm_sql(dv)} AS cn",
             "table",
             "bucket",
         ),
         "similarity.knn_lsh_corpus_sigs",
     )
-    qb = hyperplane_signs(queries, id_col, vec_col, num_planes, dim, num_tables).select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        l2_norm(_as_double(vec_col)).alias("qn"),
+    qb = hyperplane_signs(queries, id_col, vec_col, num_planes, dim, num_tables).selectExpr(
+        f"{id_col} AS query_id",
+        f"{dv} AS qv",
+        f"{l2_norm_sql(dv)} AS qn",
         "table",
         "bucket",
     )
@@ -271,14 +290,11 @@ def knn_lsh(
     # rounding), so which one dropDuplicates keeps is immaterial.
     scored = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .filter("neighbor_id != query_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-                sim_decimals,
-            ).alias("sim"),
+            f"round({dot_product_sql('qv', 'cv')} / (qn * cn), {sim_decimals}) AS sim",
         )
         # ONE shuffle for dedup + top-k: clustering by query_id alone
         # co-locates every (query_id, neighbor_id) group AND satisfies
@@ -974,28 +990,17 @@ def knn_pq(
     )
 
 
-def knn_ivf_pq(
-    corpus: DataFrame,
-    queries: DataFrame,
-    centroids: list[list[float]],
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_probe: int = 3,
-) -> DataFrame:
-    """Inline IVF-PQ search (the composition ``IVFIndex.build(pq_m=…)``
-    materializes on disk, expressed over in-plan frames so LITERAL
-    centroids + codebooks give it a full DuckDB oracle): corpus vectors
-    assign to their nearest coarse centroid (distances rounded to 6 dp,
-    ties to the smaller index — the knn_ivf convention), the RESIDUAL
-    against that centroid is PQ-encoded, and each query scores the
-    probed clusters' codes by the exact-integer ADC sum against its
-    per-cluster residual tables. Returns (query_id, neighbor_id,
-    adist_micro, rnk)."""
-    cents = np.asarray(centroids, dtype=np.float64)
+@functools.lru_cache(maxsize=8)
+def _ivfpq_udfs(sc, cents_bytes, cents_shape, books_bytes, books_shape, n_probe):
+    """The four IVF-PQ pandas UDFs, memoized per (centroids, codebooks,
+    n_probe): defining a pandas UDF is a py4j/command round every call,
+    and ``knn_ivf_pq`` (inline) re-created all four on every plan build
+    (~300 gateway roundtrips, ~0.1 s of driver time per call at steady
+    state). The closure state is derived ONLY from the cache key, so a
+    cached entry is exactly the UDF the uncached path would build."""
+    cents = np.frombuffer(cents_bytes, dtype=np.float64).reshape(cents_shape)
     cc = (cents * cents).sum(axis=1)
-    books = np.asarray(codebooks, dtype=np.float64)
+    books = np.frombuffer(books_bytes, dtype=np.float64).reshape(books_shape)
     m, ksub, _dsub = books.shape
 
     def _cdists(vecs: pd.Series) -> np.ndarray:
@@ -1026,12 +1031,43 @@ def knn_ivf_pq(
         d = _sub_dist_micro(r, books)
         return pd.Series(list(d.reshape(len(mat), m * ksub)))
 
+    return nearest, probes, res_codes, qtable
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Inline IVF-PQ search (the composition ``IVFIndex.build(pq_m=…)``
+    materializes on disk, expressed over in-plan frames so LITERAL
+    centroids + codebooks give it a full DuckDB oracle): corpus vectors
+    assign to their nearest coarse centroid (distances rounded to 6 dp,
+    ties to the smaller index — the knn_ivf convention), the RESIDUAL
+    against that centroid is PQ-encoded, and each query scores the
+    probed clusters' codes by the exact-integer ADC sum against its
+    per-cluster residual tables. Returns (query_id, neighbor_id,
+    adist_micro, rnk)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, _dsub = books.shape
+    nearest, probes, res_codes, qtable = _ivfpq_udfs(
+        corpus.sparkSession.sparkContext,
+        cents.tobytes(), cents.shape, books.tobytes(), books.shape, n_probe,
+    )
+
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
 
+    dv = _as_double(vec_col)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("_v"),
-        nearest(_as_double(vec_col)).alias("cluster"),
+        dv.alias("_v"),
+        nearest(dv).alias("cluster"),
     )
     # the encoded inverted lists are the index ARTIFACT (IVFIndex stores
     # them on disk); inline searches slot-persist them so the two Arrow
@@ -1046,25 +1082,25 @@ def knn_ivf_pq(
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("_qv"),
-        F.explode(probes(_as_double(vec_col))).alias("cluster"),
+        dv.alias("_qv"),
+        F.explode(probes(dv)).alias("cluster"),
     )
     qt = qb.select("query_id", "cluster", qtable("_qv", "cluster").alias("qtab"))
-    adist = F.expr(
+    adist = (
         "aggregate(transform(codes, (c, i) -> element_at(qtab, i * "
         f"{ksub} + c + 1)), 0L, (acc, x) -> acc + x)"
     )
     scored = (
         lists.join(F.broadcast(qt), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adist.alias("adist_micro"))
+        .filter("neighbor_id != query_id")
+        .selectExpr("query_id", "neighbor_id", f"{adist} AS adist_micro")
         # ONE shuffle for the multi-probe min AND the top-k window:
         # clustering by query_id co-locates every (query_id, neighbor_id)
         # group and already satisfies the window partitioning (plan audit
         # r13: was Exchange(q, n) then Exchange(q); guide §2.4)
         .repartition("query_id")
         .groupBy("query_id", "neighbor_id")
-        .agg(F.min("adist_micro").alias("adist_micro"))
+        .agg(F.expr("min(adist_micro) AS adist_micro"))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc("neighbor_id"))
     return (
@@ -1100,21 +1136,21 @@ def knn_rerank(
     JVM-side dot-product fold (no Python in stage 2). Returns
     (query_id, neighbor_id, sim, rnk) — same shape as knn_bruteforce,
     rounded before ranking with id tie-break (cross-engine stable)."""
-    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import dot_product, l2_norm
+    from aws_glue_streaming_etl_with_apache_hudi_spark.functions.vector import (
+        dot_product_sql,
+        l2_norm_sql,
+    )
 
     cands = knn_ivf_pq(
         corpus, queries, centroids, codebooks, id_col, vec_col,
         k=rerank, n_probe=n_probe,
     ).select("query_id", "neighbor_id")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-        l2_norm(_as_double(vec_col)).alias("cn"),
+    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{dv} AS cv", f"{l2_norm_sql(dv)} AS cn"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        l2_norm(_as_double(vec_col)).alias("qn"),
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{dv} AS qv", f"{l2_norm_sql(dv)} AS qn"
     )
     exact = (
         # broadcast the slim candidate pairs and STREAM the corpus: the
@@ -1124,13 +1160,10 @@ def knn_rerank(
         # Q x rerank (query_id, neighbor_id) longs, KBs at any Q.
         c.join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-                4,
-            ).alias("sim"),
+            f"round({dot_product_sql('qv', 'cv')} / (qn * cn), 4) AS sim",
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

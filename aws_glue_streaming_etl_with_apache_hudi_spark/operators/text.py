@@ -56,20 +56,23 @@ def text_stats(
     passthrough columns carried into the projection so downstream
     consumers (e.g. a per-language rollup) don't need a join back to the
     source frame."""
-    w = words(text_col)
-    n_words = F.size(w).cast("long")
-    distinct_words = F.array_distinct(w)
-    filler = F.array(*[F.lit(x) for x in FILLER_WORDS])
-    n_filler = F.size(F.filter(w, lambda x: F.array_contains(filler, x))).cast("long")
-    return df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep],
-        F.length(text_col).cast("long").alias("n_chars"),
-        n_words.alias("n_words"),
-        F.size(distinct_words).cast("long").alias("n_distinct"),
-        F.round(F.size(distinct_words) / n_words, 4).alias("distinct_ratio"),
-        F.round((F.length(text_col) - n_words + 1) / n_words, 4).alias("avg_word_len"),
-        F.round(n_filler / n_words, 4).alias("filler_ratio"),
+    # SQL-text construction (selectExpr): identical parsed trees to the
+    # previous Column-API assembly at a fraction of the py4j roundtrips
+    # (the filler-literal array alone was one gateway call per word)
+    w = f"split(lower({text_col}), '\\\\s+')"
+    n_words = f"CAST(size({w}) AS BIGINT)"
+    n_distinct = f"size(array_distinct({w}))"
+    filler = "array(" + ", ".join(f"'{x}'" for x in FILLER_WORDS) + ")"
+    n_filler = f"CAST(size(filter({w}, x -> array_contains({filler}, x))) AS BIGINT)"
+    return df.selectExpr(
+        id_col,
+        *keep,
+        f"CAST(length({text_col}) AS BIGINT) AS n_chars",
+        f"{n_words} AS n_words",
+        f"CAST({n_distinct} AS BIGINT) AS n_distinct",
+        f"round({n_distinct} / {n_words}, 4) AS distinct_ratio",
+        f"round(((length({text_col}) - {n_words}) + 1) / {n_words}, 4) AS avg_word_len",
+        f"round({n_filler} / {n_words}, 4) AS filler_ratio",
     )
 
 

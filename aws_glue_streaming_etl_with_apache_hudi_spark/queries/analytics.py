@@ -71,55 +71,44 @@ def funnel_conversion(spark, sf_dir):
     ``count(tsK)`` counts each stage's distinct users because the
     per-user rows are first collapsed by a (shuffle-free, same
     partitioning) groupBy."""
+    # SQL-text construction (selectExpr): identical parsed trees, one
+    # parser roundtrip per expression — this build was ~300 py4j gateway
+    # roundtrips of Column-by-Column assembly per call
     e = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id")
+    over_u = "OVER (PARTITION BY user_id)"
     ev = e.filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    ).select("user_id", "event_type", "ts")
-    ts1 = ev.withColumn(
-        "ts1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        "event_type IN ('view', 'click', 'purchase')"
+    ).selectExpr("user_id", "event_type", "ts")
+    ts1 = ev.selectExpr(
+        "*", f"min(CASE WHEN event_type = 'view' THEN ts END) {over_u} AS ts1"
     )
-    ts2 = ts1.withColumn(
-        "ts2",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("ts") > F.col("ts1")),
-                F.col("ts"),
-            )
-        ).over(w),
+    ts2 = ts1.selectExpr(
+        "*",
+        "min(CASE WHEN event_type = 'click' AND ts > ts1 THEN ts END) "
+        f"{over_u} AS ts2",
     )
-    ts3 = ts2.withColumn(
-        "ts3",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ts2")),
-                F.col("ts"),
-            )
-        ).over(w),
+    ts3 = ts2.selectExpr(
+        "*",
+        "min(CASE WHEN event_type = 'purchase' AND ts > ts2 THEN ts END) "
+        f"{over_u} AS ts3",
     )
     per_user = ts3.groupBy("user_id").agg(
-        F.first("ts1").alias("ts1"),
-        F.first("ts2").alias("ts2"),
-        F.first("ts3").alias("ts3"),
+        F.expr("first(ts1) AS ts1"),
+        F.expr("first(ts2) AS ts2"),
+        F.expr("first(ts3) AS ts3"),
     )
     counts = per_user.agg(
-        F.count("ts1").alias("n1"), F.count("ts2").alias("n2"),
-        F.count("ts3").alias("n3"),
+        F.expr("count(ts1) AS n1"),
+        F.expr("count(ts2) AS n2"),
+        F.expr("count(ts3) AS n3"),
     )
-    stages = counts.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
-                         F.col("n1").alias("n_users")),
-                F.struct(F.lit(2).alias("stage_no"),
-                         F.lit("view>click").alias("stage"),
-                         F.col("n2").alias("n_users")),
-                F.struct(F.lit(3).alias("stage_no"),
-                         F.lit("view>click>purchase").alias("stage"),
-                         F.col("n3").alias("n_users")),
-            )
-        ).alias("s")
-    ).select("s.stage_no", "s.stage", "s.n_users")
+    stages = counts.selectExpr(
+        "explode(array("
+        "struct(1 AS stage_no, 'view' AS stage, n1 AS n_users), "
+        "struct(2 AS stage_no, 'view>click' AS stage, n2 AS n_users), "
+        "struct(3 AS stage_no, 'view>click>purchase' AS stage, n3 AS n_users)"
+        ")) AS s"
+    ).selectExpr("s.stage_no", "s.stage", "s.n_users")
     return stages.orderBy("stage_no").select("stage", "n_users")
 
 
@@ -319,27 +308,26 @@ def time_weighted_avg(spark, sf_dir):
 
     Scale: one shuffle on user_id serves the lead() window AND the
     per-user aggregation (same key — no second exchange)."""
-    from pyspark.sql.window import Window as W
-
+    # SQL-text construction (selectExpr/expr): identical parsed trees, a
+    # fraction of the py4j roundtrips per plan build
     e = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seg = e.select(
+    seg = e.selectExpr(
         "user_id",
-        F.col("value").cast("decimal(18,2)").alias("v"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt"),
-    ).filter(F.col("dt").isNotNull())
+        "CAST(value AS DECIMAL(18,2)) AS v",
+        "unix_micros(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+        " - unix_micros(ts) AS dt",
+    ).filter("dt IS NOT NULL")
     return (
         seg.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            (
-                F.sum(F.col("v") * F.col("dt")).cast("double")
-                / F.sum("dt").cast("double")
-            ).alias("_twa"),
-            F.sum("dt").alias("_sdt"),
+            F.expr("count(1) AS n_segments"),
+            F.expr(
+                "CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE) AS _twa"
+            ),
+            F.expr("sum(dt) AS _sdt"),
         )
-        .filter(F.col("_sdt") > 0)
-        .select("user_id", "n_segments", F.round("_twa", 6).alias("twa_value"))
+        .filter("_sdt > 0")
+        .selectExpr("user_id", "n_segments", "round(_twa, 6) AS twa_value")
         .orderBy("user_id")
     )
 

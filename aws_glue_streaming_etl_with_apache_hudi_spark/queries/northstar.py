@@ -901,9 +901,9 @@ def text_tfidf_top_term(spark, sf_dir):
     from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import _persist_slot
 
     docs = t(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
+    w = docs.selectExpr(
+        "doc_id", "explode(split(lower(text), '\\\\s+')) AS word"
+    ).filter("word != ''")
     # tf feeds BOTH the df branch and the scoring join; Catalyst does not
     # share common subtrees, so without the slot the corpus explode +
     # aggregation runs twice per execution. Clustering tf by doc_id
@@ -923,7 +923,7 @@ def text_tfidf_top_term(spark, sf_dir):
     tf = _persist_slot(
         w.repartition("doc_id")
         .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.expr("count(*) AS tf"))
         .sortWithinPartitions("doc_id"),
         "northstar.tfidf_tf",
     )
@@ -931,33 +931,21 @@ def text_tfidf_top_term(spark, sf_dir):
     # (doc_id, word) by construction, so the values are identical and the
     # distinct pre-aggregation (a second full pass shape over the cached
     # frame) drops out of the dfreq stage.
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
-    n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
+    dfreq = tf.groupBy("word").agg(F.expr("count(*) AS dfreq"))
+    n = docs.agg(F.expr("CAST(count(*) AS DOUBLE) AS _n_docs"))
     # ONE broadcast build instead of two: the 1-row corpus count rides
     # the vocabulary-sized dfreq dim (a broadcast build is a whole
     # scheduler round; two of them per run was pure overhead)
-    scored = (
-        tf.join(F.broadcast(dfreq.crossJoin(n)), "word")
-        .select(
-            "doc_id",
-            "word",
-            F.round(
-                F.col("tf") * F.log(F.col("_n_docs") / F.col("dfreq")), 6
-            ).alias("tfidf"),
-        )
+    scored = tf.join(F.broadcast(dfreq.crossJoin(n)), "word").selectExpr(
+        "doc_id", "word", "round(tf * ln(_n_docs / dfreq), 6) AS tfidf"
     )
     # per-doc argmax as an aggregation (map-side combinable) instead of a
     # row_number window — no per-partition full sort of the scored terms;
     # min over (-tfidf, word) == (tfidf DESC, word ASC)
     return (
         scored.groupBy("doc_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("word"), F.col("tfidf")),
-                F.struct(-F.col("tfidf"), F.col("word")),
-            ).alias("_top")
-        )
-        .select("doc_id", F.col("_top.word").alias("top_term"), F.col("_top.tfidf").alias("tfidf"))
+        .agg(F.expr("min_by(struct(word, tfidf), struct(-tfidf, word)) AS _top"))
+        .selectExpr("doc_id", "_top.word AS top_term", "_top.tfidf AS tfidf")
         .orderBy("doc_id")
     )
 

@@ -243,40 +243,43 @@ def asof_join_events_orders(spark, sf_dir):
     form would materialize |events x orders-per-user| pairs at scale.)"""
     from pyspark.sql.window import Window as W
 
+    # SQL-text construction (selectExpr): identical parsed trees, a
+    # fraction of the py4j roundtrips per plan build
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("ts"),
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS user_id",
+        "o_orderdate AS ts",
         "o_orderkey",
         "o_totalprice",
     )
-    tagged = e.withColumn("is_event", F.lit(1)).unionByName(
-        o.withColumn("event_id", F.lit(None).cast("long")).withColumn("is_event", F.lit(0)),
+    tagged = e.selectExpr("*", "1 AS is_event").unionByName(
+        o.selectExpr(
+            "*", "CAST(NULL AS BIGINT) AS event_id", "0 AS is_event"
+        ),
         allowMissingColumns=True,
     )
     # Timeline order: time, orders before events at the same instant
     # (<= semantics), then o_orderkey so the LAST carried order is the
     # max-orderkey one among same-date orders — matching the oracle's
     # DESC, DESC row_number tie-break.
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_event", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts, is_event, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    carried = tagged.select(
+    carried = tagged.selectExpr(
         "event_id",
         "user_id",
         "is_event",
-        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
-        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_total_raw"),
+        f"last(o_orderkey, true) {over} AS last_orderkey",
+        f"last(o_totalprice, true) {over} AS last_total_raw",
     )
     return (
-        carried.filter(F.col("is_event") == 1)
-        .select(
+        carried.filter("is_event = 1")
+        .selectExpr(
             "event_id",
             "user_id",
             "last_orderkey",
-            F.round("last_total_raw", 2).alias("last_total"),
+            "round(last_total_raw, 2) AS last_total",
         )
         .orderBy("event_id")
     )

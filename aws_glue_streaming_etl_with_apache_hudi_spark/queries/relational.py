@@ -44,35 +44,36 @@ def q1_pricing_summary(spark, sf_dir):
     The shipdate filter pushes into the parquet scan. Measures sum as
     exact decimals (base.dsum) so results are order-independent."""
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
     # avg_qty/avg_price are DERIVED post-agg from the exact decimal sums
     # already computed (davg(col, 2) ≡ round(dsum(col, 2)/count, 6) on
     # the same doubles — pure algebra, value-identical), so the one-task
     # scan stage evaluates 5 decimal aggregates instead of 7. On the
     # single-row-group sf0.1 fixture this stage is one core; every agg
     # column removed is wall time (r12 isolated: 0.47 -> ~0.38 s).
+    # SQL-text construction: the dsum_sql/davg_sql oracle renderers are
+    # ANSI expressions Spark parses to the exact trees dsum/davg built
+    # Column-by-Column — one parser roundtrip per aggregate.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        li.filter("l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
-            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
-            davg(F.col("l_discount"), 2).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.expr(f"{dsum_sql('l_quantity', 2)} AS sum_qty"),
+            F.expr(f"{dsum_sql('l_extendedprice', 2)} AS sum_base_price"),
+            F.expr(f"{dsum_sql(disc_price, 4)} AS sum_disc_price"),
+            F.expr(f"{dsum_sql(f'({disc_price}) * (1 + l_tax)', 6)} AS sum_charge"),
+            F.expr(f"{davg_sql('l_discount', 2)} AS avg_disc"),
+            F.expr("count(*) AS count_order"),
         )
-        .select(
+        .selectExpr(
             "l_returnflag",
             "l_linestatus",
             "sum_qty",
             "sum_base_price",
             "sum_disc_price",
             "sum_charge",
-            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
-            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
-                "avg_price"
-            ),
+            "round(sum_qty / count_order, 6) AS avg_qty",
+            "round(sum_base_price / count_order, 6) AS avg_price",
             "avg_disc",
             "count_order",
         )

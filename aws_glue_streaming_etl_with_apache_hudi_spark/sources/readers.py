@@ -51,15 +51,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# Inferred-schema memo for fixture tables: path identity -> StructType.
+# Reader memo for fixture tables: (session, path identity) -> DataFrame.
 # ``spark.read.parquet`` with no schema runs a footer-sampling JOB at plan
 # time (visible as a 1-task "parquet at" job); repeated plan builds pay it
 # per table per call — 3-6 serial ~40-90 ms jobs for the multi-table TPC-H
-# queries. At 100 TB the same inference samples MANY footers. Supplying the
-# schema skips the job entirely (guide §6). The memo keys on (realpath,
-# mtime_ns, size) so a rewritten fixture re-infers; it caches METADATA only
-# (never rows), so every query still computes from the parquet inputs.
-_SCHEMA_MEMO: dict[tuple[str, int, int], T.StructType] = {}
+# queries. At 100 TB the same inference samples MANY footers (guide §6).
+# The memo stores the immutable source DataFrame itself: a hit costs zero
+# Spark jobs AND zero py4j gateway roundtrips (a schema-only memo still
+# paid ~11 roundtrips per read rebuilding the reader). Keyed on (realpath,
+# mtime_ns, size) so a rewritten fixture re-reads, and weakly on the
+# session so a stopped session's frames drop. This caches PLAN METADATA
+# only (an unexecuted scan relation, never rows) — every query still
+# computes from the parquet inputs.
+import weakref
+
+_READ_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _parquet_with_schema_memo(spark: SparkSession, path: str) -> DataFrame:
@@ -70,12 +76,12 @@ def _parquet_with_schema_memo(spark: SparkSession, path: str) -> DataFrame:
         key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
     except OSError:
         return spark.read.parquet(path)  # let Spark raise its own error
-    schema = _SCHEMA_MEMO.get(key)
-    if schema is None:
+    per_session = _READ_MEMO.setdefault(spark, {})
+    df = per_session.get(key)
+    if df is None:
         df = spark.read.parquet(path)
-        _SCHEMA_MEMO[key] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+        per_session[key] = df
+    return df
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
@@ -118,11 +124,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # UTC regardless of the calling session's zone: timestamp rendering
     # (date_format) must agree with DuckDB's zoneless timestamps even when
-    # the driver supplies its own SparkSession.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver supplies its own SparkSession. Set once per session (the
+    # sentinel rides the per-session read memo) — one fewer py4j roundtrip
+    # on every subsequent load_table call.
+    per_session = _READ_MEMO.setdefault(spark, {})
+    if "_tz_set" not in per_session:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        per_session["_tz_set"] = True
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _parquet_with_schema_memo(spark, f"{sf_dir}/{name}.parquet")
+        raw = _parquet_with_schema_memo(spark, f"{sf_dir}/{name}.parquet")
+        # the ts-converted frame rides the memoized raw frame: a rewritten
+        # file yields a NEW raw object (stat-keyed memo), so the converted
+        # plan can never go stale relative to its source
+        cached = getattr(raw, "_graft_ts_converted", None)
+        if cached is not None:
+            return cached
+        df = raw
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             # integer division (`div`), NOT `/`: float division of an
@@ -134,6 +152,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # this module promises. Session zone is UTC (set above), so the
             # cast is value-preserving and matches DuckDB's zoneless reads.
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        raw._graft_ts_converted = df
         return df
     return _parquet_with_schema_memo(spark, f"{sf_dir}/{name}.parquet")
 
