@@ -80,7 +80,7 @@ def main() -> None:
             else:
                 with open(p) as f:
                     yield from f
-    if True:
+    if True:  # keep the original loop indentation
         for line in _lines():
             try:
                 ev = json.loads(line)
