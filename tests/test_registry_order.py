@@ -23,31 +23,31 @@ WINDOW = 50
 # line) — round 4 points several at this round's changed queries so a
 # sentinel slot doubles as a re-verification slot.
 CATEGORY_SENTINELS = {
-    # round-13 rotation: the 36-query r5-aged freshness cohort supplies
-    # most sentinels directly; seven r12-green fillers hold the families
-    # the cohort doesn't touch, and the two new r13 registrations cover
-    # multimodal+udf and training (see queries/__init__.py).
+    # round-14 rotation (VERDICT r13 task 4): the window is the
+    # r13-restructured verification debt, so those queries supply most
+    # sentinels directly; eleven r13-green fillers hold the families the
+    # changed set doesn't touch (see queries/__init__.py).
     "upsert": "upsert_partitioned_state",  # partitioned upsert state
     "schema_evolution": "schema_evolution_union",
     "partitioning": "upsert_partitioned_state",  # Hive partition-path tokens
-    "asof": "bitemporal_asof",            # the as-of/interval join family
-    "streaming": "stateful_running_totals",  # real checkpointed stream...
-    "stateful": "stateful_running_totals",   # ...running applyInPandasWithState
-    "storage_mor": "mor_merge_chain",     # MOR log-merge chain
+    "asof": "asof_join_events_orders",    # the as-of/interval join family
+    "streaming": "corpus_stream_e2e",     # end-to-end checkpointed stream
+    "stateful": "stateful_running_totals",  # applyInPandasWithState
+    "storage_mor": "mor_read_optimized_state",  # MOR read-optimized view
     "storage_incremental": "mor_incremental",  # incremental pull + r13 mor fix
-    "storage_cdc": "mv_retractable_cdc",  # CDC-fed delete-aware IVM
-    "dedup": "dedup_incremental_index",   # incremental dedup index
-    "similarity": "hybrid_search_rrf",    # RRF fusion of lexical+vector legs
-    "text": "text_shared_passages",
-    "multimodal": "multimodal_frame_sample_udtf",  # NEW r13: frame sampling...
+    "storage_cdc": "rollup_mv_retraction_e2e",  # CDC retraction fold e2e
+    "dedup": "dedup_recall_eval",         # dedup eval (r13 restructured)
+    "similarity": "knn_rerank",           # two-stage ANN (r13+r14 restructured)
+    "text": "text_tfidf_top_term",        # r13 restructured
+    "multimodal": "multimodal_frame_sample_udtf",  # frame sampling...
     "udf": "multimodal_frame_sample_udtf",         # ...through a UDTF LATERAL
-    "training": "context_pack_nextfit",   # NEW r13: capacity-respecting packing
-    "relational_agg": "agg_pivot",
-    "relational_join": "join_full_outer",
-    "relational_window": "window_rank_ntile",
+    "training": "context_pack_nextfit",   # capacity-respecting packing
+    "relational_agg": "q1_pricing_summary",
+    "relational_join": "join_inner_revenue",
+    "relational_window": "importance_reweight_ess",  # global-window sums
     "graph": "graph_label_propagation",
-    "statistics": "chi_square_independence",  # also the r12 quantization edit
-    "sketches": "approx_error_bound",
+    "statistics": "cramers_v_association",  # r13 restructured
+    "sketches": "audience_overlap_kmv",   # KMV sketch (r13 restructured)
     "geo": "geo_knn_uncapped",
     "sql_surface": "sql_api_shared_dialect",
 }
