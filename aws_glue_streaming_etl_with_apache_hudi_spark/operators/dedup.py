@@ -182,18 +182,33 @@ def _truncated_slot(df: DataFrame, slot: str) -> DataFrame:
     return ck
 
 
-def _materialized_slot(df: DataFrame, slot: str) -> DataFrame:
-    """``_persist_slot`` + eager materialization, skipping the count on a
-    slot HIT: when the slot already holds this exact frame it is live, and
-    re-counting it was one pure-overhead Spark job per repeated call (the
-    bench's steady state). Use for an operator's FINAL result frame, where
-    the operator must materialize before releasing its round checkpoints."""
-    session = df.sparkSession
-    prev = _PERSIST_SLOTS.get(session, {}).get(slot)
-    out = _persist_slot(df, slot)
-    if out is not prev:
-        out.count()
-    return out
+def _layout_slot(df: DataFrame, slot: str, key: str) -> DataFrame:
+    """``_truncated_slot`` of the frame CLUSTERED AND SORTED on ``key``
+    — the stored-layout variant for static artifacts that many
+    consumers join on the same key (the graph round loops).
+
+    The repartition is SCALE-ADAPTIVE, not a tuned constant: AQE's
+    partition coalescing sizes the REPARTITION_BY_COL shuffle to its
+    advisory bytes, so a tiny fixture artifact lands in ONE right-sized
+    partition (the r13 shape inherited ~64 micro-partitions from the
+    upstream join, and every round paid 64 near-empty task floors to
+    scan it — measured r14 at sf0.1: pagerank 1.05 -> 0.30 s/run,
+    components 0.70 -> 0.38, khop 0.53 -> 0.33) while a 100 TB artifact
+    gets advisory-sized partitions, clustered and sorted by the join
+    key, from the same code (guide §2.2 "fewer, larger partitions" /
+    §6 small-files).
+
+    An alternative layering — persist an InMemoryRelation over the
+    checkpoint so the planner SEES the hash partitioning and elides the
+    per-round Exchange+Sort — was A/B-measured SLOWER here (pagerank
+    0.75 vs 0.30 s: the per-reference columnar cache scan + filter cost
+    more than AQE's runtime broadcast of the tiny frontier side saves),
+    so the checkpoint stays the storage; at scale the per-round
+    frontier exchange this leaves behind is the aggregation output the
+    round needs anyway."""
+    return _truncated_slot(
+        df.repartition(key).sortWithinPartitions(key), slot
+    )
 
 
 def _slot_count(df: DataFrame) -> int:

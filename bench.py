@@ -649,6 +649,25 @@ def calibration(spark) -> float:
     return time.perf_counter() - t0
 
 
+def calibration_parallel(spark) -> float:
+    """CPU-SCALING probe (VERDICT r13 task 2): a fixed, embarrassingly
+    parallel synthetic aggregation — 800M chained-xxhash64 rows over 64
+    partitions, no input files, no shuffle beyond the 1-row final agg —
+    whose wall MUST move with the core count. It exists because the
+    headline queries at sf0.1 are scheduler-floor/single-row-group-decode
+    bound and measure nearly flat 8-vs-32 cores, which is indistinguishable
+    in the artifact from a bench that ignores $SPARK_GRAFT_CPUS; this row
+    makes the honored core count demonstrable from the JSON line alone
+    (measured on the r14 VM: ~0.55 s at local[32], ~1.15 s at local[8])."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 800_000_000, 1, 64)
+        .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(id)))) AS h")
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     names = sorted(n for n, q in QUERIES.items() if q.headline)
@@ -679,18 +698,63 @@ def main() -> None:
     timings = {n: round(min(s), 3) for n, s in samples.items()}
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
 
+    # SLOT-COLD pass (VERDICT r13 task 1 — cache transparency): the warm
+    # min/median above run with the operators' bounded session persist
+    # slots hot (static derived artifacts: graph adjacency/degrees, LSH
+    # band tables, IVF-PQ inverted lists, ...). This pass clears every
+    # persist/checkpoint slot BEFORE each query and times one run, so the
+    # artifact carries both numbers and the warm/cold gap — the value of
+    # the caches — is measurable from the bench line instead of being
+    # silently folded into the headline. Queries that re-created at least
+    # one slot during their cold run are listed in ``slot_bearing``.
+    from aws_glue_streaming_etl_with_apache_hudi_spark.operators.dedup import (
+        _PERSIST_SLOTS,
+        _TRUNC_SLOTS,
+        clear_persist_slots,
+    )
+
+    slot_cold: dict[str, float] = {}
+    slot_bearing: list[str] = []
+    for name in names:
+        clear_persist_slots(spark)
+        slot_cold[name] = round(run_one(spark, QUERIES[name].fn), 3)
+        if _PERSIST_SLOTS.get(spark) or _TRUNC_SLOTS.get(spark):
+            slot_bearing.append(name)
+    cal_samples.append(calibration(spark))
+
+    # CPU-scaling probe (VERDICT r13 task 2), 2 samples, min reported
+    cal_par = [calibration_parallel(spark) for _ in range(2)]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sc = spark.sparkContext
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "queries_slot_cold": slot_cold,
+        "slot_bearing": slot_bearing,
         "calibration_seconds": round(statistics.median(cal_samples), 3),
         # raw probe walls (ADVICE r10): normalized round-over-round
         # comparisons are only verifiable from the artifact if the
         # calibration inputs ship alongside the headline numbers
         "calibration_samples": [round(c, 3) for c in cal_samples],
+        # the honored core count, demonstrable from the artifact alone:
+        # master is local[$SPARK_GRAFT_CPUS] (session.py), parallelism is
+        # what the live context reports, and cal_parallel is the fixed
+        # CPU-bound probe whose wall must move 8-vs-32 cores
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "parallelism": sc.defaultParallelism,
+        "cal_parallel": round(min(cal_par), 3),
+        "cal_parallel_samples": [round(c, 3) for c in cal_par],
+        # input-layout constraint, pinned for scaling readers (VERDICT r13
+        # task 9): every sf0.1 fixture table is a single-row-group parquet
+        # file, so scans DECODE ON ONE CORE regardless of split size and
+        # per-query 8-vs-32-core ratios sit near 1 at this SF — that is
+        # the fixture, not the engine; cal_parallel is the scaling signal
+        "fixture_note": "single-row-group parquet: scans decode on one "
+        "core at this SF; see cal_parallel for the CPU-scaling signal",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # sf1 sections: only when benching the sf0.1 fixture (the driver
@@ -769,6 +833,24 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
         "calibration_seconds": out["calibration_seconds"],
         "sf": out["sf"],
     }
+    # the $SPARK_GRAFT_CPUS proof, in the line itself (VERDICT r13 task 2)
+    for k in ("cpus", "parallelism", "cal_parallel"):
+        if k in out:
+            line[k] = out[k]
+    # warm-vs-cold cache transparency (VERDICT r13 task 1): the cold
+    # total plus the largest per-query warm/cold gap ride the line; the
+    # full per-query slot-cold dict is in BENCH_DETAIL.json
+    cold = out.get("queries_slot_cold", {})
+    if cold:
+        gaps = {
+            n: round(c - out["queries"].get(n, 0.0), 3) for n, c in cold.items()
+        }
+        worst = max(gaps, key=gaps.get)
+        line["slot_cold"] = {
+            "total": round(sum(cold.values()), 3),
+            "n_bearing": len(out.get("slot_bearing", [])),
+            "worst_gap": [worst, cold[worst], out["queries"].get(worst)],
+        }
     if detail_path:
         line["detail"] = os.path.relpath(detail_path, os.getcwd())
     sf1 = out.get("sf1_full", {})
@@ -806,7 +888,7 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
         }
     elif "error" in ss:
         line["storage"] = {"error": ss["error"][:120]}
-    for drop in ("queries_median", "storage", "sf1", "detail"):
+    for drop in ("queries_median", "storage", "sf1", "detail", "slot_cold"):
         if len(json.dumps(line)) <= budget:
             break
         line.pop(drop, None)
