@@ -13,7 +13,7 @@ the standard recall/cost trade."""
 
 from __future__ import annotations
 
-import functools
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -163,7 +163,25 @@ def plane_weights(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-@functools.lru_cache(maxsize=8)
+def _udf_memo(sc, key, build):
+    """Per-SparkContext UDF memo (ADVICE r13): the old lru_cache keyed on
+    the SparkContext OBJECT held strong references to up to 8 stopped
+    contexts (gateways, UDF state, centroid/codebook byte copies) for the
+    process lifetime. A WeakKeyDictionary drops a context's entries with
+    the context itself — the _PERSIST_SLOTS eviction pattern — and the
+    per-context dict is bounded the way the lru was (cleared at 8)."""
+    per_sc = _UDF_MEMO.setdefault(sc, {})
+    hit = per_sc.get(key)
+    if hit is None:
+        if len(per_sc) >= 8:
+            per_sc.clear()
+        hit = per_sc[key] = build()
+    return hit
+
+
+_UDF_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _hyperplane_bucket_udf(sc, num_planes: int, dim: int, num_tables: int):
     """The LSH bucket-id pandas UDF, memoized per (SparkContext, planes,
     dim, tables): the plane weights are a pure function of the key, so a
@@ -171,6 +189,14 @@ def _hyperplane_bucket_udf(sc, num_planes: int, dim: int, num_tables: int):
     defining it per call was most of hyperplane_signs' plan-build cost.
     The SparkContext key drops entries whose JVM handle died with a
     stopped context (a UserDefinedFunction memoizes its java UDF)."""
+    return _udf_memo(
+        sc,
+        ("hyperplane", num_planes, dim, num_tables),
+        lambda: _build_hyperplane_bucket_udf(num_planes, dim, num_tables),
+    )
+
+
+def _build_hyperplane_bucket_udf(num_planes: int, dim: int, num_tables: int):
     w = np.array(plane_weights(num_planes * num_tables, dim), dtype=np.float64).T
     powers = (1 << np.arange(num_planes, dtype=np.int64))
 
@@ -990,14 +1016,24 @@ def knn_pq(
     )
 
 
-@functools.lru_cache(maxsize=8)
 def _ivfpq_udfs(sc, cents_bytes, cents_shape, books_bytes, books_shape, n_probe):
-    """The four IVF-PQ pandas UDFs, memoized per (centroids, codebooks,
-    n_probe): defining a pandas UDF is a py4j/command round every call,
-    and ``knn_ivf_pq`` (inline) re-created all four on every plan build
-    (~300 gateway roundtrips, ~0.1 s of driver time per call at steady
-    state). The closure state is derived ONLY from the cache key, so a
-    cached entry is exactly the UDF the uncached path would build."""
+    """The IVF-PQ pandas UDFs, memoized per (SparkContext weakly,
+    centroids, codebooks, n_probe): defining a pandas UDF is a
+    py4j/command round every call, and ``knn_ivf_pq`` (inline) re-created
+    them all on every plan build (~300 gateway roundtrips, ~0.1 s of
+    driver time per call at steady state). The closure state is derived
+    ONLY from the cache key, so a cached entry is exactly the UDF the
+    uncached path would build."""
+    return _udf_memo(
+        sc,
+        ("ivfpq", cents_bytes, cents_shape, books_bytes, books_shape, n_probe),
+        lambda: _build_ivfpq_udfs(
+            cents_bytes, cents_shape, books_bytes, books_shape, n_probe
+        ),
+    )
+
+
+def _build_ivfpq_udfs(cents_bytes, cents_shape, books_bytes, books_shape, n_probe):
     cents = np.frombuffer(cents_bytes, dtype=np.float64).reshape(cents_shape)
     cc = (cents * cents).sum(axis=1)
     books = np.frombuffer(books_bytes, dtype=np.float64).reshape(books_shape)
@@ -1013,25 +1049,42 @@ def _ivfpq_udfs(sc, cents_bytes, cents_shape, books_bytes, books_shape, n_probe)
         return pd.Series(_cdists(vecs).argmin(axis=1).astype("int32"))
 
     @F.pandas_udf("array<int>")
-    def probes(vecs: pd.Series) -> pd.Series:
-        order = np.argsort(_cdists(vecs), axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(order.astype("int32")))
-
-    @F.pandas_udf("array<int>")
     def res_codes(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
         mat = np.asarray(vecs.tolist(), dtype=np.float64)
         r = mat - cents[clusters.to_numpy()]
         d = _sub_dist_micro(r, books)
         return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
 
-    @F.pandas_udf("array<long>")
-    def qtable(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+    @F.pandas_udf("array<struct<cluster: int, qtab: array<bigint>>>")
+    def probe_tables(vecs: pd.Series) -> pd.Series:
+        # the probed clusters AND their per-cluster residual ADC tables in
+        # ONE Arrow eval (r14, guide §4.5/§2.4): the split probes->explode
+        # ->qtable formulation paid a second JVM<->Python roundtrip per
+        # query batch and shipped the raw query vector through the explode
+        # just to hand it back to Python. Per-row values are identical:
+        # the same argsort picks the clusters and the same
+        # _sub_dist_micro(vec - centroid) arithmetic fills each table —
+        # elementwise per row, so batching per probe-slot instead of per
+        # exploded row cannot change any value.
         mat = np.asarray(vecs.tolist(), dtype=np.float64)
-        r = mat - cents[clusters.to_numpy()]
-        d = _sub_dist_micro(r, books)
-        return pd.Series(list(d.reshape(len(mat), m * ksub)))
+        order = np.argsort(_cdists(vecs), axis=1, kind="stable")[:, :n_probe]
+        tabs = [
+            _sub_dist_micro(mat - cents[order[:, j]], books).reshape(
+                len(mat), m * ksub
+            )
+            for j in range(order.shape[1])
+        ]
+        return pd.Series(
+            [
+                [
+                    {"cluster": int(order[i, j]), "qtab": tabs[j][i].tolist()}
+                    for j in range(order.shape[1])
+                ]
+                for i in range(len(mat))
+            ]
+        )
 
-    return nearest, probes, res_codes, qtable
+    return nearest, probe_tables, res_codes
 
 
 def knn_ivf_pq(
@@ -1056,7 +1109,7 @@ def knn_ivf_pq(
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
     m, ksub, _dsub = books.shape
-    nearest, probes, res_codes, qtable = _ivfpq_udfs(
+    nearest, probe_tables, res_codes = _ivfpq_udfs(
         corpus.sparkSession.sparkContext,
         cents.tobytes(), cents.shape, books.tobytes(), books.shape, n_probe,
     )
@@ -1080,27 +1133,27 @@ def knn_ivf_pq(
         ),
         "similarity.ivfpq_lists",
     )
-    qb = queries.select(
+    qt = queries.select(
         F.col(id_col).alias("query_id"),
-        dv.alias("_qv"),
-        F.explode(probes(dv)).alias("cluster"),
+        F.explode(probe_tables(dv)).alias("_pc"),
+    ).select(
+        "query_id",
+        F.col("_pc.cluster").alias("cluster"),
+        F.col("_pc.qtab").alias("qtab"),
     )
-    qt = qb.select("query_id", "cluster", qtable("_qv", "cluster").alias("qtab"))
     adist = (
         "aggregate(transform(codes, (c, i) -> element_at(qtab, i * "
         f"{ksub} + c + 1)), 0L, (acc, x) -> acc + x)"
     )
     scored = (
+        # each corpus vector lives in exactly ONE inverted list (cluster =
+        # argmin), so a (query_id, neighbor_id) pair appears AT MOST ONCE
+        # in this join — the old min()-GROUP BY dedup was an identity over
+        # singleton groups and cost a double hash-aggregate per run (r14;
+        # the top-k window below supplies the one hash(query_id) exchange)
         lists.join(F.broadcast(qt), "cluster")
         .filter("neighbor_id != query_id")
         .selectExpr("query_id", "neighbor_id", f"{adist} AS adist_micro")
-        # ONE shuffle for the multi-probe min AND the top-k window:
-        # clustering by query_id co-locates every (query_id, neighbor_id)
-        # group and already satisfies the window partitioning (plan audit
-        # r13: was Exchange(q, n) then Exchange(q); guide §2.4)
-        .repartition("query_id")
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.expr("min(adist_micro) AS adist_micro"))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc("neighbor_id"))
     return (
@@ -1156,10 +1209,12 @@ def knn_rerank(
         # broadcast the slim candidate pairs and STREAM the corpus: the
         # big side is never shuffled (nor auto-broadcast — at sf0.1 the
         # planner's estimates chose to broadcast the corpus VECTORS,
-        # which is exactly backwards at scale; guide §3.1). Build side =
-        # Q x rerank (query_id, neighbor_id) longs, KBs at any Q.
-        c.join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        # which is exactly backwards at scale; guide §3.1). The query
+        # vector+norm are attached to the pairs BEFORE the broadcast
+        # (both sides are Q-sized), so the corpus passes through ONE
+        # BroadcastHashJoin instead of two (r14; guide §2.4). Build side
+        # = Q x rerank pairs carrying one qv copy each — KBs at any Q.
+        c.join(F.broadcast(cands.join(q, "query_id")), "neighbor_id")
         .selectExpr(
             "query_id",
             "neighbor_id",
