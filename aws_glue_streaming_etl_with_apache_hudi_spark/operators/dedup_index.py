@@ -216,6 +216,12 @@ class LSHDedupIndex:
         self.threshold = threshold
         self.max_bucket_size = max_bucket_size
         self._sigs_dir = os.path.join(path, "sigs")
+        # signature-table schema, captured on first read/accept: the
+        # table's shape is fixed by this index's parameters, so repeated
+        # probe/accept calls must not pay a footer-inference job each
+        # (guide §6 "supply the schema"; the streaming pipeline probes
+        # and accepts once per micro-batch)
+        self._sigs_schema = None
 
     # -- index state ----------------------------------------------------
 
@@ -229,7 +235,13 @@ class LSHDedupIndex:
         """The accepted-document signature table (None when empty)."""
         if not self._has_sigs():
             return None
-        return self.spark.read.parquet(self._sigs_dir)
+        reader = self.spark.read
+        if self._sigs_schema is not None:
+            reader = reader.schema(self._sigs_schema)
+        df = reader.parquet(self._sigs_dir)
+        if self._sigs_schema is None:
+            self._sigs_schema = df.schema
+        return df
 
     def size(self) -> int:
         sigs = self.signatures()
@@ -346,11 +358,18 @@ class LSHDedupIndex:
         between the upsert and the accept replays as probe (no new
         signatures yet, rows pass) -> idempotent re-upsert -> accept.
 
-        The anti-join plan reads the index's CURRENT parquet files, so
-        it is eagerly localCheckpoint'ed (lineage truncated to the
-        materialized rows) BEFORE the append — a merely-lazy plan
-        re-executed after the append would race the files it is itself
-        writing. Returns the number of signatures appended."""
+        The novel signatures are STAGED to a sibling directory in one
+        Spark action, counted from the staged files' parquet footers
+        driver-side, and renamed into the live directory (Spark part
+        names carry a per-job UUID, so renames cannot collide). Staging
+        is both the self-read-write barrier (the anti-join reads the
+        live files while the write targets the staging dir — the old
+        formulation needed an eager localCheckpoint plus a count job
+        plus a second append write, three actions per micro-batch where
+        this is one) and the same crash window as the old append: a
+        crash mid-rename leaves a subset of the batch indexed, and the
+        idempotent replay anti-joins those out and appends the rest.
+        Returns the number of signatures appended."""
         rows = batch.select(self.id_col, self.text_col)
         sigs = self.signatures()
         if sigs is not None:
@@ -359,10 +378,26 @@ class LSHDedupIndex:
             word_shingles(rows, self.id_col, self.text_col, n=self.shingle_n),
             self.id_col,
             self.num_hashes,
-        ).localCheckpoint(eager=True)
-        n = novel_sigs.count()
+        )
+        stage = self._sigs_dir + ".accept_tmp"
+        shutil.rmtree(stage, ignore_errors=True)
+        novel_sigs.write.mode("overwrite").parquet(stage)
+        if self._sigs_schema is None:
+            self._sigs_schema = novel_sigs.schema
+        import pyarrow.parquet as pq
+
+        parts = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        n = sum(
+            pq.ParquetFile(os.path.join(stage, f)).metadata.num_rows
+            for f in parts
+        )
         if n:
-            novel_sigs.write.mode("append").parquet(self._sigs_dir)
+            os.makedirs(self._sigs_dir, exist_ok=True)
+            for f in parts:
+                os.rename(
+                    os.path.join(stage, f), os.path.join(self._sigs_dir, f)
+                )
+        shutil.rmtree(stage, ignore_errors=True)
         return n
 
     def ingest(self, batch: DataFrame) -> DataFrame:

@@ -90,6 +90,27 @@ def quality_expr() -> Column:
     )
 
 
+def quality_sql(text_col: str) -> str:
+    """``quality_expr`` over ``text_stats``'s columns, rendered as ONE
+    SQL expression on the raw text column — the same word split, the
+    same 4dp-rounded ratios, the same formula — so a pipeline can gate
+    on quality as a plain filter in the batch's own projection, with no
+    join back to a stats frame and no column-name collisions with the
+    caller's schema (the streaming corpus gate's shape)."""
+    w = f"split(lower({text_col}), '\\\\s+')"
+    n_words = f"CAST(size({w}) AS BIGINT)"
+    n_distinct = f"size(array_distinct({w}))"
+    filler = "array(" + ", ".join(f"'{x}'" for x in FILLER_WORDS) + ")"
+    n_filler = f"CAST(size(filter({w}, x -> array_contains({filler}, x))) AS BIGINT)"
+    distinct_ratio = f"round({n_distinct} / {n_words}, 4)"
+    filler_ratio = f"round({n_filler} / {n_words}, 4)"
+    return (
+        f"round(0.4 * least({n_words} / 100.0, 1.0)"
+        f" + 0.4 * {distinct_ratio}"
+        f" + 0.2 * (1 - {filler_ratio}), 4)"
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Composite quality score in [0, 1] (see quality_expr). The formula
     is arbitrary but fixed — what matters is that it is deterministic and

@@ -3363,13 +3363,17 @@ def corpus_stream_e2e(spark, sf_dir):
     src = os.path.join(base, "src")
     os.makedirs(src)
     # one file per micro-batch, mtimes ascending so the file source's
-    # oldest-first order and the lexicographic name order agree
+    # oldest-first order and the lexicographic name order agree; all
+    # three staged in ONE partitioned write (the synthetic batch column
+    # lands in the directory name, not the files, so each moved file
+    # carries exactly the rows of the old per-batch filter+write — r14:
+    # one setup job instead of three)
+    stage = os.path.join(base, "stage")
+    docs.withColumn("_b", F.col("doc_id") % 3).coalesce(1).write.partitionBy(
+        "_b"
+    ).mode("overwrite").parquet(stage)
     for b in range(3):
-        stage = os.path.join(base, f"stage_{b}")
-        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        part = _glob.glob(os.path.join(stage, f"_b={b}", "part-*.parquet"))[0]
         dst = os.path.join(src, f"batch_{b}.parquet")
         shutil.move(part, dst)
         os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
@@ -3390,8 +3394,14 @@ def corpus_stream_e2e(spark, sf_dir):
     )
 
     def gated(df):
-        q = X.quality_score(df, "doc_id", "text")
-        df = df.join(q.filter(F.col("quality") >= 0.55).select("doc_id"), "doc_id")
+        # quality gate as a plain FILTER in the batch's own projection
+        # (text.quality_sql — the same stats snippets and formula as
+        # quality_score): the old quality_score JOIN back to the batch
+        # was an identity on the unique doc_id and cost a broadcast
+        # build + join per micro-batch. The dedup gate's join-back
+        # stays: is_duplicate is an aggregate over band matches, not a
+        # row-local column.
+        df = df.filter(F.expr(X.quality_sql("text")) >= 0.55)
         flags = idx.probe(df)
         return df.join(
             flags.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"

@@ -126,14 +126,26 @@ class StreamingUpsertPipeline:
                 )
                 if batch_df.isEmpty():
                     return
-        if self.transform is not None:
-            batch_df = self.transform(batch_df)
-        if self.writer_id is not None:
-            self.table.nbcc_upsert(batch_df, writer=self.writer_id)
-        else:
-            self.table.upsert(batch_df)
-        if self.post_commit is not None:
-            self.post_commit(batch_df)
+        transformed = self.transform is not None
+        if transformed:
+            # materialize the transformed batch ONCE per trigger: the
+            # upsert's write and the post-commit hook each consume this
+            # frame, and without the cache each consumer re-executes the
+            # whole transform chain (the corpus pipeline's quality gate +
+            # dedup-index probe joins ran 2x per micro-batch — guide §5:
+            # persist exactly the reused-and-expensive frame; released in
+            # the finally below, so triggers never accumulate storage)
+            batch_df = self.transform(batch_df).persist()
+        try:
+            if self.writer_id is not None:
+                self.table.nbcc_upsert(batch_df, writer=self.writer_id)
+            else:
+                self.table.upsert(batch_df)
+            if self.post_commit is not None:
+                self.post_commit(batch_df)
+        finally:
+            if transformed:
+                batch_df.unpersist(blocking=False)
 
     def _bootstrap_schema(self) -> T.StructType:
         """Infer the stream schema from the files already in
